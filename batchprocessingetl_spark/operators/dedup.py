@@ -1,0 +1,209 @@
+"""Near-duplicate detection: n-gram Jaccard (exact), MinHash + LSH
+(scale path), and SimHash signatures.
+
+Exact content dedup lives in ``operators.text.exact_dedup``. These
+operators target *near*-duplicates over text, the core of any
+pre-training corpus pipeline:
+
+- :func:`shingles` — word n-gram shingle sets (built-in array funcs).
+- :func:`jaccard_pairs` — exact n-gram Jaccard via the inverted-index
+  plan: explode shingles -> equi-join on shingle -> count per pair ->
+  |A∩B| / (|A|+|B|-|A∩B|). This is the oracle-checkable baseline; its
+  cost is bounded by document-frequency capping (the ``max_df`` filter
+  drops ubiquitous shingles, the standard trick that keeps the
+  inverted index sub-quadratic at corpus scale).
+- :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash
+  approximation of Jaccard with banded LSH: only documents sharing a
+  band bucket are compared, so the pair space never materializes.
+  At 100 TB this is the only viable plan; the band join is a plain
+  equi-join Catalyst hash-partitions, and skewy buckets (boilerplate
+  text) are handled by AQE skew-join splitting.
+- :func:`simhash64` — 64-bit SimHash signature from token hashes
+  (Charikar); Hamming-near pairs via 4x16-bit band join.
+
+Everything is built-in expressions (xxhash64, higher-order array
+functions) — deterministic, seedable, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators.text import tokens
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text column."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+
+    Inverted-index join plan: shuffle once on shingle, once on the pair
+    key — no cross join ever materializes. ``max_df`` drops shingles
+    appearing in more than that many docs before the self-join (cost
+    control; disabled by default for oracle parity).
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        keep = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        posting = posting.join(keep, "shingle")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature (array<bigint> of length n_hashes) per doc.
+
+    h_i(doc) = min over shingles of xxhash64(i, shingle). One narrow
+    pass; empty-shingle docs get NULL signatures (excluded downstream).
+    """
+    sh = shingles(F.col(text_col), n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(sh) > 0, sig).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures.
+
+    Splits each signature into ``bands`` slices, hashes each slice to a
+    bucket, and equi-joins on (band, bucket). Output: distinct
+    (id_a < id_b) candidate pairs for exact verification."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = (
+        signatures.filter(F.col("sig").isNotNull())
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", (b * rows_per_band + 1).cast("int"), rows_per_band)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded LSH
+    candidates -> exact Jaccard verification of candidates only.
+
+    The verification join re-reads only candidate docs' shingle sets, so
+    total cost is O(corpus) + O(candidates) — the 100 TB-viable plan."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash signature: per-token 64-bit hash votes +-1 per bit;
+    sign of each bit-sum forms the signature (Charikar). Expressed as a
+    SQL higher-order-function pipeline (the SQL ``shiftright`` accepts a
+    column shift amount, unlike the Python wrapper) — still one narrow,
+    codegen'd projection per row."""
+    sig_sql = """
+        aggregate(
+            zip_with(
+                aggregate(
+                    __toks,
+                    array_repeat(0L, 64),
+                    (acc, t) -> zip_with(
+                        acc,
+                        transform(sequence(0, 63),
+                                  k -> CASE WHEN (xxhash64(t) >> k) & 1 = 1
+                                            THEN 1L ELSE -1L END),
+                        (x, y) -> x + y)
+                ),
+                sequence(0, 63),
+                (v, k) -> CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END
+            ),
+            0L,
+            (acc, x) -> acc + x
+        )
+    """
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(F.col(id_col).alias("id"), F.expr(sig_sql).alias("simhash"))
+    )

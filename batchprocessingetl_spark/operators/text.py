@@ -1,0 +1,100 @@
+"""Text-analysis operators (training-data-pipeline surface).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (incl.
+higher-order array functions), so every operator stays inside
+whole-stage codegen — a single scan, no Python boundary, no shuffle
+except where an aggregate genuinely needs one. The reference has no
+text surface (SURVEY.md §2.8: string functions absent); this module is
+part of the north-star extension set.
+
+Each Spark expression has a DuckDB-SQL twin (the ``*_SQL_DUCKDB``
+templates) so the oracle harness checks identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization: trim -> split on runs of whitespace -> drop the
+# empty-string artifact ''.split() produces on empty input.
+TOKENS_SQL_DUCKDB = "list_filter(regexp_split_to_array(trim({col}), '\\s+'), t -> t <> '')"
+
+# Normalization for fingerprinting: lowercase + collapse whitespace.
+NORMALIZE_SQL_DUCKDB = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
+STOPWORDS_SQL_DUCKDB = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens as array<string>; empty text -> empty array."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def normalize(col: Column) -> Column:
+    """Lowercased, whitespace-collapsed text (fingerprint canonical form)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def with_token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / avg_token_len columns."""
+    toks = tokens(F.col(text_col))
+    tok_lens = F.transform(toks, lambda t: F.length(t).cast("double"))
+    avg_len = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.aggregate(tok_lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks),
+            4,
+        ),
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("avg_token_len", avg_len)
+    )
+
+
+def with_quality_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Add corpus-quality heuristics: measured char count, alphabetic
+    ratio, whitespace ratio, stopword ratio. These are the standard
+    cheap filters a pre-training pipeline applies before expensive
+    model-based scoring."""
+    col = F.col(text_col)
+    n_chars = F.length(col)
+    toks = tokens(col)
+    n_alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(col, "[^ \\t\\n]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    safe_chars = F.nullif(n_chars, F.lit(0)).cast("double")
+    safe_toks = F.nullif(F.size(toks), F.lit(0)).cast("double")
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("alpha_ratio", F.round(n_alpha / safe_chars, 6))
+        .withColumn("space_ratio", F.round(n_space / safe_chars, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / safe_toks, 6))
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], keep_col: str) -> DataFrame:
+    """Exact deduplication keeping the row with the MIN ``keep_col`` per
+    content key. One hash aggregate (single shuffle on the content key);
+    at 100 TB, dedup on a long text column should pre-hash the key
+    (``F.md5``/``F.xxhash64``) so the shuffle carries a fixed-width key —
+    use ``exact_dedup_hashed`` for that.
+    """
+    return df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col)).select(keep_col, *key_cols)
+
+
+def exact_dedup_hashed(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
+    """Scale variant: shuffle on a 128-bit content hash instead of the
+    full text. Collision probability at 100 TB (~1e11 docs) is ~1e-17 —
+    acceptable for corpus dedup."""
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    return (
+        hashed.groupBy("__h")
+        .agg(F.min(keep_col).alias(keep_col))
+        .join(df.select(keep_col, text_col), keep_col)
+        .drop("__h")
+    )

@@ -1,0 +1,40 @@
+"""Query workload registry.
+
+Each submodule contributes ``QUERIES`` (name -> callable(spark, sf_dir)
+-> DataFrame) and ``ORACLE`` (name -> equivalent ANSI SQL for DuckDB).
+``collect_queries()`` / ``collect_oracle()`` merge them for
+``__spark_entry__.py``. Names are prefixed to group by area.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from batchprocessingetl_spark.workload import (
+    events as _events,
+    pipeline_queries as _pipeline,
+    relational as _relational,
+    textops as _textops,
+    vectors as _vectors,
+)
+
+_MODULES = (_relational, _pipeline, _events, _textops, _vectors)
+
+
+def collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = set(out) & set(mod.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def collect_oracle() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

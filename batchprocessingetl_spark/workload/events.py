@@ -1,0 +1,183 @@
+"""Event-stream batch analytics over the ``events`` table.
+
+The reference's raw layer is a hand-rolled micro-batch stream
+(``/root/reference/src/raw/raw_layer.py:142-153``); these queries are
+the batch expressions of the streaming concerns (tumbling windows,
+sessionization) — the Structured Streaming variants live in
+``batchprocessingetl_spark/streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.workload.parity import dsum, dsum_sql
+
+SESSION_GAP_MINUTES = 30
+
+
+def q20_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type: F.window() groups rows into
+    aligned hour buckets — window.start equals date_trunc('hour', ts).
+    One shuffle on (window, event_type); partial aggregation map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value", "n_users")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: per-user lag(ts), mark gaps
+    > 30 min as session starts, running sum -> session id, then per-user
+    session stats. Two window passes over one hash-partition by user_id
+    (a single shuffle; the second window reuses the partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap computed on integer epoch-microseconds: exact, engine-independent
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > SESSION_GAP_MINUTES * 60_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(by_user))
+    )
+    duration_sec = F.round(
+        (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))) / 1_000_000.0, 1
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), duration_sec.alias("duration_sec"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum(F.col("duration_sec").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 1).alias(
+                "avg_session_sec"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q22_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily pivot-shaped rollup via conditional aggregation (stays in
+    one hash aggregate rather than a pivot's two passes)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+            dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias(
+                "purchase_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def q23_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the string ``props`` column
+    (get_json_object -> int), aggregated. The reference reads JSON with
+    an explicit schema (raw_layer.py:87); this is the in-row variant."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q20_hourly_event_rollup": q20_hourly_event_rollup,
+    "q21_sessionization": q21_sessionization,
+    "q22_event_type_daily": q22_event_type_daily,
+    "q23_json_props_extract": q23_json_props_extract,
+}
+
+ORACLE = {
+    "q20_hourly_event_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "q21_sessionization": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {SESSION_GAP_MINUTES} * 60000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 1) AS duration_sec
+            FROM sessioned
+            GROUP BY user_id, session_seq
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               ROUND(CAST(SUM(CAST(duration_sec AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 1)
+                   AS avg_session_sec
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q22_event_type_daily": """
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS purchase_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q23_json_props_extract": """
+        SELECT event_type,
+               ROUND(AVG((props ->> 'k')::INT), 4) AS avg_k,
+               MAX((props ->> 'k')::INT) AS max_k,
+               COUNT(*) AS n_events
+        FROM (SELECT event_type, props::JSON AS props FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

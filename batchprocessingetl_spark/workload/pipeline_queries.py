@@ -1,0 +1,212 @@
+"""Pipeline-operator queries: the reference's medallion-layer composites
+bound to the test tables, each with a full DuckDB oracle.
+
+- ``q40_staging_clean`` re-expresses the staging cleaner chain
+  (``/root/reference/src/staging/staging_layer.py:55-84``): dedup ->
+  null filter -> casts -> fillna -> derived columns.
+- ``q41_scd2_demo`` drives the corrected SCD2 merge
+  (operators/scd2.py) on a deterministic synthetic change batch built
+  from ``customer``, covering all four reference bug classes B1-B4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators.scd2 import apply_scd2
+
+SCD2_EXISTING_TS = "2020-01-01 00:00:00"
+SCD2_BATCH_TS = "2024-01-01 00:00:00"
+
+
+def q40_staging_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging cleaner on lineitem: dropDuplicates (pk grain) -> filter
+    nulls -> cast -> fillna -> two derived columns (profit-margin /
+    restock-flag analogues of staging_layer.py:76-84). Entirely
+    narrow transformations except the dedup shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    redelivered = li.union(li)  # simulate overlapping re-extraction (raw_layer.py:124-126)
+    # the price product has <= 4 decimal digits: capture it exactly as
+    # DECIMAL before rounding so .xx5 ties round identically everywhere
+    revenue = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"), 2).cast(
+        "double"
+    )
+    return (
+        # full-row dedup, as the reference's dropDuplicates() (staging_layer.py:56)
+        redelivered.dropDuplicates()
+        .filter(F.col("l_shipdate").isNotNull())
+        .withColumn("quantity", F.col("l_quantity").cast("int"))
+        .fillna({"l_discount": 0.0, "l_tax": 0.0})
+        .withColumn("revenue", revenue)
+        .withColumn(
+            "is_high_value",
+            F.when(revenue > 40000, F.lit("Yes")).otherwise(F.lit("No")),
+        )
+        .select("l_orderkey", "l_linenumber", "quantity", "revenue", "is_high_value")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _scd2_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic existing-dimension + change-batch pair from customer.
+
+    Change batch exercises: attribute change (segment), value->NULL and
+    NULL->value transitions (acctbal, B3), brand-new keys (B2), dropped
+    keys (customers missing from the batch pass through), and unchanged
+    rows (B1)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        # existing snapshot: acctbal NULL for custkey % 11 == 0 (NULL->value case)
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+    )
+    existing = cust.select(
+        "c_custkey",
+        "segment",
+        "acctbal",
+        F.lit(SCD2_EXISTING_TS).cast("timestamp").alias("start_date"),
+        F.lit(None).cast("timestamp").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    base = load_table(spark, sf_dir, "customer")
+    batch = base.filter(F.col("c_custkey") % 3 != 0).select(  # %3==0 keys absent from batch
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))  # value->NULL
+        .when(F.col("c_custkey") % 11 == 0, F.round(F.col("c_acctbal") + 50.0, 2))  # NULL->value
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+    )
+    new_keys = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    return batch.unionByName(new_keys), existing
+
+
+def q41_scd2_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected SCD2 merge; output every version row with its validity
+    interval. See operators/scd2.py for semantics and plan shape."""
+    new_data, existing = _scd2_inputs(spark, sf_dir)
+    out = apply_scd2(
+        new_data,
+        existing,
+        primary_key=["c_custkey"],
+        update_columns=["segment", "acctbal"],
+        batch_ts=SCD2_BATCH_TS,
+    )
+    return out.select(
+        "c_custkey", "segment", "acctbal", "start_date", "end_date", "is_current"
+    ).orderBy("c_custkey", "start_date", "is_current")
+
+
+def q42_scd2_initial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 initial-load branch (existing is None -> all rows current,
+    reference curated_layer.py:73-77)."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    out = apply_scd2(
+        supplier,
+        None,
+        primary_key=["s_suppkey"],
+        update_columns=["s_name", "s_acctbal"],
+        batch_ts=SCD2_BATCH_TS,
+    )
+    return out.orderBy("s_suppkey")
+
+
+QUERIES = {
+    "q40_staging_clean": q40_staging_clean,
+    "q41_scd2_demo": q41_scd2_demo,
+    "q42_scd2_initial_load": q42_scd2_initial_load,
+}
+
+_SCD2_COMMON = f"""
+        WITH existing AS (
+            SELECT c_custkey,
+                   c_mktsegment AS segment,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        ELSE ROUND(c_acctbal, 2) END AS acctbal,
+                   TIMESTAMP '{SCD2_EXISTING_TS}' AS start_date,
+                   NULL::TIMESTAMP AS end_date,
+                   TRUE AS is_current
+            FROM customer
+        ), batch AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                        ELSE c_mktsegment END AS segment,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        WHEN c_custkey % 11 = 0 THEN ROUND(c_acctbal + 50.0, 2)
+                        ELSE ROUND(c_acctbal, 2) END AS acctbal
+            FROM customer
+            WHERE c_custkey % 3 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   c_mktsegment AS segment,
+                   ROUND(c_acctbal, 2) AS acctbal
+            FROM customer
+            WHERE c_custkey % 13 = 0
+        ), joined AS (
+            SELECT b.c_custkey,
+                   b.segment AS new_segment, b.acctbal AS new_acctbal,
+                   e.segment AS old_segment, e.acctbal AS old_acctbal,
+                   e.c_custkey IS NULL AS is_new_key
+            FROM batch b
+            LEFT JOIN existing e USING (c_custkey)
+        ), changes AS (
+            SELECT c_custkey, new_segment AS segment, new_acctbal AS acctbal
+            FROM joined
+            WHERE is_new_key
+               OR new_segment IS DISTINCT FROM old_segment
+               OR new_acctbal IS DISTINCT FROM old_acctbal
+        )
+"""
+
+ORACLE = {
+    "q40_staging_clean": """
+        SELECT l_orderkey, l_linenumber,
+               l_quantity::INT AS quantity,
+               CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue,
+               CASE WHEN CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) > 40000
+                    THEN 'Yes' ELSE 'No' END AS is_high_value
+        FROM (
+            SELECT DISTINCT *
+            FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        )
+        WHERE l_shipdate IS NOT NULL
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q41_scd2_demo": _SCD2_COMMON
+    + f"""
+        SELECT e.c_custkey, e.segment, e.acctbal, e.start_date,
+               TIMESTAMP '{SCD2_BATCH_TS}' AS end_date, FALSE AS is_current
+        FROM existing e
+        WHERE e.c_custkey IN (SELECT c_custkey FROM changes)
+        UNION ALL
+        SELECT e.c_custkey, e.segment, e.acctbal, e.start_date, e.end_date, e.is_current
+        FROM existing e
+        WHERE e.c_custkey NOT IN (SELECT c_custkey FROM changes)
+        UNION ALL
+        SELECT c.c_custkey, c.segment, c.acctbal,
+               TIMESTAMP '{SCD2_BATCH_TS}' AS start_date,
+               NULL::TIMESTAMP AS end_date, TRUE AS is_current
+        FROM changes c
+        ORDER BY c_custkey, start_date, is_current
+    """,
+    "q42_scd2_initial_load": f"""
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal,
+               TIMESTAMP '{SCD2_BATCH_TS}' AS start_date,
+               NULL::TIMESTAMP AS end_date,
+               TRUE AS is_current
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+}

@@ -1,0 +1,470 @@
+"""Relational query workload (SURVEY.md §2.2-2.8, §2.12).
+
+Re-expresses the reference's four dashboard queries
+(``/root/reference/dashboard.py:29-116``) on the TPC-H-ish test schema,
+plus one query per relational operator family the reference uses
+(projection/filter/case-when, inner/left/semi/anti joins, grouped
+SUM/AVG/COUNT, distinct, union, order-by, HAVING-style filters) and the
+natural extensions (window top-k, count-distinct, conditional
+aggregates).
+
+Conventions shared with the DuckDB oracles:
+- every computed column is aliased identically on both sides;
+- floating aggregates are ROUND()ed (2-6 dp) on both sides so
+  summation-order low-bit drift cannot flip the value hash;
+- ORDER BY keys always include a unique tie-break when paired with
+  LIMIT, so top-k is deterministic on both engines.
+
+All queries are pure DataFrame-API plans: Catalyst handles predicate
+pushdown into the parquet scan, column pruning, and join-strategy
+selection (dims like nation/region broadcast automatically under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.workload.parity import davg, dsum
+
+
+# --- Q1 analogue of reference dashboard.py:29-42 (and TPC-H Q1 shape) ---
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy grouped aggregation: filter -> groupBy(2) -> 8 aggs.
+
+    Mirrors the reference's 'SUM over GROUP BY' dashboard pattern
+    (dashboard.py:31-39) at full-scan scale. The filter is pushed to the
+    parquet scan; aggregation is partial (map-side) + final, so the
+    shuffle carries only group keys x partial states — this is the plan
+    shape that scales to 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Flagship: reference Q1 "sales across time & regions" analogue ---
+def q02_revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join chain -> grouped SUM -> multi-key sort.
+
+    Isomorphic to dashboard.py:29-42 (fact x date-dim x geo-dim):
+    lineitem joins orders (fact-to-fact key), customer, nation.
+    nation (25 rows) broadcasts; customer joins shuffle on the key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name", "o_year", "o_month")
+    )
+
+
+# --- Reference Q2 analogue: most/least sold products in a year ---
+def q03_product_sales_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param-filtered join + grouped SUM, ordered DESC (dashboard.py:52-68)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_quantity_sold"))
+        .orderBy(F.desc("total_quantity_sold"), "p_brand", "p_type")
+    )
+
+
+# --- Reference Q3 analogue: inventory turnover (SUM + AVG multi-agg) ---
+def q04_turnover_by_region_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate (SUM + AVG) over a 3-way join (dashboard.py:78-92),
+    extended through the region dimension (5 rows, broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("r_name", "p_brand")
+    )
+
+
+# --- Reference Q4 analogue: product performance across regions ---
+def q05_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two SUMs grouped by geo + product keys, ordered by revenue DESC
+    (dashboard.py:102-116)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_quantity_sold"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_sales"),
+        )
+        .orderBy(F.desc("total_sales"), "n_name", "p_brand")
+    )
+
+
+def q06_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + CASE WHEN derived column + grouped aggs — the
+    staging layer's when/otherwise pattern (staging_layer.py:76-84)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") < 10, F.lit("low"))
+        .when(F.col("l_quantity") < 25, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        li.select(band.alias("qty_band"), "l_extendedprice", "l_discount")
+        .groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("qty_band")
+    )
+
+
+def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers + per-key aggs +
+    coalesce of the null aggregate — the SCD2 change-detection join shape
+    (curated_layer.py:50-54) with null handling (staging fillna)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (curated_layer.py:59-62 uses the same to find
+    unchanged dimension keys)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q09_suppliers_of_large_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): suppliers having at least one high-volume
+    line item."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q10_active_nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION + DISTINCT (raw_layer.py:126 union().dropDuplicates())."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(sup).distinct().orderBy("nationkey")
+
+
+def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: rank orders by totalprice within customer.
+    Deterministic tie-break on o_orderkey. The window shuffles once on
+    the partition key; at scale this is the standard top-k-per-group plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q12_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q13_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-style post-aggregation filter (staging_layer.py:44
+    groupBy().count().filter(count > 1))."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+        .orderBy(F.desc("n_orders"), "o_custkey")
+    )
+
+
+def q14_discount_share_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: SUM(CASE WHEN ...) alongside totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            dsum(F.when(F.col("l_discount") > 0.05, rev).otherwise(F.lit(0.0))).alias(
+                "discounted_revenue"
+            ),
+            dsum(rev).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q15_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregate (beyond-reference: subtotal+total
+    rows), with NULL markers coalesced for stable hashing."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
+    "q03_product_sales_in_year": q03_product_sales_in_year,
+    "q04_turnover_by_region_brand": q04_turnover_by_region_brand,
+    "q05_product_performance": q05_product_performance,
+    "q06_quantity_bands": q06_quantity_bands,
+    "q07_customer_order_stats": q07_customer_order_stats,
+    "q08_customers_without_orders": q08_customers_without_orders,
+    "q09_suppliers_of_large_lines": q09_suppliers_of_large_lines,
+    "q10_active_nations_union": q10_active_nations_union,
+    "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
+    "q12_supplier_part_breadth": q12_supplier_part_breadth,
+    "q13_frequent_customers": q13_frequent_customers,
+    "q14_discount_share_by_status": q14_discount_share_by_status,
+    "q15_priority_rollup": q15_priority_rollup,
+}
+
+ORACLE = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_by_nation_month": """
+        SELECT n_name,
+               EXTRACT(year FROM o_orderdate)::INT AS o_year,
+               EXTRACT(month FROM o_orderdate)::INT AS o_month,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q03_product_sales_in_year": """
+        SELECT p_brand, p_type,
+               ROUND(SUM(l_quantity), 2) AS total_quantity_sold
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+        GROUP BY p_brand, p_type
+        ORDER BY total_quantity_sold DESC, p_brand, p_type
+    """,
+    "q04_turnover_by_region_brand": """
+        SELECT r_name, p_brand,
+               ROUND(SUM(l_quantity), 2) AS total_quantity,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY r_name, p_brand
+        ORDER BY r_name, p_brand
+    """,
+    "q05_product_performance": """
+        SELECT n_name, p_brand,
+               ROUND(SUM(l_quantity), 2) AS total_quantity_sold,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY n_name, p_brand
+        ORDER BY total_sales DESC, n_name, p_brand
+    """,
+    "q06_quantity_bands": """
+        SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 25 THEN 'mid'
+                    ELSE 'high' END AS qty_band,
+               COUNT(*) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q07_customer_order_stats": """
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE), 0.0) AS total_spent
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        ORDER BY c_custkey
+    """,
+    "q08_customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q09_suppliers_of_large_lines": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey AND l_quantity >= 48
+        )
+        ORDER BY s_suppkey
+    """,
+    "q10_active_nations_union": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        ORDER BY nationkey
+    """,
+    "q11_top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn::INT AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    "q12_supplier_part_breadth": """
+        SELECT l_suppkey,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    "q13_frequent_customers": """
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > 15
+        ORDER BY n_orders DESC, o_custkey
+    """,
+    "q14_discount_share_by_status": """
+        SELECT l_linestatus,
+               CAST(ROUND(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 2) AS DOUBLE) AS discounted_revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q15_priority_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+}

@@ -1,0 +1,231 @@
+"""Text-analysis workload over the ``documents`` table.
+
+Large-scale training-data-pipeline text operators (SURVEY.md §7.2 step
+5): tokenization/term stats, quality scoring, language ID, exact
+deduplication, and document fingerprinting. Everything is built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — no Python
+UDFs in any hot path, so each query is a single scan + hash aggregate
+at any scale.
+
+The underlying composable operators live in
+``batchprocessingetl_spark.operators.text``; these entries bind them to
+the test tables with DuckDB-parity SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators import text as T_ops
+
+
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T_ops.with_token_stats(docs, "text")
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")
+        .orderBy("doc_id")
+    )
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, alpha ratio, whitespace ratio,
+    stopword ratio — the standard pre-training corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T_ops.with_quality_signals(docs, "text")
+        .select("doc_id", "n_chars_m", "alpha_ratio", "space_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+    )
+
+
+def q32_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: tokenize -> explode -> count. The
+    explode fans out rows map-side; the aggregate shuffles only (term,
+    partial-count) pairs, so this is the scalable word-count plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 100)
+        .orderBy(F.desc("n_occurrences"), "term")
+    )
+
+
+def q33_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under re-delivery: documents unioned with itself
+    (simulating the raw layer's overlapping re-extraction,
+    raw_layer.py:124-126), dedup-ed by content hash keeping the min
+    doc_id. Output proves |result| == |distinct content|."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.union(docs)
+    return (
+        T_ops.exact_dedup(redelivered, key_cols=["text"], keep_col="doc_id")
+        .select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .orderBy("doc_id")
+    )
+
+
+def q34_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language scoring aggregated per labeled lang.
+    (The synthetic corpus is English-vocab word salad, so the signal
+    is uniform — the check pins the *operator semantics*.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T_ops.with_quality_signals(docs, "text")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # per-row ratios are pre-rounded to 6dp; decimal accumulation
+            # keeps the cross-row mean order-independent (parity.py)
+            F.round(
+                F.sum(F.col("stopword_ratio").cast("decimal(28,8)")).cast("double")
+                / F.count("stopword_ratio"),
+                6,
+            ).alias("avg_stopword_ratio"),
+            F.round(F.avg("n_chars_m"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit content fingerprint (xxhash64 of normalized text) +
+    8-gram shingle count — the building block for MinHash/SimHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = T_ops.normalize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.xxhash64(norm).alias("fingerprint"),
+        F.greatest(F.length(norm) - F.lit(7), F.lit(0)).alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+def q36_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard similar pairs via the inverted-index
+    join plan (operators/dedup.py:jaccard_pairs) — no cross join; cost
+    is bounded by shingle document frequency."""
+    from batchprocessingetl_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy("id_a", "id_b")
+
+
+def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pipeline (scale path): candidates
+    from band-bucket equi-join only, then exact-Jaccard verification of
+    candidates. Approximate recall by design -> rows-only check."""
+    from batchprocessingetl_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=16, n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def q38_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (engine-defined hash -> rows-only)."""
+    from batchprocessingetl_spark.operators.dedup import simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text").orderBy("id")
+
+
+QUERIES = {
+    "q30_token_stats": q30_token_stats,
+    "q31_quality_score": q31_quality_score,
+    "q32_term_frequencies": q32_term_frequencies,
+    "q33_exact_dedup": q33_exact_dedup,
+    "q34_language_id": q34_language_id,
+    "q35_fingerprint": q35_fingerprint,
+    "q36_jaccard_near_dups": q36_jaccard_near_dups,
+    "q37_minhash_near_dups": q37_minhash_near_dups,
+    "q38_simhash_signatures": q38_simhash_signatures,
+}
+
+_SHINGLES_SQL = (
+    "CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({toks}) - 1), i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    " ELSE [] END"
+)
+
+_TOKENS_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="text")
+_NORM_SQL = T_ops.NORMALIZE_SQL_DUCKDB.format(col="text")
+
+ORACLE = {
+    "q30_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKENS_SQL})::INT AS n_tokens,
+               len(list_distinct({_TOKENS_SQL}))::INT AS n_distinct_tokens,
+               ROUND(list_avg(list_transform({_TOKENS_SQL}, t -> length(t)::DOUBLE)), 4) AS avg_token_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q31_quality_score": f"""
+        SELECT doc_id,
+               length(text)::INT AS n_chars_m,
+               ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / NULLIF(length(text), 0)::DOUBLE, 6) AS alpha_ratio,
+               ROUND(length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))
+                     / NULLIF(length(text), 0)::DOUBLE, 6) AS space_ratio,
+               ROUND(len(list_filter({_TOKENS_SQL}, t -> list_contains({{stop}}, t)))
+                     / NULLIF(len({_TOKENS_SQL}), 0)::DOUBLE, 6) AS stopword_ratio
+        FROM documents
+        ORDER BY doc_id
+    """.replace("{stop}", T_ops.STOPWORDS_SQL_DUCKDB),
+    "q32_term_frequencies": f"""
+        SELECT term, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+        GROUP BY term
+        HAVING COUNT(*) >= 100
+        ORDER BY n_occurrences DESC, term
+    """,
+    "q33_exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id, text FROM documents)
+        GROUP BY text
+        ORDER BY doc_id
+    """,
+    "q34_language_id": f"""
+        WITH sig AS (
+            SELECT lang,
+                   length(text)::INT AS n_chars_m,
+                   ROUND(len(list_filter({_TOKENS_SQL}, t -> list_contains({{stop}}, t)))
+                       / NULLIF(len({_TOKENS_SQL}), 0)::DOUBLE, 6) AS stopword_ratio
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(stopword_ratio AS DECIMAL(28,8))) AS DOUBLE)
+                     / COUNT(stopword_ratio), 6) AS avg_stopword_ratio,
+               ROUND(AVG(n_chars_m), 2) AS avg_chars
+        FROM sig
+        GROUP BY lang
+        ORDER BY lang
+    """.replace("{stop}", T_ops.STOPWORDS_SQL_DUCKDB),
+    # q35 fingerprint: xxhash64 seed/variant differs between engines; the
+    # shingle count is SQL-checkable but the hash itself is engine-defined,
+    # so this query gets the weaker rows-only check.
+    "q36_jaccard_near_dups": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.id < b.id
+          AND len(list_intersect(a.sh, b.sh)) > 0
+          AND len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    # q37/q38: approximate / engine-defined-hash -> rows-only checks.
+}

@@ -1,0 +1,117 @@
+"""Embedding similarity-search workload over ``embeddings``.
+
+Brute-force cosine top-k (exact, DuckDB-oracle-checked), per-label
+centroid similarity, and the LSH-bucketed approximate variant
+(rows-only check — approximation is by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators import similarity as S
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row query-vector frame (array<double> qvec); broadcast by
+    the consumers, never collected to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        S.as_double(F.col("embedding")).alias("qvec")
+    )
+
+
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against vec_id=0: one broadcast + one scan,
+    top-k via TakeOrdered (no full sort)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    return S.cosine_topk(emb, _query_df(spark, sf_dir), TOP_K)
+
+
+def q51_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cosine to the query vector per label — grouped aggregate over
+    the same narrow scan."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    e = S.as_double(F.col("embedding"))
+    return (
+        emb.crossJoin(F.broadcast(_query_df(spark, sf_dir)))
+        .select("label", S.cosine(e, F.col("qvec")).alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            # decimal accumulation: order-independent mean (parity.py)
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,8)")).cast("double") / F.count("cos"), 4
+            ).alias("avg_cosine"),
+            F.round(F.max("cos"), 4).alias("max_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+def q52_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucket pruning. Hyperplanes are
+    data-derived (embeddings of vec_ids 1..4), so the plan is fully
+    deterministic; rows-only correctness check (recall < 1 by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes_rows = (
+        emb.filter(F.col("vec_id").isin([1, 2, 3, 4]))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [[float(x) for x in r["embedding"]] for r in planes_rows]
+    base = emb.filter(~F.col("vec_id").isin([QUERY_VEC_ID, 1, 2, 3, 4]))
+    return S.cosine_topk_lsh(base, _query_df(spark, sf_dir), planes, TOP_K)
+
+
+QUERIES = {
+    "q50_knn_bruteforce": q50_knn_bruteforce,
+    "q51_label_centroid_similarity": q51_label_centroid_similarity,
+    "q52_knn_lsh": q52_knn_lsh,
+}
+
+_COS = """
+    list_sum(list_transform(range(1, len(ee) + 1), i -> ee[i] * qe[i]))
+    / (sqrt(list_sum(list_transform(ee, x -> x * x)))
+       * sqrt(list_sum(list_transform(qe, x -> x * x))))
+"""
+
+ORACLE = {
+    "q50_knn_bruteforce": f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, ROUND({_COS}, 6) AS cosine
+        FROM e, q
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "q51_label_centroid_similarity": f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        ), cos AS (
+            SELECT label, {_COS} AS cos FROM e, q
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,8))) AS DOUBLE) / COUNT(cos), 4) AS avg_cosine,
+               ROUND(MAX(cos), 4) AS max_cosine
+        FROM cos
+        GROUP BY label
+        ORDER BY label
+    """,
+    # q52_knn_lsh: approximate by design -> rows-only check.
+}
