@@ -1,0 +1,74 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced with a count() action (full plan execution, no
+driver-side result materialization beyond the count). Session is the
+engine default (AQE on, shuffle partitions = cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from batchprocessingetl_spark.session import get_spark
+from batchprocessingetl_spark.workload import collect_queries
+
+# Headline set: the reference-workload analogues (Q1-Q4 shapes), the
+# heaviest relational operators (window top-k, count-distinct), the
+# pipeline composites, event analytics, and one of each north-star
+# extension family (exact dedup, minhash near-dup, knn).
+HEADLINE = (
+    "q01_pricing_summary",
+    "q02_revenue_by_nation_month",
+    "q03_product_sales_in_year",
+    "q04_turnover_by_region_brand",
+    "q05_product_performance",
+    "q11_top3_orders_per_customer",
+    "q12_supplier_part_breadth",
+    "q40_staging_clean",
+    "q41_scd2_demo",
+    "q20_hourly_event_rollup",
+    "q21_sessionization",
+    "q33_exact_dedup",
+    "q37_minhash_near_dups",
+    "q50_knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    queries = collect_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
