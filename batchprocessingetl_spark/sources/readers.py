@@ -1,0 +1,95 @@
+"""Source/sink adapters (SURVEY.md §2.1).
+
+The reference routes everything through Postgres (CSV -> psycopg2 COPY
+-> JDBC extract, ``src/main.py:31-35`` + ``src/raw/raw_layer.py:54-67``);
+this engine reads files directly and keeps JDBC as an optional adapter:
+
+- S1 JDBC scan with pushdown -> :func:`read_jdbc` (``query`` option;
+  partitioned reads via partitionColumn bounds for scale)
+- S2 parquet scan -> :func:`read_parquet`
+- S3 JSON scan with explicit schema -> :func:`read_json`
+- S5 CSV ingest -> :func:`read_csv` (explicit schema, no inference)
+- S6/S7 parquet/JSON sinks -> :func:`write_parquet` (adds the
+  ``partition_by`` the reference lacks — date-partitioned facts are
+  what make 100 TB scans prunable)
+- S9 existence probe -> try/except AnalysisException (the reference's
+  curated layer already does this, ``curated_layer.py:39-44``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    """CSV with a declared schema — schema inference is a full extra
+    pass over the data and type-unstable; production ingest pins it."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines with explicit schema (reference raw_layer.py:87)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan with full query pushdown (reference raw_layer.py:54-67
+    wraps the query as a subselect; the ``query`` option is the modern
+    form). Partitioned-read bounds parallelize the extract — the
+    reference reads single-threaded, which caps at one connection's
+    throughput regardless of cluster size."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` enables partition pruning on read
+    (absent in the reference, SURVEY §2.1 S6); ``target_files``
+    coalesces to bound small-file count (replaces the reference's
+    repartition(10/20) before writes, curated_layer.py:88-144, without
+    a full shuffle)."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """S9 existence probe via a metadata-only read attempt."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException:
+        return False

@@ -14,13 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from batchprocessingetl_spark.workload import (
     events as _events,
+    mm_stream as _mm_stream,
     pipeline_queries as _pipeline,
     relational as _relational,
     textops as _textops,
     vectors as _vectors,
 )
 
-_MODULES = (_relational, _pipeline, _events, _textops, _vectors)
+_MODULES = (_relational, _pipeline, _events, _textops, _vectors, _mm_stream)
 
 
 def collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

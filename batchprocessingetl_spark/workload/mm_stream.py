@@ -1,0 +1,72 @@
+"""Multimodal + Structured Streaming workload entries.
+
+q60 exercises the multimodal binary-column plumbing end-to-end
+(mapInPandas over Arrow batches); its byte-level outputs (length, md5)
+are DuckDB-checkable even though the stub feature vector is not.
+
+q61 runs the streaming tumbling-window job with an availableNow trigger
+over a staged copy of the events table — checkpointed, synchronous,
+rows-only (the driver's oracle runs batch SQL; the batch twin q20
+already pins the window semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators.multimodal import as_media_frame, extract_features
+
+
+def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes treated as opaque media payloads -> Arrow-
+    batched feature extraction. n_bytes/content_hash are exact
+    (oracle-checked); the stub feature only contributes its dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_frame(docs.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "text")
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        "content_hash",
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("doc_id")
+
+
+def q61_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of q20: stage events as microsecond
+    parquet, stream it back with availableNow + checkpoint, aggregate
+    into tumbling windows, return the drained result."""
+    from batchprocessingetl_spark.streaming.jobs import run_available_now, stream_events, windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bpetl_stream_")
+    src = os.path.join(work, "events")
+    ev.write.mode("overwrite").parquet(src)
+    agg = windowed_event_counts(stream_events(spark, src), "1 hour")
+    run_available_now(agg, os.path.join(work, "ckpt"), "q61_out")
+    return spark.table("q61_out").orderBy("window_start", "event_type")
+
+
+QUERIES = {
+    "q60_multimodal_features": q60_multimodal_features,
+    "q61_streaming_hourly": q61_streaming_hourly,
+}
+
+ORACLE = {
+    "q60_multimodal_features": """
+        SELECT doc_id,
+               'text' AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash,
+               8 AS feature_dim
+        FROM documents
+        ORDER BY doc_id
+    """,
+    # q61: streaming surface, rows-only (batch twin q20 pins semantics).
+}

@@ -1,0 +1,120 @@
+"""Text operators and near-duplicate detection on crafted corpora."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingle_frame,
+    simhash64,
+)
+from batchprocessingetl_spark.operators.text import (
+    exact_dedup,
+    normalize,
+    tokens,
+    with_quality_signals,
+    with_token_stats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark sql engines and data pipelines"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, ""),  # empty
+    (6, "tiny doc"),  # too short for 3-shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokens_and_normalize(spark):
+    df = spark.createDataFrame([(1, "  Hello   World \t x "), (2, "")], "id long, t string")
+    got = df.select(
+        tokens(F.col("t")).alias("toks"), normalize(F.col("t")).alias("norm")
+    ).collect()
+    assert got[0]["toks"] == ["Hello", "World", "x"]
+    assert got[0]["norm"] == "hello world x"
+    assert got[1]["toks"] == []
+
+
+def test_token_stats(spark):
+    out = with_token_stats(_docs(spark), "text").filter("doc_id = 6").collect()[0]
+    assert out["n_tokens"] == 2 and out["n_distinct_tokens"] == 2
+    assert out["avg_token_len"] == (4 + 3) / 2
+
+
+def test_quality_signals_empty_safe(spark):
+    out = {r["doc_id"]: r for r in with_quality_signals(_docs(spark), "text").collect()}
+    assert out[5]["alpha_ratio"] is None  # no division-by-zero artifacts
+    assert 0.0 < out[1]["stopword_ratio"] < 1.0
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3, 5, 6]  # doc 4 collapsed into doc 1
+
+
+def test_jaccard_finds_near_dup_pair_only(spark):
+    pairs = jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert all(3 not in p and 5 not in p and 6 not in p for p in got)
+    exact = next(r for r in pairs if (r["id_a"], r["id_b"]) == (1, 4))
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_recall_matches_exact(spark):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(_docs(spark), "doc_id", "text", 3, 0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(_docs(spark), "doc_id", "text", 32, 16, 3, 0.5).collect()
+    }
+    # verification step makes precision exact; high-identity pairs must survive banding
+    assert approx <= exact
+    assert (1, 4) in approx
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sh = shingle_frame(_docs(spark), "doc_id", "text", 3)
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(sh, "id", None, 16, 3, "sh").collect()}
+    assert 5 not in sigs and 6 not in sigs  # no shingles -> no signature
+    assert len(sigs[1]) == 16
+    assert sigs[1] == sigs[4]  # identical docs -> identical signatures
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_identical_docs_always_candidates(spark):
+    sh = shingle_frame(_docs(spark), "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "id", None, 32, 3, "sh")
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 16).collect()}
+    assert (1, 4) in cands
+
+
+def test_simhash_similar_docs_close(spark):
+    got = {r["id"]: r["simhash"] for r in simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert got[1] == got[4]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+
+
+def test_content_hash_is_md5(spark):
+    out = (
+        exact_dedup(_docs(spark), ["text"], "doc_id")
+        .withColumn("h", F.md5("text"))
+        .filter("doc_id = 1")
+        .collect()[0]
+    )
+    assert out["h"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()

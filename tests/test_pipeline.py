@@ -1,0 +1,149 @@
+"""Staging cleaner, star builder, and incremental loader semantics
+(reference parity per SURVEY.md §2.11/§3, corrected per §7.2-7.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.pipeline.incremental import (
+    compute_watermark,
+    extract_increment,
+    incremental_load,
+    merge_increment,
+)
+from batchprocessingetl_spark.pipeline.staging import clean_inventory, duplicate_report
+from batchprocessingetl_spark.pipeline.star import (
+    build_dim_date,
+    build_fact_sales,
+    build_star,
+    distinct_dim,
+    snapshot_dim,
+)
+from batchprocessingetl_spark.schemas import INVENTORY_SCHEMA
+from tests.conftest import ts
+
+BATCH_TS = "2024-01-01 00:00:00"
+
+
+def _inv_row(txn, date, store="ST001", loc="NYC", prod="P0001", cat="Food", qty=2,
+             price=10.0, total=None, stock=50, reorder=20, lead=3, carry=1.0,
+             risk=0.1, turn=2.0):
+    return (
+        txn,
+        dt.datetime.fromisoformat(date) if date else None,
+        store, loc, prod, cat, qty, price,
+        total if total is not None else (qty * price if qty is not None and price is not None else None),
+        stock, reorder, lead, carry, risk, turn,
+    )
+
+
+def _inventory(spark, rows):
+    return spark.createDataFrame(rows, INVENTORY_SCHEMA)
+
+
+def test_clean_inventory_full_chain(spark):
+    rows = [
+        _inv_row("T1", "2023-01-01T10:00:00"),
+        _inv_row("T1", "2023-01-01T10:00:00"),            # exact duplicate
+        _inv_row("T2", None),                              # null date -> dropped
+        _inv_row("T3", "2023-01-02T00:00:00", stock=None, reorder=None),  # fillna
+        _inv_row("T4", "2023-01-03T00:00:00", qty=3, price=4.0, total=20.0),  # margin
+        _inv_row("T5", "2023-01-04T00:00:00", stock=5, reorder=30),  # restock
+    ]
+    out = clean_inventory(_inventory(spark, rows))
+    got = {r["transaction_id"]: r for r in out.collect()}
+    assert set(got) == {"T1", "T3", "T4", "T5"}
+    assert str(out.schema["unit_price"].dataType) == "DecimalType(10,2)"
+    assert str(out.schema["total_sales"].dataType) == "DecimalType(15,2)"
+    assert got["T3"]["stock_level"] == 0 and got["T3"]["reorder_point"] == 0
+    assert float(got["T4"]["profit_margin"]) == 20.0 - 3 * 4.0
+    assert got["T5"]["is_restock_needed"] == "Yes"
+    assert got["T4"]["is_restock_needed"] == "No"
+
+
+def test_duplicate_report(spark):
+    rows = [_inv_row("T1", "2023-01-01T00:00:00")] * 3 + [_inv_row("T2", "2023-01-02T00:00:00")]
+    rep = duplicate_report(_inventory(spark, rows)).collect()
+    assert len(rep) == 1 and rep[0]["count"] == 3
+
+
+def test_dim_date_unique_and_parts(spark):
+    rows = [
+        _inv_row("T1", "2023-03-05T00:00:00"),
+        _inv_row("T2", "2023-03-05T00:00:00"),
+        _inv_row("T3", "2023-11-30T00:00:00"),
+    ]
+    dim = build_dim_date(clean_inventory(_inventory(spark, rows)))
+    got = sorted(dim.collect(), key=lambda r: r["date_id"])
+    assert len(got) == 2  # unique on date_id
+    assert (got[0]["year"], got[0]["month"], got[0]["day"]) == (2023, 3, 5)
+    assert (got[1]["year"], got[1]["month"], got[1]["day"]) == (2023, 11, 30)
+
+
+def test_snapshot_dim_one_row_per_key_latest_wins(spark):
+    rows = [
+        _inv_row("T1", "2023-01-01T00:00:00", prod="P1", cat="Old", price=1.0),
+        _inv_row("T2", "2023-06-01T00:00:00", prod="P1", cat="New", price=2.0),
+        _inv_row("T3", "2023-01-01T00:00:00", prod="P2", cat="X", price=3.0),
+    ]
+    staged = clean_inventory(_inventory(spark, rows))
+    snap = snapshot_dim(staged, "product_id", ["product_category", "unit_price"])
+    got = {r["product_id"]: r for r in snap.collect()}
+    assert len(got) == 2
+    assert got["P1"]["product_category"] == "New"  # latest by date
+    # reference's literal distinct() build keeps BOTH P1 variants
+    lit = distinct_dim(staged, "product_id", ["product_category", "unit_price"])
+    assert lit.filter(F.col("product_id") == "P1").count() == 2
+
+
+def test_build_star_shapes(spark):
+    rows = [_inv_row(f"T{i}", f"2023-01-0{1+i%5}T00:00:00", prod=f"P{i%3}") for i in range(10)]
+    star = build_star(clean_inventory(_inventory(spark, rows)), BATCH_TS)
+    assert set(star) == {"dim_date", "dim_store", "dim_product", "fact_sales"}
+    fact = star["fact_sales"]
+    assert fact.columns == [
+        "transaction_id", "date", "store_id", "product_id",
+        "quantity_sold", "total_sales", "stock_level",
+    ]
+    assert fact.count() == 10
+    dim_p = star["dim_product"]
+    assert dim_p.filter(F.col("is_current")).groupBy("product_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    assert all(r["start_date"] == ts(BATCH_TS) for r in dim_p.collect())
+
+
+def test_extract_increment_and_merge_idempotent(spark):
+    ev = spark.createDataFrame(
+        [Row(id=i, t=dt.datetime(2023, 1, 1 + i)) for i in range(6)]
+    )
+    inc = extract_increment(ev, "t", "2023-01-03 00:00:00")
+    assert inc.count() == 3  # strictly after
+    # re-delivery of the same increment is a no-op
+    merged_once = merge_increment(ev.filter("id < 3"), inc)
+    merged_twice = merge_increment(merged_once, inc)
+    assert merged_once.count() == merged_twice.count() == 6
+
+
+def test_full_load_equals_composed_increments(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [Row(id=i, t=dt.datetime(2023, 1, 1, i)) for i in range(24)]
+    )
+    wm = str(tmp_path / "wm")
+    # cycle 1: only first 10 hours exist
+    m1 = incremental_load(spark, ev.filter("id < 10"), None, "t", wm)
+    # cycle 2: full source visible; increment picks up the rest (plus a
+    # few re-delivered rows at the boundary are absorbed by the merge)
+    m2 = incremental_load(spark, ev, m1, "t", wm)
+    assert m2.count() == 24
+    assert sorted(r["id"] for r in m2.collect()) == list(range(24))
+
+
+def test_watermark_full_precision(spark):
+    ev = spark.createDataFrame([Row(id=1, t=dt.datetime(2023, 5, 5, 13, 45, 59))])
+    got = compute_watermark(ev, "t").collect()[0]["last_processed"]
+    # reference truncates to day (raw_layer.py:73); ours keeps time
+    assert got == "2023-05-05 13:45:59"

@@ -1,0 +1,100 @@
+"""Embedding similarity operators + multimodal plumbing + streaming."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators.multimodal import as_media_frame, decode_stub, extract_features
+from batchprocessingetl_spark.operators.similarity import cosine, cosine_topk, cosine_topk_lsh
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest to query
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),  # antipodal
+        (4, [0.7, 0.7, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _query(spark):
+    return _emb(spark).filter("vec_id = 0").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec")
+    )
+
+
+def test_cosine_matches_math(spark):
+    df = _emb(spark).crossJoin(F.broadcast(_query(spark)))
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            cosine(F.transform("embedding", lambda x: x.cast("double")), F.col("qvec")).alias("c"),
+        ).collect()
+    }
+    # embeddings are stored float32; compare at float32 precision
+    assert abs(got[1] - 0.9 / math.sqrt(0.82)) < 1e-6
+    assert got[3] == -1.0
+    assert abs(got[4] - 0.7 / math.sqrt(0.98)) < 1e-6
+
+
+def test_topk_order_and_k(spark):
+    out = cosine_topk(_emb(spark).filter("vec_id != 0"), _query(spark), 2)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got == [1, 4]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    planes = [[1.0, 0.0, 0.0]]
+    out = cosine_topk_lsh(_emb(spark).filter("vec_id != 0"), _query(spark), planes, 5)
+    got = {r["vec_id"] for r in out.collect()}
+    # query bucket = positive-x half-space: vecs 1 and 4 only (2 is on
+    # the plane -> bit 0; 3 is antipodal)
+    assert got == {1, 4}
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    media = as_media_frame(
+        docs.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "text"
+    )
+    out = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[1]["content_hash"] == hashlib.md5(b"hello").hexdigest()
+    assert out[1]["feature"] == [float(f"{v:.9g}") for v in decode_stub(b"hello", "text")] or len(out[1]["feature"]) == 8
+    assert out[2]["n_bytes"] == 0 and len(out[2]["feature"]) == 8
+
+
+def test_streaming_matches_batch_windows(spark, tmp_path):
+    from batchprocessingetl_spark.streaming.jobs import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+    import datetime as dt
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, i % 3, 10), user_id=i % 2,
+            event_type="click" if i % 2 else "view", value=float(i), props="{}")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.parquet(src)
+    agg = windowed_event_counts(stream_events(spark, src), "1 hour")
+    run_available_now(agg, str(tmp_path / "ckpt"), "t_stream_out")
+    got = spark.table("t_stream_out")
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect())) == sorted(
+        map(tuple, batch.collect())
+    )
