@@ -68,6 +68,73 @@ def cosine_topk(
     )
 
 
+def similar_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold (exact, O(n^2) dots).
+
+    The smaller projection (id, vec) broadcasts; the quadratic loop
+    stays executor-side with no shuffle. This is the correctness
+    baseline — at corpus scale, prune candidates first (sign-LSH
+    buckets via :func:`lsh_bucket`, or IVF cells via :func:`ivf_topk`'s
+    assignment) and verify only within buckets."""
+    e = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid (one narrow pass), search only the query's ``nprobe``
+    closest cells.
+
+    Centroids are a driver-side list (model parameters — k x dim
+    floats), embedded as literals so assignment is pure expression
+    work; with k cells and nprobe probes the scan shrinks ~k/nprobe-
+    fold. Recall is tuned by nprobe. Deterministic given centroids."""
+    def nearest_cells(vec: Column, n: int) -> Column:
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        scored = F.transform(
+            cents, lambda c: F.struct(cosine(vec, c).alias("cos"), F.lit(0).alias("pad"))
+        )
+        # rank cells by similarity: sort (cos, index) pairs descending
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.zip_with(scored, idx, lambda s, i: F.struct(s["cos"].alias("cos"), i.alias("cell")))
+        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+        return F.transform(top, lambda p: p["cell"])
+
+    e = as_double(F.col(vec_col))
+    assigned = df.withColumn("__cell", F.element_at(nearest_cells(e, 1), 1))
+    q = query_df.withColumn("__cells", nearest_cells(F.col("qvec"), nprobe)).select(
+        "qvec", F.explode("__cells").alias("__cell")
+    )
+    return (
+        assigned.join(F.broadcast(q), "__cell")
+        .select(id_col, "label", F.round(cosine(e, F.col("qvec")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(dot(vec, plane_i)) packed into a
     long. Narrow (per-row) computation."""

@@ -112,11 +112,55 @@ def q23_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: attribute each purchase to the user's most recent
+    prior-or-simultaneous click (operators/asof.py — union+window plan,
+    one shuffle on user_id). Oracle uses DuckDB's native ASOF JOIN."""
+    from batchprocessingetl_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_backward(purchases, clicks, ["user_id"], "ts", "ts", ["click_id"])
+    gap = (F.unix_micros("ts") - F.unix_micros("matched_ts")) / 1_000_000.0
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.round(gap, 1).alias("gap_sec"),
+    ).orderBy("event_id")
+
+
+def q25_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a small bands dimension (broadcast nested
+    loop — zero shuffle), then grouped counts."""
+    from batchprocessingetl_spark.operators.asof import range_join_broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("p0_25", 0.0, 25.0), ("p25_50", 25.0, 50.0), ("p50_75", 50.0, 75.0), ("p75_up", 75.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join_broadcast(ev, bands, "value")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q21_sessionization": q21_sessionization,
     "q22_event_type_daily": q22_event_type_daily,
     "q23_json_props_extract": q23_json_props_extract,
+    "q24_asof_attribution": q24_asof_attribution,
+    "q25_value_band_rollup": q25_value_band_rollup,
 }
 
 ORACLE = {
@@ -170,6 +214,25 @@ ORACLE = {
         FROM events
         GROUP BY 1
         ORDER BY 1
+    """,
+    "q24_asof_attribution": """
+        SELECT p.event_id, p.user_id, c.click_id,
+               ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 1) AS gap_sec
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, ts FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    "q25_value_band_rollup": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('p0_25', 0.0, 25.0), ('p25_50', 25.0, 50.0),
+                   ('p50_75', 50.0, 75.0), ('p75_up', 75.0, 1e18)
+        )
+        SELECT band, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        FROM events LEFT JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+        ORDER BY band
     """,
     "q23_json_props_extract": """
         SELECT event_type,

@@ -297,6 +297,36 @@ def q15_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per order status.
+    Explicit value list keeps it single-pass (no distinct-values scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["O", "F", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def q17_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions with NULL markers
+    coalesced (complements q15's ROLLUP)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -313,9 +343,29 @@ QUERIES = {
     "q13_frequent_customers": q13_frequent_customers,
     "q14_discount_share_by_status": q14_discount_share_by_status,
     "q15_priority_rollup": q15_priority_rollup,
+    "q16_status_pivot": q16_status_pivot,
+    "q17_cube_counts": q17_cube_counts,
 }
 
 ORACLE = {
+    "q16_status_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q17_cube_counts": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

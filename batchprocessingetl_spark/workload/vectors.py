@@ -70,10 +70,36 @@ def q52_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(base, _query_df(spark, sf_dir), planes, TOP_K)
 
 
+def q53_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine pair mining above a threshold — the
+    embedding flavor of near-dup detection (oracle-checked; the LSH/IVF
+    operators are its scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.similar_pairs_exact(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q54_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: 8 data-derived centroids
+    (embeddings of vec_ids 1..8), probe the 2 nearest cells. Rows-only
+    (approximate by design; q50 is the exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(list(range(1, 9))))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    return S.ivf_topk(base, _query_df(spark, sf_dir), centroids, TOP_K, nprobe=2)
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q51_label_centroid_similarity": q51_label_centroid_similarity,
     "q52_knn_lsh": q52_knn_lsh,
+    "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
+    "q54_knn_ivf": q54_knn_ivf,
 }
 
 _COS = """
@@ -114,4 +140,20 @@ ORACLE = {
         ORDER BY label
     """,
     # q52_knn_lsh: approximate by design -> rows-only check.
+    "q53_embedding_similar_pairs": """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    # q54_knn_ivf: approximate by design -> rows-only check.
 }

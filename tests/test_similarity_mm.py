@@ -58,6 +58,57 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert got == {1, 4}
 
 
+def test_asof_join_backward(spark):
+    import datetime as dt
+    from batchprocessingetl_spark.operators.asof import asof_join_backward
+    from pyspark.sql import Row
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [Row(id=1, k="u", ts=t(10)), Row(id=2, k="u", ts=t(5)), Row(id=3, k="v", ts=t(1))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=t(4), tag="early"), Row(k="u", ts=t(10), tag="tie"), Row(k="w", ts=t(0), tag="other")]
+    )
+    out = {r["id"]: r for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["tag"]).collect()}
+    assert out[1]["tag"] == "tie"        # equal ts matches (inclusive)
+    assert out[2]["tag"] == "early"      # latest ts <= 5
+    assert out[3]["tag"] is None and out[3]["matched_ts"] is None  # no match -> NULL
+
+
+def test_range_join_bands(spark):
+    from batchprocessingetl_spark.operators.asof import range_join_broadcast
+    from pyspark.sql import Row
+
+    facts = spark.createDataFrame([Row(id=1, value=5.0), Row(id=2, value=25.0), Row(id=3, value=-1.0)])
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 25.0), ("hi", 25.0, 100.0)], "band string, lo double, hi double"
+    )
+    out = {r["id"]: r["band"] for r in range_join_broadcast(facts, bands, "value").collect()}
+    assert out == {1: "lo", 2: "hi", 3: None}  # hi-exclusive lo-inclusive; no band -> NULL
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    from batchprocessingetl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    base = _emb(spark).filter("vec_id != 0")
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    exact = [r["vec_id"] for r in cosine_topk(base, _query(spark), 3).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(base, _query(spark), centroids, 3, nprobe=2).collect()
+    ]
+    assert approx == exact  # probing every cell == brute force
+
+
+def test_similar_pairs_exact_threshold(spark):
+    from batchprocessingetl_spark.operators.similarity import similar_pairs_exact
+
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in similar_pairs_exact(_emb(spark), 0.99).collect()}
+    assert (0, 1) in pairs  # [1,0,0] vs [0.9,0.1,0] cosine ~0.994
+    assert all(c >= 0.99 for c in pairs.values())
+
+
 def test_multimodal_feature_extraction(spark):
     docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
     media = as_media_frame(
