@@ -60,6 +60,90 @@ def run_available_now(agg: DataFrame, checkpoint_dir: str, query_name: str) -> N
     q.awaitTermination()
 
 
+def session_window_stats(events: DataFrame, gap: str = "30 minutes", late: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-merged) per user — works identically
+    over a stream (with the watermark bounding state) or a batch frame.
+    State per open session is a single (start, end, aggregates) tuple,
+    evicted once the watermark passes end+gap."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal accumulation: arrival-order-independent (parity.py)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), persisted in the state store
+    across micro-batches. Each availableNow run resumes from the
+    checkpoint — the streaming-native version of the reference's
+    watermark-JSON progress tracking (raw_layer.py:70-91), but with
+    per-key state and exactly-once semantics.
+
+    State is one (long, double) tuple per user; memory is O(distinct
+    keys), eviction would use timeouts (NoTimeout here — totals are
+    cumulative forever by design).
+
+    Sink: foreachBatch appending (epoch_id, totals) rows to parquet —
+    the memory sink cannot recover from a checkpoint, and foreachBatch
+    + idempotent append is the production pattern anyway. The latest
+    epoch per user is the current total."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, source_dir)
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def latest_user_totals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current running totals: last emitted row per user across epochs."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch_id"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "epoch_id")
+    )
+
+
 def incremental_ingest_stream(
     spark: SparkSession,
     source_dir: str,

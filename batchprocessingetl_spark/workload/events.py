@@ -154,7 +154,18 @@ def q25_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap-merged sessions) in batch mode — same
+    operator the streaming job uses. Oracle: gaps-and-islands CTE
+    (session_end = last event + gap)."""
+    from batchprocessingetl_spark.streaming.jobs import session_window_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_stats(ev, gap="30 minutes").orderBy("user_id", "session_start")
+
+
 QUERIES = {
+    "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q21_sessionization": q21_sessionization,
     "q22_event_type_daily": q22_event_type_daily,
@@ -214,6 +225,29 @@ ORACLE = {
         FROM events
         GROUP BY 1
         ORDER BY 1
+    """,
+    "q28_session_window_stats": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MINUTES} * 60000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+        FROM sessioned
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
     """,
     "q24_asof_attribution": """
         SELECT p.event_id, p.user_id, c.click_id,

@@ -327,6 +327,55 @@ def q17_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_common_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (distinct semantics on both engines)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(sup).orderBy("nationkey")
+
+
+def q19_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.distinct().subtract(sup).orderBy("nationkey")
+
+
+def q26_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate comparison decorrelated as a window: keep
+    customers whose balance beats their segment average. The window
+    average uses decimal accumulation (partition-order-independent,
+    parity.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        cust.withColumn("seg_avg", F.round(seg_avg, 4))
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"), "seg_avg")
+        .orderBy("c_custkey")
+    )
+
+
+def q27_order_date_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar functions: min/max timestamps, day spans,
+    month truncation (F1/F7 family extended)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_days"),
+            F.countDistinct(F.date_trunc("month", F.col("o_orderdate"))).alias("n_months"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -345,9 +394,48 @@ QUERIES = {
     "q15_priority_rollup": q15_priority_rollup,
     "q16_status_pivot": q16_status_pivot,
     "q17_cube_counts": q17_cube_counts,
+    "q18_common_nations": q18_common_nations,
+    "q19_customer_only_nations": q19_customer_only_nations,
+    "q26_above_segment_average": q26_above_segment_average,
+    "q27_order_date_spans": q27_order_date_spans,
 }
 
 ORACLE = {
+    "q18_common_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q19_customer_only_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q26_above_segment_average": """
+        WITH scored AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
+                              OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                         / COUNT(*) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg
+            FROM customer
+        )
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal, seg_avg
+        FROM scored
+        WHERE c_acctbal > seg_avg
+        ORDER BY c_custkey
+    """,
+    "q27_order_date_spans": """
+        SELECT o_orderpriority,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate))::INT AS span_days,
+               COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q16_status_pivot": """
         SELECT o_orderpriority,
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
