@@ -123,10 +123,47 @@ def q42_scd2_initial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s_suppkey")
 
 
+def q43_salted_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py) — must be
+    bit-identical to a plain GROUP BY; the oracle is exactly that."""
+    from batchprocessingetl_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_lines": ("count", "l_orderkey"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_suppkey", F.round("sum_qty", 2).alias("sum_qty"), "n_lines", F.round("max_qty", 2).alias("max_qty")
+    ).orderBy("l_suppkey")
+
+
+def q44_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median / p90)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
     "q42_scd2_initial_load": q42_scd2_initial_load,
+    "q43_salted_supplier_agg": q43_salted_supplier_agg,
+    "q44_price_percentiles": q44_price_percentiles,
 }
 
 _SCD2_COMMON = f"""
@@ -171,6 +208,24 @@ _SCD2_COMMON = f"""
 """
 
 ORACLE = {
+    "q43_salted_supplier_agg": """
+        SELECT l_suppkey,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(l_orderkey) AS n_lines,
+               ROUND(MAX(l_quantity), 2) AS max_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    "q44_price_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q40_staging_clean": """
         SELECT l_orderkey, l_linenumber,
                l_quantity::INT AS quantity,

@@ -1,0 +1,83 @@
+"""Physical/optimized-plan regression tests — the 100 TB posture is a
+plan property, not a timing: filters must reach the parquet scan,
+projections must prune, small sides must broadcast, heavy expressions
+must not get re-inlined, and partitioned sinks must prune partitions.
+These assertions catch silent plan regressions that small-scale timing
+never would."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.workload.relational import (
+    q01_pricing_summary,
+    q02_revenue_by_nation_month,
+    q08_customers_without_orders,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = _physical(q01_pricing_summary(spark, SF_SMOKE))
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "l_shipdate" in scan and "DataFilters" in scan
+    # projection pruning: untouched wide columns must not be read
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q02_broadcasts_and_prunes(spark):
+    plan = _physical(q02_revenue_by_nation_month(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem scan reads only join key + measures
+    li_scan = next(line for line in plan.splitlines() if "lineitem.parquet" in line)
+    assert "l_extendedprice" in li_scan and "l_shipdate" not in li_scan
+
+
+def test_anti_join_stays_join_not_subquery_loop(spark):
+    plan = _physical(q08_customers_without_orders(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_plan_contains_no_expression_blowup(spark):
+    """The dedup plan must keep exactly one tokenize per side — the
+    Catalyst pitfalls in operators/dedup.py docstrings re-inline it
+    otherwise (regression guard for the 100x slowdown class)."""
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _optimized(minhash_dedup_pairs(docs, "doc_id", "text", 32, 16, 3, 0.2))
+    n_tokenize = plan.count("split(trim")
+    # 3 consumers (signature branch + two verify-join sides), each may
+    # tokenize once; the broken plans contained 14+
+    assert n_tokenize <= 4, f"tokenize inlined {n_tokenize} times"
+    assert "array_min" not in plan  # HOF signature replaced by min-agg plan
+
+
+def test_aggregates_are_partial(spark):
+    plan = _physical(q01_pricing_summary(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.sources.readers import write_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn("ship_year", F.year("l_shipdate"))
+    out = str(tmp_path / "fact")
+    write_parquet(li, out, partition_by=["ship_year"])
+    read = spark.read.parquet(out).filter(F.col("ship_year") == 1997)
+    plan = _physical(read)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "PartitionFilters" in scan and "ship_year" in scan.split("PartitionFilters")[1][:120]
+    # pruned read touches only the one partition
+    assert read.count() == li.filter(F.col("ship_year") == 1997).count()
