@@ -26,6 +26,21 @@ NORMALIZE_SQL_DUCKDB = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
 STOPWORDS_SQL_DUCKDB = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
+# Per-language stopword profiles for the language-ID heuristic. Tiny on
+# purpose: the operator is the thing under test; swapping richer
+# profiles in production changes no plan shape.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "for", "on", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "fr": ("le", "les", "des", "et", "une", "du", "pour", "dans", "est", "que"),
+}
+CJK_REGEX = "[\\u4e00-\\u9fff]"
+
+# BPE-ish subtoken segmentation: letter runs, digit runs, and single
+# punctuation marks — the pre-tokenization most BPE vocabularies apply.
+SUBTOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens as array<string>; empty text -> empty array."""
@@ -75,6 +90,36 @@ def with_quality_signals(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("space_ratio", F.round(n_space / safe_chars, 6))
         .withColumn("stopword_ratio", F.round(n_stop / safe_toks, 6))
     )
+
+
+def subtoken_count(col: Column) -> Column:
+    """BPE-ish subtoken count: number of SUBTOKEN_REGEX matches (letter
+    runs + digit runs + punctuation marks) — the cheap token-budget
+    estimator a pre-training pipeline runs on every document."""
+    return F.size(F.regexp_extract_all(col, F.lit(SUBTOKEN_REGEX), 0))
+
+
+def with_language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic language ID: distinct lowercase tokens vote against
+    per-language stopword profiles; any CJK character wins outright.
+    Ties resolve by the fixed profile order (en > de > es > fr).
+    Adds n_<lang> overlap counts + ``predicted_lang``. Pure built-in
+    expressions — one narrow pass, no shuffle."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    out = df
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        out = out.withColumn(f"n_{lang}", F.size(F.array_intersect(toks, profile)))
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), CJK_REGEX, "")) < F.length(F.col(text_col))
+    langs = list(LANG_PROFILES)
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in langs:
+        others = [F.col(f"n_{lang}") >= F.col(f"n_{o}") for o in langs if o != lang]
+        cond = others[0]
+        for c in others[1:]:
+            cond = cond & c
+        pred = pred.when(cond & (F.col(f"n_{lang}") > 0), F.lit(lang))
+    return out.withColumn("predicted_lang", pred.otherwise(F.lit("und")))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], keep_col: str) -> DataFrame:

@@ -84,6 +84,27 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """S8 JDBC sink (reference curated_layer.py:89-145 writes all four
+    star tables back to Postgres). ``batchsize`` bounds per-round-trip
+    rows; for big facts, repartition first so parallel connections
+    share the load. Requires the driver jar on the classpath — absent
+    in this environment, covered by an import-level contract only."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
+        "batchsize", str(batchsize)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """S9 existence probe via a metadata-only read attempt."""
     from pyspark.errors import AnalysisException

@@ -105,6 +105,21 @@ def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q39_language_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language ID (stopword-profile voting + CJK check,
+    operators/text.py:with_language_id) with per-language vote counts.
+    The synthetic corpus is English-vocab word salad, so predictions
+    skew 'en' regardless of label — the oracle pins the operator's
+    exact semantics, not corpus accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T_ops.with_language_id(docs, "text")
+        .withColumn("n_subtokens", T_ops.subtoken_count(F.col("text")))
+        .select("doc_id", "lang", "predicted_lang", "n_en", "n_de", "n_es", "n_fr", "n_subtokens")
+        .orderBy("doc_id")
+    )
+
+
 def q36_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard similar pairs via the inverted-index
     join plan (operators/dedup.py:jaccard_pairs) — no cross join; cost
@@ -143,6 +158,7 @@ QUERIES = {
     "q34_language_id": q34_language_id,
     "q35_fingerprint": q35_fingerprint,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
+    "q39_language_prediction": q39_language_prediction,
     "q37_minhash_near_dups": q37_minhash_near_dups,
     "q38_simhash_signatures": q38_simhash_signatures,
 }
@@ -211,6 +227,39 @@ ORACLE = {
     # q35 fingerprint: xxhash64 seed/variant differs between engines; the
     # shingle count is SQL-checkable but the hash itself is engine-defined,
     # so this query gets the weaker rows-only check.
+    "q39_language_prediction": (
+        lambda profiles=T_ops.LANG_PROFILES: f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, text,
+                   {", ".join(
+                       "len(list_intersect(toks, ["
+                       + ", ".join(f"'{w}'" for w in words)
+                       + f"]))::INT AS n_{lang}"
+                       for lang, words in profiles.items()
+                   )}
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) < length(text)
+                    THEN 'zh'
+                    {" ".join(
+                        "WHEN "
+                        + " AND ".join(f"n_{lang} >= n_{o}" for o in profiles if o != lang)
+                        + f" AND n_{lang} > 0 THEN '{lang}'"
+                        for lang in profiles
+                    )}
+                    ELSE 'und' END AS predicted_lang,
+               n_en, n_de, n_es, n_fr,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_subtokens
+        FROM scored
+        ORDER BY doc_id
+    """
+    )(),
     "q36_jaccard_near_dups": f"""
         WITH sh AS (
             SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh

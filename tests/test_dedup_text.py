@@ -110,6 +110,34 @@ def test_simhash_similar_docs_close(spark):
     assert ham(got[1], got[2]) < ham(got[1], got[3])
 
 
+def test_language_id_and_subtokens(spark):
+    from batchprocessingetl_spark.operators.text import subtoken_count, with_language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park with it"),
+            (2, "der hund ist nicht mit der katze zu hause"),
+            (3, "el perro y el gato en la casa del señor"),
+            (4, "你好世界 hello"),   # CJK wins outright
+            (5, "zzz qqq xxx"),                       # no profile hit -> und
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_language_id(df, "text").collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "de"
+    assert out[3]["predicted_lang"] == "es"
+    assert out[4]["predicted_lang"] == "zh"
+    assert out[5]["predicted_lang"] == "und"
+
+    sub = {r["doc_id"]: r["n"] for r in df.select("doc_id", subtoken_count(F.col("text")).alias("n")).collect()}
+    assert sub[5] == 3
+    # "don't stop!" style segmentation: letters / punct / letters ...
+    one = spark.createDataFrame([(9, "don't stop! x2")], "doc_id long, text string")
+    got = one.select(subtoken_count(F.col("text")).alias("n")).collect()[0]["n"]
+    assert got == 7  # don + ' + t + stop + ! + x + 2
+
+
 def test_content_hash_is_md5(spark):
     out = (
         exact_dedup(_docs(spark), ["text"], "doc_id")
