@@ -120,6 +120,20 @@ def q39_language_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8, w=4) per document — see
+    operators/fingerprint.py. Engine-independent hashing (md5 prefix)
+    makes every selected (position, hash) pair oracle-checkable."""
+    from batchprocessingetl_spark.operators.fingerprint import winnow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        winnow(docs, "doc_id", "text", k=8, w=4)
+        .select(F.col("id").alias("doc_id"), "pos", "fp")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q36_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard similar pairs via the inverted-index
     join plan (operators/dedup.py:jaccard_pairs) — no cross join; cost
@@ -159,6 +173,7 @@ QUERIES = {
     "q35_fingerprint": q35_fingerprint,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
     "q39_language_prediction": q39_language_prediction,
+    "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
     "q37_minhash_near_dups": q37_minhash_near_dups,
     "q38_simhash_signatures": q38_simhash_signatures,
 }
@@ -277,4 +292,35 @@ ORACLE = {
         ORDER BY id_a, id_b
     """,
     # q37/q38: approximate / engine-defined-hash -> rows-only checks.
+    "q45_winnowing_fingerprints": """
+        WITH positions AS (
+            SELECT doc_id AS id, text, unnest(range(1, length(text) - 6)) AS pos
+            FROM documents
+            WHERE length(text) >= 8
+        ), grams AS (
+            SELECT id, pos,
+                   ('0x' || substring(md5(substring(text, pos::INT, 8)), 1, 15))::BIGINT AS h
+            FROM positions
+        ), stats AS (
+            SELECT id, MAX(pos) AS n FROM grams GROUP BY id
+        ), windows AS (
+            SELECT id, pos AS s,
+                   MIN(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+            FROM grams
+        ), valid AS (
+            SELECT w.id, w.s, w.wmin
+            FROM windows w JOIN stats st USING (id)
+            WHERE w.s <= st.n - 3
+        ), resolved AS (
+            SELECT v.id, v.s, MIN(p.pos) AS pos, MIN(v.wmin) AS fp
+            FROM valid v
+            JOIN grams p ON p.id = v.id AND p.h = v.wmin
+                         AND p.pos BETWEEN v.s AND v.s + 3
+            GROUP BY v.id, v.s
+        )
+        SELECT DISTINCT id AS doc_id, pos::INT AS pos, fp
+        FROM resolved
+        ORDER BY doc_id, pos
+    """,
 }

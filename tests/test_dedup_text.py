@@ -138,6 +138,44 @@ def test_language_id_and_subtokens(spark):
     assert got == 7  # don + ' + t + stop + ! + x + 2
 
 
+def test_winnowing_guarantee_and_matching(spark):
+    """Winnowing's core guarantee: a shared substring of length >=
+    k + w - 1 produces at least one shared fingerprint."""
+    from batchprocessingetl_spark.operators.fingerprint import shared_fingerprints, winnow
+
+    shared_chunk = "identical shared passage of text here"  # 37 chars >= 8+4-1
+    df = spark.createDataFrame(
+        [
+            (1, f"left context AAA {shared_chunk} right tail one"),
+            (2, f"completely different prefix {shared_chunk} and suffix"),
+            (3, "nothing in common with the others at all zzz"),
+            (4, "short"),  # < k -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow(df, "doc_id", "text", k=8, w=4)
+    by_doc = {r["id"] for r in fps.select("id").distinct().collect()}
+    assert 4 not in by_doc
+    matches = {(r["id_a"], r["id_b"]): r["n_shared"] for r in shared_fingerprints(fps, fps).collect()}
+    assert matches.get((1, 2), 0) >= 1          # guarantee holds
+    assert (1, 3) not in matches and (2, 3) not in matches
+
+
+def test_winnowing_position_shift_invariance(spark):
+    """Fingerprint hashes of a shared chunk are identical regardless of
+    where the chunk sits in the document (local fingerprinting)."""
+    from batchprocessingetl_spark.operators.fingerprint import winnow
+
+    chunk = "the exact same long shared span of characters"
+    df = spark.createDataFrame(
+        [(1, chunk), (2, "x" * 50 + chunk)], "doc_id long, text string"
+    )
+    fps = winnow(df, "doc_id", "text", k=8, w=4)
+    h1 = {r["fp"] for r in fps.filter("id = 1").collect()}
+    h2 = {r["fp"] for r in fps.filter("id = 2").collect()}
+    assert h1 & h2  # chunk fingerprints survive the 50-char shift
+
+
 def test_content_hash_is_md5(spark):
     out = (
         exact_dedup(_docs(spark), ["text"], "doc_id")
