@@ -19,6 +19,7 @@ this engine reads files directly and keeps JDBC as an optional adapter:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -35,6 +36,30 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON-lines with explicit schema (reference raw_layer.py:87)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Robust CSV ingest: well-formed rows parse against the declared
+    schema; malformed lines are captured (PERMISSIVE mode +
+    corrupt-record column) and returned as a quarantine frame instead
+    of poisoning the pipeline — the production upgrade of the
+    reference's log-and-continue error handling
+    (staging_layer.py:95-98). Returns (good, quarantined_raw_lines)."""
+    schema_with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = spark.read.csv(
+        path,
+        header=header,
+        schema=schema_with_corrupt,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # both outputs share one parse pass
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
 
 
 def read_jdbc(

@@ -120,6 +120,32 @@ def q39_language_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): explode tokens -> tf per (doc,term)
+    -> document frequency per term -> smooth idf. Two hash aggregates
+    plus a term-keyed join; the classic corpus-weighting plan that
+    scales linearly (partial aggregation everywhere, shuffle keys are
+    (doc,term) then term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar (driver-side count is the idf constant)
+    terms = docs.select("doc_id", F.explode(T_ops.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+        .filter(F.col("tf") >= 3)
+        .orderBy("doc_id", "term")
+    )
+
+
 def q45_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8, w=4) per document — see
     operators/fingerprint.py. Engine-independent hashing (md5 prefix)
@@ -174,6 +200,7 @@ QUERIES = {
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
     "q39_language_prediction": q39_language_prediction,
     "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
+    "q46_tfidf": q46_tfidf,
     "q37_minhash_near_dups": q37_minhash_near_dups,
     "q38_simhash_signatures": q38_simhash_signatures,
 }
@@ -292,6 +319,22 @@ ORACLE = {
         ORDER BY id_a, id_b
     """,
     # q37/q38: approximate / engine-defined-hash -> rows-only checks.
+    "q46_tfidf": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+        ), n AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+        )
+        SELECT doc_id, term, tf, df,
+               ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (term), n
+        WHERE tf >= 3
+        ORDER BY doc_id, term
+    """,
     "q45_winnowing_fingerprints": """
         WITH positions AS (
             SELECT doc_id AS id, text, unnest(range(1, length(text) - 6)) AS pos

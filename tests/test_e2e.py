@@ -122,6 +122,25 @@ def test_fact_totals_survive_pipeline(star):
     assert fact_total == staged_total
 
 
+def test_csv_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.sources.readers import read_csv_quarantine
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("n", T.DoubleType(), True),
+        ]
+    )
+    p = tmp_path / "in.csv"
+    p.write_text("id,n\n1,2.5\nnot_an_int,oops\n3,4.0\n")
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted(map(tuple, good.collect())) == [(1, 2.5), (3, 4.0)]
+    quarantined = bad.collect()
+    assert len(quarantined) == 1 and "not_an_int" in quarantined[0][0]
+
+
 def test_json_reader_roundtrip(spark, tmp_path):
     from batchprocessingetl_spark.sources.readers import read_json
 
