@@ -283,3 +283,80 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.withColumn("__toks", tokens(F.col(text_col)))
         .select(F.col(id_col).alias("id"), F.expr(sig_sql).alias("simhash"))
     )
+
+
+def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over *distinct* whitespace tokens with an
+    engine-independent token hash (15-hex-char md5 prefix as integer,
+    fits a signed 64-bit long), so a SQL oracle reproduces every
+    signature bit-for-bit — unlike :func:`simhash64`, whose xxhash64
+    is Spark-specific. 60 bits (vs 32) keeps unrelated short documents
+    from colliding: on the sf0.01 corpus, hamming<=3 pair density drops
+    5x moving from 32 to 60 bits.
+
+    Relational plan (no HOF lambdas — see module docstring): explode
+    distinct tokens -> hash -> ONE hash-aggregate computing the 60 bit
+    sums as separate columns (map-side partial agg; the shuffle carries
+    61 longs per doc, not per token) -> narrow projection packs the
+    sign bits into the signature. Documents with no tokens are dropped
+    (SimHash of an empty feature set is undefined).
+    """
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .select("id", h.alias("h"))
+    )
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(60)
+        ]
+    )
+    sig = None
+    for k in range(60):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Hamming-near pairs from 60-bit SimHash signatures via banded
+    self-join: split the signature into ``bands`` equal bit-bands; by
+    pigeonhole, any pair within ``max_hamming`` < ``bands`` differing
+    bits shares at least one identical band, so the band equi-join is
+    an EXACT candidate generator (no recall loss). Candidates are
+    verified with ``bit_count(xor)``; the pair space never
+    materializes — the only shuffle is the (band_idx, band_val)
+    equi-join, and AQE splits skewed bands (boilerplate-heavy corpora).
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness needs max_hamming < bands (pigeonhole)")
+    width = 60 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -154,6 +154,25 @@ def q25_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): every event lands in
+    size/slide = 2 overlapping windows. F.window() expands the row to
+    its windows before the aggregate — one shuffle on (window,
+    event_type), same cost shape as the tumbling q20 at 2x row volume.
+    Oracle: explicit 2-offset window-start enumeration (epoch-anchored,
+    matching Spark's epoch-aligned window origin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q28_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (gap-merged sessions) in batch mode — same
     operator the streaming job uses. Oracle: gaps-and-islands CTE
@@ -165,6 +184,7 @@ def q28_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q21_sessionization": q21_sessionization,
@@ -175,6 +195,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q29_sliding_window_rollup": """
+        WITH offs(j) AS (VALUES (0), (1)),
+        win AS (
+            SELECT make_timestamp((epoch_us(ts) // 1800000000 - j) * 1800000000)
+                       AS window_start,
+                   event_type, value
+            FROM events CROSS JOIN offs
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+        FROM win
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q20_hourly_event_rollup": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,

@@ -376,8 +376,83 @@ def q27_order_date_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN (operators/skew.py): lineitem (big, salted)
+    x supplier keys (small, replicated per salt) -> revenue by supplier
+    nation. Semantically identical to the plain equi-join the oracle
+    runs — q43 pins the salted-AGG equivalence, this pins the join.
+    The salt spreads any hot l_suppkey over 16 partitions; the small
+    side is replicated 16x, still broadcast-sized."""
+    from batchprocessingetl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, ["l_suppkey"], salt_buckets=16)
+        .groupBy("s_nationkey")
+        .agg(dsum(F.col("rev")).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("s_nationkey")
+    )
+
+
+def q49_customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite per customer order history: lag (previous
+    order price + days since), ntile quartile and percent_rank by price.
+    Both windows partition by o_custkey, so the whole query is ONE
+    hash-partition shuffle; unique (date, key) / (price, key) sort keys
+    make every function deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(seq), 2).alias("prev_price"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(seq)).alias("days_since_prev"),
+        F.ntile(4).over(by_price).alias("price_quartile"),
+        F.round(F.percent_rank().over(by_price), 6).alias("price_pct_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the q15 ROLLUP / q17 CUBE
+    family): {(status, priority), (priority), ()} with a grouping-flag
+    disambiguator computed as grouping(status)*2 + grouping(priority)
+    in both engines (identical bit convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q48_salted_nation_revenue": q48_salted_nation_revenue,
+    "q49_customer_order_analytics": q49_customer_order_analytics,
+    "q55_grouping_sets": q55_grouping_sets,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q04_turnover_by_region_brand": q04_turnover_by_region_brand,
@@ -401,6 +476,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q48_salted_nation_revenue": """
+        SELECT s_nationkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
+    "q49_customer_order_analytics": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice, 2) AS price,
+               ROUND(lag(o_totalprice) OVER seq, 2) AS prev_price,
+               date_diff('day', lag(o_orderdate) OVER seq, o_orderdate)::INT AS days_since_prev,
+               ntile(4) OVER by_price AS price_quartile,
+               ROUND(percent_rank() OVER by_price, 6) AS price_pct_rank
+        FROM orders
+        WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               by_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "q55_grouping_sets": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               (GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority))::INT AS gid,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
     "q18_common_nations": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT

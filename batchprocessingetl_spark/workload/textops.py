@@ -190,8 +190,26 @@ def q38_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text").orderBy("id")
 
 
+def q47_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate *pairs* (complements q38's signatures):
+    60-bit md5-based SimHash (engine-independent -> value-checked
+    oracle) + banded self-join, exact for hamming <= 3 by pigeonhole.
+    The oracle brute-forces the O(n^2) pair space, which is feasible at
+    oracle scale only — the banded plan is the one that scales."""
+    from batchprocessingetl_spark.operators.dedup import simhash60_md5, simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    return (
+        simhash_near_pairs(sigs, max_hamming=3, bands=4)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "q30_token_stats": q30_token_stats,
+    "q47_simhash_near_dups": q47_simhash_near_dups,
     "q31_quality_score": q31_quality_score,
     "q32_term_frequencies": q32_term_frequencies,
     "q33_exact_dedup": q33_exact_dedup,
@@ -215,6 +233,28 @@ _TOKENS_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="text")
 _NORM_SQL = T_ops.NORMALIZE_SQL_DUCKDB.format(col="text")
 
 ORACLE = {
+    "q47_simhash_near_dups": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+            FROM documents
+        ), th AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+        ), bits AS (
+            SELECT doc_id, k,
+                   SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS k)
+            GROUP BY doc_id, k
+        ), sig AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """,
     "q30_token_stats": f"""
         SELECT doc_id,
                len({_TOKENS_SQL})::INT AS n_tokens,

@@ -184,3 +184,56 @@ def test_content_hash_is_md5(spark):
         .collect()[0]
     )
     assert out["h"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+def test_simhash60_md5_oracle_independent_and_pairs(spark):
+    from batchprocessingetl_spark.operators.dedup import simhash60_md5, simhash_near_pairs
+
+    sigs_df = simhash60_md5(_docs(spark), "doc_id", "text")
+    got = {r["id"]: r["simhash"] for r in sigs_df.collect()}
+    # doc 5 is empty -> no signature; all others present
+    assert set(got) == {1, 2, 3, 4, 6}
+    # exact dup -> identical signature; near-dup closer than unrelated
+    assert got[1] == got[4]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+    # signature reproducible from first principles (md5-prefix hashes)
+    def ref_sig(text):
+        toks = sorted(set(text.split()))
+        sums = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for k in range(60):
+                sums[k] += 1 if (h >> k) & 1 else -1
+        return sum(1 << k for k in range(60) if sums[k] > 0)
+
+    assert got[1] == ref_sig(DOCS[0][1])
+    assert got[3] == ref_sig(DOCS[2][1])
+    # banded pair mining: dup pair at hamming 0; (1,2) iff within 3 bits
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(sigs_df).collect()}
+    assert pairs[(1, 4)] == 0
+    assert ((1, 2) in pairs) == (ham(got[1], got[2]) <= 3)
+    # exactness: banded candidates == brute force at this threshold
+    ids = sorted(got)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(got[a], got[b]) <= 3
+    }
+    assert set(pairs) == brute
+
+
+def test_salted_join_matches_plain_join(spark):
+    from batchprocessingetl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, v) for k in ("hot", "hot", "hot", "hot", "cold") for v in (1, 2)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame([("hot", 10), ("cold", 20), ("orphan", 30)], "k string, w long")
+    got = sorted(
+        (r["k"], r["v"], r["w"]) for r in salted_join(big, small, ["k"], salt_buckets=4).collect()
+    )
+    want = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect())
+    assert got == want
