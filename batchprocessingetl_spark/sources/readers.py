@@ -139,3 +139,36 @@ def path_exists(spark: SparkSession, path: str) -> bool:
         return True
     except AnalysisException:
         return False
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: rows are hash-clustered into
+    ``n_buckets`` files by ``bucket_cols`` at write time, and the
+    layout is recorded in the session catalog (bucketing requires
+    ``saveAsTable``; the data itself lives at ``path``).
+
+    This is the 100 TB co-location primitive the plain parquet sink
+    can't give: a join or aggregation keyed on ``bucket_cols`` between
+    tables bucketed the same way needs NO shuffle at all — Catalyst
+    proves the partitioning requirement is already satisfied and elides
+    both exchanges (asserted in tests/test_plans.py). For a repeatedly
+    joined fact/dim pair, that converts every downstream join from
+    O(data) network movement into a local zipped scan; ``sort_cols``
+    additionally pre-sorts within buckets so sort-merge joins skip the
+    sort. The shuffle is paid ONCE, at write time.
+    """
+    writer = (
+        df.write.format("parquet").mode(mode).option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

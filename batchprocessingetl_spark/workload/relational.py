@@ -448,8 +448,28 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct next to the exact
+    count: at 100 TB, exact countDistinct shuffles every distinct key;
+    the HLL sketch is fixed-size per group and merges associatively —
+    the only viable plan for high-cardinality distincts. Sketch
+    estimates are engine-defined -> rows-only check; the <=2% relative
+    error vs exact is asserted in tests/test_workload.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q57_approx_distinct": q57_approx_distinct,
     "q48_salted_nation_revenue": q48_salted_nation_revenue,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q55_grouping_sets": q55_grouping_sets,

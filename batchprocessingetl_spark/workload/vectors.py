@@ -94,8 +94,20 @@ def q54_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(base, _query_df(spark, sf_dir), centroids, TOP_K, nprobe=2)
 
 
+def q56_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized two-phase ANN: 8x-narrower candidate scan + exact
+    re-rank of the short list (operators/similarity.py). The re-rank
+    computes true double-precision cosine, so whenever the exact top-k
+    survives the candidate cut the result EQUALS q50's — pinned by the
+    same oracle as q50 (quantization here is a scan-width optimization,
+    not an accuracy trade; tests assert the candidate recall)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    return S.cosine_topk_int8(emb, _query_df(spark, sf_dir), TOP_K, rerank=4)
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
+    "q56_knn_int8": q56_knn_int8,
     "q51_label_centroid_similarity": q51_label_centroid_similarity,
     "q52_knn_lsh": q52_knn_lsh,
     "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
@@ -108,7 +120,24 @@ _COS = """
        * sqrt(list_sum(list_transform(qe, x -> x * x))))
 """
 
+_Q50_SQL = f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, ROUND({_COS}, 6) AS cosine
+        FROM e, q
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """
+
 ORACLE = {
+    # int8 pass is a candidate generator; the exact re-rank restores
+    # q50's exact answer (recall asserted in tests) -> same oracle.
+    "q56_knn_int8": _Q50_SQL,
     "q50_knn_bruteforce": f"""
         WITH q AS (
             SELECT list_transform(embedding, x -> x::DOUBLE) AS qe

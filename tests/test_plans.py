@@ -81,3 +81,38 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     assert "PartitionFilters" in scan and "ship_year" in scan.split("PartitionFilters")[1][:120]
     # pruned read touches only the one partition
     assert read.count() == li.filter(F.col("ship_year") == 1997).count()
+
+
+def test_bucketed_join_and_agg_have_no_shuffle(spark, tmp_path):
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.sources.readers import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(orders, "b_orders", str(tmp_path / "o"), ["o_orderkey"], 8)
+        write_bucketed(li, "b_lineitem", str(tmp_path / "l"), ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"])
+        a, b = spark.table("b_orders"), spark.table("b_lineitem")
+
+        # co-located join: both sides already hash-clustered on the key
+        # -> Catalyst elides BOTH exchanges (the 'merge' hint only stops
+        # the tiny test tables from broadcasting)
+        j = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+        plan = _physical(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == li.count()
+
+        # aggregation keyed on the bucket column: no exchange either
+        g = a.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        assert "Exchange" not in _physical(g)
+
+        # control: the same join on unbucketed reads DOES shuffle
+        raw = load_table(spark, SF_SMOKE, "orders").hint("merge").join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        assert "Exchange" in _physical(raw)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
