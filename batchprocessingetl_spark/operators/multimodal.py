@@ -84,3 +84,71 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(fe, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, kind string, payload binary, width int, height int"
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frame_bytes int, frame binary"
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: output bytes derived from the input,
+    sized to the target raster (stands in for decode->resize->encode;
+    see ``decode_real`` for the production seam)."""
+    if not payload:
+        return b""
+    out_len = max(1, min(len(payload), (width * height) // 64))
+    reps = out_len // len(payload) + 1
+    return (payload * reps)[:out_len]
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch image resize over Arrow batches (1 row in -> 1 row out).
+    The payload never leaves the executor; output partitioning follows
+    the input, so a downstream per-image feature pass needs no shuffle."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(lambda b: resize_stub(b, width, height)),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(rz, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Video frame sampling shape: 1 row in -> N rows out. The payload
+    is chunked into fixed-size pseudo-frames and every ``every_n``-th
+    frame is emitted as its own row (a real deployment decodes
+    keyframes here). Row expansion happens inside the Arrow batch —
+    the fan-out never crosses the Python/JVM boundary row-by-row, and
+    the output row count is bounded by payload_size / (frame_bytes *
+    every_n), so partition memory stays proportional to input size."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) // frame_bytes
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frame_bytes": pd.Series([len(f) for f in frames], dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(fs, schema=FRAME_SCHEMA)

@@ -53,9 +53,27 @@ def q61_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q61_out").orderBy("window_start", "event_type")
 
 
+def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1 media row -> N frame rows inside the
+    Arrow batch): documents' bytes as pseudo-video payloads, chunked to
+    64-byte frames, every 4th kept. Byte-exact oracle: the emitted
+    frames are compared as hex slices of the source payload."""
+    from batchprocessingetl_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_frame(
+        docs.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "video"
+    )
+    fr = sample_frames(media, frame_bytes=64, every_n=4)
+    return fr.select(
+        "doc_id", "frame_idx", "n_frame_bytes", F.hex("frame").alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
+
+
 QUERIES = {
     "q60_multimodal_features": q60_multimodal_features,
     "q61_streaming_hourly": q61_streaming_hourly,
+    "q62_frame_sampling": q62_frame_sampling,
 }
 
 ORACLE = {
@@ -69,4 +87,18 @@ ORACLE = {
         ORDER BY doc_id
     """,
     # q61: streaming surface, rows-only (batch twin q20 pins semantics).
+    "q62_frame_sampling": """
+        WITH f AS (
+            SELECT doc_id, hex(encode(text)) AS ph,
+                   octet_length(encode(text)) // 64 AS n
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, ph, unnest(range(0, n, 4)) AS frame_idx
+            FROM f WHERE n > 0
+        )
+        SELECT doc_id, frame_idx::INT AS frame_idx, 64::INT AS n_frame_bytes,
+               substring(ph, frame_idx::INT * 128 + 1, 128) AS frame_hex
+        FROM idx
+        ORDER BY doc_id, frame_idx
+    """,
 }

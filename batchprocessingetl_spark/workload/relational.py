@@ -467,9 +467,68 @@ def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q58_SQL = """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+def q58_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface (replaces the reference's Postgres+
+    SQLAlchemy dashboard path, dashboard.py:19-44): ANSI SQL text over
+    catalog-registered views, planned by the same Catalyst pipeline as
+    the DataFrame API — TPC-H Q3 shape (segment filter, 3-way join,
+    grouped revenue, top-20). The oracle runs the IDENTICAL SQL text,
+    pinning dialect-portable semantics."""
+    from batchprocessingetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q58_SQL)
+
+
+def q59_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: a month spine materialized with
+    sequence()+explode over the data's min/max bounds (no driver-side
+    loop — the generator runs inside the plan), left-joined to monthly
+    order counts so empty months surface with zero. The spine is a
+    handful of rows; the join broadcasts it."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.select(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+    )
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_price"), F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q57_approx_distinct": q57_approx_distinct,
+    "q58_sql_surface": q58_sql_surface,
+    "q59_calendar_spine": q59_calendar_spine,
     "q48_salted_nation_revenue": q48_salted_nation_revenue,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q55_grouping_sets": q55_grouping_sets,
@@ -496,6 +555,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q58_sql_surface": _Q58_SQL,
+    "q59_calendar_spine": """
+        WITH bounds AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+            FROM bounds
+        ), monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT spine.month,
+               COALESCE(n, 0) AS n_orders,
+               COALESCE(total_price, 0.0) AS total_price
+        FROM spine LEFT JOIN monthly ON spine.month = monthly.month
+        ORDER BY spine.month
+    """,
     "q48_salted_nation_revenue": """
         SELECT s_nationkey,
                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,

@@ -149,3 +149,33 @@ def test_streaming_matches_batch_windows(spark, tmp_path):
     assert sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_resize_and_frame_sampling(spark):
+    from batchprocessingetl_spark.operators.multimodal import (
+        resize_images,
+        resize_stub,
+        sample_frames,
+    )
+
+    long_payload = ("x" * 300).encode()
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 40), (2, "tiny"), (3, "")], "doc_id long, text string"
+    )
+    media = as_media_frame(
+        docs.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "image"
+    )
+
+    rz = {r["doc_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert rz[1]["width"] == 64 and rz[1]["height"] == 64
+    assert bytes(rz[1]["payload"]) == resize_stub(b"abcdefgh" * 40, 64, 64)
+    assert len(bytes(rz[1]["payload"])) == 64 * 64 // 64  # capped by target raster
+    assert bytes(rz[3]["payload"]) == b""  # empty payload stays empty
+
+    # frame sampling: 320 bytes -> 5 full 64B frames -> keep idx 0 and 4
+    fr = sample_frames(media, frame_bytes=64, every_n=4).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in fr}
+    src = ("abcdefgh" * 40).encode()
+    assert set(got) == {(1, 0), (1, 4)}  # docs 2,3 too short -> no frames
+    assert got[(1, 0)] == src[0:64] and got[(1, 4)] == src[256:320]
+    assert all(r["n_frame_bytes"] == 64 for r in fr)
