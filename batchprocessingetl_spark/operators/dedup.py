@@ -360,3 +360,54 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3, bands: int = 4) ->
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id) where cluster_id = min doc id reachable through
+    the pairs. This is the step that turns pairwise near-dup hits into
+    dedup DECISIONS (keep one canonical doc per component).
+
+    Iterative min-label propagation — each round, every vertex takes
+    the min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are dense, so the
+    diameter is tiny in practice; ``max_iter`` bounds pathological
+    chains). Scale posture per round: one shuffle for the
+    edge-label join + one for the min-aggregate, both keyed on id;
+    ``localCheckpoint`` truncates lineage so the plan doesn't grow
+    with the iteration count (the classic iterative-algorithm trap),
+    and the convergence probe piggybacks on the aggregate (a max over
+    per-vertex change flags), not a separate join.
+
+    ``pairs``: (id_a, id_b); ``vertices``: one column ``id`` (the full
+    doc universe — singletons come out labeled with themselves).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("comp"))
+        )
+        new = (
+            labels.unionByName(nbr_min)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("id", F.col("comp").alias("old")), "id")
+            .agg(F.max(F.when(F.col("comp") < F.col("old"), 1).otherwise(0)).alias("any"))
+            .collect()[0]["any"]
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))

@@ -207,9 +207,34 @@ def q47_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup decisions: connected components over the
+    q47 SimHash pair graph; every document gets a cluster_id (= min
+    reachable doc id) and a canonical flag. This is the step a corpus
+    pipeline actually acts on (keep one doc per cluster). Iterative
+    min-label propagation in Spark; recursive-CTE reachability oracle."""
+    from batchprocessingetl_spark.operators.dedup import (
+        connected_components,
+        simhash60_md5,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sigs, max_hamming=3, bands=4)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, verts)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q30_token_stats": q30_token_stats,
     "q47_simhash_near_dups": q47_simhash_near_dups,
+    "q63_dedup_clusters": q63_dedup_clusters,
     "q31_quality_score": q31_quality_score,
     "q32_term_frequencies": q32_term_frequencies,
     "q33_exact_dedup": q33_exact_dedup,
@@ -232,9 +257,8 @@ _SHINGLES_SQL = (
 _TOKENS_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="text")
 _NORM_SQL = T_ops.NORMALIZE_SQL_DUCKDB.format(col="text")
 
-ORACLE = {
-    "q47_simhash_near_dups": f"""
-        WITH tok AS (
+# 60-bit md5-prefix SimHash signatures, shared by q47/q63 oracles
+_SIMHASH_SIG_CTES = f"""tok AS (
             SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
             FROM documents
         ), th AS (
@@ -248,12 +272,38 @@ ORACLE = {
             SELECT doc_id,
                    SUM(CASE WHEN v > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id
-        )
+        )"""
+
+ORACLE = {
+    "q47_simhash_near_dups": f"""
+        WITH {_SIMHASH_SIG_CTES}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY id_a, id_b
+    """,
+    "q63_dedup_clusters": f"""
+        WITH RECURSIVE {_SIMHASH_SIG_CTES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id, (MIN(b) = a) AS is_canonical
+        FROM reach
+        GROUP BY a
+        ORDER BY doc_id
     """,
     "q30_token_stats": f"""
         SELECT doc_id,

@@ -237,3 +237,19 @@ def test_salted_join_matches_plain_join(spark):
     )
     want = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect())
     assert got == want
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from batchprocessingetl_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} via a chain, {5,6}, singleton {7}
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    # empty pair set: everything is its own cluster
+    none = spark.createDataFrame([], "id_a long, id_b long")
+    solo = {r["id"]: r["cluster_id"] for r in connected_components(none, verts).collect()}
+    assert solo == {i: i for i in range(1, 8)}
