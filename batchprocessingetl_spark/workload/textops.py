@@ -231,10 +231,56 @@ def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation composite a pre-training pipeline
+    runs: quality gate (length + stopword-ratio heuristics, q31) ->
+    near-dup clustering (SimHash + connected components, q63) -> keep
+    ONE canonical (min-id) quality-passing doc per cluster -> per-source
+    attrition report. Every stage is the already-oracle-checked
+    operator; this query pins their composition."""
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.operators.dedup import (
+        connected_components,
+        simhash60_md5,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = T_ops.with_quality_signals(docs, "text")
+    ok = F.coalesce(
+        (F.col("n_chars_m") >= 100) & (F.col("stopword_ratio") >= 0.02), F.lit(False)
+    )
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    cc = connected_components(
+        simhash_near_pairs(sigs, max_hamming=3, bands=4),
+        docs.select(F.col("doc_id").alias("id")),
+    ).withColumnRenamed("id", "doc_id")
+    j = qual.select("doc_id", "source", ok.alias("quality_ok")).join(cc, "doc_id")
+    min_ok = F.min(F.when(F.col("quality_ok"), F.col("doc_id"))).over(
+        Window.partitionBy("cluster_id")
+    )
+    kept = F.col("quality_ok") & (F.col("doc_id") == min_ok)
+    return (
+        j.withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0)).alias("n_quality_fail"),
+            F.sum(F.when(F.col("quality_ok") & ~F.col("kept"), 1).otherwise(0)).alias(
+                "n_dup_removed"
+            ),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q30_token_stats": q30_token_stats,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
+    "q64_curated_corpus": q64_curated_corpus,
     "q31_quality_score": q31_quality_score,
     "q32_term_frequencies": q32_term_frequencies,
     "q33_exact_dedup": q33_exact_dedup,
@@ -283,6 +329,50 @@ ORACLE = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY id_a, id_b
     """,
+    "q64_curated_corpus": f"""
+        WITH RECURSIVE {_SIMHASH_SIG_CTES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        clusters AS (
+            SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        qual AS (
+            SELECT doc_id, source,
+                   COALESCE(
+                       length(text) >= 100
+                       AND ROUND(len(list_filter({_TOKENS_SQL}, t -> list_contains({{stop}}, t)))
+                             / NULLIF(len({_TOKENS_SQL}), 0)::DOUBLE, 6) >= 0.02,
+                       FALSE) AS quality_ok
+            FROM documents
+        ),
+        m AS (
+            SELECT q.doc_id, q.source, q.quality_ok, c.cluster_id,
+                   MIN(CASE WHEN q.quality_ok THEN q.doc_id END)
+                       OVER (PARTITION BY c.cluster_id) AS min_ok
+            FROM qual q JOIN clusters c USING (doc_id)
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_fail,
+               SUM(CASE WHEN quality_ok AND doc_id <> min_ok THEN 1 ELSE 0 END)::BIGINT AS n_dup_removed,
+               SUM(CASE WHEN quality_ok AND doc_id = min_ok THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM m
+        GROUP BY source
+        ORDER BY source
+    """.replace("{stop}", T_ops.STOPWORDS_SQL_DUCKDB),
     "q63_dedup_clusters": f"""
         WITH RECURSIVE {_SIMHASH_SIG_CTES},
         pairs AS (
