@@ -48,29 +48,24 @@ def gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFr
 def winnow(df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4) -> DataFrame:
     """Winnowing-selected fingerprints: (id, pos, fp) — distinct
     positions whose gram hash is the minimum of at least one window of
-    ``w`` consecutive grams (leftmost position on hash ties)."""
+    ``w`` consecutive grams (leftmost position on hash ties).
+
+    The per-window leftmost-argmin is ONE lexicographic struct-min over
+    the forward window frame — min(struct(h, pos)) orders by hash then
+    position, which IS "minimum hash, leftmost on ties". That removes
+    the self-join + re-aggregate an explicit argmin resolution needs
+    (measured ~2x on the sf0.1 corpus); the whole operator is one
+    hash-partition by doc + one distinct."""
     hashes = gram_hashes(df, id_col, text_col, k)
     fwd = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     n = Window.partitionBy("id")
-    windows = (
-        hashes.withColumn("wmin", F.min("h").over(fwd))
+    return (
+        hashes.withColumn("m", F.min(F.struct("h", "pos")).over(fwd))
         .withColumn("__n", F.max("pos").over(n))
         .filter(F.col("pos") <= F.col("__n") - w + 1)  # full windows only
-        .select("id", F.col("pos").alias("s"), "wmin")
+        .select("id", F.col("m.pos").alias("pos"), F.col("m.h").alias("fp"))
+        .distinct()
     )
-    pos = hashes.select("id", F.col("pos").alias("p"), F.col("h"))
-    resolved = (
-        windows.join(
-            pos,
-            (windows.id == pos.id)
-            & (F.col("h") == F.col("wmin"))
-            & (F.col("p") >= F.col("s"))
-            & (F.col("p") <= F.col("s") + w - 1),
-        )
-        .groupBy(windows.id, "s")
-        .agg(F.min("p").alias("pos"), F.min("wmin").alias("fp"))
-    )
-    return resolved.select("id", "pos", "fp").distinct()
 
 
 def shared_fingerprints(fp_a: DataFrame, fp_b: DataFrame) -> DataFrame:
