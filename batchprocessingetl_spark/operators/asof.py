@@ -42,26 +42,44 @@ def asof_join_backward(
 
     Output: all left columns + ``right_cols`` (renamed as given) +
     ``matched_ts`` (the right row's timestamp, NULL if no match).
+
+    All right attributes are carried in ONE struct and forward-filled
+    together, so the output always reflects a single right row — never
+    a column-wise mix of different rows (filling each column
+    independently would backfill a NULL attribute of the latest right
+    row from an older one, diverging from ASOF semantics). Right rows
+    tied on (by, ts) are broken deterministically by the struct's full
+    column ordering (last = greatest struct wins).
     """
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     r_tagged = right.select(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("matched_ts"),
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("matched_ts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts -> inclusive match
+    # right rows sort before left rows at equal ts -> inclusive match;
+    # __rrow in the ordering makes the pick among ts-tied right rows
+    # deterministic (left rows carry NULL __rrow, sorted first so a
+    # right row at the same ts still fills them)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rrow").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in ["matched_ts", *right_cols]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    filled = unioned.withColumn("__rrow", F.last("__rrow", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col("__rrow.matched_ts").alias("matched_ts"),
+            *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def range_join_broadcast(

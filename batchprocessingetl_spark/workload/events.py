@@ -188,13 +188,18 @@ QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q21_sessionization": q21_sessionization,
-    "q22_event_type_daily": q22_event_type_daily,
     "q23_json_props_extract": q23_json_props_extract,
     "q24_asof_attribution": q24_asof_attribution,
     "q25_value_band_rollup": q25_value_band_rollup,
 }
 
-ORACLE = {
+# Out of the ~50-entry driver registry budget; daily date_format rollup
+# evidence is carried by q20 (date_trunc) + q27 (date spans).
+EXTRA_QUERIES = {
+    "q22_event_type_daily": q22_event_type_daily,
+}
+
+_ORACLE_ALL = {
     "q29_sliding_window_rollup": """
         WITH offs(j) AS (VALUES (0), (1)),
         win AS (
@@ -221,7 +226,7 @@ ORACLE = {
     """,
     "q21_sessionization": f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                                 > {SESSION_GAP_MINUTES} * 60000000
@@ -230,7 +235,7 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessioned AS (
             SELECT user_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM flagged
         ), per_session AS (
@@ -263,7 +268,7 @@ ORACLE = {
     """,
     "q28_session_window_stats": f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MINUTES} * 60000000
                         THEN 1 ELSE 0 END AS new_session
@@ -271,7 +276,7 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessioned AS (
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM flagged
         )
@@ -313,3 +318,6 @@ ORACLE = {
         ORDER BY event_type
     """,
 }
+
+ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
+EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -41,16 +41,32 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of q20: stage events as microsecond
     parquet, stream it back with availableNow + checkpoint, aggregate
-    into tumbling windows, return the drained result."""
-    from batchprocessingetl_spark.streaming.jobs import run_available_now, stream_events, windowed_event_counts
+    into tumbling windows, and read the durable snapshot back.
+
+    Lifecycle: one work dir per Spark application (keyed by
+    applicationId), wiped and recreated on each invocation — repeated
+    runs in a session leave no orphan staging/checkpoint dirs, and the
+    result round-trips through the parquet snapshot sink instead of a
+    global temp-view side channel."""
+    import shutil
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        run_snapshot_to_parquet,
+        stream_events,
+        windowed_event_counts,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bpetl_stream_")
+    work = os.path.join(
+        tempfile.gettempdir(), f"bpetl_stream_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "events")
+    out = os.path.join(work, "out")
     ev.write.mode("overwrite").parquet(src)
     agg = windowed_event_counts(stream_events(spark, src), "1 hour")
-    run_available_now(agg, os.path.join(work, "ckpt"), "q61_out")
-    return spark.table("q61_out").orderBy("window_start", "event_type")
+    run_snapshot_to_parquet(agg, os.path.join(work, "ckpt"), out)
+    return spark.read.parquet(out).orderBy("window_start", "event_type")
 
 
 def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,8 +88,15 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q60_multimodal_features": q60_multimodal_features,
-    "q61_streaming_hourly": q61_streaming_hourly,
     "q62_frame_sampling": q62_frame_sampling,
+}
+
+# Out of the ~50-entry driver registry budget: the streaming run is
+# rows-only (no batch-SQL oracle for a streaming drain) and its window
+# semantics are pinned by the oracle-checked batch twin q20;
+# tests/test_streaming_state.py exercises the streaming path itself.
+EXTRA_QUERIES = {
+    "q61_streaming_hourly": q61_streaming_hourly,
 }
 
 ORACLE = {

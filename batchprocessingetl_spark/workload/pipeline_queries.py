@@ -162,8 +162,13 @@ QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
     "q42_scd2_initial_load": q42_scd2_initial_load,
-    "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
+}
+
+# Out of the ~50-entry driver registry budget; skew-salting evidence is
+# carried by q48_salted_nation_revenue (same operator, operators/skew.py).
+EXTRA_QUERIES = {
+    "q43_salted_supplier_agg": q43_salted_supplier_agg,
 }
 
 _SCD2_COMMON = f"""
@@ -207,7 +212,7 @@ _SCD2_COMMON = f"""
         )
 """
 
-ORACLE = {
+_ORACLE_ALL = {
     "q43_salted_supplier_agg": """
         SELECT l_suppkey,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -265,3 +270,6 @@ ORACLE = {
         ORDER BY s_suppkey
     """,
 }
+
+ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
+EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -147,3 +147,29 @@ def test_watermark_full_precision(spark):
     got = compute_watermark(ev, "t").collect()[0]["last_processed"]
     # reference truncates to day (raw_layer.py:73); ours keeps time
     assert got == "2023-05-05 13:45:59"
+
+
+def test_incremental_load_data_persists_before_watermark(spark, tmp_path):
+    # Durability ordering: a failing sink must abort the cycle BEFORE
+    # the watermark advances, so no rows are ever skipped on retry.
+    import pytest
+
+    from batchprocessingetl_spark.pipeline.incremental import read_watermark
+
+    ev = spark.createDataFrame(
+        [Row(id=i, t=dt.datetime(2023, 1, 1, i)) for i in range(10)]
+    )
+    wm = str(tmp_path / "wm")
+
+    def failing_sink(df):
+        raise IOError("disk full")
+
+    with pytest.raises(IOError):
+        incremental_load(spark, ev, None, "t", wm, sink=failing_sink)
+    assert read_watermark(spark, wm) is None  # watermark NOT advanced
+
+    # retry with a working sink: nothing was skipped
+    sunk = []
+    m = incremental_load(spark, ev, None, "t", wm, sink=lambda df: sunk.append(df.count()))
+    assert sunk == [10] and m.count() == 10
+    assert read_watermark(spark, wm) == "2023-01-01 09:00:00"

@@ -76,6 +76,28 @@ def test_asof_join_backward(spark):
     assert out[3]["tag"] is None and out[3]["matched_ts"] is None  # no match -> NULL
 
 
+def test_asof_join_no_cross_row_attribute_mixing(spark):
+    # The matched (latest) right row has a NULL attribute: the output
+    # must carry that NULL, not backfill it from an older right row
+    # (per-column independent fills would mix attributes of two rows).
+    import datetime as dt
+    from batchprocessingetl_spark.operators.asof import asof_join_backward
+    from pyspark.sql import Row
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([Row(id=1, k="u", ts=t(9))])
+    right = spark.createDataFrame(
+        [
+            Row(k="u", ts=t(4), tag="early", src="a"),
+            Row(k="u", ts=t(8), tag=None, src="b"),
+        ]
+    )
+    out = asof_join_backward(left, right, ["k"], "ts", "ts", ["tag", "src"]).first()
+    assert out["matched_ts"] == t(8)
+    assert out["src"] == "b"
+    assert out["tag"] is None  # NOT "early"
+
+
 def test_range_join_bands(spark):
     from batchprocessingetl_spark.operators.asof import range_join_broadcast
     from pyspark.sql import Row
@@ -89,14 +111,18 @@ def test_range_join_bands(spark):
 
 
 def test_ivf_topk_exact_when_probing_all_cells(spark):
-    from batchprocessingetl_spark.operators.similarity import cosine_topk, ivf_topk
+    from batchprocessingetl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        learn_ivf_centroids,
+    )
 
     base = _emb(spark).filter("vec_id != 0")
-    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    model = learn_ivf_centroids(base, k=2, seed=7)
     exact = [r["vec_id"] for r in cosine_topk(base, _query(spark), 3).collect()]
     approx = [
         r["vec_id"]
-        for r in ivf_topk(base, _query(spark), centroids, 3, nprobe=2).collect()
+        for r in ivf_topk(base, _query(spark), model, 3, nprobe=2).collect()
     ]
     assert approx == exact  # probing every cell == brute force
 

@@ -36,3 +36,78 @@ def test_state_accumulates_across_runs(spark, tmp_path):
     assert got2[0]["n_events"] == 5  # 2 from run1 + 3 from run2
     assert got2[0]["total_value"] == 7.5
     assert got2[1]["n_events"] == 5
+
+
+def test_processing_time_trigger_makes_incremental_progress(spark, tmp_path):
+    # Continuous-cadence twin of the reference's 5s polling loop: run a
+    # processingTime query briefly, feed it new files mid-flight, and
+    # assert the checkpoint advanced across multiple micro-batches.
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        start_processing_time,
+        stream_events,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(_rows(range(4), 1)).write.mode("append").parquet(src)
+
+    agg = (
+        stream_events(spark, src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = start_processing_time(agg, ckpt, out, interval="1 seconds")
+    try:
+        deadline = time.time() + 60
+        fed = False
+        while time.time() < deadline:
+            progress = q.recentProgress
+            if progress and not fed:
+                # first batch done -> land more files for a later batch
+                spark.createDataFrame(_rows(range(4, 8), 2)).write.mode(
+                    "append"
+                ).parquet(src)
+                fed = True
+            if fed and any(
+                p["numInputRows"] > 0 for p in progress[1:]
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    commits = sorted(
+        p.name for p in (tmp_path / "ckpt" / "commits").iterdir() if p.name.isdigit()
+    )
+    assert len(commits) >= 2, f"expected >=2 committed micro-batches, got {commits}"
+    # offsets advanced monotonically across batches
+    offsets_dir = tmp_path / "ckpt" / "offsets"
+    assert len(list(offsets_dir.iterdir())) >= 2
+    totals = {
+        r["user_id"]: r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    assert totals[0] + totals[1] == 8  # snapshot reflects both file drops
+
+
+def test_q61_rerun_leaves_single_session_workdir(spark):
+    import os
+    import tempfile
+
+    from batchprocessingetl_spark.workload.mm_stream import q61_streaming_hourly
+    from tests.conftest import SF_SMOKE
+
+    tmp = tempfile.gettempdir()
+    before = {d for d in os.listdir(tmp) if d.startswith("bpetl_stream_")}
+    r1 = q61_streaming_hourly(spark, SF_SMOKE).count()
+    r2 = q61_streaming_hourly(spark, SF_SMOKE).count()
+    assert r1 == r2 > 0
+    after = {d for d in os.listdir(tmp) if d.startswith("bpetl_stream_")}
+    # two invocations create at most ONE dir (per-application, reused)
+    assert after - before <= {f"bpetl_stream_{spark.sparkContext.applicationId}"}
