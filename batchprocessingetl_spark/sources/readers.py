@@ -77,7 +77,41 @@ def read_jdbc(
     form). Partitioned-read bounds parallelize the extract — the
     reference reads single-threaded, which caps at one connection's
     throughput regardless of cluster size."""
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
+    if partition_column is not None:
+        # Spark rejects query+partitionColumn together; the partitioned
+        # form reads the query as a derived table
+        reader = (
+            reader.option("dbtable", f"({query}) AS q")
+            .option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    else:
+        reader = reader.option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1 JDBC scan in ``dbtable`` form: Spark owns the projection and
+    predicate pushdown (``.filter``/``.select`` on the result land in
+    the generated SQL — visible as ``PushedFilters`` in the plan), and
+    partition bounds split the scan into ``num_partitions`` parallel
+    range queries. This is the form a catalog-registered JDBC table
+    uses; ``read_jdbc`` is the full-query-pushdown form."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
@@ -120,8 +154,9 @@ def write_jdbc(
     """S8 JDBC sink (reference curated_layer.py:89-145 writes all four
     star tables back to Postgres). ``batchsize`` bounds per-round-trip
     rows; for big facts, repartition first so parallel connections
-    share the load. Requires the driver jar on the classpath — absent
-    in this environment, covered by an import-level contract only."""
+    share the load. Exercised for real against embedded Derby in
+    tests/test_jdbc_derby.py (round-trip, append, pushdown,
+    partitioned parallel read)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
         "batchsize", str(batchsize)
     )
