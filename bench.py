@@ -19,12 +19,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from batchprocessingetl_spark.session import get_spark
-from batchprocessingetl_spark.workload import collect_queries
+from batchprocessingetl_spark.workload import collect_extra_queries, collect_queries
 
 # Headline set: the reference-workload analogues (Q1-Q4 shapes), the
 # heaviest relational operators (window top-k, count-distinct), the
 # pipeline composites, event analytics, and one of each north-star
-# extension family (exact dedup, minhash near-dup, knn).
+# extension family (exact dedup, minhash near-dup, knn, exact pair
+# GEMM). Same set as BENCH_r01 (for round-over-round comparability;
+# q12 now lives in EXTRA_QUERIES but stays benched) + q53 added in r2
+# after its de-collect rewrite.
 HEADLINE = (
     "q01_pricing_summary",
     "q02_revenue_by_nation_month",
@@ -40,6 +43,7 @@ HEADLINE = (
     "q33_exact_dedup",
     "q37_minhash_near_dups",
     "q50_knn_bruteforce",
+    "q53_embedding_similar_pairs",
 )
 
 
@@ -47,7 +51,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    queries = collect_queries()
+    queries = {**collect_queries(), **collect_extra_queries()}
 
     # one untimed pass over the largest scan absorbs JVM/codegen/reader
     # warmup so per-query numbers reflect steady-state execution
