@@ -116,3 +116,20 @@ def test_bucketed_join_and_agg_have_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_similar_pairs_tiled_plan_shape(spark):
+    """The exact-pairs GEMM must be the tiled cogroup plan: Arrow
+    cogroup kernel present, and NO cartesian/nested-loop join and NO
+    broadcast of the corpus (the r1 version collect()ed the matrix to
+    the driver and broadcast it; the rewrite bounds executor memory by
+    the BLOCK — corpus size only changes task count)."""
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.similarity import similar_pairs_exact
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _physical(similar_pairs_exact(emb, 0.4))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
