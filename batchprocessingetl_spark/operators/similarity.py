@@ -258,15 +258,33 @@ def cosine_topk_lsh(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket.
 
     With b planes the candidate set shrinks ~2^b-fold; recall is traded
     via b. The bucket filter prunes *before* any join, so the expensive
-    cosine only runs on candidates."""
+    cosine only runs on candidates.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's (standard multi-probe LSH): a vector
+    near a separating hyperplane lands one bit away, so probing the b
+    adjacent buckets recovers most boundary misses for a scan fraction
+    of (b+1)/2^b — the recall/cost knob that avoids re-hashing the
+    corpus. The probe set is a handful of longs on the broadcast side;
+    the corpus side still does one narrow bucket assignment + equi-join."""
     e = as_double(F.col(vec_col))
     bucketed = df.withColumn("__bucket", lsh_bucket(e, planes))
-    q_bucketed = query_df.withColumn("__qbucket", lsh_bucket(F.col("qvec"), planes))
+    qb = lsh_bucket(F.col("qvec"), planes)
+    if multiprobe >= 1:
+        probes = F.array(
+            qb, *[qb.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(len(planes))]
+        )
+    else:
+        probes = F.array(qb)
+    q_bucketed = query_df.select(
+        "qvec", F.explode(probes).alias("__qbucket")
+    )
     return (
         bucketed.join(
             F.broadcast(q_bucketed),

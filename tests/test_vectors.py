@@ -104,3 +104,29 @@ def test_ivf_pruned_probe_returns_true_cosines(spark):
     pruned = ivf_topk(base, q, model, 10, nprobe=4).collect()
     assert len(pruned) == 10
     assert all((r["vec_id"], r["cosine"]) in truth for r in pruned)
+
+
+def test_multiprobe_lsh_recall_dominates_single_bucket(spark):
+    # Hamming-1 multi-probe must return a superset-or-equal quality
+    # top-k: its candidate pool contains the single-bucket pool, so
+    # recall vs the exact top-k can only improve.
+    from batchprocessingetl_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planes_rows = (
+        emb.filter(F.col("vec_id").isin([1, 2, 3, 4]))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [[float(x) for x in r["embedding"]] for r in planes_rows]
+    base = emb.filter(~F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    q = _query_df(spark, SF_SMOKE)
+    exact = {r["vec_id"] for r in cosine_topk(base, q, 10).collect()}
+    single = {r["vec_id"] for r in cosine_topk_lsh(base, q, planes, 10).collect()}
+    multi = {
+        r["vec_id"] for r in cosine_topk_lsh(base, q, planes, 10, multiprobe=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # on this corpus the 5 probed buckets (of 16) lift recall strictly
+    assert len(multi & exact) > len(single & exact)

@@ -73,12 +73,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    include_extra = "--extra" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as ent
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    if include_extra:
+        # the 14 EXTRA_QUERIES kept out of the driver's ~50-entry check
+        # budget still get local differential evidence here
+        from batchprocessingetl_spark.workload import (
+            collect_extra_oracle,
+            collect_extra_queries,
+        )
+
+        qs = {**qs, **collect_extra_queries()}
+        oracles = {**oracles, **collect_extra_oracle()}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
