@@ -1,0 +1,79 @@
+"""Deterministic corpus sampling for training-data pipelines (beyond
+the reference — no sampling surface exists there; this rounds out the
+curation toolkit next to dedup/quality/similarity).
+
+Two surfaces:
+
+- ``stratified_sample``: EXACT n-per-stratum sampling with a
+  deterministic, engine-independent order (md5 of a seed + the row
+  key), so the same corpus always yields the same sample on any
+  cluster layout — unlike ``df.sampleBy``, which is per-row Bernoulli
+  (approximate counts) and partition-layout-sensitive in practice.
+  Plan: one hash-shuffle on the stratum key + per-stratum window
+  row_number <= n. At 100 TB this is the standard "cap every source /
+  language / domain at N documents" step; the shuffle carries only
+  (stratum, rank-hash, payload-pruned columns).
+
+- ``split_train_holdout``: deterministic hash-split (md5 range cut) —
+  every row lands in exactly one split, stable across runs and engines,
+  no RNG state. A narrow map, no shuffle at all.
+
+Both orderings use md5 (identical in Spark and DuckDB/ANSI SQL), so a
+differential oracle can replicate the exact sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rank_hash(key: Column, seed: str) -> Column:
+    """Deterministic engine-independent pseudo-random order: md5 of the
+    seed-prefixed key rendered as a string. Changing the seed reshuffles
+    the order; the same (seed, key) always sorts identically."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Keep exactly min(n, |stratum|) rows per stratum, chosen by the
+    deterministic rank hash — exact counts, reproducible everywhere.
+    ``key_col`` must be unique per row (it also tie-breaks the rank)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        rank_hash(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    key_col: str,
+    holdout_fraction: float,
+    seed: str = "s0",
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'holdout') by cutting the md5
+    hash space: rows whose rank-hash falls in the lowest
+    ``holdout_fraction`` of the hex range go to holdout. Deterministic
+    per (seed, key): re-runs, engines, and partitionings all agree, and
+    membership is stable as the corpus grows (a row never migrates)."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(f"holdout_fraction must be in [0,1], got {holdout_fraction}")
+    # first 15 hex chars -> 60-bit int, uniform over [0, 16^15)
+    bucket = F.conv(F.substring(rank_hash(F.col(key_col), seed), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    cut = F.lit(int(holdout_fraction * (16**15))).cast("decimal(20,0)")
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
+    )

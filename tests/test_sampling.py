@@ -1,0 +1,103 @@
+"""Deterministic sampling operators: exact stratified caps and stable
+hash splits, verified differentially against DuckDB (md5 ordering is
+engine-independent, so the oracle reproduces the exact sample)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators.sampling import (
+    split_train_holdout,
+    stratified_sample,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sampled = stratified_sample(docs, "source", 30, "doc_id", seed="s1")
+    counts = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, n in counts.items():
+        assert n == min(30, full[src])  # EXACT per-stratum cap
+    # deterministic: re-running yields the identical id set
+    ids1 = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", 30, "doc_id", seed="s1")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    # a different seed picks a different sample (cap of 5 << stratum
+    # size so the choice actually varies)
+    ids_a = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", 5, "doc_id", seed="s1")
+        .select("doc_id")
+        .collect()
+    }
+    ids_b = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", 5, "doc_id", seed="s2")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a != ids_b
+
+
+def test_stratified_sample_matches_duckdb_oracle(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", 20, "doc_id", seed="sx")
+        .select("doc_id")
+        .collect()
+    )
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('sx:' || doc_id::VARCHAR), doc_id
+                       ) AS rk
+                FROM read_parquet('{SF_SMOKE}/documents.parquet')
+            ) WHERE rk <= 20 ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want  # byte-identical sample across engines
+
+
+def test_split_is_stable_partition_of_corpus(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    split = split_train_holdout(docs, "doc_id", 0.2, seed="v1")
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by.get("train", 0) + by.get("holdout", 0) == n  # exactly one split each
+    assert 0.10 * n < by.get("holdout", 0) < 0.30 * n  # ~20% (hash-uniform)
+    # membership is stable under corpus growth: the half-corpus split
+    # agrees with the full-corpus split on every shared row
+    half = split_train_holdout(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", 0.2, seed="v1")
+    joined = half.select("doc_id", F.col("split").alias("s2")).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    assert joined.filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_split_rejects_bad_fraction(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        split_train_holdout(docs, "doc_id", 1.5)
