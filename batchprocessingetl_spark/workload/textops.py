@@ -127,13 +127,16 @@ def q46_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales linearly (partial aggregation everywhere, shuffle keys are
     (doc,term) then term)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar (driver-side count is the idf constant)
+    # the idf constant stays IN the plan (1-row agg broadcast into a
+    # cross join) — no driver-side count action, one fewer job at scale
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = docs.select("doc_id", F.explode(T_ops.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             "doc_id",
             "term",
