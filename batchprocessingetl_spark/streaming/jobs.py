@@ -197,6 +197,65 @@ def latest_user_totals(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def attribution_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    attribution_window: str = "1 hour",
+    late: str = "2 hours",
+) -> None:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within the preceding ``attribution_window``
+    (the streaming sibling of the batch as-of join, q24 — the as-of
+    'latest click' pick is a follow-up aggregate; the join itself is
+    the stateful hard part).
+
+    Both sides carry watermarks, and the join condition bounds
+    click_ts to [p_ts - window, p_ts], so Spark can size and EVICT
+    join state: a click older than late+window past the watermark can
+    never match a future purchase and is dropped — state is
+    O(in-flight window), not O(stream history). Append output mode
+    (joined rows are immutable once emitted) to a durable parquet sink."""
+    ev = stream_events(spark, source_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", late)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", late)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = user_id AND "
+            f"click_ts BETWEEN p_ts - INTERVAL {attribution_window} AND p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "p_ts", "value", "click_id", "click_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_ingest_stream(
     spark: SparkSession,
     source_dir: str,

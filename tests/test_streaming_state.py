@@ -111,3 +111,49 @@ def test_q61_rerun_leaves_single_session_workdir(spark):
     after = {d for d in os.listdir(tmp) if d.startswith("bpetl_stream_")}
     # two invocations create at most ONE dir (per-application, reused)
     assert after - before <= {f"bpetl_stream_{spark.sparkContext.applicationId}"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # The streaming attribution join must emit exactly the rows the
+    # equivalent batch interval join produces over the same input.
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import attribution_stream_join
+
+    rows = []
+    for i in range(40):
+        kind = "purchase" if i % 4 == 0 else "click"
+        rows.append(
+            Row(event_id=i, ts=dt.datetime(2024, 1, 1, i // 6, (i * 7) % 60),
+                user_id=i % 3, event_type=kind, value=float(i), props="{}")
+        )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    attribution_stream_join(spark, src, str(tmp_path / "ckpt"), out)
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select("purchase_id", "click_id").collect())
+    )
+
+    ev = spark.read.parquet(src)
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            p.join(
+                c,
+                F.expr(
+                    "c_user = user_id AND click_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+                ),
+            ).select("purchase_id", "click_id").collect(),
+        )
+    )
+    assert got == want and len(want) > 0
