@@ -157,3 +157,20 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # Re-delivered events (same event_id, within the lateness window)
+    # must be suppressed; the output carries each event exactly once.
+    from batchprocessingetl_spark.streaming.jobs import deduped_ingest_stream
+
+    src = str(tmp_path / "events")
+    first = _rows(range(6), 1)
+    redelivered = _rows(range(3, 9), 1)  # overlaps 3..5
+    spark.createDataFrame(first + redelivered).write.parquet(src)
+
+    out = str(tmp_path / "deduped")
+    deduped_ingest_stream(spark, src, out, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(out)
+    assert got.count() == 9  # 0..8 exactly once
+    assert got.select("event_id").distinct().count() == 9
