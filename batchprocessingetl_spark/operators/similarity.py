@@ -349,3 +349,157 @@ def cosine_topk_int8(
         .limit(rerank * k)
     )
     return cosine_topk(df.join(cands.select(id_col), id_col), query_df, k, vec_col, id_col)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    payload_cols: tuple[str, ...] = (),
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Batch top-k similarity join: every row of ``queries`` gets its
+    ``k`` nearest ``corpus`` rows by exact cosine.
+
+    This is the multi-query surface the single-query :func:`cosine_topk`
+    doesn't cover (the retrieval / embedding-dedup primitive of a
+    training-data pipeline). Two-phase distributed top-k with NO driver
+    collect and NO broadcast of either side:
+
+    - phase 1 (map): corpus rows hash into ``n_blocks`` row-blocks; the
+      query frame replicates to every block id (a generate — queries
+      are the small side; the corpus shuffles ONCE, on its block id).
+      Each block's cogroup task stacks its rows and the query matrix,
+      L2-normalizes both, and runs one float64 BLAS GEMM
+      (n/B x d) @ (d x Q), emitting only the block-LOCAL top-k per
+      query: <= B*Q*k skinny candidate rows across the whole job.
+    - phase 2 (reduce): one window (partitionBy qid, orderBy cosine
+      DESC, id ASC) takes the global top-k. Its shuffle input is
+      B*Q*k rows — independent of corpus size N.
+
+    100 TB posture: corpus work is one hash shuffle + a linear GEMM
+    scan; executor memory bounds the BLOCK (n/B * d * 8 bytes) plus the
+    replicated query matrix (Q * d * 8) — size n_blocks for the former
+    and chunk very large query batches for the latter. A naive
+    crossJoin+window formulation shuffles N*Q score rows; this plan's
+    final shuffle is B*Q*k.
+
+    Determinism/parity: cosines round to 6 dp BEFORE top-k selection,
+    and both phases break ties by id ASC — identical to a
+    ROUND(...,6)-then-ROW_NUMBER SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    B = int(n_blocks)
+    pay = list(payload_cols)
+    src = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"), *pay
+    )
+    left = src.withColumn("__blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    right = (
+        queries.select(F.col(qid_col).alias("qid"), as_double(F.col(qvec_col)).alias("qv"))
+        .withColumn("__blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+    )
+    pay_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in src.select(*pay).schema.fields
+    )
+
+    def block_topk(key, cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "qid": pd.Series(dtype="int64"),
+            "id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+        for p in pay:
+            cols[p] = pd.Series(dtype=cpdf[p].dtype if len(cpdf) else "object")
+        empty = pd.DataFrame(cols)
+        if cpdf.empty or qpdf.empty:
+            return empty
+        a = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
+        an = np.linalg.norm(a, axis=1, keepdims=True)
+        a /= np.where(an == 0.0, 1.0, an)
+        q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        q /= np.where(qn == 0.0, 1.0, qn)
+        sims = np.round(a @ q.T, 6)  # (n_block, Q); round BEFORE ranking
+        ids = cpdf["id"].to_numpy()
+        qids = qpdf["qid"].to_numpy()
+        kk = min(k, len(ids))
+        out = []
+        for j in range(sims.shape[1]):
+            # order by (-cosine, id): lexsort keys are last-key-primary
+            order = np.lexsort((ids, -sims[:, j]))[:kk]
+            frame = {"qid": qids[j], "id": ids[order], "cosine": sims[order, j]}
+            for p in pay:
+                frame[p] = cpdf[p].to_numpy()[order]
+            out.append(pd.DataFrame(frame))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cands = (
+        left.groupBy("__blk")
+        .cogroup(right.groupBy("__blk"))
+        .applyInPandas(block_topk, schema=f"qid long, id long, cosine double{pay_schema}")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("id").alias(id_col), *pay, "cosine", F.col("rank").cast("int"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy semantic deduplication (SemDeDup-style): partition the
+    corpus into deterministic sign-LSH cells, then drop every vector
+    that has a LOWER-id neighbor in the SAME cell with cosine >=
+    ``threshold``. Returns the input rows annotated with ``__cell`` and
+    ``is_kept`` (callers filter ``is_kept`` for the surviving corpus).
+
+    Semantics are single-pass greedy keep-first (the canonical
+    large-scale formulation): deterministic given (planes, threshold),
+    so the WHOLE operator — cell assignment, candidate generation, and
+    the keep/drop decision — is pinned by a plain SQL oracle, unlike
+    clustering-based variants whose cells depend on k-means
+    initialization.
+
+    Plan: cell id is a narrow per-row map (sign bits of dot products
+    against ``planes``); candidates come from a cell-local self-join
+    (equi-join on ``__cell``, id_a < id_b) with the exact cosine check
+    inline; dropped ids are a distinct projection and the verdict is a
+    left-anti join. 100 TB posture: work is sum over cells of
+    O(cell^2) dots — bounded by the cell granularity (add planes to
+    halve cells), with no all-pairs stage, no broadcast of the corpus,
+    and every join an equi-join Catalyst hash-partitions. Skewed cells
+    are split by AQE; at extreme scale feed cells through
+    :func:`similar_pairs_exact`'s block GEMM per cell instead of the
+    expression-level dot."""
+    cells = df.withColumn("__cell", lsh_bucket(as_double(F.col(vec_col)), planes))
+    a = cells.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    )
+    b = cells.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    )
+    dropped = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).withColumn("is_kept", F.col("__dropped").isNull()).drop("__dropped")

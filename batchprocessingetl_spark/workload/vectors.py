@@ -132,10 +132,57 @@ def q56_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_int8(emb, _query_df(spark, sf_dir), TOP_K, rerank=4)
 
 
+KNN_JOIN_K = 5
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _plane_rows(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic data-derived hyperplanes (embeddings 1..4) shared
+    by q52/q66 — 4 parameter rows, documented driver materialization
+    (model parameters, same justification as q52)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin([1, 2, 3, 4]))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q65_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: every 100th vector queries the rest of the
+    corpus for its exact cosine top-5 — the multi-query kNN surface
+    (operators/similarity.py::knn_join). Two-phase distributed top-k:
+    block-local GEMM top-k (<= B*Q*k candidates), then one skinny
+    global window — final shuffle independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    return S.knn_join(
+        corpus, queries, KNN_JOIN_K, payload_cols=("label",)
+    ).orderBy("qid", "rank")
+
+
+def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy semantic dedup over sign-LSH cells (SemDeDup-style,
+    operators/similarity.py::semantic_dedup): drop any vector with a
+    lower-id same-cell neighbor at cosine >= 0.35. Cells are
+    deterministic (data-derived planes), so the full keep/drop verdict
+    is SQL-oracle-pinned — cell assignment, candidates, and decisions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, _plane_rows(spark, sf_dir), SEMDEDUP_THRESHOLD)
+    return out.select(
+        "vec_id", "label", F.col("__cell").alias("cell"), "is_kept"
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
-    "q56_knn_int8": q56_knn_int8,
-    "q51_label_centroid_similarity": q51_label_centroid_similarity,
+    "q65_knn_join": q65_knn_join,
+    "q66_semantic_dedup": q66_semantic_dedup,
     "q52_knn_lsh": q52_knn_lsh,
     "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
     "q54_knn_ivf": q54_knn_ivf,
@@ -161,10 +208,57 @@ _Q50_SQL = f"""
         LIMIT {TOP_K}
     """
 
+_Q65_SQL = f"""
+        WITH q AS (
+            SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qe
+            FROM embeddings WHERE vec_id % 100 = 0
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+            FROM embeddings WHERE vec_id % 100 <> 0
+        ), s AS (
+            SELECT q.qid, e.vec_id, e.label, ROUND({_COS}, 6) AS cosine
+            FROM e CROSS JOIN q
+        ), r AS (
+            SELECT qid, vec_id, label, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+                   ) AS INT) AS rank
+            FROM s
+        )
+        SELECT qid, vec_id, label, cosine, rank
+        FROM r WHERE rank <= {KNN_JOIN_K}
+        ORDER BY qid, rank
+    """
+
+_Q66_SQL = f"""
+        WITH p AS (
+            SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pv
+            FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), cell AS (
+            SELECT e.vec_id, e.label, e.v,
+                   CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                            THEN (1::BIGINT << (p.pid - 1)) ELSE 0 END) AS BIGINT) AS cell
+            FROM e CROSS JOIN p
+            GROUP BY e.vec_id, e.label, e.v
+        ), drp AS (
+            SELECT DISTINCT b.vec_id
+            FROM cell a JOIN cell b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT c.vec_id, c.label, c.cell, (d.vec_id IS NULL) AS is_kept
+        FROM cell c LEFT JOIN drp d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id
+    """
+
 ORACLE = {
-    # int8 pass is a candidate generator; the exact re-rank restores
-    # q50's exact answer (recall asserted in tests) -> same oracle.
-    "q56_knn_int8": _Q50_SQL,
+    "q65_knn_join": _Q65_SQL,
+    "q66_semantic_dedup": _Q66_SQL,
     "q50_knn_bruteforce": f"""
         WITH q AS (
             SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
@@ -177,23 +271,6 @@ ORACLE = {
         FROM e, q
         ORDER BY cosine DESC, vec_id ASC
         LIMIT {TOP_K}
-    """,
-    "q51_label_centroid_similarity": f"""
-        WITH q AS (
-            SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
-        ), e AS (
-            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
-            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
-        ), cos AS (
-            SELECT label, {_COS} AS cos FROM e, q
-        )
-        SELECT label, COUNT(*) AS n_vectors,
-               ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,8))) AS DOUBLE) / COUNT(cos), 4) AS avg_cosine,
-               ROUND(MAX(cos), 4) AS max_cosine
-        FROM cos
-        GROUP BY label
-        ORDER BY label
     """,
     # Full semantic parity for the sign-LSH path: DuckDB recomputes the
     # deterministic dot-sign bucket bits (planes = embeddings 1..4, bit
@@ -246,5 +323,38 @@ ORACLE = {
           AND list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         ORDER BY id_a, id_b
+    """,
+}
+
+# Out of the ~50-entry driver registry budget, still pytest +
+# check_oracle --extra verified: q56's oracle IS q50's (the int8 pass
+# is a candidate generator whose exact re-rank restores q50's answer),
+# and q51's grouped-agg-over-cosine evidence is covered by the five
+# registered cosine oracles (q50/q52/q53/q65/q66). Displaced in favor
+# of q65 (batch kNN join) and q66 (semantic dedup), which pin brand-new
+# operator machinery.
+EXTRA_QUERIES = {
+    "q56_knn_int8": q56_knn_int8,
+    "q51_label_centroid_similarity": q51_label_centroid_similarity,
+}
+
+EXTRA_ORACLE = {
+    "q56_knn_int8": _Q50_SQL,
+    "q51_label_centroid_similarity": f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ), e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        ), cos AS (
+            SELECT label, {_COS} AS cos FROM e, q
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,8))) AS DOUBLE) / COUNT(cos), 4) AS avg_cosine,
+               ROUND(MAX(cos), 4) AS max_cosine
+        FROM cos
+        GROUP BY label
+        ORDER BY label
     """,
 }

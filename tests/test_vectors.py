@@ -130,3 +130,106 @@ def test_multiprobe_lsh_recall_dominates_single_bucket(spark):
     assert len(multi & exact) >= len(single & exact)
     # on this corpus the 5 probed buckets (of 16) lift recall strictly
     assert len(multi & exact) > len(single & exact)
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    from batchprocessingetl_spark.operators.similarity import as_double, knn_join
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    got = knn_join(corpus, queries, k=4, payload_cols=("label",)).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {r["qid"] for r in queries.select("qid").collect()}
+    for qid, rows in by_qid.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+        # per-query ground truth from the independent single-query operator
+        single = cosine_topk(
+            corpus, queries.filter(F.col("qid") == qid).select("qvec"), 4
+        ).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+            (r["vec_id"], r["cosine"]) for r in single
+        ], f"qid={qid} diverges from brute force"
+
+
+def test_knn_join_invariant_to_block_count(spark):
+    from batchprocessingetl_spark.operators.similarity import as_double, knn_join
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    base = {(r["qid"], r["rank"], r["vec_id"], r["cosine"])
+            for r in knn_join(corpus, queries, k=5, n_blocks=1).collect()}
+    assert len(base) == 15
+    for nb in (4, 16):
+        got = {(r["qid"], r["rank"], r["vec_id"], r["cosine"])
+               for r in knn_join(corpus, queries, k=5, n_blocks=nb).collect()}
+        assert got == base, f"n_blocks={nb} changed the top-k"
+
+
+def _greedy_semantic_dedup_ground_truth(rows, planes, threshold):
+    """Driver-side reference: greedy keep-first dedup per sign-LSH cell."""
+    import numpy as np
+
+    p = np.array(planes)
+    out = {}
+    cells = {}
+    for vid in sorted(rows):
+        v = np.asarray(rows[vid], dtype=np.float64)
+        cell = sum(1 << i for i in range(len(planes)) if float(v @ p[i]) > 0)
+        dropped = any(
+            float(v @ w) / (np.linalg.norm(v) * np.linalg.norm(w)) >= threshold
+            for w in cells.get(cell, [])
+        )
+        cells.setdefault(cell, []).append(v)
+        out[vid] = not dropped
+    return out
+
+
+def test_semantic_dedup_matches_greedy_reference(spark):
+    from batchprocessingetl_spark.operators.similarity import semantic_dedup
+    from batchprocessingetl_spark.workload.vectors import _plane_rows
+
+    planes = _plane_rows(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup(emb, planes, 0.3).select("vec_id", "is_kept").collect()
+    }
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    want = _greedy_semantic_dedup_ground_truth(rows, planes, 0.3)
+    assert got == want
+    assert not all(got.values()), "threshold 0.3 should drop something at sf0.001"
+
+
+def test_semantic_dedup_kept_set_has_no_close_same_cell_pair(spark):
+    # Greedy soundness: if kept a < kept b shared a cell with cos >= t,
+    # b would have been dropped — so the surviving corpus is t-separated
+    # within every cell.
+    from batchprocessingetl_spark.operators.similarity import (
+        as_double,
+        cosine,
+        semantic_dedup,
+    )
+    from batchprocessingetl_spark.workload.vectors import _plane_rows
+
+    planes = _plane_rows(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    kept = semantic_dedup(emb, planes, 0.3).filter("is_kept")
+    a = kept.select("__cell", F.col("vec_id").alias("ia"), as_double(F.col("embedding")).alias("va"))
+    b = kept.select("__cell", F.col("vec_id").alias("ib"), as_double(F.col("embedding")).alias("vb"))
+    close = (
+        a.join(b, "__cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+    )
+    assert close.count() == 0
