@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from batchprocessingetl_spark.workload import (
+    curation_queries as _curation,
     events as _events,
     mm_stream as _mm_stream,
     pipeline_queries as _pipeline,
@@ -25,8 +26,9 @@ from batchprocessingetl_spark.workload import (
 # stopped at exactly 50 entries, in insertion order). The registry is
 # trimmed to 50 entries total; the families that went unchecked in
 # round 1 (vectors, multimodal, advanced text) register early so a
-# time-capped run still reaches them.
-_MODULES = (_relational, _vectors, _mm_stream, _pipeline, _events, _textops)
+# time-capped run still reaches them, followed by the round-2 curation
+# family (q67-q70).
+_MODULES = (_relational, _vectors, _mm_stream, _curation, _pipeline, _events, _textops)
 
 
 def collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

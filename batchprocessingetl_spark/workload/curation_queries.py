@@ -1,0 +1,209 @@
+"""Corpus-hygiene workload over ``documents``: benchmark
+decontamination, repetition quality signals, PII redaction, and
+bloom-filter incremental dedup (operators/curation.py).
+
+The synthetic corpus has no newlines or PII strings, so q68/q69
+deterministically synthesize that structure INSIDE the query (line
+breaks injected by replacing a frequent token; a PII footer built from
+doc_id) with the exact same expression in the Spark plan and the DuckDB
+oracle — the operators run on realistic inputs and stay value-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.operators import curation as C
+from batchprocessingetl_spark.operators import text as T_ops
+
+DECON_N = 3
+EVAL_MOD = 50
+
+
+def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs (doc_id % 50 != 0)
+    sharing any word 3-gram with the eval split (doc_id % 50 == 0).
+    Eval-side grams broadcast; the training corpus never shuffles
+    (operators/curation.py:decontaminate). Production uses n=13; n=3
+    yields visible hits on the synthetic near-dup corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return (
+        C.decontaminate(train, ev, "doc_id", "text", n=DECON_N)
+        .select("doc_id", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
+LINE_BREAK_TOKEN = " table "
+
+
+def q68_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document. Line structure is
+    injected by turning the frequent token ' table ' into newlines (the
+    oracle does the identical regexp_replace), then the operator's
+    narrow per-row array math computes dup-line fraction, max line
+    repeat, and top-bigram share — no shuffle, scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ltext", F.regexp_replace("text", LINE_BREAK_TOKEN, "\n")
+    )
+    return (
+        C.repetition_signals(docs, "ltext")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "dup_line_frac",
+            F.col("max_line_repeat").cast("long").alias("max_line_repeat"),
+            "top_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q69_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: a deterministic doc_id-derived footer
+    (email + IPv4 + phone) prepends each document, then
+    operators/curation.py:redact_pii counts and replaces each category.
+    Patterns sit in the Java-regex ∩ RE2 subset so the oracle
+    reproduces them exactly; output returns the redacted text itself,
+    so the value hash pins the full rewrite, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 or call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return (
+        C.redact_pii(docs.withColumn("pii_text", pii_text), "pii_text")
+        .select(
+            "doc_id",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+            "redacted",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q70_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the 'new batch' (doc_id % 3 == 0)
+    lands against the existing corpus (doc_id % 5 != 4); rows whose
+    CONTENT is already present are dropped via the bloom-bitmap +
+    exact-verify plan (operators/curation.py:bloom_incremental_dedup).
+    Result is exact, so the oracle is the plain content anti-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return (
+        C.bloom_incremental_dedup(new_batch, corpus, "text", "doc_id", n_bits=1 << 16)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "q67_decontamination": q67_decontamination,
+    "q68_repetition_signals": q68_repetition_signals,
+    "q69_pii_redaction": q69_pii_redaction,
+    "q70_bloom_incremental_dedup": q70_bloom_incremental_dedup,
+}
+
+_TOKENS_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="text")
+_TOKENS_LTEXT_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="ltext")
+
+# distinct word 3-grams (mirrors operators/dedup.py shingles at n=3)
+_GRAMS3_SQL = (
+    "CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({toks}) - 1), i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    " ELSE [] END"
+)
+
+ORACLE = {
+    "q67_decontamination": f"""
+        WITH sh AS (
+            SELECT doc_id, {_GRAMS3_SQL.format(toks=_TOKENS_SQL)} AS sh
+            FROM documents
+        ), eval_g AS (
+            SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ), train_g AS (
+            SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+        ), hits AS (
+            SELECT DISTINCT t.doc_id FROM train_g t JOIN eval_g e USING (g)
+        )
+        SELECT s.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        ORDER BY s.doc_id
+    """,
+    "q68_repetition_signals": f"""
+        WITH base AS (
+            SELECT doc_id, regexp_replace(text, '{LINE_BREAK_TOKEN}', chr(10), 'g') AS ltext
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, trim(l) AS line
+            FROM base, unnest(string_split(ltext, chr(10))) AS u(l)
+            WHERE trim(l) <> ''
+        ), lc AS (
+            SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line
+        ), lstats AS (
+            SELECT doc_id, SUM(c)::BIGINT AS n_lines,
+                   ROUND((SUM(c) - COUNT(*)) / SUM(c)::DOUBLE, 6) AS dup_line_frac,
+                   MAX(c)::BIGINT AS max_line_repeat
+            FROM lc GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id, unnest(list_transform(
+                       range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+                   )) AS gram
+            FROM (SELECT doc_id, {_TOKENS_LTEXT_SQL} AS toks FROM base)
+        ), bc AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram
+        ), bstats AS (
+            SELECT doc_id, ROUND(MAX(c) / SUM(c)::DOUBLE, 6) AS top_bigram_frac
+            FROM bc GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.max_line_repeat,
+               b.top_bigram_frac
+        FROM lstats l JOIN bstats b USING (doc_id)
+        ORDER BY l.doc_id
+    """,
+    "q69_pii_redaction": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   'contact user' || doc_id::VARCHAR || '@mail.example.com or 10.'
+                   || (doc_id % 256)::VARCHAR || '.0.1 or call 555-867-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text AS pii_text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(pii_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(pii_text,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+               len(regexp_extract_all(pii_text,
+                   '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(pii_text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        FROM base
+        ORDER BY doc_id
+    """,
+    "q70_bloom_incremental_dedup": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE doc_id % 3 = 0
+          AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 4)
+        ORDER BY doc_id
+    """,
+}
