@@ -143,6 +143,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_range_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered, sorted parquet layout: rows range-partition on
+    ``range_cols`` (sampled split points, so files are size-balanced)
+    and sort within each file, giving every file a DISJOINT min/max
+    envelope on the leading column.
+
+    This is the scan-pruning layout primitive: parquet footers record
+    per-file/row-group min-max stats, so a selective filter on
+    ``range_cols`` skips every file whose envelope misses the
+    predicate — at 100 TB a point/range query touches O(result) files
+    instead of O(corpus), for one up-front range shuffle (the same
+    trade write_bucketed makes for join locality, aimed at filters
+    instead of joins). Disjointness is asserted from real footer stats
+    in tests/test_pipeline.py.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in range_cols])
+        .sortWithinPartitions(*range_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

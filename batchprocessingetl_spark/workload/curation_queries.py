@@ -110,11 +110,64 @@ def q70_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): documents
+    hash into 8 independent shard streams (60-bit md5 prefix — engine-
+    reproducible), each stream concatenates in doc_id order and cuts
+    every 256 tokens. One shuffle + per-shard running-sum window; the
+    oracle replicates shard, pack, and offset exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    from batchprocessingetl_spark.operators.packing import pack_sequences
+
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(T_ops.tokens(F.col("text"))).cast("long")
+    )
+    return (
+        pack_sequences(with_tokens, "doc_id", "n_tokens", PACK_BUDGET, PACK_SHARDS)
+        .select("doc_id", "n_tokens", "shard", "pack_id", "start_off")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q67_decontamination": q67_decontamination,
     "q68_repetition_signals": q68_repetition_signals,
     "q69_pii_redaction": q69_pii_redaction,
     "q70_bloom_incremental_dedup": q70_bloom_incremental_dedup,
+}
+
+# EXTRA (out of the ~50-entry driver budget): value-pinned locally by
+# tools/check_oracle.py --extra.
+EXTRA_QUERIES = {
+    "q71_sequence_packing": q71_sequence_packing,
+}
+
+EXTRA_ORACLE = {
+    "q71_sequence_packing": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({T_ops.TOKENS_SQL_DUCKDB.format(col="text")})::BIGINT AS n_tokens,
+                   CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                        % {PACK_SHARDS} AS INT) AS shard
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens, shard,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start
+            FROM t
+        )
+        SELECT doc_id, n_tokens, shard,
+               (start // {PACK_BUDGET})::BIGINT AS pack_id,
+               (start % {PACK_BUDGET})::BIGINT AS start_off
+        FROM c
+        ORDER BY doc_id
+    """,
 }
 
 _TOKENS_SQL = T_ops.TOKENS_SQL_DUCKDB.format(col="text")

@@ -1,0 +1,86 @@
+"""Tests for sequence packing (operators/packing.py) and the
+range-sorted parquet layout writer (sources/readers.py)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+from batchprocessingetl_spark.operators.packing import pack_sequences
+from batchprocessingetl_spark.sources.readers import write_range_sorted_parquet
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    # single shard (n_shards=1) so the stream is fully deterministic:
+    # docs of 100 tokens each, budget 256 -> starts 0,100,200,300,...
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(5)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=256, n_shards=1).collect()
+    }
+    assert [(rows[i]["pack_id"], rows[i]["start_off"]) for i in range(5)] == [
+        (0, 0),
+        (0, 100),
+        (0, 200),  # doc 2 starts at 200, spans into pack 1
+        (1, 44),  # 300 -> pack 1, offset 44
+        (1, 144),
+    ]
+
+
+def test_pack_sequences_shard_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + i % 37) for i in range(500)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=128, n_shards=8)
+    # every row keeps its payload; shards are 0..7; offsets < budget
+    assert out.count() == 500
+    bad = out.filter(
+        (F.col("shard") < 0)
+        | (F.col("shard") >= 8)
+        | (F.col("start_off") < 0)
+        | (F.col("start_off") >= 128)
+        | (F.col("pack_id") < 0)
+    ).count()
+    assert bad == 0
+    # within a shard, the absolute stream position is non-decreasing in
+    # doc_id order (contiguous fill never goes backwards)
+    pdf = out.orderBy("shard", "doc_id").toPandas()
+    for _, grp in pdf.groupby("shard"):
+        pos = (grp["pack_id"] * 128 + grp["start_off"]).to_numpy()
+        assert (pos[1:] >= pos[:-1]).all()
+
+
+def test_range_sorted_layout_has_disjoint_file_envelopes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_range_sorted_parquet(df, path, ["k"], n_files=8)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 4  # range partitioner may merge sparse ends
+    envelopes = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        envelopes.append((min(mins), max(maxs)))
+    envelopes.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 < lo2  # disjoint: a filter prunes whole files
+    # and the filter itself reaches the scan
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("k") == 12345)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,12345)]" in plan
