@@ -56,6 +56,45 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum Bernoulli-style downsampling with DETERMINISTIC
+    membership: keep a row iff its md5 rank-hash falls below its
+    stratum's fraction cut. This is the domain-mixture weighting step
+    (e.g. keep 100% of books, 30% of web, 5% of logs) applied before
+    training; unlike ``df.sampleBy`` the decision is a pure function of
+    (seed, key), so membership is reproducible across runs, engines,
+    and partition layouts, and stable under corpus growth.
+
+    Strata absent from ``fractions`` are kept in full (fraction 1.0).
+    Plan: a narrow map + filter — NO shuffle, no RNG state; the
+    fractions dict enters the plan as a small CASE expression. At
+    100 TB this runs at scan speed and composes with
+    ``stratified_sample`` (hard caps) and ``split_train_holdout``.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    bucket = F.conv(F.substring(rank_hash(F.col(key_col), seed), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    cut = None
+    for k, v in fractions.items():
+        lit_cut = F.lit(int(v * (16**15))).cast("decimal(20,0)")
+        cut = F.when(F.col(stratum_col) == k, lit_cut) if cut is None else cut.when(
+            F.col(stratum_col) == k, lit_cut
+        )
+    cut = F.lit(int(16**15)).cast("decimal(20,0)") if cut is None else cut.otherwise(
+        F.lit(int(16**15)).cast("decimal(20,0)")
+    )
+    return df.filter(bucket < cut)
+
+
 def split_train_holdout(
     df: DataFrame,
     key_col: str,

@@ -101,3 +101,62 @@ def test_split_rejects_bad_fraction(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError):
         split_train_holdout(docs, "doc_id", 1.5)
+
+
+def test_mixture_sample_matches_duckdb_oracle(spark):
+    from batchprocessingetl_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fr = {"src0": 0.3, "src1": 1.0, "src2": 0.05}
+    out = mixture_sample(docs, "source", fr, "doc_id", seed="m1")
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got != sorted(r["doc_id"] for r in docs.select("doc_id").collect())  # not vacuous
+    cut_a, cut_c = int(0.3 * 16**15), int(0.05 * 16**15)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('m1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS b
+                FROM read_parquet('{SF_SMOKE}/documents.parquet')
+            )
+            WHERE b < CASE source WHEN 'src0' THEN {cut_a}
+                                  WHEN 'src2' THEN {cut_c}
+                                  ELSE {16**15} END
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want  # byte-identical membership across engines
+
+
+def test_mixture_sample_proportions_and_stability(spark):
+    from batchprocessingetl_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    some = next(iter(full))
+    out = mixture_sample(docs, "source", {some: 0.5}, "doc_id", seed="m2")
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # unlisted strata kept in full; listed stratum roughly halved
+    for src, n in full.items():
+        if src != some:
+            assert by[src] == n
+    assert 0.25 * full[some] < by.get(some, 0) < 0.75 * full[some]
+    # membership is a pure function of (seed, key): growth-stable
+    half = mixture_sample(docs.filter(F.col("doc_id") % 2 == 0), "source", {some: 0.5}, "doc_id", seed="m2")
+    ids_half = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids_full = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids_half == {i for i in ids_full if i % 2 == 0}
+    # narrow plan: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_rejects_bad_fraction(spark):
+    from batchprocessingetl_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "source", {"web": -0.1}, "doc_id")
