@@ -1,0 +1,113 @@
+"""Scale probe: run the flagship scalable operators on m-times
+replicated corpora and record wall times + output sizes, so scaling
+behavior (linear scan ops, candidate-bounded near-dup ops, block GEMM)
+is MEASURED rather than asserted. Results land in docs/SCALE.md.
+
+Replication: each source row becomes ``m`` rows with a distinct id and
+a per-replica suffix token appended to the text (so replicas are
+near-duplicates — the realistic high-dup-rate crawl regime — rather
+than byte-identical). Embeddings replicate as-is (ties are fine for
+timing). This intentionally makes the near-dup workload QUADRATICALLY
+richer in true pairs (every replica family is a clique), i.e. the
+probe's pair counts grow ~m^2 by construction; the operator cost model
+to check is candidates ~ pairs, not corpus^2.
+
+Usage: python tools/scale_probe.py [m_small] [m_large]
+Prints one JSON line per (op, m) with secs and output rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_docs(spark: SparkSession, m: int) -> DataFrame:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            F.concat("text", F.lit(" zrep"), F.col("rep").cast("string")).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def replicate_emb(spark: SparkSession, m: int) -> DataFrame:
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return (
+        emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+
+
+def run(name: str, m: int, df: DataFrame) -> dict:
+    t0 = time.time()
+    n = df.count()
+    rec = {"op": name, "m": m, "secs": round(time.time() - t0, 2), "out_rows": n}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> None:
+    m_small = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    m_large = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()  # warm
+
+    from batchprocessingetl_spark.operators.curation import bloom_incremental_dedup
+    from batchprocessingetl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from batchprocessingetl_spark.operators.packing import pack_sequences
+    from batchprocessingetl_spark.operators.similarity import knn_join
+    from batchprocessingetl_spark.operators.text import exact_dedup_hashed
+
+    results = []
+    for m in (m_small, m_large):
+        docs = replicate_docs(spark, m)
+        emb = replicate_emb(spark, m)
+
+        results.append(run("exact_dedup_hashed", m, exact_dedup_hashed(docs, "text", "doc_id")))
+
+        sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
+        results.append(run("minhash_lsh_candidates", m, lsh_candidate_pairs(sigs, bands=16)))
+
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+        ).limit(40)
+        results.append(run("knn_join_top5", m, knn_join(emb, q, 5)))
+
+        new_b = docs.filter(F.col("doc_id") % 3 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 4)
+        results.append(
+            run("bloom_incremental_dedup", m, bloom_incremental_dedup(new_b, corpus, "text", "doc_id"))
+        )
+
+        toks = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")).cast("long"))
+        results.append(run("pack_sequences", m, pack_sequences(toks, "doc_id", "n_tokens", 2048)))
+
+    print(json.dumps({"sf_dir": SF_DIR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
