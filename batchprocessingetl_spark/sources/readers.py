@@ -172,6 +172,43 @@ def write_range_sorted_parquet(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files —
+    the small-file compaction every long-running ingest needs (each
+    streaming micro-batch / incremental cycle appends a few files; a
+    year of 5-minute batches is ~100k tiny files whose open/footer
+    costs dominate scans and whose listing throttles the driver).
+
+    File count derives from the dataset's actual on-disk bytes (file
+    metadata only — no data read for sizing); the rewrite is staged to
+    ``path + '.compact.tmp'`` and swapped in only after a successful
+    write, so a failed compaction leaves the original intact.
+    ``sort_within`` optionally re-sorts rows inside each output file to
+    restore min/max pruning envelopes (see
+    :func:`write_range_sorted_parquet`). Returns the output file count.
+    """
+    import shutil
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    out = df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

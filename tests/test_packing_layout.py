@@ -84,3 +84,49 @@ def test_range_sorted_layout_has_disjoint_file_envelopes(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,12345)]" in plan
+
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
+    from batchprocessingetl_spark.sources.readers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate many tiny incremental appends: 24 single-row-group files
+    for i in range(24):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.mode("append").parquet(path)
+    files_before = len(glob.glob(f"{path}/*.parquet"))
+    assert files_before >= 24
+    before = spark.read.parquet(path)
+    n_rows, checksum = before.count(), before.agg(F.sum("v")).first()[0]
+
+    n_out = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    files_after = len(glob.glob(f"{path}/*.parquet"))
+    assert n_out == 1 and files_after == 1  # tiny dataset -> one file
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("v")).first()[0] == checksum
+
+
+def test_compact_parquet_failed_write_leaves_original(spark, tmp_path, monkeypatch):
+    from batchprocessingetl_spark.sources import readers
+
+    path = str(tmp_path / "frag2")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+
+    # make the staged rewrite blow up before any swap happens
+    class Boom(Exception):
+        pass
+
+    def fail_write(*a, **k):
+        raise Boom()
+
+    monkeypatch.setattr(
+        "pyspark.sql.classic.dataframe.DataFrame.repartition", fail_write, raising=True
+    )
+    import pytest
+
+    with pytest.raises(Boom):
+        readers.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 100  # original intact
