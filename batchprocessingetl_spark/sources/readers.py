@@ -62,6 +62,30 @@ def read_csv_quarantine(
     return good, bad
 
 
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of :func:`read_csv_quarantine`: rows that fail
+    to parse against the declared schema land in a quarantine frame
+    (PERMISSIVE + corrupt-record column) instead of nulling out
+    silently or failing the job — at 100 TB a crawl batch always
+    carries some malformed lines, and the quarantine frame is the
+    audit/replay surface. Returns (good, quarantined_raw_lines)."""
+    schema_with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # both outputs share one parse pass
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

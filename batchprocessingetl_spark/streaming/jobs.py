@@ -379,3 +379,59 @@ def scd2_maintenance_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    late: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming session windows (the stateful twin of the batch
+    session-window rollup, workload.events.q28): per-user sessions
+    close after ``gap`` of inactivity; the watermark both admits
+    ``late`` out-of-order events into still-open sessions and EVICTS
+    session state once no future event can extend it — state is
+    O(open sessions), not O(stream history).
+
+    APPEND output mode (the only mode Spark supports for streaming
+    session aggregations): a session emits exactly ONCE, in the first
+    micro-batch whose watermark has passed its close — growing
+    sessions merge silently in the state store until then, so the
+    sink never sees fragments. Consequence: sessions still open (or
+    inside the lateness window) when the stream drains remain in
+    state, unemitted, until later data advances the watermark — the
+    contract for exactly-once session handoff to downstream batch
+    consumers. ``max_files_per_trigger`` bounds batch size (tests use
+    1 to force a session to accrue ACROSS micro-batches)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(source_dir).withWatermark("ts", late)
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

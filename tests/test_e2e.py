@@ -150,3 +150,29 @@ def test_json_reader_roundtrip(spark, tmp_path):
     back = read_json(spark, path, df.schema)
     assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, None)]
     assert back.schema == df.schema
+
+
+def test_json_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.sources.readers import read_json_quarantine
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("n", T.DoubleType(), True),
+        ]
+    )
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "n": 2.5}\n'
+        "this is not json at all\n"
+        '{"id": 3, "n": 4.0}\n'
+        '{"id": "stringy", "n": []}\n'
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted(map(tuple, good.collect())) == [(1, 2.5), (3, 4.0)]
+    quarantined = sorted(r[0] for r in bad.collect())
+    assert len(quarantined) == 2
+    assert any("not json" in q for q in quarantined)
+    assert any("stringy" in q for q in quarantined)

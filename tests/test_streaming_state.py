@@ -269,3 +269,72 @@ def test_scd2_maintenance_stream_idempotent_on_rerun(spark, tmp_path):
     )
     second = sorted(map(tuple, spark.read.parquet(dim_dir).collect()))
     assert first == second
+
+
+def test_session_window_stream_matches_batch_sessions(spark, tmp_path):
+    """Streaming session windows (append mode: one emission per closed
+    session) equal the batch session_window rollup on the same events,
+    including a session that accrues across TWO micro-batches
+    (file-per-trigger) and must merge through the state store. A
+    far-future sentinel event advances the watermark so every real
+    session closes and flushes before the drain stops."""
+    import pyspark.sql.functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import session_window_stream
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, None),
+        (2, "2024-01-01 10:10:00", 7, "click", 2.0, None),  # same session
+        (3, "2024-01-01 13:00:00", 8, "view", 5.0, None),
+    ]
+    rows2 = [
+        (4, "2024-01-01 10:25:00", 7, "buy", 4.0, None),  # extends user 7's session
+        (5, "2024-01-01 16:00:00", 7, "click", 1.5, None),  # new session
+    ]
+    sentinel = [(999, "2024-02-01 00:00:00", 999, "flush", 0.0, None)]
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def stage(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.parquet(str(src / name))
+        )
+
+    stage(rows1, "d=001")
+    stage(rows2, "d=002")
+    stage(sentinel, "d=003")
+
+    out = str(tmp_path / "out")
+    session_window_stream(
+        spark, f"{src}/*", str(tmp_path / "ckpt"), out, gap="30 minutes",
+        late="1 minutes", max_files_per_trigger=1,
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["session_value"])
+        for r in spark.read.parquet(out).filter(F.col("user_id") != 999).collect()
+    }
+
+    all_rows = spark.createDataFrame(
+        rows1 + rows2, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["session_value"])
+        for r in (
+            all_rows.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+            .select(
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "user_id", "n_events", "session_value",
+            )
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch session really merged: user 7's first session
+    # spans 10:00 -> 10:55 with 3 events
+    assert (7, "2024-01-01 10:00:00", "2024-01-01 10:55:00", 3, 7.0) in got
