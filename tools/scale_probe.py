@@ -12,7 +12,9 @@ richer in true pairs (every replica family is a clique), i.e. the
 probe's pair counts grow ~m^2 by construction; the operator cost model
 to check is candidates ~ pairs, not corpus^2.
 
-Usage: python tools/scale_probe.py [m_small] [m_large]
+Usage: python tools/scale_probe.py [m_small] [m_large] [--ops=a,b,c]
+(--ops filters to a subset, e.g. --ops=knn_join_top5,bloom_incremental_dedup
+to probe the flat ops at much larger m without the minhash workload.)
 Prints one JSON line per (op, m) with secs and output rows.
 """
 
@@ -67,8 +69,13 @@ def run(name: str, m: int, df: DataFrame) -> dict:
 
 
 def main() -> None:
-    m_small = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    m_large = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            only = set(a.split("=", 1)[1].split(","))
+    m_small = int(args[0]) if args else 1
+    m_large = int(args[1]) if len(args) > 1 else 10
     spark = get_spark("scale_probe")
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()  # warm
 
@@ -81,30 +88,38 @@ def main() -> None:
     from batchprocessingetl_spark.operators.similarity import knn_join
     from batchprocessingetl_spark.operators.text import exact_dedup_hashed
 
+    def want(op: str) -> bool:
+        return only is None or op in only
+
     results = []
     for m in (m_small, m_large):
         docs = replicate_docs(spark, m)
         emb = replicate_emb(spark, m)
 
-        results.append(run("exact_dedup_hashed", m, exact_dedup_hashed(docs, "text", "doc_id")))
+        if want("exact_dedup_hashed"):
+            results.append(run("exact_dedup_hashed", m, exact_dedup_hashed(docs, "text", "doc_id")))
 
-        sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
-        results.append(run("minhash_lsh_candidates", m, lsh_candidate_pairs(sigs, bands=16)))
+        if want("minhash_lsh_candidates"):
+            sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
+            results.append(run("minhash_lsh_candidates", m, lsh_candidate_pairs(sigs, bands=16)))
 
-        q = emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("qid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
-        ).limit(40)
-        results.append(run("knn_join_top5", m, knn_join(emb, q, 5)))
+        if want("knn_join_top5"):
+            q = emb.filter(F.col("vec_id") % 100 == 0).select(
+                F.col("vec_id").alias("qid"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+            ).limit(40)
+            results.append(run("knn_join_top5", m, knn_join(emb, q, 5)))
 
-        new_b = docs.filter(F.col("doc_id") % 3 == 0)
-        corpus = docs.filter(F.col("doc_id") % 5 != 4)
-        results.append(
-            run("bloom_incremental_dedup", m, bloom_incremental_dedup(new_b, corpus, "text", "doc_id"))
-        )
+        if want("bloom_incremental_dedup"):
+            new_b = docs.filter(F.col("doc_id") % 3 == 0)
+            corpus = docs.filter(F.col("doc_id") % 5 != 4)
+            results.append(
+                run("bloom_incremental_dedup", m, bloom_incremental_dedup(new_b, corpus, "text", "doc_id"))
+            )
 
-        toks = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")).cast("long"))
-        results.append(run("pack_sequences", m, pack_sequences(toks, "doc_id", "n_tokens", 2048)))
+        if want("pack_sequences"):
+            toks = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")).cast("long"))
+            results.append(run("pack_sequences", m, pack_sequences(toks, "doc_id", "n_tokens", 2048)))
 
     print(json.dumps({"sf_dir": SF_DIR, "results": results}))
 
