@@ -183,6 +183,22 @@ def q28_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stats(ev, gap="30 minutes").orderBy("user_id", "session_start")
 
 
+
+
+def q72_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup hierarchy (operators/rollup.py): hourly
+    aggregates from raw, daily from hourly, monthly from daily — raw is
+    scanned ONCE for all three grains (associative (sum,count) carry;
+    avg derived at the end). The oracle recomputes every grain directly
+    from raw, pinning that hierarchical re-aggregation is exact."""
+    from batchprocessingetl_spark.operators.rollup import rollup_hierarchy
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_hierarchy(
+        ev, "ts", "value", grains=("hour", "day", "month")
+    ).orderBy("grain", "bucket_ts")
+
+
 QUERIES = {
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q28_session_window_stats": q28_session_window_stats,
@@ -197,9 +213,31 @@ QUERIES = {
 # evidence is carried by q20 (date_trunc) + q27 (date spans).
 EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
+    "q72_hypertable_rollup": q72_hypertable_rollup,
 }
 
 _ORACLE_ALL = {
+    "q72_hypertable_rollup": """
+        WITH g AS (
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(28,6))) AS t
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), COUNT(*),
+                   SUM(CAST(value AS DECIMAL(28,6)))
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT 'month', date_trunc('month', ts), COUNT(*),
+                   SUM(CAST(value AS DECIMAL(28,6)))
+            FROM events GROUP BY 1, 2
+        )
+        SELECT grain, bucket_ts, n_events,
+               CAST(ROUND(t, 2) AS DOUBLE) AS total,
+               CAST(ROUND(t / n_events, 4) AS DOUBLE) AS avg_value
+        FROM g
+        ORDER BY grain, bucket_ts
+    """,
     "q29_sliding_window_rollup": """
         WITH offs(j) AS (VALUES (0), (1)),
         win AS (

@@ -104,7 +104,10 @@ def q54_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and is characterized in tests, not oracle-pinned."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-    model = S.learn_ivf_centroids(base, k=IVF_K, seed=42)
+    # few Lloyd iterations: exhaustive-probe consistency holds for ANY
+    # centroids (converged or not), and each iteration is a Spark job —
+    # 6 keeps the driver-run cost low without weakening the check
+    model = S.learn_ivf_centroids(base, k=IVF_K, seed=42, max_iter=6)
     q = _query_df(spark, sf_dir)
     full_probe = S.ivf_topk(base, q, model, TOP_K, nprobe=IVF_K)
     exact = S.cosine_topk(base, q, TOP_K)

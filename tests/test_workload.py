@@ -72,3 +72,43 @@ def test_quantize_int8_roundtrip_accuracy(spark):
         na = math.sqrt(sum(a * a for a in vec))
         nb = math.sqrt(sum(b * b for b in deq))
         assert dp / (na * nb) > 0.999
+
+
+def test_rollup_hierarchy_reaggregates_exactly(spark):
+    import pyspark.sql.functions as F
+
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.rollup import rollup_hierarchy
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = rollup_hierarchy(ev, "ts", "value", grains=("hour", "day", "month"))
+    got_month = {
+        (str(r["bucket_ts"]), r["n_events"], r["total"], r["avg_value"])
+        for r in out.filter(F.col("grain") == "month").collect()
+    }
+    direct = (
+        ev.groupBy(F.date_trunc("month", "ts").alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("t"),
+        )
+        .select(
+            "bucket_ts",
+            "n_events",
+            F.round(F.col("t").cast("double"), 2).alias("total"),
+            F.round((F.col("t") / F.col("n_events")).cast("double"), 4).alias("avg_value"),
+        )
+    )
+    want_month = {
+        (str(r["bucket_ts"]), r["n_events"], r["total"], r["avg_value"])
+        for r in direct.collect()
+    }
+    assert got_month == want_month  # month-from-day-from-hour == month-from-raw
+    # branches read the cached finer level, not raw again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # grains must follow the chain
+    import pytest
+
+    with pytest.raises(ValueError):
+        rollup_hierarchy(ev, "ts", "value", grains=("day", "hour"))
