@@ -370,7 +370,17 @@ def scd2_maintenance_stream(
             update_columns,
             str(batch_ts),
         ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(dim_dir)
+        # staged swap, not in-place overwrite: a crash mid-overwrite
+        # would destroy the dimension, and the replayed epoch would then
+        # mistake the batch for an initial load (history loss). Writing
+        # aside and swapping shrinks the unsafe window to a dir rename.
+        import shutil
+
+        tmp = dim_dir.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, dim_dir):
+            shutil.rmtree(dim_dir)
+        shutil.move(tmp, dim_dir)
 
     q = (
         snaps.writeStream.foreachBatch(fold)
