@@ -25,6 +25,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def chunk_passages(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token-window passages (the
+    retrieval-indexing chunker: embedding models cap input length, and
+    overlap keeps answers that straddle a boundary findable).
+
+    Passage i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last passage is the remainder
+    (never empty, never duplicated). Pure built-ins — tokenize once
+    into a bound column, then sequence/transform/slice/explode: a
+    narrow generate, no shuffle, no Python. Output: one row per
+    passage with (key, passage_idx, n_passage_tokens, passage).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    staged = df.select(F.col(key_col), toks.alias("__toks")).filter(F.size("__toks") > 0)
+    # number of passages: ceil(max(n - overlap, 1) / stride)
+    n = F.size("__toks")
+    n_pass = F.ceil((F.greatest(n - F.lit(overlap), F.lit(1))) / F.lit(stride)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("passage_idx"),
+            F.slice("__toks", (i * stride + 1).cast("int"), chunk_tokens).alias("__ptoks"),
+        ),
+    )
+    return (
+        staged.select(key_col, F.explode(passages).alias("p"))
+        .select(
+            key_col,
+            F.col("p.passage_idx").alias("passage_idx"),
+            F.size("p.__ptoks").alias("n_passage_tokens"),
+            F.concat_ws(" ", F.col("p.__ptoks")).alias("passage"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

@@ -140,13 +140,54 @@ QUERIES = {
     "q70_bloom_incremental_dedup": q70_bloom_incremental_dedup,
 }
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q73_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-token-window passage chunking for retrieval indexing
+    (operators/packing.py::chunk_passages): 32-token windows, stride
+    24. Narrow generate, no shuffle; the oracle re-derives every
+    passage's exact text by list slicing."""
+    from batchprocessingetl_spark.operators.packing import chunk_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_passages(
+        docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    ).orderBy("doc_id", "passage_idx")
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
     "q71_sequence_packing": q71_sequence_packing,
+    "q73_passage_chunking": q73_passage_chunking,
 }
 
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
 EXTRA_ORACLE = {
+    "q73_passage_chunking": f"""
+        WITH t AS (
+            SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks
+            FROM documents
+        ), nz AS (
+            SELECT doc_id, toks,
+                   CAST(ceil(greatest(len(toks) - {CHUNK_OVERLAP}, 1)
+                             / {_CHUNK_STRIDE}.0) AS INT) AS n_pass
+            FROM t WHERE len(toks) > 0
+        ), p AS (
+            SELECT doc_id, toks, unnest(range(0, n_pass))::INT AS passage_idx
+            FROM nz
+        )
+        SELECT doc_id, passage_idx,
+               len(toks[passage_idx * {_CHUNK_STRIDE} + 1 :
+                        passage_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_passage_tokens,
+               array_to_string(toks[passage_idx * {_CHUNK_STRIDE} + 1 :
+                                    passage_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS passage
+        FROM p
+        ORDER BY doc_id, passage_idx
+    """,
     "q71_sequence_packing": f"""
         WITH t AS (
             SELECT doc_id,

@@ -130,3 +130,44 @@ def test_compact_parquet_failed_write_leaves_original(spark, tmp_path, monkeypat
         readers.compact_parquet(spark, path, target_file_bytes=1 << 30)
     monkeypatch.undo()
     assert spark.read.parquet(path).count() == 100  # original intact
+
+
+def test_chunk_passages_windows_and_overlap(spark):
+    from batchprocessingetl_spark.operators.packing import chunk_passages
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "   ")], "doc_id long, text string")
+    rows = chunk_passages(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 2 -> ceil(8/2)=4 passages
+    p1 = sorted(by_doc[1], key=lambda r: r["passage_idx"])
+    assert [r["passage"] for r in p1] == [
+        "w0 w1 w2 w3",
+        "w2 w3 w4 w5",
+        "w4 w5 w6 w7",
+        "w6 w7 w8 w9",
+    ]
+    # consecutive passages share exactly `overlap` tokens
+    for a, b in zip(p1, p1[1:]):
+        assert a["passage"].split()[-2:] == b["passage"].split()[:2]
+    # short doc: one (possibly partial) passage; blank doc: no rows
+    assert [r["passage"] for r in by_doc[2]] == ["a b"]
+    assert by_doc[2][0]["n_passage_tokens"] == 2
+    assert 3 not in by_doc
+    # full coverage: union of passage tokens == original tokens, in order
+    recon = p1[0]["passage"].split()
+    for r in p1[1:]:
+        recon += r["passage"].split()[2:]
+    assert recon == text.split()
+
+
+def test_chunk_passages_rejects_bad_overlap(spark):
+    import pytest
+
+    from batchprocessingetl_spark.operators.packing import chunk_passages
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_passages(df, "doc_id", "text", chunk_tokens=4, overlap=4)
