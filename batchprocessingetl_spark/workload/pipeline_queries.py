@@ -158,6 +158,40 @@ def q44_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q74_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch companion to q44 (the q57 HLL pattern applied to
+    percentiles): exact interpolated percentiles are oracle-pinned, and
+    the approx_percentile sketch (Greenwald-Khanna, accuracy=1000 ->
+    rank error <= 0.1%) is checked against its ACTUAL guarantee — rank
+    tolerance: the sketch value must lie between the exact p±0.05
+    percentiles (a value-error bound is wrong for rank sketches: on
+    small groups nearest-rank vs interpolated differ by a whole data
+    gap). At 100 TB the sketch is the viable path — mergeable partial
+    state, one pass, no per-group sort — and this query records the
+    evidence that the rank guarantee holds."""
+    orders = load_table(spark, sf_dir, "orders")
+    ex50 = F.percentile("o_totalprice", 0.5)
+    ex90 = F.percentile("o_totalprice", 0.9)
+    ap50 = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000))
+    ap90 = F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000))
+    ok = (
+        ap50.between(F.percentile("o_totalprice", 0.45), F.percentile("o_totalprice", 0.55))
+        & ap90.between(F.percentile("o_totalprice", 0.85), F.percentile("o_totalprice", 0.95))
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(ex50, 2).alias("median_exact"),
+            F.round(ex90, 2).alias("p90_exact"),
+            F.count(F.lit(1)).alias("n_orders"),
+            ok.alias("sketch_within_1pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
@@ -169,6 +203,7 @@ QUERIES = {
 # carried by q48_salted_nation_revenue (same operator, operators/skew.py).
 EXTRA_QUERIES = {
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
+    "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
 }
 
 _SCD2_COMMON = f"""
@@ -213,6 +248,19 @@ _SCD2_COMMON = f"""
 """
 
 _ORACLE_ALL = {
+    # q74: exact percentiles + counts are oracle facts; the rank-
+    # tolerance flag is pinned TRUE (the checked claim: the GK sketch
+    # value sits within the exact p±0.05 percentile envelope).
+    "q74_approx_percentile_sketch": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+               COUNT(*) AS n_orders,
+               TRUE AS sketch_within_1pct
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q43_salted_supplier_agg": """
         SELECT l_suppkey,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
