@@ -47,6 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # a caller-owned vanilla session infers TIMESTAMP_NTZ for
+            # micros-precision parquet; epoch functions (unix_micros)
+            # require LTZ. Session tz is pinned UTC above, so this cast
+            # is value-preserving wall-clock-wise.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -199,6 +199,47 @@ def q72_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grain", "bucket_ts")
 
 
+INTERVAL_SPAN_HOURS = 12
+INTERVAL_BUCKET_US = 3_600 * 1_000_000  # 1 hour
+
+
+def q75_interval_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase concurrency per user-day active span: for each user's
+    daily [first event, last event] interval spanning >= 12h, count the
+    purchases ANY user made inside it — a pure range-containment join
+    with no shared equi-key, the case Spark would otherwise plan as a
+    broadcast nested loop (or worse). Runs through
+    operators/rangejoin.py:interval_join_bucketed: intervals explode to
+    the 1-hour buckets they overlap, purchases map to their single
+    bucket, equi-join on bucket + exact inclusive containment — both
+    sides shuffle-partitioned, big-big safe."""
+    from batchprocessingetl_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy(F.col("user_id").alias("span_user"), F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("lo_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("hi_us"),
+        )
+        .filter(
+            F.col("hi_us") - F.col("lo_us") >= INTERVAL_SPAN_HOURS * 3_600 * 1_000_000
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros(F.col("ts")).alias("p_us"), "value"
+    )
+    j = interval_join_bucketed(purchases, spans, "p_us", "lo_us", "hi_us", INTERVAL_BUCKET_US)
+    return (
+        j.groupBy("span_user", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_concurrent_purchases"),
+            dsum(F.col("value")).alias("concurrent_value"),
+        )
+        .orderBy("span_user", "day")
+    )
+
+
 QUERIES = {
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q28_session_window_stats": q28_session_window_stats,
@@ -214,9 +255,28 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
     "q72_hypertable_rollup": q72_hypertable_rollup,
+    "q75_interval_join_concurrency": q75_interval_join_concurrency,
 }
 
 _ORACLE_ALL = {
+    "q75_interval_join_concurrency": f"""
+        WITH spans AS (
+            SELECT user_id AS span_user, date_trunc('day', ts) AS day,
+                   MIN(ts) AS lo, MAX(ts) AS hi
+            FROM events
+            GROUP BY 1, 2
+            HAVING epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+                   >= {INTERVAL_SPAN_HOURS}::BIGINT * 3600 * 1000000
+        )
+        SELECT s.span_user, s.day,
+               COUNT(*) AS n_concurrent_purchases,
+               {dsum_sql('e.value')} AS concurrent_value
+        FROM spans s
+        JOIN events e
+          ON e.event_type = 'purchase' AND e.ts BETWEEN s.lo AND s.hi
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q72_hypertable_rollup": """
         WITH g AS (
             SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts,
