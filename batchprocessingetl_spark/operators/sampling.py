@@ -95,6 +95,46 @@ def mixture_sample(
     return df.filter(bucket < cut)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "w0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows, probability
+    proportional to ``weight_col`` — the exponential-sort construction
+    (Efraimidis-Spirtsis A-ES): draw u_i ~ Uniform(0,1], keep the k
+    smallest values of -ln(u_i)/w_i. Inclusion probability is exactly
+    proportional to weight; no replacement bookkeeping, no rejection.
+
+    u_i is NOT an RNG draw: it derives from md5(seed:key) hex digits
+    (24 bits), so the sample is a pure function of (seed, key, weight) —
+    reproducible across runs, engines, and partition layouts, which is
+    what a training-mixture pipeline needs for auditable corpus builds
+    (re-materializing the corpus yields byte-identical membership).
+
+    Plan: narrow projection to compute the sort key, then global top-k
+    via orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    partial top-k heaps, only k rows per partition reach the driver-side
+    merge), NOT a full sort or shuffle of the corpus. Linear scan cost
+    at 100 TB. Rows with weight <= 0 are excluded (zero mass)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    v = F.conv(
+        F.substring(rank_hash(F.col(key_col), seed), 1, 6), 16, 10
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(16**6))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes", key)
+        .orderBy(F.col("__aes").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__aes")
+    )
+
+
 def split_train_holdout(
     df: DataFrame,
     key_col: str,

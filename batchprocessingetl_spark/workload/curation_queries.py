@@ -157,16 +157,50 @@ def q73_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "passage_idx")
 
 
+SAMPLE_K = 100
+SAMPLE_SEED = "w0"
+
+
+def q76_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample): 100 documents drawn with
+    probability proportional to n_chars via the exponential-sort (A-ES)
+    key -ln(u)/w, u from md5 hex — the oracle replicates the exact
+    draw, pinning engine-independence of the whole construction."""
+    from batchprocessingetl_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", SAMPLE_K, seed=SAMPLE_SEED)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
+    "q76_weighted_sample": q76_weighted_sample,
 }
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q76_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   -ln( (('0x' || substr(md5('{SAMPLE_SEED}:' || doc_id::VARCHAR), 1, 6))::BIGINT
+                         + 1) / {float(16**6)} ) / n_chars AS aes
+            FROM documents
+            WHERE n_chars > 0
+        ), top AS (
+            SELECT doc_id, source, n_chars FROM keyed
+            ORDER BY aes, doc_id LIMIT {SAMPLE_K}
+        )
+        SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
+    """,
     "q73_passage_chunking": f"""
         WITH t AS (
             SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks

@@ -160,3 +160,53 @@ def test_mixture_sample_rejects_bad_fraction(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError):
         mixture_sample(docs, "source", {"web": -0.1}, "doc_id")
+
+
+def test_weighted_sample_size_determinism_and_layout_independence(spark):
+    from batchprocessingetl_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(docs, "doc_id", "n_chars", 50).collect())
+    assert len(s1) == 50 and len(set(s1)) == 50
+    # same draw regardless of physical partitioning
+    s2 = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(7), "doc_id", "n_chars", 50).collect()
+    )
+    assert s1 == s2
+    # different seed -> different draw
+    s3 = sorted(
+        r["doc_id"] for r in weighted_sample(docs, "doc_id", "n_chars", 50, seed="w9").collect()
+    )
+    assert s1 != s3
+
+
+def test_weighted_sample_respects_weights(spark):
+    from batchprocessingetl_spark.operators.sampling import weighted_sample
+
+    # 10 heavy rows (weight 1000) among 200 light rows (weight 1):
+    # heavy mass = 10000/10200 ≈ 98%, so a draw of 10 should be mostly
+    # heavy under ANY seed; count across 20 seeds to kill flake risk
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(210)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy = 0
+    for s in range(20):
+        picked = weighted_sample(df, "id", "w", 10, seed=f"s{s}").collect()
+        heavy += sum(1 for r in picked if r["id"] < 10)
+    # expectation ~= 9.5/draw; even a loose bound separates it from
+    # uniform sampling (expectation 0.47/draw)
+    assert heavy >= 120
+
+
+def test_weighted_sample_excludes_nonpositive_and_plans_topk(spark):
+    from batchprocessingetl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0), (4, 5.0)], "id long, w double"
+    )
+    out = weighted_sample(df, "id", "w", 10)
+    assert sorted(r["id"] for r in out.collect()) == [3, 4]
+    # global top-k must plan as TakeOrderedAndProject (per-partition
+    # heaps), never a full global sort of the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
