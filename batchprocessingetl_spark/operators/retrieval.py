@@ -1,0 +1,75 @@
+"""Lexical retrieval scoring (BM25) for corpus selection and search.
+
+Training-data pipelines use BM25 both ways: retrieving passages for
+RAG-style eval sets, and scoring documents against a probe query as a
+cheap relevance/quality signal before expensive model-based filters.
+
+The whole computation is declarative: tokenize -> explode -> two hash
+aggregates (term frequency per (doc, term); document frequency per
+term) -> join -> score expression. Corpus statistics (N, avgdl) stay
+IN the plan as a 1-row aggregate broadcast via cross join — no
+driver-side count action, the same pattern as TF-IDF
+(workload/textops.py:q46). Everything is built-in expressions inside
+whole-stage codegen; cost is one corpus scan + shuffles keyed on
+(doc, term) and term — linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-(document, term) BM25 partial scores for ``query_terms``.
+
+    Lucene-shaped BM25: idf = ln((N - df + 0.5)/(df + 0.5) + 1) (always
+    positive), tf saturation tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+    ``df`` counts documents containing the term across the FULL corpus;
+    ``dl`` is the document token count; ``avgdl`` the corpus mean.
+
+    Returns (id, term, tf, dl, score) — one row per matching pair.
+    Callers compose the final ranking; summing a FIXED small term set
+    in deterministic order (see workload q77) keeps results bit-stable
+    across engines, where a float SUM aggregate would be
+    order-dependent."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
+    # integral-valued doubles (token counts) sum exactly in binary, so
+    # sum(dl)/count is order-independent without a decimal accumulator
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        base.select("id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", "tf", "dl", (idf * sat).alias("score"))
+    )

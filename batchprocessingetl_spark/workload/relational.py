@@ -536,6 +536,26 @@ def q59_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface: a wide per-returnflag aggregate turned
+    into long (flag, metric, value) form via DataFrame.unpivot — the
+    inverse of q16's pivot. The unpivot is a narrow Expand node (each
+    input row fans to one row per measure, map-side, no shuffle); the
+    only shuffle is the upstream aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q57_approx_distinct": q57_approx_distinct,
@@ -580,9 +600,25 @@ EXTRA_QUERIES = {
     "q27_order_date_spans": q27_order_date_spans,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
+    "q78_unpivot_metrics": q78_unpivot_metrics,
 }
 
 _ORACLE_ALL = {
+    "q78_unpivot_metrics": """
+        WITH w AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price,
+                   COUNT(*)::DOUBLE AS n_rows
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM w
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM w
+        ORDER BY l_returnflag, metric
+    """,
     # The HLL estimate is engine-defined; the checked facts are the
     # exact counts and the pinned within-5%-error flag (see q57 doc).
     "q57_approx_distinct": """

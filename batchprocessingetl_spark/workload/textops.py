@@ -173,6 +173,41 @@ def q36_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy("id_a", "id_b")
 
 
+BM25_TERMS = ("dup", "vector", "scan")
+BM25_TOPK = 50
+
+
+def q77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by BM25 against a fixed 3-term probe query
+    (operators/retrieval.py::bm25_term_scores). Per-term partial scores
+    are combined with a FIXED-order sum (coalesce(s_dup,0) +
+    coalesce(s_vector,0) + coalesce(s_scan,0)) rather than a float SUM
+    aggregate, so the total is bit-stable across engines and partition
+    orders; the oracle replicates idf, saturation, and the exact
+    summation order."""
+    from batchprocessingetl_spark.operators.retrieval import bm25_term_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = bm25_term_scores(docs, "doc_id", "text", BM25_TERMS)
+    per_term = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"__s{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    agg = ts.groupBy("id").agg(*per_term, F.count(F.lit(1)).alias("n_terms_matched"))
+    total = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(BM25_TERMS)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        agg.select(
+            F.col("id").alias("doc_id"),
+            F.round(total, 6).alias("bm25"),
+            "n_terms_matched",
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -304,6 +339,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q35_fingerprint": q35_fingerprint,
     "q38_simhash_signatures": q38_simhash_signatures,
+    "q77_bm25_topk": q77_bm25_topk,
 }
 
 _SHINGLES_SQL = (
@@ -579,5 +615,45 @@ ORACLE = {
         SELECT DISTINCT id AS doc_id, pos::INT AS pos, fp
         FROM resolved
         ORDER BY doc_id, pos
+    """,
+}
+
+
+from batchprocessingetl_spark.operators.retrieval import BM25_B, BM25_K1
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_FIXED_SUM = " + ".join(
+    f"COALESCE(MAX(CASE WHEN term = '{t}' THEN score END), 0.0)" for t in BM25_TERMS
+)
+
+EXTRA_ORACLE = {
+    "q77_bm25_topk": f"""
+        WITH base AS (
+            SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl FROM base
+        ), tf AS (
+            SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+            WHERE term IN ({_BM25_TERMS_SQL})
+            GROUP BY 1, 2, 3
+        ), dft AS (
+            SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), sc AS (
+            SELECT t.doc_id, t.term,
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * ({BM25_K1} + 1.0))
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / (s.sum_dl / s.n_docs)))
+                       AS score
+            FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               ROUND({_BM25_FIXED_SUM}, 6) AS bm25,
+               COUNT(*) AS n_terms_matched
+        FROM sc
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
     """,
 }
