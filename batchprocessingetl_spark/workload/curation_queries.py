@@ -335,3 +335,11 @@ ORACLE = {
         ORDER BY doc_id
     """,
 }
+
+# Round 3 rotation (VERDICT r2 #1): the packing/chunking/sampling
+# family moves into the driver registry so it gains driver-side
+# CORRECTNESS rows; displaced shape-duplicates live in
+# workload/relational.py's EXTRA_QUERIES.
+for _name in ("q71_sequence_packing", "q73_passage_chunking", "q76_weighted_sample"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLE[_name] = EXTRA_ORACLE.pop(_name)

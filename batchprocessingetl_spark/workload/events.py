@@ -248,14 +248,16 @@ QUERIES = {
     "q23_json_props_extract": q23_json_props_extract,
     "q24_asof_attribution": q24_asof_attribution,
     "q25_value_band_rollup": q25_value_band_rollup,
+    # Round 3 rotation (VERDICT r2 #1): hypertable rollup + big-big
+    # interval join gain driver-side CORRECTNESS rows.
+    "q72_hypertable_rollup": q72_hypertable_rollup,
+    "q75_interval_join_concurrency": q75_interval_join_concurrency,
 }
 
 # Out of the ~50-entry driver registry budget; daily date_format rollup
 # evidence is carried by q20 (date_trunc) + q27 (date spans).
 EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
-    "q72_hypertable_rollup": q72_hypertable_rollup,
-    "q75_interval_join_concurrency": q75_interval_join_concurrency,
 }
 
 _ORACLE_ALL = {

@@ -195,15 +195,19 @@ def q74_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
-    "q42_scd2_initial_load": q42_scd2_initial_load,
-    "q44_price_percentiles": q44_price_percentiles,
+    "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
 }
 
 # Out of the ~50-entry driver registry budget; skew-salting evidence is
 # carried by q48_salted_nation_revenue (same operator, operators/skew.py).
+# Round 3 rotated q42 (SCD2 — q41 keeps §2.11's registered row) and
+# q44 (exact percentiles — superseded in the registry by the GK-sketch
+# q74, which pins the same quantile semantics plus the sketch) out to
+# make room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
+    "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
-    "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
+    "q44_price_percentiles": q44_price_percentiles,
 }
 
 _SCD2_COMMON = f"""

@@ -559,18 +559,14 @@ def q78_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q57_approx_distinct": q57_approx_distinct,
-    "q58_sql_surface": q58_sql_surface,
     "q48_salted_nation_revenue": q48_salted_nation_revenue,
     "q55_grouping_sets": q55_grouping_sets,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q03_product_sales_in_year": q03_product_sales_in_year,
-    "q04_turnover_by_region_brand": q04_turnover_by_region_brand,
-    "q05_product_performance": q05_product_performance,
     "q08_customers_without_orders": q08_customers_without_orders,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
     "q13_frequent_customers": q13_frequent_customers,
-    "q16_status_pivot": q16_status_pivot,
-    "q18_common_nations": q18_common_nations,
+    "q78_unpivot_metrics": q78_unpivot_metrics,
 }
 
 # Still first-class operators (pytest-covered via collect_extra_queries
@@ -586,7 +582,17 @@ QUERIES = {
 # q24 date arithmetic), generator spine (q59->q45 sequence/explode).
 # Round 2 rotated q07/q09/q27/q49 out to register the curation family
 # (q67-q70) with driver-side oracle evidence.
+# Round 3 rotated q04/q05 (same 3-way join+agg shape as the still-
+# registered q02/q03), q58 (SQL-surface twin of q01, also run verbatim
+# in tests/test_e2e.py), q16 (pivot — mirrored by newly-registered
+# q78 unpivot) and q18 (set-intersection; EXCEPT twin q19 was already
+# here) out, making room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
+    "q04_turnover_by_region_brand": q04_turnover_by_region_brand,
+    "q05_product_performance": q05_product_performance,
+    "q16_status_pivot": q16_status_pivot,
+    "q18_common_nations": q18_common_nations,
+    "q58_sql_surface": q58_sql_surface,
     "q06_quantity_bands": q06_quantity_bands,
     "q07_customer_order_stats": q07_customer_order_stats,
     "q09_suppliers_of_large_lines": q09_suppliers_of_large_lines,
@@ -600,7 +606,6 @@ EXTRA_QUERIES = {
     "q27_order_date_spans": q27_order_date_spans,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
-    "q78_unpivot_metrics": q78_unpivot_metrics,
 }
 
 _ORACLE_ALL = {

@@ -322,24 +322,28 @@ QUERIES = {
     "q63_dedup_clusters": q63_dedup_clusters,
     "q64_curated_corpus": q64_curated_corpus,
     "q31_quality_score": q31_quality_score,
-    "q32_term_frequencies": q32_term_frequencies,
     "q33_exact_dedup": q33_exact_dedup,
     "q34_language_id": q34_language_id,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
-    "q39_language_prediction": q39_language_prediction,
     "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
     "q46_tfidf": q46_tfidf,
     "q37_minhash_near_dups": q37_minhash_near_dups,
+    "q77_bm25_topk": q77_bm25_topk,
 }
 
 # Out of the ~50-entry driver registry budget (engine-defined-hash,
 # rows-only entries): xxhash64 fingerprints are evidenced with a full
 # oracle by q45 (winnowing, md5-based); SimHash signatures feed the
 # oracle-checked q47/q63/q64 pair/cluster queries directly.
+# Round 3 rotated q32 (raw term frequencies — the registered q46 TF-IDF
+# recomputes the same TF as its first stage) and q39 (n-gram language
+# prediction — q34's language-ID heuristic keeps the family's
+# registered row) out to make room for q71-q79 per VERDICT r2 #1.
 EXTRA_QUERIES = {
+    "q32_term_frequencies": q32_term_frequencies,
     "q35_fingerprint": q35_fingerprint,
     "q38_simhash_signatures": q38_simhash_signatures,
-    "q77_bm25_topk": q77_bm25_topk,
+    "q39_language_prediction": q39_language_prediction,
 }
 
 _SHINGLES_SQL = (
@@ -657,3 +661,9 @@ EXTRA_ORACLE = {
         LIMIT {BM25_TOPK}
     """,
 }
+
+# Round 3 rotation (VERDICT r2 #1): BM25 gains a driver-side
+# CORRECTNESS row; q32/q39 move to EXTRA (see EXTRA_QUERIES note).
+for _name in ("q32_term_frequencies", "q39_language_prediction"):
+    EXTRA_ORACLE[_name] = ORACLE.pop(_name)
+ORACLE["q77_bm25_topk"] = EXTRA_ORACLE.pop("q77_bm25_topk")
