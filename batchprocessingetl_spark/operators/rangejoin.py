@@ -23,13 +23,35 @@ non-overlapping pairs into each bucket for the post-filter to discard.
 A hot bucket (rush-hour data) is ordinary equi-join skew: AQE
 skew-join splitting handles it, same as any skewed key. Both inputs
 keep map-side column pruning since bucketing is a derived column, not
-a repartition of the raw table.
+a repartition of the raw table. A mis-scaled ``bucket_width`` (e.g.
+seconds where the data is micros) would silently explode one interval
+into millions of rows — the ``max_fanout`` guard turns that into a
+loud executor-side error instead.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Ceiling on buckets generated per interval. An interval spanning more
+# than this many buckets almost always means bucket_width is on the
+# wrong scale; failing loudly beats skewing the shuffle. Overridable
+# per call for genuinely long-lived intervals.
+DEFAULT_MAX_FANOUT = 4096
+
+
+def _floor_div(col: str, w: int) -> Column:
+    """Exact integer floor(col / w), correct for NEGATIVE operands too.
+
+    ``div`` alone truncates toward zero, which disagrees with floor on
+    negatives (e.g. pre-1970 epochs) and would put a probe and its
+    containing interval into different buckets, silently dropping the
+    match. ``x - pmod(x, w)`` is the largest multiple of w that is
+    <= x (pmod is always non-negative), so the subsequent ``div`` is
+    exact — no double-precision round-trip for large epoch values.
+    """
+    return F.expr(f"(cast({col} as bigint) - pmod(cast({col} as bigint), {w})) div {w}")
 
 
 def interval_join_bucketed(
@@ -39,15 +61,22 @@ def interval_join_bucketed(
     lo_col: str,
     hi_col: str,
     bucket_width: int,
+    max_fanout: int = DEFAULT_MAX_FANOUT,
 ) -> DataFrame:
     """Inner-join ``probe`` rows to every interval containing them
     (``lo <= probe_col <= hi``, inclusive) via fixed-width bucketing.
 
-    All three bound columns must be NON-NEGATIVE integers on a shared
-    scale (e.g. ``unix_micros`` epochs) — ``div`` truncates toward
-    zero, which equals floor only for non-negative operands. Column
-    names of the two inputs must be disjoint; the output carries all
-    probe columns followed by all interval columns.
+    All three bound columns must be integers on a shared scale (e.g.
+    ``unix_micros`` epochs); negative values (pre-1970 epochs) bucket
+    correctly via true floor division. Column names of the two inputs
+    must be disjoint; the output carries all probe columns followed by
+    all interval columns.
+
+    Any single interval wider than ``max_fanout * bucket_width``
+    raises at execution time (executor-side ``raise_error``) rather
+    than silently generating an oversized explode — a span that large
+    nearly always means ``bucket_width`` is on the wrong time scale.
+    Raise ``max_fanout`` explicitly for legitimately long intervals.
     """
     overlap = set(probe.columns) & set(intervals.columns)
     if overlap:
@@ -55,16 +84,29 @@ def interval_join_bucketed(
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
-    p = probe.withColumn("__pb", F.expr(f"cast({probe_col} as bigint) div {w}"))
-    iv = intervals.withColumn(
-        "__ib",
-        F.explode(
-            F.sequence(
-                F.expr(f"cast({lo_col} as bigint) div {w}"),
-                F.expr(f"cast({hi_col} as bigint) div {w}"),
-            )
-        ),
+    if int(max_fanout) <= 0:
+        raise ValueError("max_fanout must be positive")
+    p = probe.withColumn("__pb", _floor_div(probe_col, w))
+    lob, hib = _floor_div(lo_col, w), _floor_div(hi_col, w)
+    fanout = hib - lob + 1
+    hib_guarded = (
+        F.when(
+            fanout > F.lit(int(max_fanout)),
+            F.raise_error(
+                F.format_string(
+                    "interval_join_bucketed: interval [%s, %s] spans %s buckets "
+                    + f"at bucket_width={w} (max_fanout={int(max_fanout)}); "
+                    + "bucket_width is likely on the wrong scale — widen it or "
+                    + "pass a larger max_fanout",
+                    F.col(lo_col).cast("string"),
+                    F.col(hi_col).cast("string"),
+                    fanout.cast("string"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(hib)
     )
+    iv = intervals.withColumn("__ib", F.explode(F.sequence(lob, hib_guarded)))
     return (
         p.join(
             iv,

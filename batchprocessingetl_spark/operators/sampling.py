@@ -108,10 +108,13 @@ def weighted_sample(
     smallest values of -ln(u_i)/w_i. Inclusion probability is exactly
     proportional to weight; no replacement bookkeeping, no rejection.
 
-    u_i is NOT an RNG draw: it derives from md5(seed:key) hex digits
-    (24 bits), so the sample is a pure function of (seed, key, weight) —
-    reproducible across runs, engines, and partition layouts, which is
-    what a training-mixture pipeline needs for auditable corpus builds
+    u_i is NOT an RNG draw: it derives from the first 15 md5(seed:key)
+    hex digits (60 bits, same granularity as mixture_sample /
+    split_train_holdout — coarser uniforms would collide between
+    distinct keys at ~n^2/2^bits and distort the draw), so the sample
+    is a pure function of (seed, key, weight) — reproducible across
+    runs, engines, and partition layouts, which is what a
+    training-mixture pipeline needs for auditable corpus builds
     (re-materializing the corpus yields byte-identical membership).
 
     Plan: narrow projection to compute the sort key, then global top-k
@@ -122,9 +125,9 @@ def weighted_sample(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     v = F.conv(
-        F.substring(rank_hash(F.col(key_col), seed), 1, 6), 16, 10
-    ).cast("long")
-    u = (v + F.lit(1)).cast("double") / F.lit(float(16**6))
+        F.substring(rank_hash(F.col(key_col), seed), 1, 15), 16, 10
+    ).cast("decimal(20,0)")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(16**15))
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)

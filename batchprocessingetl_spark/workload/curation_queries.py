@@ -191,8 +191,8 @@ EXTRA_ORACLE = {
     "q76_weighted_sample": f"""
         WITH keyed AS (
             SELECT doc_id, source, n_chars,
-                   -ln( (('0x' || substr(md5('{SAMPLE_SEED}:' || doc_id::VARCHAR), 1, 6))::BIGINT
-                         + 1) / {float(16**6)} ) / n_chars AS aes
+                   -ln( (('0x' || substr(md5('{SAMPLE_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                         + 1) / {float(16**15)} ) / n_chars AS aes
             FROM documents
             WHERE n_chars > 0
         ), top AS (

@@ -68,3 +68,51 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     )
     # exact containment must be evaluated inside the join, not lost
     assert out.filter(~(F.col("t").between(F.col("lo"), F.col("hi")))).count() == 0
+
+
+def test_negative_epochs_bucket_with_true_floor(spark):
+    # pre-1970-style negative values: truncate-toward-zero would put
+    # probe t=-5 in bucket 0 but interval lo=-8 in bucket 0 as well
+    # while the real floor buckets are -1 — either way the MATCH SET
+    # must equal the plain BETWEEN semantics
+    probes = [(1, -25), (2, -10), (3, -1), (4, 0), (5, 3)]
+    intervals = [(100, -28, -9), (101, -2, 4)]
+    out = _join(spark, probes, intervals)
+    got = sorted((r["p_id"], r["iv_id"]) for r in out.collect())
+    expected = sorted(
+        (p, i)
+        for p, t in probes
+        for i, lo, hi in intervals
+        if lo <= t <= hi
+    )
+    assert got == expected
+
+
+def test_straddling_zero_interval_matches_all_inside(spark):
+    out = _join(spark, [(1, -15), (2, 0), (3, 15)], [(100, -20, 20)])
+    assert sorted(r["p_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_oversized_interval_fails_loudly(spark):
+    # one pathological interval 1000x the median span: must raise a
+    # clear error at execution, not OOM or silently skew the shuffle
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    p = spark.createDataFrame([(1, 50)], "p_id int, t long")
+    iv = spark.createDataFrame(
+        [(100, 0, 90), (101, 0, 1_000_000)], "iv_id int, lo long, hi long"
+    )
+    out = interval_join_bucketed(p, iv, "t", "lo", "hi", 10, max_fanout=100)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        out.collect()
+    assert "max_fanout" in str(ei.value)
+
+
+def test_max_fanout_override_allows_long_intervals(spark):
+    # default max_fanout (4096) would reject 100k buckets; explicit
+    # override admits it and still matches exactly once
+    p = spark.createDataFrame([(1, 50)], "p_id int, t long")
+    iv = spark.createDataFrame([(100, 0, 1_000_000)], "iv_id int, lo long, hi long")
+    wide = interval_join_bucketed(p, iv, "t", "lo", "hi", 10, max_fanout=200_000)
+    assert wide.count() == 1
