@@ -3,10 +3,14 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, the standard lakehouse layout for multimodal
 training data. The Spark-side plumbing (schema, batch iteration, Arrow
-transfer, partition sizing) is real and tested; the actual media
-decoding is STUBBED — the image/audio libraries are not in this
-container — behind ``decode_stub`` (deterministic fake) and
-``decode_real`` (NotImplementedError), with the seam clearly marked.
+transfer, partition sizing) is real and tested, and since round 3 the
+decode step is REAL too: ``decode_real`` parses four actual wire
+formats (24-bit BMP, binary PPM, 8-bit RGB PNG, 16-bit PCM WAV) with
+the pure-stdlib codecs in ``operators/media_codecs.py``.
+``decode_stub`` remains only as the explicit fallback for formats
+outside that set (JPEG/MP4/... need libraries absent from this
+environment); swap ``media_codecs``' dispatch for PIL/libav in a real
+deployment.
 
 Scale notes: payloads ride ``mapInPandas`` (Arrow batches), so bytes
 never materialize as Python lists row-by-row; decode parallelism ==
@@ -21,6 +25,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators import media_codecs as codecs
 
 MEDIA_META_FIELDS = "kind string, width int, height int, sample_rate int, n_frames int"
 
@@ -42,13 +48,41 @@ def as_media_frame(df: DataFrame, id_col: str, payload_col: str, kind: str) -> D
     )
 
 
-def decode_real(payload: bytes, kind: str) -> dict:
-    """The production decode seam (PIL/libav/ffmpeg). Not available in
-    this environment by design — see module docstring."""
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; wire PIL/torchaudio here in a real deployment"
-    )
+def decode_real(payload: bytes, kind: str = "auto") -> dict:
+    """Real media decode: sniff the wire format by magic bytes and
+    parse it with the stdlib codecs (``operators/media_codecs.py``).
+
+    Returns integer-exact typed metadata so differential oracles need
+    no float tolerance:
+      images -> {kind, width, height, sum_r, sum_g, sum_b}
+      audio  -> {kind, sample_rate, n_samples, sum_abs}
+
+    Raises ``ValueError`` for formats outside bmp/png/ppm/wav — callers
+    that tolerate exotic payloads should catch it and fall back to
+    ``decode_stub`` (see ``extract_features``)."""
+    fmt = codecs.sniff_format(payload)
+    if fmt is None:
+        raise ValueError(
+            f"unrecognized media payload (kind hint {kind!r}); stdlib codecs "
+            "cover bmp/png/ppm/wav — wire PIL/libav here for other formats"
+        )
+    if fmt == "wav":
+        rate, samples = codecs.decode_wav(payload)
+        return {
+            "kind": fmt,
+            "sample_rate": rate,
+            "n_samples": len(samples),
+            "sum_abs": sum(abs(s) for s in samples),
+        }
+    w, h, rgb = codecs.IMAGE_DECODERS[fmt](payload)
+    return {
+        "kind": fmt,
+        "width": w,
+        "height": h,
+        "sum_r": sum(rgb[0::3]),
+        "sum_g": sum(rgb[1::3]),
+        "sum_b": sum(rgb[2::3]),
+    }
 
 
 def decode_stub(payload: bytes, kind: str, dim: int = 8) -> list[float]:
@@ -61,13 +95,46 @@ def decode_stub(payload: bytes, kind: str, dim: int = 8) -> list[float]:
     return [v / 1_000_003.0 for v in acc]
 
 
+def _feature_vector(payload: bytes) -> list[float]:
+    """Dim-8 feature: real decoded metadata for recognized formats
+    (normalized image channel means / audio stats), ``decode_stub``
+    rolling-hash otherwise — the explicit exotic-format fallback."""
+    try:
+        d = decode_real(payload)
+    except ValueError:
+        return decode_stub(payload, "stub")
+    if d["kind"] == "wav":
+        n = max(d["n_samples"], 1)
+        return [
+            2.0,
+            float(d["sample_rate"]) / 48_000.0,
+            float(d["n_samples"]) / 65_536.0,
+            d["sum_abs"] / (n * 1024.0),
+            0.0,
+            0.0,
+            0.0,
+            0.0,
+        ]
+    px = max(d["width"] * d["height"], 1)
+    return [
+        1.0,
+        float(d["width"]) / 4096.0,
+        float(d["height"]) / 4096.0,
+        d["sum_r"] / (px * 255.0),
+        d["sum_g"] / (px * 255.0),
+        d["sum_b"] / (px * 255.0),
+        0.0,
+        0.0,
+    ]
+
+
 def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Feature extraction over Arrow batches with ``mapInPandas``.
 
-    Per batch: payload bytes -> (n_bytes, md5 content hash, stub
-    feature vector). The UDF sees pandas Series of bytes — zero
-    per-row Python call overhead beyond the decode itself, which is
-    the irreducible cost once a real decoder is wired in."""
+    Per batch: payload bytes -> (n_bytes, md5 content hash, feature
+    vector — real decoded stats for bmp/png/ppm/wav payloads, stub
+    fallback for anything else). The UDF sees pandas Series of bytes —
+    zero per-row Python call overhead beyond the decode itself."""
     import hashlib
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,11 +146,72 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_hash": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "feature": payloads.map(lambda b: decode_stub(b, "stub")),
+                    "feature": payloads.map(_feature_vector),
                 }
             )
 
     return media.mapInPandas(fe, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "doc_id long, kind string, width int, height int, sum_r long, sum_g long, "
+    "sum_b long, sample_rate int, n_samples int, sum_abs long"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: every payload is parsed from its
+    wire format (BMP/PNG/PPM/WAV) into integer-exact typed metadata —
+    image rows carry (width, height, channel sums), audio rows carry
+    (sample_rate, n_samples, sum |s|); inapplicable fields are null.
+    One row in -> one row out; decode cost is the only Python work and
+    parallelism follows the input partitioning."""
+
+    def dm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_real(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [r["kind"] for r in rows],
+                    "width": pd.array([r.get("width") for r in rows], dtype="Int32"),
+                    "height": pd.array([r.get("height") for r in rows], dtype="Int32"),
+                    "sum_r": pd.array([r.get("sum_r") for r in rows], dtype="Int64"),
+                    "sum_g": pd.array([r.get("sum_g") for r in rows], dtype="Int64"),
+                    "sum_b": pd.array([r.get("sum_b") for r in rows], dtype="Int64"),
+                    "sample_rate": pd.array(
+                        [r.get("sample_rate") for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [r.get("n_samples") for r in rows], dtype="Int32"
+                    ),
+                    "sum_abs": pd.array([r.get("sum_abs") for r in rows], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(dm, schema=DECODED_SCHEMA)
+
+
+def synthesize_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode a deterministic real media payload per id (kind cycles
+    bmp/png/ppm/wav; closed-form rasters/samples — see
+    ``media_codecs.synthesize_payload``). Arrow-batched; used to build
+    multimodal fixtures at any scale without shipping binary files."""
+
+    def sy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [codecs.synthesize_payload(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "kind": [k for k, _ in pairs],
+                    "payload": [p for _, p in pairs],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(
+        sy, schema="doc_id long, kind string, payload binary"
+    )
 
 
 RESIZED_SCHEMA = "doc_id long, kind string, payload binary, width int, height int"

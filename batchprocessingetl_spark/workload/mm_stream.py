@@ -1,8 +1,15 @@
 """Multimodal + Structured Streaming workload entries.
 
-q60 exercises the multimodal binary-column plumbing end-to-end
-(mapInPandas over Arrow batches); its byte-level outputs (length, md5)
-are DuckDB-checkable even though the stub feature vector is not.
+q60 exercises REAL media decoding end-to-end (round 3): each document
+id is encoded into an actual wire-format payload (24-bit BMP / RGB PNG
+/ binary PPM / 16-bit PCM WAV, cycling by id) by the stdlib encoders,
+then parsed back by the INDEPENDENT stdlib decoders
+(operators/media_codecs.py) inside an Arrow-batched ``mapInPandas``.
+Because every pixel/sample is a closed-form integer function of
+(doc_id, x, y), the DuckDB oracle recomputes the decoded width/height/
+channel-sums analytically — a decoder bug in row padding, BGR order,
+bottom-up flipping, PNG unfiltering, or RIFF chunk walking flips the
+value hash.
 
 q61 runs the streaming tumbling-window job with an availableNow trigger
 over a staged copy of the events table — checkpointed, synchronous,
@@ -19,23 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batchprocessingetl_spark.catalog import load_table
-from batchprocessingetl_spark.operators.multimodal import as_media_frame, extract_features
+from batchprocessingetl_spark.operators.multimodal import (
+    as_media_frame,
+    decode_media,
+    synthesize_media,
+)
 
 
 def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents' text bytes treated as opaque media payloads -> Arrow-
-    batched feature extraction. n_bytes/content_hash are exact
-    (oracle-checked); the stub feature only contributes its dimension."""
+    """Encode real BMP/PNG/PPM/WAV payloads from doc ids, then decode
+    them with the independent stdlib parsers: integer-exact typed
+    metadata out (image channel sums / PCM absolute sums), verified
+    analytically by the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    media = as_media_frame(docs.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "text")
-    feats = extract_features(media)
-    return feats.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        "content_hash",
-        F.size("feature").alias("feature_dim"),
-    ).orderBy("doc_id")
+    return decode_media(synthesize_media(docs, "doc_id")).orderBy("doc_id")
 
 
 def q61_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,13 +104,53 @@ EXTRA_QUERIES = {
 }
 
 ORACLE = {
+    # Analytic recomputation of the DECODED values: pixels/samples are
+    # closed-form in (doc_id, x, y) — see media_codecs.synth_raster /
+    # synth_samples. If the Spark side mis-parses any wire format, its
+    # sums diverge from these.
     "q60_multimodal_features": """
-        SELECT doc_id,
-               'text' AS kind,
-               octet_length(encode(text)) AS n_bytes,
-               md5(text) AS content_hash,
-               8 AS feature_dim
-        FROM documents
+        WITH img AS (
+            SELECT doc_id, (4 + doc_id % 13) AS w, (4 + doc_id % 7) AS h
+            FROM documents WHERE doc_id % 4 <> 3
+        ), px AS (
+            SELECT i.doc_id, i.w, i.h, u.x, v.y
+            FROM img i,
+                 UNNEST(range(0, i.w)) AS u(x),
+                 UNNEST(range(0, i.h)) AS v(y)
+        ), isum AS (
+            SELECT doc_id,
+                   MAX(w) AS w, MAX(h) AS h,
+                   SUM((31 * doc_id + 7 * x + 13 * y) % 256) AS sum_r,
+                   SUM((17 * doc_id + 5 * x + 11 * y) % 256) AS sum_g,
+                   SUM((23 * doc_id + 3 * x + 19 * y) % 256) AS sum_b
+            FROM px GROUP BY doc_id
+        ), wav AS (
+            SELECT doc_id, (32 + doc_id % 50) AS n
+            FROM documents WHERE doc_id % 4 = 3
+        ), smp AS (
+            SELECT w.doc_id, w.n, u.i
+            FROM wav w, UNNEST(range(0, w.n)) AS u(i)
+        ), wsum AS (
+            SELECT doc_id, MAX(n) AS n,
+                   SUM(ABS(((7 * doc_id + 13 * i) % 2048) - 1024)) AS sum_abs
+            FROM smp GROUP BY doc_id
+        )
+        SELECT i.doc_id,
+               CASE i.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                                 ELSE 'ppm' END AS kind,
+               i.w::INT AS width, i.h::INT AS height,
+               i.sum_r::BIGINT AS sum_r, i.sum_g::BIGINT AS sum_g,
+               i.sum_b::BIGINT AS sum_b,
+               NULL::INT AS sample_rate, NULL::INT AS n_samples,
+               NULL::BIGINT AS sum_abs
+        FROM isum i
+        UNION ALL
+        SELECT w.doc_id, 'wav' AS kind,
+               NULL::INT, NULL::INT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+               (8000 + 1000 * (w.doc_id % 5))::INT AS sample_rate,
+               w.n::INT AS n_samples,
+               w.sum_abs::BIGINT AS sum_abs
+        FROM wsum w
         ORDER BY doc_id
     """,
     # q61: streaming surface, rows-only (batch twin q20 pins semantics).

@@ -1,0 +1,133 @@
+"""Pure-stdlib media codecs: encode->decode round-trips, wire-format
+edge cases (padding, top-down BMPs, PPM comments, PNG filters 0-4,
+WAV chunk walking), and the Spark decode_media operator."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from batchprocessingetl_spark.operators import media_codecs as mc
+from batchprocessingetl_spark.operators.multimodal import decode_real, decode_stub
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 12, 25, 38, 51, 103])
+def test_synthesized_payload_roundtrip(doc_id):
+    kind, payload = mc.synthesize_payload(doc_id)
+    assert mc.sniff_format(payload) == kind
+    if kind == "wav":
+        assert mc.decode_wav(payload) == mc.synth_samples(doc_id)
+    else:
+        assert mc.IMAGE_DECODERS[kind](payload) == mc.synth_raster(doc_id)
+
+
+def test_bmp_row_padding_and_bottom_up():
+    # width 3 -> 9-byte rows padded to 12; decoder must skip the pad
+    # and un-flip the bottom-up row order
+    rgb = bytes(range(18))  # 3x2
+    assert mc.decode_bmp(mc.encode_bmp(3, 2, rgb)) == (3, 2, rgb)
+
+
+def test_bmp_top_down_negative_height():
+    rgb = bytes((7 * i) % 256 for i in range(36))  # 4x3, no padding
+    enc = bytearray(mc.encode_bmp(4, 3, rgb))
+    # flip to top-down: height field negative, rows in natural order
+    struct.pack_into("<i", enc, 14 + 8, -3)
+    stride = 12
+    rows = [bytes(enc[54 + i * stride : 54 + (i + 1) * stride]) for i in range(3)]
+    enc[54:] = b"".join(reversed(rows))
+    assert mc.decode_bmp(bytes(enc)) == (4, 3, rgb)
+
+
+def test_ppm_header_comments_and_whitespace():
+    raster = bytes(45)
+    assert mc.decode_ppm(b"P6\n# c\n5 3\n#x\n255\n" + raster) == (5, 3, raster)
+    assert mc.decode_ppm(b"P6  5\t3\r255 " + raster) == (5, 3, raster)
+
+
+def test_png_all_five_filters_reconstruct():
+    w, h = 5, 5
+    rgb = bytes((x * 17 + y * 29 + c * 7) % 256 for y in range(h) for x in range(w) for c in range(3))
+    stride = 3 * w
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw, prev = bytearray(), bytes(stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = rgb[y * stride : (y + 1) * stride]
+        enc = bytearray([ftype])
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up, ul = prev[i], (prev[i - 3] if i >= 3 else 0)
+            delta = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[ftype]
+            enc.append((line[i] - delta) & 0xFF)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert mc.decode_png(png) == (w, h, rgb)
+
+
+def test_png_multiple_idat_chunks():
+    w, h, rgb = 4, 2, bytes(range(24))
+    raw = b"".join(b"\x00" + rgb[y * 12 : (y + 1) * 12] for y in range(h))
+    z = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", z[: len(z) // 2])
+        + mc._png_chunk(b"IDAT", z[len(z) // 2 :])
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert mc.decode_png(png) == (w, h, rgb)
+
+
+def test_wav_skips_unknown_chunks():
+    wav = mc.encode_wav(8000, [1, -2, 3])
+    body = wav[12:]
+    wav2 = wav[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + body
+    wav2 = wav2[:4] + struct.pack("<I", len(wav2) - 8) + wav2[8:]
+    assert mc.decode_wav(wav2) == (8000, [1, -2, 3])
+
+
+def test_decode_real_dispatch_and_fallback():
+    d = decode_real(mc.encode_bmp(2, 2, bytes(12)))
+    assert d["kind"] == "bmp" and (d["width"], d["height"]) == (2, 2)
+    d = decode_real(mc.encode_wav(9000, [100, -100]))
+    assert d == {"kind": "wav", "sample_rate": 9000, "n_samples": 2, "sum_abs": 200}
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_real(b"\xff\xd8\xff some-jpeg-ish bytes")
+    # exotic formats keep the documented stub fallback
+    assert len(decode_stub(b"\xff\xd8\xff", "jpeg")) == 8
+
+
+def test_decode_media_operator(spark):
+    from batchprocessingetl_spark.operators.multimodal import decode_media, synthesize_media
+
+    ids = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in decode_media(synthesize_media(ids)).collect()}
+    assert len(out) == 64
+    for did, r in out.items():
+        if did % 4 == 3:
+            rate, samples = mc.synth_samples(did)
+            assert r["kind"] == "wav" and r["sample_rate"] == rate
+            assert r["n_samples"] == len(samples)
+            assert r["sum_abs"] == sum(abs(s) for s in samples)
+            assert r["width"] is None
+        else:
+            w, h, rgb = mc.synth_raster(did)
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_r"] == sum(rgb[0::3])
+            assert r["sum_b"] == sum(rgb[2::3])
+            assert r["sample_rate"] is None
