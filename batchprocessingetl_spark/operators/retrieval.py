@@ -73,3 +73,88 @@ def bm25_term_scores(
         .crossJoin(F.broadcast(stats))
         .select("id", "term", "tf", "dl", (idf * sat).alias("score"))
     )
+
+
+def bm25_topk_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 retrieval: every query row (qid, terms array) gets
+    its top-``k`` corpus documents — the multi-query generalization of
+    :func:`bm25_term_scores` (single fixed probe), mirroring
+    ``similarity.knn_join``'s role for dense vectors.
+
+    Plan: the query table's DISTINCT terms broadcast-semi-join the
+    exploded corpus tokens (one corpus scan, pruned to matching terms
+    map-side), then per-(doc, term) tf and per-term df hash-aggregate
+    as usual; scores join back to (qid, term) via a broadcast and
+    hash-aggregate per (qid, doc); one window per qid takes top-k.
+
+    Scale: corpus cost is ONE scan + shuffles keyed on (doc, term) /
+    term regardless of query count; the (qid, doc) aggregate and final
+    window shuffle carry only docs that matched >= 1 query term —
+    sparse for realistic term queries. Queries are assumed the small
+    side (broadcast); chunk mega-batches of queries externally.
+
+    Determinism/parity: per-term scores round to 7 dp and accumulate
+    in DECIMAL (order-independent, workload/parity.py rationale), the
+    total rounds to 6 dp BEFORE ranking, and ties break by doc id ASC
+    — identical to a ROUND-then-ROW_NUMBER SQL oracle."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
+    ).distinct()
+    uniq_terms = qterms.select("term").distinct()
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        base.select("id", "dl", F.explode("__toks").alias("term"))
+        .join(F.broadcast(uniq_terms), "term", "left_semi")
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", (idf * sat).alias("score"))
+    )
+    per_pair = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "id")
+        .agg(
+            F.round(F.sum(F.round(F.col("score"), 7).cast("decimal(28,10)")), 6)
+            .cast("double")
+            .alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("id"))
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", F.col("id").alias(id_col), "bm25", "n_terms_matched",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

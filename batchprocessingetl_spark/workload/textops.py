@@ -208,6 +208,31 @@ def q77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY_SET = (
+    (1, ("dup", "vector")),
+    (2, ("scan", "filter")),
+    (3, ("join", "merge", "hash")),
+    (4, ("customer",)),
+)
+BM25_JOIN_K = 10
+
+
+def q80_bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 retrieval (operators/retrieval.py::
+    bm25_topk_join): a 4-row query batch, each query's top-10 documents
+    with per-query ranks. One corpus scan serves every query; per-term
+    scores accumulate in DECIMAL so the oracle can replicate the exact
+    totals (order-independent), ties break by doc_id."""
+    from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_QUERY_SET],
+        "qid int, terms array<string>",
+    )
+    return bm25_topk_join(docs, queries, BM25_JOIN_K).orderBy("qid", "rank")
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -344,6 +369,7 @@ EXTRA_QUERIES = {
     "q35_fingerprint": q35_fingerprint,
     "q38_simhash_signatures": q38_simhash_signatures,
     "q39_language_prediction": q39_language_prediction,
+    "q80_bm25_query_join": q80_bm25_query_join,
 }
 
 _SHINGLES_SQL = (
@@ -630,7 +656,47 @@ _BM25_FIXED_SUM = " + ".join(
     f"COALESCE(MAX(CASE WHEN term = '{t}' THEN score END), 0.0)" for t in BM25_TERMS
 )
 
+_BM25_QUERY_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
+)
+
 EXTRA_ORACLE = {
+    "q80_bm25_query_join": f"""
+        WITH q(qid, term) AS (VALUES {_BM25_QUERY_VALUES}),
+        base AS (
+            SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl FROM base
+        ), tf AS (
+            SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY 1, 2, 3
+        ), dft AS (
+            SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), sc AS (
+            SELECT t.doc_id, t.term,
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * ({BM25_K1} + 1.0))
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / (s.sum_dl / s.n_docs)))
+                       AS score
+            FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+        ), pp AS (
+            SELECT q.qid, sc.doc_id,
+                   CAST(ROUND(SUM(CAST(ROUND(sc.score, 7) AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25,
+                   COUNT(*) AS n_terms_matched
+            FROM sc JOIN q USING (term)
+            GROUP BY 1, 2
+        ), rk AS (
+            SELECT qid, doc_id, bm25, n_terms_matched,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM pp
+        )
+        SELECT qid, doc_id, bm25, n_terms_matched, rnk::INT AS rank
+        FROM rk WHERE rnk <= {BM25_JOIN_K}
+        ORDER BY qid, rank
+    """,
     "q77_bm25_topk": f"""
         WITH base AS (
             SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks

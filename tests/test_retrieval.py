@@ -49,3 +49,52 @@ def test_bm25_length_normalization_prefers_short_doc(spark):
     rows = [(1, "x a"), (2, "x a b c d e f g")]
     s = _scores(spark, rows, ("x",))
     assert s[(1, "x")]["score"] > s[(2, "x")]["score"]
+
+
+def test_bm25_topk_join_shape_and_ranks(spark):
+    from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+    from batchprocessingetl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = spark.createDataFrame(
+        [(1, ["dup", "vector"]), (2, ["customer"])], "qid int, terms array<string>"
+    )
+    rows = bm25_topk_join(docs, queries, 5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) <= 5
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        scores = [r["bm25"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["bm25"] > 0 for r in rs)
+
+
+def test_bm25_topk_join_single_term_matches_term_scores(spark):
+    # a 1-term query's ranking must equal bm25_term_scores' own ordering
+    from batchprocessingetl_spark.operators.retrieval import bm25_term_scores, bm25_topk_join
+    from batchprocessingetl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = spark.createDataFrame([(7, ["scan"])], "qid int, terms array<string>")
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk_join(docs, queries, 8).orderBy("rank").collect()
+    ]
+    want = [
+        (r["id"], round(r["score"], 6))
+        for r in bm25_term_scores(docs, "doc_id", "text", ("scan",))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("id"))
+        .limit(8)
+        .collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
