@@ -101,7 +101,16 @@ def q54_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     real IVF bugs (vectors lost at cell boundaries, double-assignment,
     probe-join fanout). Pruned-probe recall (nprobe<k) is a DATA
     property — near-zero on this corpus of uniform random unit vectors
-    — and is characterized in tests, not oracle-pinned."""
+    — and is characterized in tests, not oracle-pinned.
+
+    As an ENGINE surface the fit/probe lifecycle is split:
+    ``build_ivf_index`` materializes the assignment parquet partitioned
+    by __cell once per corpus version, and ``probe_ivf_index`` reads it
+    back with static partition pruning (PartitionFilters on __cell —
+    pinned by tests/test_plans.py::test_ivf_index_probe_prunes_
+    partitions). This query keeps the in-memory fit only because the
+    driver harness gives each query a fresh session and no scratch
+    path; 6 Lloyd iterations keep that cheap."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
     # few Lloyd iterations: exhaustive-probe consistency holds for ANY

@@ -133,3 +133,54 @@ def test_similar_pairs_tiled_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """Persist-and-probe IVF (VERDICT r2 #5): the prebuilt index is
+    parquet partitioned by __cell; a probe's literal cell filter must
+    surface as PartitionFilters on __cell (nprobe of k directories
+    scanned), and the pruned probe must return exactly what scanning
+    the probed cells in memory would."""
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        learn_ivf_centroids,
+        probe_cells,
+        probe_ivf_index,
+        as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") != 0)
+    model = learn_ivf_centroids(emb, k=8, seed=42, max_iter=4)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, model, path)
+
+    q = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(as_double(F.col("embedding")).alias("qvec"))
+    )
+    out = probe_ivf_index(spark, path, q, model, k=10, nprobe=3)
+    plan = _physical(out)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    pf = scan.split("PartitionFilters")[1][:160]
+    assert "__cell" in pf
+    # semantic check: pruned probe == in-memory scan of the same cells
+    cells = probe_cells(q, model, 3)
+    assert len(cells) == 3
+    mem = (
+        ivf_assign(emb, model)
+        .filter(F.col("__cell").isin(cells))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    got = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in mem.collect()]
+    assert got == want
