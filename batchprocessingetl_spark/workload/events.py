@@ -240,6 +240,46 @@ def q75_interval_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+SKEW_SALT_BUCKETS = 16
+
+
+def q81_skewed_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-skew join hardening (VERDICT r2 #4): a zipfian-key
+    variant of the events/user join where 20% of all events collapse
+    onto ONE hot key (event_id % 5 == 0 -> user 0) — the bot-user /
+    null-default pathology that makes a plain hash join put a fifth of
+    the table on a single reducer. The join runs through
+    operators/skew.py::salted_join (salt the big side, replicate the
+    16-row-per-key small side), so the hot key spreads over 16
+    partitions; tests/test_skew.py pins the salt in the join keys, the
+    exchange count, and the per-bucket spread of the hot key. The
+    oracle is the PLAIN join+rollup — salting must be invisible in the
+    values."""
+    from batchprocessingetl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_user"),
+        "value",
+    )
+    dim = (
+        skewed.select("skew_user")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("skew_user"), F.lit(7)))
+    )
+    j = salted_join(skewed, dim, ["skew_user"], salt_buckets=SKEW_SALT_BUCKETS)
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
 QUERIES = {
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q28_session_window_stats": q28_session_window_stats,
@@ -258,9 +298,27 @@ QUERIES = {
 # evidence is carried by q20 (date_trunc) + q27 (date spans).
 EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
+    "q81_skewed_user_rollup": q81_skewed_user_rollup,
 }
 
 _ORACLE_ALL = {
+    # q81: the oracle is the PLAIN join + rollup — the salted plan must
+    # be value-identical to an unsalted one.
+    "q81_skewed_user_rollup": f"""
+        WITH skewed AS (
+            SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id END AS skew_user,
+                   value
+            FROM events
+        ), dim AS (
+            SELECT DISTINCT skew_user, skew_user % 7 AS tier FROM skewed
+        )
+        SELECT d.tier,
+               COUNT(*) AS n_events,
+               {dsum_sql('s.value')} AS total_value
+        FROM skewed s JOIN dim d USING (skew_user)
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "q75_interval_join_concurrency": f"""
         WITH spans AS (
             SELECT user_id AS span_user, date_trunc('day', ts) AS day,

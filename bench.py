@@ -27,7 +27,8 @@ from batchprocessingetl_spark.workload import collect_extra_queries, collect_que
 # extension family (exact dedup, minhash near-dup, knn, exact pair
 # GEMM). Same set as BENCH_r01 (for round-over-round comparability;
 # q12 now lives in EXTRA_QUERIES but stays benched) + q53 added in r2
-# after its de-collect rewrite.
+# after its de-collect rewrite + q81 added in r3 (the measured-skew
+# salted join, VERDICT r2 #4).
 HEADLINE = (
     "q01_pricing_summary",
     "q02_revenue_by_nation_month",
@@ -44,6 +45,7 @@ HEADLINE = (
     "q37_minhash_near_dups",
     "q50_knn_bruteforce",
     "q53_embedding_similar_pairs",
+    "q81_skewed_user_rollup",
 )
 
 
