@@ -286,3 +286,58 @@ def bloom_incremental_dedup(
     definitely_new = probes.filter(~F.col("__maybe")).select("__id")
     keep = definitely_new.unionByName(maybe_dup_new).withColumnRenamed("__id", id_col)
     return new_batch.join(keep, id_col, "left_semi")
+
+
+def positional_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, pos, gram): every word ``n``-gram with its 0-based token
+    position — the positional variant of ``shingle_frame`` (which
+    dedups and drops positions). Narrow generate; fan-out is
+    tokens-per-doc rows, same as any explode-based text op."""
+    from batchprocessingetl_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(toks, i + 1, F.lit(n)), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("pg")).select(
+        "id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram")
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate mining: word ``n``-gram spans that
+    appear in >= ``min_docs`` DISTINCT documents, located by in-doc
+    token position — the detection half of boilerplate stripping
+    (shared headers/footers/licenses), complementing
+    ``repetition_signals`` (which scores repetition WITHIN one doc).
+
+    Plan: positional n-grams (narrow generate) -> xxhash64 the gram to
+    an 8-byte key -> hash aggregate countDistinct(doc) per gram
+    (partial aggs map-side) -> filter to the boilerplate set -> join
+    occurrences back on the 8-byte key. The boilerplate set is
+    typically tiny relative to the corpus (that is what makes it
+    boilerplate), so AQE converts the join's build side to a broadcast
+    at runtime; the only corpus-scale shuffles carry (gram-hash,
+    partial-count) pairs. Returns (id, pos, gram, n_docs)."""
+    pg = positional_ngrams(df, id_col, text_col, n).withColumn(
+        "gh", F.xxhash64("gram")
+    )
+    hot = (
+        pg.groupBy("gh")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return pg.join(hot, "gh").select("id", "pos", "gram", "n_docs")

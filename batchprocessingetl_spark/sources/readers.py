@@ -38,6 +38,29 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built-in vectorized reader). Same pushdown/pruning
+    posture as parquet: predicates and column selections reach the
+    stripe reader, so mixed parquet/ORC lakes keep one query surface."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """ORC sink, mirroring :func:`write_parquet`'s options — the second
+    columnar wire format for interop with Hive/Trino-side consumers."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_csv_quarantine(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> tuple[DataFrame, DataFrame]:

@@ -177,17 +177,57 @@ def q76_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_N = 4
+BOILER_MIN_DOCS = 3
+
+
+def q82_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate span mining
+    (operators/curation.py::boilerplate_spans): every 4-token span
+    shared by >= 3 distinct documents, with its in-doc position — the
+    detection pass of boilerplate stripping. The oracle recomputes the
+    positional grams and document frequencies verbatim."""
+    from batchprocessingetl_spark.operators.curation import boilerplate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        boilerplate_spans(docs, "doc_id", "text", n=BOILER_N, min_docs=BOILER_MIN_DOCS)
+        .select(F.col("id").alias("doc_id"), "pos", "gram", "n_docs")
+        .orderBy("doc_id", "pos")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
     "q76_weighted_sample": q76_weighted_sample,
+    "q82_boilerplate_spans": q82_boilerplate_spans,
 }
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q82_boilerplate_spans": f"""
+        WITH t AS (
+            SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   unnest(range(1, len(toks) - {BOILER_N - 2}))::INT - 1 AS pos,
+                   unnest(list_transform(range(1, len(toks) - {BOILER_N - 2}),
+                          i -> array_to_string(toks[i:i+{BOILER_N - 1}], ' '))) AS gram
+            FROM t WHERE len(toks) >= {BOILER_N}
+        ), hot AS (
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+            FROM f GROUP BY 1
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        )
+        SELECT f.doc_id, f.pos, f.gram, h.n_docs
+        FROM f JOIN hot h USING (gram)
+        ORDER BY f.doc_id, f.pos
+    """,
     "q76_weighted_sample": f"""
         WITH keyed AS (
             SELECT doc_id, source, n_chars,

@@ -173,3 +173,44 @@ def test_incremental_load_data_persists_before_watermark(spark, tmp_path):
     m = incremental_load(spark, ev, None, "t", wm, sink=lambda df: sunk.append(df.count()))
     assert sunk == [10] and m.count() == 10
     assert read_watermark(spark, wm) == "2023-01-01 09:00:00"
+
+
+def test_orc_roundtrip_with_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC source/sink: value-exact round-trip, predicate pushdown into
+    the ORC scan, and partition pruning on a partitioned ORC sink —
+    the same posture tests the parquet path has."""
+    import pyspark.sql.functions as F
+
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.sources.readers import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    flat = str(tmp_path / "flat_orc")
+    write_orc(li, flat, target_files=2)
+    back = read_orc(spark, flat)
+    assert back.count() == li.count()
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+    filtered = back.filter(F.col("l_quantity") > 30.0)
+    scan = next(
+        ln
+        for ln in filtered._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan orc" in ln
+    )
+    assert "PushedFilters" in scan and "l_quantity" in scan.split("PushedFilters")[1][:120]
+
+    part = str(tmp_path / "part_orc")
+    write_orc(li.withColumn("ship_year", F.year("l_shipdate")), part, partition_by=["ship_year"])
+    pruned = read_orc(spark, part).filter(F.col("ship_year") == 1997)
+    scan = next(
+        ln
+        for ln in pruned._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan orc" in ln
+    )
+    assert "ship_year" in scan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == li.filter(F.year("l_shipdate") == 1997).count()
