@@ -138,6 +138,56 @@ def weighted_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float,
+    target_rows: int,
+    seed: str = "t0",
+) -> DataFrame:
+    """Temperature-weighted mixture resampling: keep each stratum with
+    probability f_i = min(1, target * w_i / n_i) where
+    w_i = n_i^alpha / sum_j n_j^alpha — the standard multinomial
+    temperature reweighting for multilingual / multi-source training
+    mixtures (alpha=1 preserves natural proportions, alpha=0 equalizes
+    strata, alpha~0.3-0.7 up-samples the tail). Expected output size is
+    ~``target_rows`` while no stratum saturates at f_i = 1.
+
+    Unlike :func:`mixture_sample` (caller-supplied fractions), the
+    fractions derive from corpus counts IN-PLAN: a per-stratum count
+    aggregate, a 1-row normalizer aggregate (broadcast via cross
+    join), and a broadcast join back — no driver-side collect at any
+    corpus size. Membership stays the deterministic md5-uniform rule
+    (pure function of seed+key), so the draw is reproducible and
+    engine-replicable; fractions round to 12 dp so both engines
+    compare against the identical cut."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    norm = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha)))).alias("__z"))
+    frac = counts.crossJoin(F.broadcast(norm)).select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.pow(F.col("__n"), F.lit(float(alpha)))
+                / F.col("__z")
+                / F.col("__n"),
+            ),
+            12,
+        ).alias("__f"),
+    )
+    v = F.conv(F.substring(rank_hash(F.col(key_col), seed), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    u = (v + F.lit(1)).cast("double") / F.lit(float(16**15))
+    return df.join(F.broadcast(frac), stratum_col).filter(u < F.col("__f")).drop("__f")
+
+
 def split_train_holdout(
     df: DataFrame,
     key_col: str,

@@ -113,6 +113,28 @@ def start_processing_time(
     )
 
 
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: tuple[str, ...],
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    streaming fact — the streaming form of the curated layer's
+    fact-x-dim join (curated_layer.py:133-141 consumers).
+
+    A stream-static INNER equi-join is stateless in Structured
+    Streaming: each micro-batch hash-joins against the static side (no
+    watermark, no state store growth), and Spark re-plans the static
+    side per batch, so a broadcast-sized dim stays broadcast. This is
+    the production pattern for slowly-changing dims too: point ``dim``
+    at the SCD2 table filtered to ``is_current`` and each micro-batch
+    reads the freshest snapshot (left as the caller's choice of
+    refresh cadence)."""
+    d = dim.select(on, *dim_cols)
+    return events.join(F.broadcast(d), on, "inner")
+
+
 def session_window_stats(events: DataFrame, gap: str = "30 minutes", late: str = "1 hour") -> DataFrame:
     """Native session windows (gap-merged) per user — works identically
     over a stream (with the watermark bounding state) or a batch frame.

@@ -197,6 +197,27 @@ def q82_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 300
+TEMP_SEED = "t0"
+
+
+def q83_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture resampling over document sources
+    (operators/sampling.py::temperature_resample, alpha=0.5, target
+    300): fractions computed in-plan from corpus counts, membership by
+    the deterministic md5 uniform — the oracle replicates the entire
+    draw including the temperature weights."""
+    from batchprocessingetl_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_resample(docs, "source", "doc_id", TEMP_ALPHA, TEMP_TARGET, TEMP_SEED)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
@@ -204,11 +225,28 @@ EXTRA_QUERIES = {
     "q73_passage_chunking": q73_passage_chunking,
     "q76_weighted_sample": q76_weighted_sample,
     "q82_boilerplate_spans": q82_boilerplate_spans,
+    "q83_temperature_resample": q83_temperature_resample,
 }
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q83_temperature_resample": f"""
+        WITH c AS (
+            SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1
+        ), z AS (
+            SELECT SUM(pow(n, {TEMP_ALPHA})) AS z FROM c
+        ), f AS (
+            SELECT c.source,
+                   ROUND(LEAST(1.0, {TEMP_TARGET} * pow(c.n, {TEMP_ALPHA}) / z.z / c.n), 12) AS f
+            FROM c, z
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN f USING (source)
+        WHERE (('0x' || substr(md5('{TEMP_SEED}:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+               + 1) / {float(16**15)} < f.f
+        ORDER BY d.doc_id
+    """,
     "q82_boilerplate_spans": f"""
         WITH t AS (
             SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks

@@ -210,3 +210,35 @@ def test_weighted_sample_excludes_nonpositive_and_plans_topk(spark):
     # heaps), never a full global sort of the corpus
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_resample_reweights_toward_tail(spark):
+    # alpha=0 equalizes strata; alpha=1 preserves natural proportions
+    from batchprocessingetl_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+
+    eq = temperature_resample(df, "src", "id", alpha=0.0, target_rows=200)
+    by = {r["src"]: r["n"] for r in eq.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # alpha=0: each stratum targets ~100 (small stratum keeps all 100)
+    assert by["small"] == 100
+    assert 60 <= by["big"] <= 140
+
+    nat = temperature_resample(df, "src", "id", alpha=1.0, target_rows=200)
+    byn = {r["src"]: r["n"] for r in nat.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # alpha=1: proportional (~180 vs ~20)
+    assert byn["big"] > 4 * byn.get("small", 1)
+
+
+def test_temperature_resample_deterministic_and_layout_independent(spark):
+    from batchprocessingetl_spark.operators.sampling import temperature_resample
+
+    rows = [(i, f"s{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    a = sorted(r["id"] for r in temperature_resample(df, "src", "id", 0.5, 100).collect())
+    b = sorted(
+        r["id"]
+        for r in temperature_resample(df.repartition(13), "src", "id", 0.5, 100).collect()
+    )
+    assert a == b and len(a) > 0

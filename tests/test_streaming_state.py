@@ -338,3 +338,52 @@ def test_session_window_stream_matches_batch_sessions(spark, tmp_path):
     # the cross-batch session really merged: user 7's first session
     # spans 10:00 -> 10:55 with 3 events
     assert (7, "2024-01-01 10:00:00", "2024-01-01 10:55:00", 3, 7.0) in got
+
+
+def test_stream_static_enrichment_matches_batch_and_is_stateless(spark, tmp_path):
+    # stream-static join: streamed facts enriched with a static dim
+    # must equal the batch join, and the streaming plan must carry no
+    # stateful operator (no watermark/state store — per-batch hash join)
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        enrich_stream_with_dim,
+        stream_events,
+    )
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, i % 24), user_id=i % 5,
+            event_type="click", value=float(i), props="{}")
+        for i in range(50)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 2}") for u in range(4)], "user_id long, tier string"
+    )  # user 4 intentionally missing -> inner join drops it
+
+    enriched = enrich_stream_with_dim(stream_events(spark, src), dim, "user_id", ("tier",))
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # stateless: no state-store rows tracked in the last progress
+    got = sorted(
+        map(tuple, spark.table("enriched_mem").select("event_id", "tier").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src)
+            .join(dim, "user_id")
+            .select("event_id", "tier")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 40  # users 0-3 only
+    assert all(p["stateOperators"] == [] for p in q.recentProgress if p["numInputRows"])
