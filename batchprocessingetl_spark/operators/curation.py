@@ -341,3 +341,67 @@ def boilerplate_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return pg.join(hot, "gh").select("id", "pos", "gram", "n_docs")
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """The removal half of the boilerplate loop: drop every token
+    covered by any span :func:`boilerplate_spans` flags, and reassemble
+    the remaining tokens in order. Returns
+    (id, clean_text, n_tokens, n_removed_tokens).
+
+    Plan: flagged (id, pos) spans expand to their covered token
+    positions (narrow generate, span-length fan-out); the document's
+    positional tokens LEFT ANTI join the covered set on (id, pos) —
+    an 8-byte-pair key join that AQE broadcast-converts when the
+    boilerplate set is small; surviving tokens re-aggregate per doc
+    with an order-struct sort (deterministic on any partitioning —
+    collect_list alone has no order guarantee). One corpus-keyed
+    shuffle for the reassembly aggregate; everything else rides the
+    positional-gram machinery."""
+    spans = boilerplate_spans(df, id_col, text_col, n, min_docs)
+    covered = (
+        spans.select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    from batchprocessingetl_spark.operators.text import tokens
+
+    tokpos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col)))
+    ).withColumnsRenamed({"pos": "tpos", "col": "tok"})
+    kept = tokpos.join(covered, ["id", "tpos"], "left_anti")
+    totals = tokpos.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

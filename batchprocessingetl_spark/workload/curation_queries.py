@@ -197,6 +197,23 @@ def q82_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators/curation.py::strip_boilerplate):
+    tokens covered by any cross-document 4-gram span shared by >= 3
+    docs are dropped and the text reassembled in token order; the
+    oracle rebuilds the cleaned text with an ordered string_agg."""
+    from batchprocessingetl_spark.operators.curation import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        strip_boilerplate(docs, "doc_id", "text", n=BOILER_N, min_docs=BOILER_MIN_DOCS)
+        .select(
+            F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed_tokens"
+        )
+        .orderBy("doc_id")
+    )
+
+
 TEMP_ALPHA = 0.5
 TEMP_TARGET = 300
 TEMP_SEED = "t0"
@@ -226,11 +243,52 @@ EXTRA_QUERIES = {
     "q76_weighted_sample": q76_weighted_sample,
     "q82_boilerplate_spans": q82_boilerplate_spans,
     "q83_temperature_resample": q83_temperature_resample,
+    "q84_strip_boilerplate": q84_strip_boilerplate,
 }
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q84_strip_boilerplate": f"""
+        WITH t AS (
+            SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   unnest(range(1, len(toks) - {BOILER_N - 2}))::INT - 1 AS pos,
+                   unnest(list_transform(range(1, len(toks) - {BOILER_N - 2}),
+                          i -> array_to_string(toks[i:i+{BOILER_N - 1}], ' '))) AS gram
+            FROM t WHERE len(toks) >= {BOILER_N}
+        ), hot AS (
+            SELECT gram FROM f GROUP BY 1
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ), cov AS (
+            SELECT DISTINCT f.doc_id, unnest(range(f.pos, f.pos + {BOILER_N}))::INT AS tpos
+            FROM f JOIN hot USING (gram)
+        ), tokpos AS (
+            SELECT doc_id, unnest(range(1, len(toks) + 1))::INT - 1 AS tpos,
+                   unnest(toks) AS tok
+            FROM t WHERE len(toks) > 0
+        ), kept AS (
+            SELECT tp.doc_id, tp.tpos, tp.tok
+            FROM tokpos tp LEFT JOIN cov c
+              ON tp.doc_id = c.doc_id AND tp.tpos = c.tpos
+            WHERE c.doc_id IS NULL
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM tokpos GROUP BY doc_id
+        )
+        SELECT tt.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               tt.n_tokens,
+               tt.n_tokens - COALESCE(a.n_kept, 0) AS n_removed_tokens
+        FROM totals tt LEFT JOIN agg a USING (doc_id)
+        ORDER BY tt.doc_id
+    """,
     "q83_temperature_resample": f"""
         WITH c AS (
             SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1
