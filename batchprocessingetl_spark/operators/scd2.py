@@ -123,3 +123,32 @@ def apply_scd2(
         .unionByName(expired)
         .unionByName(inserts)
     )
+
+
+def apply_scd1(
+    new_data: DataFrame,
+    existing: DataFrame | None,
+    primary_key: list[str],
+) -> DataFrame:
+    """SCD Type 1 merge — overwrite in place, no history: the merged
+    snapshot carries the batch's row for every key the batch contains
+    (changed or not — Type 1 has no change detection to get wrong) and
+    the existing row for every key it doesn't. The no-history sibling
+    of :func:`apply_scd2` for dimensions where only the latest value
+    matters (contact fields, free-text labels).
+
+    Plan: ONE left-anti join (existing minus batch keys) + unionByName —
+    a single hash shuffle on the primary key; with both sides bucketed
+    on the key it is shuffle-free. Initial load (existing=None) is the
+    batch itself. Column sets must match; the anti join keys on the
+    batch's key projection only, so wide dimensions never shuffle their
+    payload twice."""
+    if existing is None:
+        return new_data
+    if set(new_data.columns) != set(existing.columns):
+        raise ValueError(
+            f"column mismatch: batch {sorted(new_data.columns)} "
+            f"vs existing {sorted(existing.columns)}"
+        )
+    carried = existing.join(new_data.select(*primary_key), primary_key, "left_anti")
+    return new_data.unionByName(carried)

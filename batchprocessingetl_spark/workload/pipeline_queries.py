@@ -192,6 +192,21 @@ def q74_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 1 merge (operators/scd2.py::apply_scd1) on the q41
+    fixture pair: the merged snapshot is the batch row wherever the
+    batch has the key, the existing row otherwise — one anti-join +
+    union, no history columns. The oracle is that set expression
+    verbatim."""
+    from batchprocessingetl_spark.operators.scd2 import apply_scd1
+
+    new_data, existing = _scd2_inputs(spark, sf_dir)
+    out = apply_scd1(
+        new_data, existing.select("c_custkey", "segment", "acctbal"), ["c_custkey"]
+    )
+    return out.select("c_custkey", "segment", "acctbal").orderBy("c_custkey")
+
+
 def q79_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full medallion pipeline as ONE composed plan (VERDICT r2 #8):
     raw re-delivered ingest -> staging clean (dedup, null filter,
@@ -273,6 +288,7 @@ EXTRA_QUERIES = {
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
+    "q85_scd1_upsert": q85_scd1_upsert,
 }
 
 _SCD2_COMMON = f"""
@@ -317,6 +333,17 @@ _SCD2_COMMON = f"""
 """
 
 _ORACLE_ALL = {
+    # q85: SCD1 = batch rows for batch keys, existing rows otherwise
+    # (reuses q41's existing/batch CTE pair).
+    "q85_scd1_upsert": _SCD2_COMMON
+    + """
+        SELECT c_custkey, segment, acctbal FROM batch
+        UNION ALL
+        SELECT e.c_custkey, e.segment, e.acctbal
+        FROM existing e
+        WHERE e.c_custkey NOT IN (SELECT c_custkey FROM batch)
+        ORDER BY c_custkey
+    """,
     # q79: the full medallion composition — staging dedup/filter/derive,
     # the SCD2 merge (reusing q41's merge CTEs), current-row dim join,
     # dashboard Q1 rollup. Decimal-exact revenue accumulation mirrors

@@ -106,3 +106,31 @@ def test_resolve_grain_deterministic(spark):
     out = resolve_grain(df, ["pk"], [F.desc("num")]).collect()
     got = {r["pk"]: r["attr"] for r in out}
     assert got == {"k1": "y", "k2": "z"}
+
+
+def test_scd1_upsert_semantics(spark):
+    from batchprocessingetl_spark.operators.scd2 import apply_scd1
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    out = {r["k"]: r["v"] for r in apply_scd1(batch, existing, ["k"]).collect()}
+    # key 1 carried, 2 overwritten, 3 unchanged-but-batch-wins, 4 inserted
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # initial load passes the batch through
+    init = apply_scd1(batch, None, ["k"])
+    assert init.count() == 3
+
+
+def test_scd1_rejects_column_mismatch(spark):
+    import pytest as _pytest
+
+    from batchprocessingetl_spark.operators.scd2 import apply_scd1
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(1, "a", 2.0)], "k long, v string, w double")
+    with _pytest.raises(ValueError, match="column mismatch"):
+        apply_scd1(a, b, ["k"])
