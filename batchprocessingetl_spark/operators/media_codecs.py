@@ -330,3 +330,39 @@ def synthesize_payload(doc_id: int) -> tuple[str, bytes]:
     w, h, rgb = synth_raster(doc_id)
     enc = {"bmp": encode_bmp, "png": encode_png, "ppm": encode_ppm}[kind]
     return kind, enc(w, h, rgb)
+
+
+def resize_rgb(
+    width: int, height: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major RGB raster: output
+    pixel (x, y) copies source pixel (x*W//out_w, y*H//out_h) — the
+    floor-grid convention every raster library's NEAREST mode uses."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dims must be positive")
+    out = bytearray(3 * out_w * out_h)
+    for y in range(out_h):
+        sy = y * height // out_h
+        row_base = 3 * width * sy
+        dst_base = 3 * out_w * y
+        for x in range(out_w):
+            sx = row_base + 3 * (x * width // out_w)
+            d = dst_base + 3 * x
+            out[d : d + 3] = rgb[sx : sx + 3]
+    return bytes(out)
+
+
+def resize_image_payload(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real decode -> nearest-neighbor resize -> re-encode in the SAME
+    wire format (BMP/PNG/PPM). Raises ValueError for non-image or
+    unrecognized payloads — callers with exotic formats fall back
+    explicitly (see multimodal.resize_images)."""
+    fmt = sniff_format(payload)
+    if fmt not in IMAGE_DECODERS:
+        raise ValueError(f"not a decodable image payload (sniffed {fmt!r})")
+    w, h, rgb = IMAGE_DECODERS[fmt](payload)
+    out_rgb = resize_rgb(w, h, rgb, out_w, out_h)
+    enc = {"bmp": encode_bmp, "png": encode_png, "ppm": encode_ppm}[fmt]
+    return enc(out_w, out_h, out_rgb)

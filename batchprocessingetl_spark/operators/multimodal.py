@@ -231,9 +231,19 @@ def resize_stub(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Batch image resize over Arrow batches (1 row in -> 1 row out).
-    The payload never leaves the executor; output partitioning follows
-    the input, so a downstream per-image feature pass needs no shuffle."""
+    """Batch image resize over Arrow batches (1 row in -> 1 row out):
+    REAL decode -> nearest-neighbor resample -> re-encode in the same
+    wire format for bmp/png/ppm payloads
+    (``media_codecs.resize_image_payload``); non-image or exotic
+    payloads keep the documented ``resize_stub`` fallback. The payload
+    never leaves the executor; output partitioning follows the input,
+    so a downstream per-image feature pass needs no shuffle."""
+
+    def one(b: bytes) -> bytes:
+        try:
+            return codecs.resize_image_payload(b, width, height)
+        except ValueError:
+            return resize_stub(b, width, height)
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,7 +251,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "payload": pdf["payload"].map(lambda b: resize_stub(b, width, height)),
+                    "payload": pdf["payload"].map(one),
                     "width": width,
                     "height": height,
                 }

@@ -131,3 +131,58 @@ def test_decode_media_operator(spark):
             assert r["sum_r"] == sum(rgb[0::3])
             assert r["sum_b"] == sum(rgb[2::3])
             assert r["sample_rate"] is None
+
+
+def test_resize_rgb_nearest_neighbor_exact():
+    # 4x2 -> 2x4: out(x,y) must equal src(x*4//2, y*2//4) exactly
+    w, h = 4, 2
+    rgb = bytes(range(24))
+    out = mc.resize_rgb(w, h, rgb, 2, 4)
+    for y in range(4):
+        for x in range(2):
+            sx, sy = x * w // 2, y * h // 4
+            src = rgb[3 * (w * sy + sx) : 3 * (w * sy + sx) + 3]
+            assert out[3 * (2 * y + x) : 3 * (2 * y + x) + 3] == src
+
+
+@pytest.mark.parametrize("kind_id", [0, 1, 2])  # bmp, png, ppm
+def test_resize_image_payload_roundtrips_same_format(kind_id):
+    doc_id = kind_id  # kind cycles bmp/png/ppm/wav by id % 4
+    kind, payload = mc.synthesize_payload(doc_id)
+    resized = mc.resize_image_payload(payload, 6, 5)
+    assert mc.sniff_format(resized) == kind
+    w, h, rgb = mc.IMAGE_DECODERS[kind](resized)
+    assert (w, h) == (6, 5)
+    sw, sh, srgb = mc.synth_raster(doc_id)
+    for y in range(5):
+        for x in range(6):
+            sx, sy = x * sw // 6, y * sh // 5
+            assert (
+                rgb[3 * (6 * y + x) : 3 * (6 * y + x) + 3]
+                == srgb[3 * (sw * sy + sx) : 3 * (sw * sy + sx) + 3]
+            )
+
+
+def test_resize_image_payload_rejects_audio_and_junk():
+    _, wav = mc.synthesize_payload(3)
+    with pytest.raises(ValueError, match="not a decodable image"):
+        mc.resize_image_payload(wav, 4, 4)
+    with pytest.raises(ValueError, match="not a decodable image"):
+        mc.resize_image_payload(b"\xff\xd8garbage", 4, 4)
+
+
+def test_resize_images_operator_real_path_and_fallback(spark):
+    from batchprocessingetl_spark.operators.multimodal import resize_images, synthesize_media
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = synthesize_media(ids)
+    out = {r["doc_id"]: r for r in resize_images(media, 8, 8).collect()}
+    for did, r in out.items():
+        payload = bytes(r["payload"])
+        if did % 4 == 3:  # wav -> stub fallback path
+            assert mc.sniff_format(payload) is None
+        else:
+            fmt = mc.sniff_format(payload)
+            assert fmt == mc.MEDIA_KINDS[did % 4]
+            w, h, _ = mc.IMAGE_DECODERS[fmt](payload)
+            assert (w, h) == (8, 8)
