@@ -121,6 +121,31 @@ def main() -> None:
             toks = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")).cast("long"))
             results.append(run("pack_sequences", m, pack_sequences(toks, "doc_id", "n_tokens", 2048)))
 
+        if want("bm25_topk_join"):
+            from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+
+            queries = spark.createDataFrame(
+                [(1, ["dup", "vector"]), (2, ["scan", "filter"]), (3, ["join", "merge", "hash"])],
+                "qid int, terms array<string>",
+            )
+            results.append(
+                run("bm25_topk_join", m, bm25_topk_join(docs, queries, 10))
+            )
+
+        if want("boilerplate_spans"):
+            from batchprocessingetl_spark.operators.curation import boilerplate_spans
+
+            # replica suffixes multiply cross-doc shared spans (every
+            # replica family shares its whole body) — the worst case
+            # for the join-back; cost must track flagged occurrences
+            results.append(
+                run(
+                    "boilerplate_spans",
+                    m,
+                    boilerplate_spans(docs, "doc_id", "text", n=4, min_docs=3),
+                )
+            )
+
     print(json.dumps({"sf_dir": SF_DIR, "results": results}))
 
 
