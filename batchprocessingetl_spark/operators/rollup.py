@@ -77,7 +77,15 @@ def rollup_hierarchy(
             *gcols,
             "n_events",
             F.round(F.col("__total").cast("double"), 2).alias("total"),
-            F.round((F.col("__total") / F.col("n_events")).cast("double"), 4).alias("avg_value"),
+            # divide in DOUBLE after the exact decimal sum (davg
+            # pattern): engines' decimal-DIVISION scale rules differ
+            # (Spark rounds the quotient to its derived scale, DuckDB
+            # to another), which flipped the 4th decimal on 4 buckets
+            # at sf0.1; identical doubles divided by an int are
+            # bit-identical everywhere
+            F.round(F.col("__total").cast("double") / F.col("n_events"), 4).alias(
+                "avg_value"
+            ),
         )
         out = labeled if out is None else out.unionByName(labeled)
     return out

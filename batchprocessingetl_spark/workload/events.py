@@ -354,7 +354,7 @@ _ORACLE_ALL = {
         )
         SELECT grain, bucket_ts, n_events,
                CAST(ROUND(t, 2) AS DOUBLE) AS total,
-               CAST(ROUND(t / n_events, 4) AS DOUBLE) AS avg_value
+               ROUND(CAST(t AS DOUBLE) / n_events, 4) AS avg_value
         FROM g
         ORDER BY grain, bucket_ts
     """,
