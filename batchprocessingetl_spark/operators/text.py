@@ -143,3 +143,64 @@ def exact_dedup_hashed(df: DataFrame, text_col: str, keep_col: str) -> DataFrame
         .join(df.select(keep_col, text_col), keep_col)
         .drop("__h")
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, min_count: int = 1, max_terms: int | None = None
+) -> DataFrame:
+    """Frequency-ranked vocabulary table: (term, term_id, n_occurrences)
+    with ids assigned densely by (count DESC, term ASC) — the token
+    dictionary a training pipeline materializes before numericalizing a
+    corpus. Deterministic on any partitioning (the tie-break is total).
+
+    Plan: explode -> one hash aggregate (partial counts map-side) ->
+    ONE global window for the rank. The window's input is the DISTINCT
+    TERM table (vocabulary-sized, millions of rows at web scale — not
+    corpus-sized), so the single-partition rank is a deliberate,
+    bounded cost; ``min_count``/``max_terms`` trim the long tail before
+    it."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    ranked = counts.withColumn("term_id", F.row_number().over(w) - 1)
+    if max_terms is not None:
+        ranked = ranked.filter(F.col("term_id") < max_terms)
+    return ranked.select("term", "term_id", "n_occurrences")
+
+
+def cooccurrence_counts(
+    df: DataFrame, id_col: str, text_col: str, window: int = 2
+) -> DataFrame:
+    """Skip-gram co-occurrence counts: for every ordered token pair
+    (a, b) with b at position pos_a+1 .. pos_a+``window`` inside the
+    same document, count occurrences corpus-wide — the embedding-
+    training statistic (word2vec/GloVe input).
+
+    Plan: positional tokens explode once; the right side re-derives as
+    ``window`` shifted copies (narrow generate, w-fold fan-out of the
+    SMALL (id, pos, token) projection, not the document payload), the
+    pair meets on the (doc, pos) equi-key, and one hash aggregate
+    counts pairs. Shuffles carry (doc, pos) pairs then (a, b) pairs —
+    both fixed-width; nothing is corpus-quadratic (cost is
+    window * total_tokens)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    tokpos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col)))
+    ).withColumnsRenamed({"pos": "apos", "col": "a"})
+    right = (
+        tokpos.withColumnsRenamed({"a": "b", "apos": "bpos"})
+        .withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .select("id", (F.col("bpos") - F.col("k")).alias("apos"), "b")
+    )
+    return (
+        tokpos.join(right, ["id", "apos"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )

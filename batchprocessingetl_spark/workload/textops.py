@@ -233,6 +233,37 @@ def q80_bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_join(docs, queries, BM25_JOIN_K).orderBy("qid", "rank")
 
 
+VOCAB_MIN_COUNT = 100
+COOC_WINDOW = 2
+COOC_MIN = 60
+
+
+def q86_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (operators/text.py::build_vocab):
+    dense term ids by (count DESC, term ASC) over terms with >= 100
+    occurrences — the numericalization dictionary. The oracle
+    recomputes ids with ROW_NUMBER under the identical total order."""
+    from batchprocessingetl_spark.operators.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_count=VOCAB_MIN_COUNT).orderBy("term_id")
+
+
+def q87_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts within a 2-token forward window
+    (operators/text.py::cooccurrence_counts), kept where count >= 60 —
+    the word2vec/GloVe input statistic. Cost is window * tokens (pairs
+    meet on the (doc, pos) equi-key); nothing corpus-quadratic."""
+    from batchprocessingetl_spark.operators.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cooccurrence_counts(docs, "doc_id", "text", window=COOC_WINDOW)
+        .filter(F.col("n_cooc") >= COOC_MIN)
+        .orderBy("a", "b")
+    )
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -370,6 +401,8 @@ EXTRA_QUERIES = {
     "q38_simhash_signatures": q38_simhash_signatures,
     "q39_language_prediction": q39_language_prediction,
     "q80_bm25_query_join": q80_bm25_query_join,
+    "q86_vocab_table": q86_vocab_table,
+    "q87_cooccurrence": q87_cooccurrence,
 }
 
 _SHINGLES_SQL = (
@@ -661,6 +694,38 @@ _BM25_QUERY_VALUES = ", ".join(
 )
 
 EXTRA_ORACLE = {
+    "q86_vocab_table": f"""
+        WITH c AS (
+            SELECT term, COUNT(*) AS n_occurrences
+            FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+            GROUP BY 1
+            HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+        )
+        SELECT term,
+               (ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1)::INT AS term_id,
+               n_occurrences
+        FROM c
+        ORDER BY term_id
+    """,
+    "q87_cooccurrence": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ), tp AS (
+            SELECT doc_id, unnest(range(1, len(toks) + 1))::INT - 1 AS apos,
+                   unnest(toks) AS a
+            FROM t WHERE len(toks) > 0
+        ), rt AS (
+            SELECT doc_id, apos - k AS apos, b
+            FROM (SELECT doc_id, apos, a AS b,
+                         unnest(range(1, {COOC_WINDOW} + 1))::INT AS k
+                  FROM tp) s
+        )
+        SELECT tp.a, rt.b, COUNT(*) AS n_cooc
+        FROM tp JOIN rt ON tp.doc_id = rt.doc_id AND tp.apos = rt.apos
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {COOC_MIN}
+        ORDER BY 1, 2
+    """,
     "q80_bm25_query_join": f"""
         WITH q(qid, term) AS (VALUES {_BM25_QUERY_VALUES}),
         base AS (

@@ -253,3 +253,35 @@ def test_connected_components_chains_and_singletons(spark):
     none = spark.createDataFrame([], "id_a long, id_b long")
     solo = {r["id"]: r["cluster_id"] for r in connected_components(none, verts).collect()}
     assert solo == {i: i for i in range(1, 8)}
+
+
+def test_build_vocab_dense_deterministic_ids(spark):
+    from batchprocessingetl_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c c")], "id long, text string"
+    )
+    rows = {r["term"]: r for r in build_vocab(df, "text").collect()}
+    # counts: a=3, b=3, c=3 -> all tied, ids by term ASC
+    assert [rows[t]["term_id"] for t in ("a", "b", "c")] == [0, 1, 2]
+    capped = build_vocab(df, "text", max_terms=2)
+    assert capped.count() == 2
+    top = build_vocab(df, "text", min_count=4)
+    assert top.count() == 0
+
+
+def test_cooccurrence_window_semantics(spark):
+    from batchprocessingetl_spark.operators.text import cooccurrence_counts
+
+    df = spark.createDataFrame([(1, "x y z"), (2, "x z")], "id long, text string")
+    got = {
+        (r["a"], r["b"]): r["n_cooc"]
+        for r in cooccurrence_counts(df, "id", "text", window=2).collect()
+    }
+    # doc1: (x,y) d1, (x,z) d2, (y,z) d1; doc2: (x,z) d1 -> (x,z) total 2
+    assert got == {("x", "y"): 1, ("x", "z"): 2, ("y", "z"): 1}
+    one = {
+        (r["a"], r["b"]): r["n_cooc"]
+        for r in cooccurrence_counts(df, "id", "text", window=1).collect()
+    }
+    assert one == {("x", "y"): 1, ("y", "z"): 1, ("x", "z"): 1}
