@@ -89,3 +89,50 @@ def rollup_hierarchy(
         )
         out = labeled if out is None else out.unionByName(labeled)
     return out
+
+
+def gapfill_locf(
+    actual: DataFrame,
+    bucket_col: str,
+    count_cols: tuple[str, ...],
+    gauge_cols: tuple[str, ...],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid gap filling over a bucketed aggregate — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` analogue that
+    completes the hypertable family next to :func:`rollup_hierarchy`.
+
+    Missing buckets between the series' min and max are materialized
+    from an in-plan ``sequence`` spine (no driver action); ``count_
+    cols`` fill with 0 (absence of events IS a zero count) while
+    ``gauge_cols`` carry the last observation forward (a gauge stays
+    at its last reading until re-measured). ``is_filled`` marks
+    synthesized rows.
+
+    Plan: one 1-row min/max aggregate -> sequence explode (spine is
+    BUCKET-count sized, not event-count sized) -> left join actuals on
+    the bucket -> one ordered window for the LOCF. The window is
+    global but runs over the spine (e.g. 8,760 rows for a year of
+    hours) — bounded by the time range, never by the corpus; shard by
+    adding the series key to the window partition when filling many
+    independent series."""
+    from pyspark.sql.window import Window
+
+    bounds = actual.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}"))
+        ).alias(bucket_col)
+    )
+    joined = spine.join(actual, bucket_col, "left")
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    is_filled = F.col(count_cols[0] if count_cols else gauge_cols[0]).isNull()
+    cols = [F.col(bucket_col)]
+    cols += [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in count_cols]
+    cols += [
+        F.last(F.col(g), ignorenulls=True).over(w).alias(g) for g in gauge_cols
+    ]
+    cols.append(is_filled.alias("is_filled"))
+    return joined.select(*cols)

@@ -240,6 +240,32 @@ def q75_interval_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+GAPFILL_VALUE_MIN = 195.0
+
+
+def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly series of rare high-value events (~23% of hours
+    populated) completed on a regular grid
+    (operators/rollup.py::gapfill_locf): counts fill with 0, the
+    running total carries forward (LOCF), synthesized rows flagged —
+    the TimescaleDB gapfill+locf analogue. The oracle rebuilds the
+    spine with generate_series and an IGNORE NULLS window."""
+    from batchprocessingetl_spark.operators.rollup import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.filter(F.col("value") > GAPFILL_VALUE_MIN)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    return gapfill_locf(
+        actual, "bucket_ts", ("n_events",), ("total_value",), step="1 hour"
+    ).orderBy("bucket_ts")
+
+
 SKEW_SALT_BUCKETS = 16
 
 
@@ -299,9 +325,34 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
     "q81_skewed_user_rollup": q81_skewed_user_rollup,
+    "q88_gapfill_locf": q88_gapfill_locf,
 }
 
 _ORACLE_ALL = {
+    "q88_gapfill_locf": f"""
+        WITH a AS (
+            SELECT date_trunc('hour', ts) AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   {dsum_sql('value')} AS total_value
+            FROM events WHERE value > {GAPFILL_VALUE_MIN}
+            GROUP BY 1
+        ), sp AS (
+            SELECT unnest(generate_series(
+                (SELECT MIN(bucket_ts) FROM a),
+                (SELECT MAX(bucket_ts) FROM a),
+                INTERVAL 1 HOUR)) AS bucket_ts
+        ), j AS (
+            SELECT sp.bucket_ts, a.n_events, a.total_value
+            FROM sp LEFT JOIN a USING (bucket_ts)
+        )
+        SELECT bucket_ts,
+               COALESCE(n_events, 0) AS n_events,
+               last_value(total_value IGNORE NULLS)
+                   OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS total_value,
+               n_events IS NULL AS is_filled
+        FROM j
+        ORDER BY bucket_ts
+    """,
     # q81: the oracle is the PLAIN join + rollup — the salted plan must
     # be value-identical to an unsalted one.
     "q81_skewed_user_rollup": f"""

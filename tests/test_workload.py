@@ -112,3 +112,27 @@ def test_rollup_hierarchy_reaggregates_exactly(spark):
 
     with pytest.raises(ValueError):
         rollup_hierarchy(ev, "ts", "value", grains=("day", "hour"))
+
+
+def test_gapfill_locf_semantics(spark):
+    import datetime as dt
+
+    from batchprocessingetl_spark.operators.rollup import gapfill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        (t0, 2, 10.0),
+        (dt.datetime(2024, 1, 1, 1), 1, 7.5),
+        # hours 2 and 3 missing
+        (dt.datetime(2024, 1, 1, 4), 3, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts timestamp, n long, v double")
+    out = {
+        r["bucket_ts"].hour: r
+        for r in gapfill_locf(df, "bucket_ts", ("n",), ("v",)).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert (out[2]["n"], out[3]["n"]) == (0, 0)
+    assert out[2]["v"] == 7.5 and out[3]["v"] == 7.5  # carried forward
+    assert out[2]["is_filled"] and out[3]["is_filled"]
+    assert not out[0]["is_filled"] and out[4]["v"] == 1.0
