@@ -233,6 +233,23 @@ def q80_bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_join(docs, queries, BM25_JOIN_K).orderBy("qid", "rank")
 
 
+FUZZY_MAX_DIST = 1
+FUZZY_PREFIX = 2
+
+
+def q89_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching on part names
+    (operators/dedup.py::fuzzy_name_pairs): prefix-blocked candidates
+    verified by Levenshtein <= 1. The oracle replicates the blocking
+    and the edit-distance verify exactly."""
+    from batchprocessingetl_spark.operators.dedup import fuzzy_name_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(
+        part, "p_partkey", "p_name", max_dist=FUZZY_MAX_DIST, prefix_len=FUZZY_PREFIX
+    ).orderBy("id_a", "id_b")
+
+
 VOCAB_MIN_COUNT = 100
 COOC_WINDOW = 2
 COOC_MIN = 60
@@ -403,6 +420,7 @@ EXTRA_QUERIES = {
     "q80_bm25_query_join": q80_bm25_query_join,
     "q86_vocab_table": q86_vocab_table,
     "q87_cooccurrence": q87_cooccurrence,
+    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
 }
 
 _SHINGLES_SQL = (
@@ -694,6 +712,22 @@ _BM25_QUERY_VALUES = ", ".join(
 )
 
 EXTRA_ORACLE = {
+    "q89_fuzzy_name_pairs": f"""
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   substr(p_name, 1, {FUZZY_PREFIX}) AS pfx,
+                   len(p_name) AS l
+            FROM part
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               levenshtein(a.p_name, b.p_name)::INT AS dist
+        FROM p a JOIN p b
+          ON a.pfx = b.pfx
+         AND abs(a.l - b.l) <= {FUZZY_MAX_DIST}
+         AND a.p_partkey < b.p_partkey
+         AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+        ORDER BY id_a, id_b
+    """,
     "q86_vocab_table": f"""
         WITH c AS (
             SELECT term, COUNT(*) AS n_occurrences

@@ -285,3 +285,21 @@ def test_cooccurrence_window_semantics(spark):
         for r in cooccurrence_counts(df, "id", "text", window=1).collect()
     }
     assert one == {("x", "y"): 1, ("y", "z"): 1, ("x", "z"): 1}
+
+
+def test_fuzzy_name_pairs_semantics(spark):
+    from batchprocessingetl_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corps"),   # dist 1, same prefix -> pair
+        (3, "acme corporation"),  # dist > 1 -> no pair
+        (4, "zcme corp"),    # dist 1 but edit in prefix -> blocked out
+        (5, "acme corp"),    # exact dup -> dist 0 pair with 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_name_pairs(df, "id", "name", max_dist=1).collect()
+    )
+    assert got == [(1, 2, 1), (1, 5, 0), (2, 5, 1)]
