@@ -192,6 +192,25 @@ def q74_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gate over lineitem
+    (operators/quality.py::check_constraints): five rules — pk
+    uniqueness, not-null keys, discount/quantity ranges, returnflag
+    domain — evaluated in ONE aggregate pass; the quantity range is
+    deliberately violated so the report exercises both outcomes. The
+    oracle recomputes every count with scalar SQL aggregates."""
+    from batchprocessingetl_spark.operators.quality import check_constraints
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        not_null=("l_orderkey", "l_shipdate"),
+        unique=(("l_orderkey", "l_linenumber"),),
+        ranges={"l_discount": (0.0, 0.1), "l_quantity": (1.0, 40.0)},
+        accepted={"l_returnflag": ("A", "N", "R")},
+    ).orderBy("rule", "target")
+
+
 def q85_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 1 merge (operators/scd2.py::apply_scd1) on the q41
     fixture pair: the merged snapshot is the batch row wherever the
@@ -289,6 +308,7 @@ EXTRA_QUERIES = {
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
     "q85_scd1_upsert": q85_scd1_upsert,
+    "q90_constraint_report": q90_constraint_report,
 }
 
 _SCD2_COMMON = f"""
@@ -333,6 +353,38 @@ _SCD2_COMMON = f"""
 """
 
 _ORACLE_ALL = {
+    "q90_constraint_report": """
+        WITH v(rule, target, n_violations) AS (
+            SELECT 'not_null', 'l_orderkey',
+                   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+            UNION ALL
+            SELECT 'not_null', 'l_shipdate',
+                   (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+            UNION ALL
+            SELECT 'unique', 'l_orderkey,l_linenumber',
+                   (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                    FROM lineitem)
+            UNION ALL
+            SELECT 'range', 'l_discount',
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.1))
+            UNION ALL
+            SELECT 'range', 'l_quantity',
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND (l_quantity < 1.0 OR l_quantity > 40.0))
+            UNION ALL
+            SELECT 'accepted', 'l_returnflag',
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A', 'N', 'R'))
+        )
+        SELECT rule, target, n_violations::BIGINT AS n_violations,
+               n_violations = 0 AS passed
+        FROM v
+        ORDER BY rule, target
+    """,
     # q85: SCD1 = batch rows for batch keys, existing rows otherwise
     # (reuses q41's existing/batch CTE pair).
     "q85_scd1_upsert": _SCD2_COMMON

@@ -214,3 +214,58 @@ def test_orc_roundtrip_with_pushdown_and_partition_pruning(spark, tmp_path):
     )
     assert "ship_year" in scan.split("PartitionFilters")[1][:120]
     assert pruned.count() == li.filter(F.year("l_shipdate") == 1997).count()
+
+
+def test_check_constraints_mixed_outcomes(spark):
+    from batchprocessingetl_spark.operators.quality import check_constraints
+
+    rows = [
+        (1, "a", 5.0),
+        (2, "b", 50.0),   # range violation
+        (2, "c", 7.0),    # duplicate id
+        (None, "a", 8.0),  # null id
+        (4, "x", 9.0),    # bad domain value
+    ]
+    df = spark.createDataFrame(rows, "id long, flag string, v double")
+    rep = {
+        (r["rule"], r["target"]): r
+        for r in check_constraints(
+            df,
+            not_null=("id",),
+            unique=(("id",),),
+            ranges={"v": (0.0, 10.0)},
+            accepted={"flag": ("a", "b", "c")},
+        ).collect()
+    }
+    assert rep[("not_null", "id")]["n_violations"] == 1
+    # 5 rows, 3 distinct NON-NULL ids: the dup AND the null-key row
+    # both violate uniqueness (PK semantics)
+    assert rep[("unique", "id")]["n_violations"] == 2
+    assert rep[("range", "v")]["n_violations"] == 1
+    assert rep[("accepted", "flag")]["n_violations"] == 1
+    assert not any(r["passed"] for r in rep.values())
+
+    clean = check_constraints(df.limit(1), not_null=("id",), ranges={"v": (0.0, 10.0)})
+    assert all(r["passed"] for r in clean.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rules"):
+        check_constraints(df)
+
+
+def test_check_constraints_single_pass_plan(spark):
+    # all rules must evaluate in ONE aggregate over ONE scan
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.quality import check_constraints
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rep = check_constraints(
+        li,
+        not_null=("l_orderkey",),
+        unique=(("l_orderkey", "l_linenumber"),),
+        ranges={"l_quantity": (1.0, 40.0)},
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
