@@ -320,3 +320,48 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def zorder_value(col_a, col_b, bits: int = 12):
+    """Morton (Z-order) interleave of two NON-NEGATIVE bounded ints:
+    bit b of each input lands at output bits 2b / 2b+1, so sorting by
+    the result clusters rows that are close in BOTH dimensions.
+    Inputs must fit in ``bits`` bits — bucket/clamp first."""
+    a = F.col(col_a).cast("bigint") if isinstance(col_a, str) else col_a.cast("bigint")
+    b = F.col(col_b).cast("bigint") if isinstance(col_b, str) else col_b.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: rows sort by the Morton
+    interleave of two bounded-int columns, so parquet min/max footer
+    stats prune files for selective filters on EITHER column or a 2-D
+    box — the multi-dimensional sibling of
+    :func:`write_range_sorted_parquet` (whose disjoint envelopes serve
+    only the leading column). One range shuffle up front, same as any
+    clustered write; the interleave is ~4*bits bit-ops inside
+    whole-stage codegen. The pruning effect is measured (not assumed)
+    in tests/test_pipeline.py: a box query touches strictly fewer
+    files than on an unclustered copy of the same rows."""
+    z = zorder_value(col_a, col_b, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
