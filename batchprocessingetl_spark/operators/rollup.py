@@ -136,3 +136,44 @@ def gapfill_locf(
     ]
     cols.append(is_filled.alias("is_filled"))
     return joined.select(*cols)
+
+
+def merge_rollup_increment(
+    existing: DataFrame,
+    new_events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Continuous-aggregate refresh: fold a batch of NEW events into an
+    existing single-grain rollup without rescanning history — the
+    incremental half of :func:`rollup_hierarchy` (whose (sum, count)
+    carry is associative precisely so this merge is exact).
+
+    ``existing`` must carry (bucket_ts, *group_cols, n_events,
+    __total) — the pre-display accumulator layout; keep the decimal
+    ``__total`` in the stored rollup and derive display columns on
+    read. Cost: one aggregate over the INCREMENT + one merge aggregate
+    keyed on touched buckets — history is never rescanned; the merge
+    shuffle carries |existing ∪ touched| aggregate rows, which is
+    bucket-count sized, not event-count sized. Exactness is pinned by
+    tests (incremental ≡ full recompute) and the q91 oracle."""
+    gcols = list(group_cols)
+    inc = (
+        new_events.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"), *gcols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__total"),
+        )
+    )
+    return (
+        existing.unionByName(inc)
+        .groupBy("bucket_ts", *gcols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__total").alias("__total"),
+        )
+    )

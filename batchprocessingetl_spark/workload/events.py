@@ -240,6 +240,29 @@ def q75_interval_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q91_rollup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh
+    (operators/rollup.py::merge_rollup_increment): history's hourly
+    rollup folded with a new event batch (event_id % 4 == 0) WITHOUT
+    rescanning history; the oracle recomputes the rollup from ALL
+    events directly — associativity makes incremental ≡ full."""
+    from batchprocessingetl_spark.operators.rollup import merge_rollup_increment
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0)
+    existing = hist.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("__total"),
+    )
+    merged = merge_rollup_increment(existing, batch, "ts", "value", grain="hour")
+    return merged.select(
+        "bucket_ts",
+        "n_events",
+        F.round(F.col("__total"), 2).cast("double").alias("total_value"),
+    ).orderBy("bucket_ts")
+
+
 GAPFILL_VALUE_MIN = 195.0
 
 
@@ -326,9 +349,18 @@ EXTRA_QUERIES = {
     "q22_event_type_daily": q22_event_type_daily,
     "q81_skewed_user_rollup": q81_skewed_user_rollup,
     "q88_gapfill_locf": q88_gapfill_locf,
+    "q91_rollup_increment": q91_rollup_increment,
 }
 
 _ORACLE_ALL = {
+    "q91_rollup_increment": f"""
+        SELECT date_trunc('hour', ts) AS bucket_ts,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "q88_gapfill_locf": f"""
         WITH a AS (
             SELECT date_trunc('hour', ts) AS bucket_ts,

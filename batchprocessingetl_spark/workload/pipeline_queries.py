@@ -192,6 +192,39 @@ def q74_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py::snapshot_diff): customer
+    v1 vs a v2 with changed segments (custkey % 10 == 0), dropped keys
+    (% 13 == 0), added keys (+1M for % 17 == 0), and a value->NULL
+    transition (% 7 == 0) — every diff_kind and the null-safe compare
+    exercised. One full-outer join; the oracle replicates it."""
+    from batchprocessingetl_spark.operators.diff import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    new = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+    )
+    added = cust.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    return snapshot_diff(
+        old, new.unionByName(added), ["c_custkey"], ["segment", "acctbal"]
+    ).orderBy("c_custkey")
+
+
 def q90_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over lineitem
     (operators/quality.py::check_constraints): five rules — pk
@@ -309,6 +342,7 @@ EXTRA_QUERIES = {
     "q44_price_percentiles": q44_price_percentiles,
     "q85_scd1_upsert": q85_scd1_upsert,
     "q90_constraint_report": q90_constraint_report,
+    "q92_snapshot_diff": q92_snapshot_diff,
 }
 
 _SCD2_COMMON = f"""
@@ -353,6 +387,33 @@ _SCD2_COMMON = f"""
 """
 
 _ORACLE_ALL = {
+    "q92_snapshot_diff": """
+        WITH old AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   ROUND(c_acctbal, 2) AS acctbal
+            FROM customer
+        ), new AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                        ELSE c_mktsegment END AS segment,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE ROUND(c_acctbal, 2) END AS acctbal
+            FROM customer WHERE c_custkey % 13 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_mktsegment, ROUND(c_acctbal, 2)
+            FROM customer WHERE c_custkey % 17 = 0
+        )
+        SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.segment IS DISTINCT FROM n.segment
+                      OR o.acctbal IS DISTINCT FROM n.acctbal THEN 'changed'
+                    ELSE 'unchanged' END AS diff_kind,
+               o.segment AS segment_old, n.segment AS segment_new,
+               o.acctbal AS acctbal_old, n.acctbal AS acctbal_new
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        ORDER BY c_custkey
+    """,
     "q90_constraint_report": """
         WITH v(rule, target, n_violations) AS (
             SELECT 'not_null', 'l_orderkey',

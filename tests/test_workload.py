@@ -136,3 +136,47 @@ def test_gapfill_locf_semantics(spark):
     assert out[2]["v"] == 7.5 and out[3]["v"] == 7.5  # carried forward
     assert out[2]["is_filled"] and out[3]["is_filled"]
     assert not out[0]["is_filled"] and out[4]["v"] == 1.0
+
+
+def test_merge_rollup_increment_equals_full_recompute(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.rollup import merge_rollup_increment
+
+    rows = [
+        Row(id=i, t=dt.datetime(2024, 1, 1, i % 5), v=float(i)) for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows)
+    hist, batch = ev.filter("id % 3 != 0"), ev.filter("id % 3 = 0")
+    existing = hist.groupBy(F.date_trunc("hour", "t").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("__total"),
+    )
+    merged = merge_rollup_increment(existing, batch, "t", "v")
+    full = ev.groupBy(F.date_trunc("hour", "t").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("__total"),
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+
+
+def test_snapshot_diff_kinds_and_null_safety(spark):
+    from batchprocessingetl_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "X", 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["diff_kind"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged; 2 NULL->value = changed (null-safe); 3 changed;
+    # 4 removed; 5 added
+    assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
