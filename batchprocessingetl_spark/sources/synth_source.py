@@ -1,0 +1,88 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-documents generator, registered as format
+``"bpetl_synth"``.
+
+Why an engine ships one: fixture corpora for load tests and CI should
+be *generated where the executors are*, not staged through the driver
+or object storage — a custom DataSource gives the generator real
+partition-parallel scans (one ``InputPartition`` per requested split,
+each produced independently on an executor), plus options validation
+and schema declaration in the standard reader surface:
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (spark.read.format("bpetl_synth")
+          .option("n_rows", 100000).option("n_partitions", 32).load())
+
+Rows are a pure function of (doc_id): the same text/lang/source
+synthesis idea as the driver's documents fixture — stable across runs,
+partition counts, and cluster layouts, so differential tests can pin
+exact values. Generation cost is embarrassingly parallel; no state, no
+shuffle, no driver materialization at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_VOCAB = (
+    "scan column window order sort part agg value line key join merge "
+    "query group vector hash slow stream fast the spark batch table "
+    "small data big customer row dup filter"
+).split()
+
+_LANGS = ("en", "de", "es", "fr", "pt")
+_SOURCES = ("web", "books", "code", "wiki")
+
+
+def synth_doc(doc_id: int) -> tuple[int, str, str, str, int]:
+    """One deterministic document row: (doc_id, text, lang, source,
+    n_chars). Token stream is a closed-form function of (doc_id, i)."""
+    n_tokens = 20 + (doc_id * 37) % 80
+    words = [
+        _VOCAB[(doc_id * 31 + i * 17 + (i * i) % 13) % len(_VOCAB)]
+        for i in range(n_tokens)
+    ]
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[doc_id % len(_LANGS)],
+        _SOURCES[(doc_id // 7) % len(_SOURCES)],
+        len(text),
+    )
+
+
+class _Split(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        if self.n_rows < 0 or self.n_partitions < 1:
+            raise ValueError("n_rows must be >= 0 and n_partitions >= 1")
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_partitions)  # ceil
+        return [
+            _Split(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ] or [_Split(0, 0)]
+
+    def read(self, partition):
+        for doc_id in range(partition.start, partition.end):
+            yield synth_doc(doc_id)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "bpetl_synth"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, source string, n_chars int"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)

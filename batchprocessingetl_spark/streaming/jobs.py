@@ -113,6 +113,27 @@ def start_processing_time(
     )
 
 
+def windowed_unique_users(
+    events: DataFrame, window: str = "1 hour", late: str = "2 hours"
+) -> DataFrame:
+    """Unique users per tumbling window — THE canonical streaming
+    product metric. Exact ``count_distinct`` is unsupported in
+    streaming aggregations (state would have to hold every key), so
+    this uses ``approx_count_distinct`` (HLL++ sketch state, fixed
+    bytes per window — the q57 trade-off applied to streams); the
+    exact count is cheap in the batch twin, which the test uses to
+    bound the sketch's error."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users", "n_events")
+    )
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,

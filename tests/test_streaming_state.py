@@ -387,3 +387,43 @@ def test_stream_static_enrichment_matches_batch_and_is_stateless(spark, tmp_path
     )
     assert got == want and len(got) == 40  # users 0-3 only
     assert all(p["stateOperators"] == [] for p in q.recentProgress if p["numInputRows"])
+
+
+def test_streaming_unique_users_within_hll_error_of_batch_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        stream_events,
+        windowed_unique_users,
+    )
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, i % 6), user_id=i % 37,
+            event_type="click", value=1.0, props="{}")
+        for i in range(300)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    agg = windowed_unique_users(stream_events(spark, src))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("uu_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in spark.table("uu_mem").collect()}
+    exact = {
+        r["w"]["start"]: r["exact"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) == 6
+    for w, r in got.items():
+        assert abs(r["approx_users"] - exact[w]) <= max(2, 0.05 * exact[w])
+        assert r["n_events"] == 50
