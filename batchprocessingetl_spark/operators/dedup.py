@@ -438,7 +438,14 @@ def fuzzy_name_pairs(
     inside the join), hash-shuffled on the prefix — block sizes are
     ~uniform for natural name data; a hot block is ordinary join skew
     (AQE splits it). Levenshtein is a JVM built-in — no Python in the
-    loop."""
+    loop.
+
+    Scale note: candidate count grows with Σ|block|², and blocks grow
+    linearly with the corpus under a FIXED ``prefix_len`` — at larger
+    corpora lengthen the prefix (each extra character divides block
+    sizes ~alphabet-fold) or add a second blocking key (suffix,
+    phonetic code, token count) so per-block self-joins stay bounded,
+    exactly as the LSH band count bounds minhash candidates."""
     if max_dist < 0 or prefix_len < 1:
         raise ValueError("max_dist must be >= 0 and prefix_len >= 1")
     side = df.select(
