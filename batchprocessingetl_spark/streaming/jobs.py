@@ -113,6 +113,40 @@ def start_processing_time(
     )
 
 
+def stream_to_jdbc(
+    df: DataFrame,
+    checkpoint_dir: str,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Streaming JDBC writeback: drain the stream into a warehouse
+    table via ``foreachBatch`` + the batch JDBC sink — the streaming
+    twin of the reference's curated-layer Postgres writeback
+    (curated_layer.py:89-145), exercised against embedded Derby in
+    tests.
+
+    Structured Streaming has no first-class JDBC sink, so foreachBatch
+    is THE production pattern: each micro-batch appends transactionally
+    per batch, and the checkpoint's epoch tracking makes redelivery
+    at-least-once (pair with a batch-id/idempotent key on the consumer
+    side for exactly-once upserts — the scd2_maintenance_stream
+    pattern). availableNow + awaitTermination keeps the call
+    synchronous and deterministic."""
+    from batchprocessingetl_spark.sources.readers import write_jdbc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(batch_df, url, table, mode="append", properties=properties)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_unique_users(
     events: DataFrame, window: str = "1 hour", late: str = "2 hours"
 ) -> DataFrame:

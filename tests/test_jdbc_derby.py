@@ -102,3 +102,35 @@ def test_jdbc_partitioned_query_pushdown_read(spark):
     )
     assert got.rdd.getNumPartitions() == 4
     assert got.count() == 50 and got.agg(F.max("k")).first()[0] == 49
+
+
+def test_streaming_jdbc_writeback(spark, tmp_path):
+    """Stream -> foreachBatch -> JDBC: the curated-layer writeback as a
+    streaming drain, against real embedded Derby."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from batchprocessingetl_spark.streaming.jobs import stream_events, stream_to_jdbc
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, i % 4), user_id=i % 3,
+            event_type="click", value=float(i), props="{}")
+        for i in range(40)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    stream = stream_events(spark, src).select("event_id", "user_id", "value")
+    stream_to_jdbc(
+        stream, str(tmp_path / "ckpt"), URL, "t_stream_sink", properties=PROPS
+    )
+    back = read_jdbc_table(spark, URL, "t_stream_sink", properties=PROPS)
+    assert back.count() == 40
+    assert back.agg(F.sum("value")).first()[0] == sum(float(i) for i in range(40))
+
+    # a second drain with the SAME checkpoint re-processes nothing
+    stream_to_jdbc(
+        stream, str(tmp_path / "ckpt"), URL, "t_stream_sink", properties=PROPS
+    )
+    assert read_jdbc_table(spark, URL, "t_stream_sink", properties=PROPS).count() == 40
