@@ -476,6 +476,16 @@ ORACLE = {
 # family moves into the driver registry so it gains driver-side
 # CORRECTNESS rows; displaced shape-duplicates live in
 # workload/relational.py's EXTRA_QUERIES.
-for _name in ("q71_sequence_packing", "q73_passage_chunking", "q76_weighted_sample"):
+# Round 4 rotation (VERDICT r3 #1): boilerplate detect+strip and
+# temperature resampling move in; q73 (chunking — the assembly family
+# keeps q71's registered packing row) and q76 (A-ES weighted draw —
+# the sampling family keeps q83's registered temperature resample)
+# move back out, both still value-pinned by check_oracle --extra.
+for _name in (
+    "q71_sequence_packing",
+    "q82_boilerplate_spans",
+    "q83_temperature_resample",
+    "q84_strip_boilerplate",
+):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
     ORACLE[_name] = EXTRA_ORACLE.pop(_name)

@@ -330,26 +330,36 @@ def q81_skewed_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
-    "q21_sessionization": q21_sessionization,
-    "q23_json_props_extract": q23_json_props_extract,
     "q24_asof_attribution": q24_asof_attribution,
-    "q25_value_band_rollup": q25_value_band_rollup,
     # Round 3 rotation (VERDICT r2 #1): hypertable rollup + big-big
     # interval join gain driver-side CORRECTNESS rows.
     "q72_hypertable_rollup": q72_hypertable_rollup,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
+    # Round 4 rotation (VERDICT r3 #1): the r3 net-new time-series /
+    # skew families gain driver-side CORRECTNESS rows.
+    "q81_skewed_user_rollup": q81_skewed_user_rollup,
+    "q88_gapfill_locf": q88_gapfill_locf,
+    "q91_rollup_increment": q91_rollup_increment,
 }
 
 # Out of the ~50-entry driver registry budget; daily date_format rollup
 # evidence is carried by q20 (date_trunc) + q27 (date spans).
+# Round 4 displaced q29 (sliding window — the window family keeps q20
+# tumbling + q28 session registered; sliding is the overlap composite
+# of the two), q21 (lag-based sessionization — q28's session_window
+# keeps the family's registered row and q21 stays benched), q23 (JSON
+# props extraction — §2.8's string/regex family keeps q30/q46
+# registered; JSON reads stay pytest-pinned in test_pipeline) and q25
+# (broadcast range join — the range family keeps q75 big-big interval
+# + q24 as-of registered) to make room for q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
+    "q21_sessionization": q21_sessionization,
     "q22_event_type_daily": q22_event_type_daily,
-    "q81_skewed_user_rollup": q81_skewed_user_rollup,
-    "q88_gapfill_locf": q88_gapfill_locf,
-    "q91_rollup_increment": q91_rollup_increment,
+    "q23_json_props_extract": q23_json_props_extract,
+    "q25_value_band_rollup": q25_value_band_rollup,
+    "q29_sliding_window_rollup": q29_sliding_window_rollup,
 }
 
 _ORACLE_ALL = {

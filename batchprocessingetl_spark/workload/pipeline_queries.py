@@ -328,6 +328,11 @@ QUERIES = {
     "q41_scd2_demo": q41_scd2_demo,
     "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
     "q79_medallion_e2e": q79_medallion_e2e,
+    # Round 4 rotation (VERDICT r3 #1): SCD1 upsert, the constraint
+    # gate and the keyed snapshot diff gain driver-side rows.
+    "q85_scd1_upsert": q85_scd1_upsert,
+    "q90_constraint_report": q90_constraint_report,
+    "q92_snapshot_diff": q92_snapshot_diff,
 }
 
 # Out of the ~50-entry driver registry budget; skew-salting evidence is
@@ -340,9 +345,6 @@ EXTRA_QUERIES = {
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
-    "q85_scd1_upsert": q85_scd1_upsert,
-    "q90_constraint_report": q90_constraint_report,
-    "q92_snapshot_diff": q92_snapshot_diff,
 }
 
 _SCD2_COMMON = f"""
@@ -422,8 +424,18 @@ _ORACLE_ALL = {
             SELECT 'not_null', 'l_shipdate',
                    (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
             UNION ALL
+            -- PK semantics, explicitly null-aware (ADVICE r3): Spark's
+            -- countDistinct drops tuples containing a null, so a
+            -- null-key row counts as a uniqueness violation; DuckDB's
+            -- COUNT(DISTINCT (a, b)) would count a ROW with a null
+            -- field as its own distinct value. The CASE keeps the two
+            -- aligned on nullable keys, not just on lineitem's
+            -- null-free PK.
             SELECT 'unique', 'l_orderkey,l_linenumber',
-                   (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                   (SELECT COUNT(*) - COUNT(DISTINCT
+                        CASE WHEN l_orderkey IS NOT NULL
+                              AND l_linenumber IS NOT NULL
+                             THEN (l_orderkey, l_linenumber) END)
                     FROM lineitem)
             UNION ALL
             SELECT 'range', 'l_discount',

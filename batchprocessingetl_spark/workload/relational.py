@@ -558,12 +558,8 @@ def q78_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
-    "q57_approx_distinct": q57_approx_distinct,
-    "q48_salted_nation_revenue": q48_salted_nation_revenue,
-    "q55_grouping_sets": q55_grouping_sets,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q03_product_sales_in_year": q03_product_sales_in_year,
-    "q08_customers_without_orders": q08_customers_without_orders,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
     "q13_frequent_customers": q13_frequent_customers,
     "q78_unpivot_metrics": q78_unpivot_metrics,
@@ -587,7 +583,21 @@ QUERIES = {
 # in tests/test_e2e.py), q16 (pivot — mirrored by newly-registered
 # q78 unpivot) and q18 (set-intersection; EXCEPT twin q19 was already
 # here) out, making room for the q71-q79 families per VERDICT r2 #1.
+# Round 4 rotated q48 (salted join/agg — the registered q81 pins the
+# same operators/skew.py machinery on a measured 20%-hot zipf fixture),
+# q08 (left-anti — §2.3 J2 keeps its registered row via q41's SCD2
+# anti-join leg), q55 (grouping sets — the Expand-based reshape family
+# keeps q78's registered unpivot row; rollup/cube siblings q15/q17 were
+# already EXTRA) and q57 (HLL count-distinct — the sketch family keeps
+# q74's GK-quantile registered row; the HLL error bound stays pinned by
+# tests/test_workload.py::test_approx_distinct_within_error_bound and
+# the streaming windowed_unique_users test) out, making room for the
+# r3 net-new families q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
+    "q08_customers_without_orders": q08_customers_without_orders,
+    "q48_salted_nation_revenue": q48_salted_nation_revenue,
+    "q55_grouping_sets": q55_grouping_sets,
+    "q57_approx_distinct": q57_approx_distinct,
     "q04_turnover_by_region_brand": q04_turnover_by_region_brand,
     "q05_product_performance": q05_product_performance,
     "q16_status_pivot": q16_status_pivot,

@@ -393,7 +393,6 @@ QUERIES = {
     "q30_token_stats": q30_token_stats,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
-    "q64_curated_corpus": q64_curated_corpus,
     "q31_quality_score": q31_quality_score,
     "q33_exact_dedup": q33_exact_dedup,
     "q34_language_id": q34_language_id,
@@ -401,7 +400,13 @@ QUERIES = {
     "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
     "q46_tfidf": q46_tfidf,
     "q37_minhash_near_dups": q37_minhash_near_dups,
-    "q77_bm25_topk": q77_bm25_topk,
+    # Round 4 rotation (VERDICT r3 #1): multi-query BM25 retrieval
+    # join, vocab table, skip-gram co-occurrence and blocked fuzzy
+    # matching gain driver-side CORRECTNESS rows.
+    "q80_bm25_query_join": q80_bm25_query_join,
+    "q86_vocab_table": q86_vocab_table,
+    "q87_cooccurrence": q87_cooccurrence,
+    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
 }
 
 # Out of the ~50-entry driver registry budget (engine-defined-hash,
@@ -412,15 +417,17 @@ QUERIES = {
 # recomputes the same TF as its first stage) and q39 (n-gram language
 # prediction — q34's language-ID heuristic keeps the family's
 # registered row) out to make room for q71-q79 per VERDICT r2 #1.
+# Round 4 displaced q77 (single-query BM25 — the registered q80 pins
+# the same operators/retrieval.py machinery generalized to a query
+# batch) and q64 (curation composite — every component stays
+# registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
     "q32_term_frequencies": q32_term_frequencies,
     "q35_fingerprint": q35_fingerprint,
     "q38_simhash_signatures": q38_simhash_signatures,
     "q39_language_prediction": q39_language_prediction,
-    "q80_bm25_query_join": q80_bm25_query_join,
-    "q86_vocab_table": q86_vocab_table,
-    "q87_cooccurrence": q87_cooccurrence,
-    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
+    "q64_curated_corpus": q64_curated_corpus,
+    "q77_bm25_topk": q77_bm25_topk,
 }
 
 _SHINGLES_SQL = (
@@ -827,8 +834,11 @@ EXTRA_ORACLE = {
     """,
 }
 
-# Round 3 rotation (VERDICT r2 #1): BM25 gains a driver-side
-# CORRECTNESS row; q32/q39 move to EXTRA (see EXTRA_QUERIES note).
-for _name in ("q32_term_frequencies", "q39_language_prediction"):
+# Round 3/4 rotations (VERDICT r2 #1 / r3 #1): keep the oracle dicts
+# aligned with the QUERIES/EXTRA_QUERIES split above.
+for _name in ("q32_term_frequencies", "q39_language_prediction",
+              "q64_curated_corpus"):
     EXTRA_ORACLE[_name] = ORACLE.pop(_name)
-ORACLE["q77_bm25_topk"] = EXTRA_ORACLE.pop("q77_bm25_topk")
+for _name in ("q80_bm25_query_join", "q86_vocab_table",
+              "q87_cooccurrence", "q89_fuzzy_name_pairs"):
+    ORACLE[_name] = EXTRA_ORACLE.pop(_name)
