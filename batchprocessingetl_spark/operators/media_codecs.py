@@ -24,8 +24,31 @@ re-pointing ``multimodal.decode_real``'s dispatch table only.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
+
+# A payload can pass the magic-byte sniff yet still be truncated or
+# corrupt (e.g. 10 text bytes starting with 'BM'); the raw parse then
+# surfaces as struct.error / zlib.error / IndexError / MemoryError-free
+# OverflowError depending on where it dies. Decoder entry points
+# normalize ALL of those to ValueError so callers need exactly one
+# fallback branch (ADVICE r3: an uncaught struct.error inside
+# mapInPandas kills the whole job instead of taking the documented
+# decode_stub path).
+_PARSE_ERRORS = (struct.error, zlib.error, IndexError, OverflowError)
+
+
+def _normalizes_parse_errors(fn):
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except _PARSE_ERRORS as exc:
+            raise ValueError(f"{fn.__name__}: malformed payload ({exc})") from exc
+
+    return wrapped
+
 
 # ---------------------------------------------------------------- BMP
 
@@ -55,6 +78,7 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     return header + info + pixel_data
 
 
+@_normalizes_parse_errors
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a 24-bit BI_RGB BMP -> (width, height, top-down RGB bytes).
     Handles bottom-up (positive height) and top-down (negative height)
@@ -114,6 +138,7 @@ def _ppm_tokens(payload: bytes, start: int, n: int) -> tuple[list[int], int]:
     return vals, i + 1  # exactly one whitespace byte after maxval
 
 
+@_normalizes_parse_errors
 def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     """Parse binary PPM (P6) -> (width, height, RGB bytes). Supports
     ``#`` comments and arbitrary whitespace in the header, per spec."""
@@ -168,6 +193,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_normalizes_parse_errors
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Parse an 8-bit RGB PNG -> (width, height, RGB bytes): walk
     chunks (CRC-layout aware), concatenate IDAT, inflate, and undo all
@@ -243,6 +269,7 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_normalizes_parse_errors
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     """Parse mono 16-bit PCM WAV -> (sample_rate, samples). Walks RIFF
     chunks in any order, skipping unknown ones (LIST, fact, ...), with

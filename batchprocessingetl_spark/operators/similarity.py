@@ -54,6 +54,7 @@ def cosine_topk(
     The query side broadcasts; the scan side is never shuffled — the
     final top-k is a TakeOrdered (no full sort) on (cosine DESC, id).
     """
+    _require_single_query(query_df, "cosine_topk")
     e = as_double(F.col(vec_col))
     q = F.col("qvec")
     return (
@@ -163,6 +164,21 @@ def similar_pairs_exact(
     )
 
 
+def _require_single_query(query_df: DataFrame, op: str) -> None:
+    """Guard for single-query operators: their global window / global
+    top-k ranks against ONE query vector, and a multi-row ``query_df``
+    would silently mix cells and neighbors across queries (ADVICE r3).
+    Batch retrieval belongs to ``knn_join``. The probe is
+    ``limit(2).count()`` — bounded work on what is a parameter-sized
+    frame in every legitimate call."""
+    n = query_df.limit(2).count()
+    if n != 1:
+        raise ValueError(
+            f"{op} expects exactly one query row, got "
+            f"{'2 or more' if n > 1 else '0'}; use knn_join for query batches"
+        )
+
+
 def learn_ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding", seed: int = 42, max_iter: int = 20):
     """Learn IVF cell centroids DISTRIBUTED via k-means|| (pyspark.ml
     KMeans): the init and Lloyd iterations run as Spark jobs over the
@@ -213,6 +229,7 @@ def ivf_topk(
     probes prune partitions instead of re-assigning per query."""
     from pyspark.sql.window import Window
 
+    _require_single_query(query_df, "ivf_topk")
     spark = df.sparkSession
     # cell id = clusterCenters() index, matching model.transform's
     # prediction ids
@@ -261,6 +278,7 @@ def probe_cells(query_df: DataFrame, model, nprobe: int) -> list[int]:
     probe can reach the scan as a LITERAL partition filter."""
     from pyspark.sql.window import Window
 
+    _require_single_query(query_df, "probe_cells")
     spark = query_df.sparkSession
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cents = spark.createDataFrame(centers, "__cell int, centroid array<double>")
@@ -340,6 +358,7 @@ def cosine_topk_lsh(
     of (b+1)/2^b — the recall/cost knob that avoids re-hashing the
     corpus. The probe set is a handful of longs on the broadcast side;
     the corpus side still does one narrow bucket assignment + equi-join."""
+    _require_single_query(query_df, "cosine_topk_lsh")
     e = as_double(F.col(vec_col))
     bucketed = df.withColumn("__bucket", lsh_bucket(e, planes))
     qb = lsh_bucket(F.col("qvec"), planes)

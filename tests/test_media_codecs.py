@@ -186,3 +186,65 @@ def test_resize_images_operator_real_path_and_fallback(spark):
             assert fmt == mc.MEDIA_KINDS[did % 4]
             w, h, _ = mc.IMAGE_DECODERS[fmt](payload)
             assert (w, h) == (8, 8)
+
+
+# Truncated/corrupt payloads that PASS the magic-byte sniff: the raw
+# parse would die in struct/zlib/indexing; decoders must normalize to
+# ValueError so mapInPandas callers take the documented stub fallback
+# instead of failing the whole job (ADVICE r3).
+_SNIFFABLE_GARBAGE = [
+    b"BM",  # 2-byte 'BMP'
+    b"BM" + b"x" * 20,  # truncated header -> struct.error
+    b"BMtext that is not a bitmap at all",  # header parses garbage
+    b"P6\n",  # PPM with no dims
+    b"P6\n4 4\n255\n",  # truncated PPM raster (already ValueError)
+    mc._PNG_SIG,  # bare PNG signature
+    mc._PNG_SIG + b"\x00" * 10,  # truncated IHDR
+    mc._PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 17,  # junk IHDR
+    b"RIFF\x00\x00\x00\x00WAVE",  # WAV with no chunks
+    b"RIFF\x00\x00\x00\x00WAVEfmt \x04\x00\x00\x00ab",  # truncated fmt
+]
+
+
+@pytest.mark.parametrize("payload", _SNIFFABLE_GARBAGE)
+def test_sniffable_garbage_normalizes_to_valueerror(payload):
+    fmt = mc.sniff_format(payload)
+    if fmt in mc.IMAGE_DECODERS:
+        with pytest.raises(ValueError):
+            mc.IMAGE_DECODERS[fmt](payload)
+        with pytest.raises(ValueError):
+            mc.resize_image_payload(payload, 4, 4)
+    elif fmt == "wav":
+        with pytest.raises(ValueError):
+            mc.decode_wav(payload)
+    # decode_real must surface the same single exception type
+    with pytest.raises(ValueError):
+        decode_real(payload)
+
+
+def test_feature_and_resize_operators_survive_corrupt_payloads(spark):
+    """End-to-end: a mixed batch of valid + sniffable-garbage payloads
+    runs through extract_features and resize_images without killing the
+    job; corrupt rows take the stub fallbacks."""
+    from batchprocessingetl_spark.operators.multimodal import (
+        decode_stub,
+        extract_features,
+        resize_images,
+        resize_stub,
+    )
+
+    rows = [(int(i), "image", bytes(mc.synthesize_payload(i)[1])) for i in range(4)]
+    rows += [(100 + j, "image", g) for j, g in enumerate(_SNIFFABLE_GARBAGE)]
+    media = spark.createDataFrame(rows, "doc_id long, kind string, payload binary")
+
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == len(rows)
+    for j, g in enumerate(_SNIFFABLE_GARBAGE):
+        got = [round(v, 9) for v in feats[100 + j]["feature"]]
+        want = [round(v, 9) for v in decode_stub(g, "stub")]
+        assert got == pytest.approx(want)
+
+    rz = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
+    assert len(rz) == len(rows)
+    for j, g in enumerate(_SNIFFABLE_GARBAGE):
+        assert rz[100 + j] == resize_stub(g, 8, 8)

@@ -254,6 +254,34 @@ def test_check_constraints_mixed_outcomes(spark):
         check_constraints(df)
 
 
+def test_unique_rule_oracle_shape_matches_on_nullable_keys(spark):
+    """The q90 oracle's null-aware COUNT(DISTINCT CASE ...) form must
+    equal Spark's countDistinct-based rule on keys that actually
+    contain nulls — and the naive COUNT(DISTINCT (a,b)) must NOT
+    (DuckDB counts a row with a null field as its own distinct value),
+    which is why the oracle spells out the PK semantics (ADVICE r3)."""
+    import duckdb
+
+    from batchprocessingetl_spark.operators.quality import check_constraints
+
+    rows = [(1, 1), (1, 1), (2, None), (3, None), (None, 5), (4, 6)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["rule"], r["target"]): r["n_violations"]
+        for r in check_constraints(df, unique=(("a", "b"),)).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    aware = con.execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT CASE WHEN a IS NOT NULL"
+        " AND b IS NOT NULL THEN (a, b) END) FROM t"
+    ).fetchone()[0]
+    naive = con.execute("SELECT COUNT(*) - COUNT(DISTINCT (a, b)) FROM t").fetchone()[0]
+    assert got[("unique", "a,b")] == aware == 4
+    assert naive != aware
+
+
 def test_check_constraints_single_pass_plan(spark):
     # all rules must evaluate in ONE aggregate over ONE scan
     from batchprocessingetl_spark.catalog import load_table

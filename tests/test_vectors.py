@@ -233,3 +233,38 @@ def test_semantic_dedup_kept_set_has_no_close_same_cell_pair(spark):
         .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
     )
     assert close.count() == 0
+
+
+def test_single_query_operators_reject_query_batches(spark):
+    """cosine_topk / cosine_topk_lsh / ivf_topk / probe_cells rank
+    against ONE query vector; a batch would silently mix neighbors
+    across queries (ADVICE r3) — they must refuse it loudly and point
+    at knn_join."""
+    import pytest
+
+    from batchprocessingetl_spark.operators.similarity import (
+        as_double,
+        cosine_topk_lsh,
+        ivf_topk,
+        probe_cells,
+    )
+    from batchprocessingetl_spark.workload.vectors import _query_df
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    batch = base.limit(2).select(as_double(F.col("embedding")).alias("qvec"))
+    empty = batch.filter(F.lit(False))
+    model = learn_ivf_centroids(base.limit(50), k=4, seed=7, max_iter=2)
+
+    for qdf in (batch, empty):
+        with pytest.raises(ValueError, match="knn_join"):
+            cosine_topk(base, qdf, 5)
+        with pytest.raises(ValueError, match="knn_join"):
+            cosine_topk_lsh(base, qdf, [[1.0] * 8], 5)
+        with pytest.raises(ValueError, match="knn_join"):
+            ivf_topk(base, qdf, model, 5)
+        with pytest.raises(ValueError, match="knn_join"):
+            probe_cells(qdf, model, 2)
+
+    # the legitimate single-row query still works
+    assert cosine_topk(base, _query_df(spark, SF_SMOKE), 5).count() == 5

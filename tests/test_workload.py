@@ -40,7 +40,7 @@ def test_query_runs(spark, name):
 
 
 def test_approx_distinct_within_error_bound(spark):
-    rows = QUERIES["q57_approx_distinct"](spark, SF_SMOKE).collect()
+    rows = EXTRA["q57_approx_distinct"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert r["approx_ok"], (r["l_returnflag"], r["exact_parts"])
@@ -136,6 +136,93 @@ def test_gapfill_locf_semantics(spark):
     assert out[2]["v"] == 7.5 and out[3]["v"] == 7.5  # carried forward
     assert out[2]["is_filled"] and out[3]["is_filled"]
     assert not out[0]["is_filled"] and out[4]["v"] == 1.0
+
+
+def test_gapfill_locf_multi_series_partitions_window(spark):
+    """VERDICT r3 #3: with series_cols the bounds, spine and LOCF
+    window are all per-series — the plan must partition the window by
+    the series key (no single-partition global window), and each
+    series must fill only ITS OWN min..max range."""
+    import datetime as dt
+
+    from batchprocessingetl_spark.operators.rollup import gapfill_locf
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0), 2, 10.0),
+        ("a", dt.datetime(2024, 1, 1, 3), 1, 7.5),  # a: hours 1-2 missing
+        ("b", dt.datetime(2024, 1, 1, 5), 4, 3.0),
+        ("b", dt.datetime(2024, 1, 1, 6), 5, 4.0),  # b: nothing missing
+    ]
+    df = spark.createDataFrame(rows, "sensor string, bucket_ts timestamp, n long, v double")
+    out = gapfill_locf(
+        df, "bucket_ts", ("n",), ("v",), series_cols=("sensor",)
+    )
+    got = {(r["sensor"], r["bucket_ts"].hour): r for r in out.collect()}
+    # a spans 0..3, b spans 5..6 — no cross-series spine bleed
+    assert sorted(got) == [("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 5), ("b", 6)]
+    assert got[("a", 1)]["is_filled"] and got[("a", 2)]["is_filled"]
+    assert got[("a", 1)]["v"] == 10.0 and got[("a", 2)]["v"] == 10.0
+    assert not got[("b", 5)]["is_filled"] and not got[("b", 6)]["is_filled"]
+    # the LOCF window is partitioned by the series key in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan  # sanity: physical plan spells it as Window [..], [sensor...]
+    import re
+
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("sensor" in ln for ln in win_lines), win_lines
+
+
+def test_gapfill_locf_validation_and_null_count_value(spark):
+    """ADVICE r3: empty column lists must raise, and an actual row
+    whose first count value is legitimately NULL must NOT be reported
+    as synthesized (is_filled comes from the join marker, and its NULL
+    count still coalesces to 0 only for genuinely missing buckets)."""
+    import datetime as dt
+
+    import pytest
+
+    from batchprocessingetl_spark.operators.rollup import gapfill_locf
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0), None, 10.0),  # real row, NULL count
+        (dt.datetime(2024, 1, 1, 2), 3, 7.5),  # hour 1 missing
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts timestamp, n long, v double")
+    with pytest.raises(ValueError, match="at least one"):
+        gapfill_locf(df, "bucket_ts", (), ())
+    out = {r["bucket_ts"].hour: r for r in gapfill_locf(df, "bucket_ts", ("n",), ("v",)).collect()}
+    assert not out[0]["is_filled"]  # real row despite NULL count value
+    assert out[1]["is_filled"] and out[1]["v"] == 10.0
+    assert not out[2]["is_filled"]
+
+
+def test_rollup_release_frees_cached_levels(spark):
+    """VERDICT r3 #8: release_rollup / rollup_hierarchy_scope
+    unpersist every cached level so library callers don't leak."""
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.operators.rollup import (
+        release_rollup,
+        rollup_hierarchy,
+        rollup_hierarchy_scope,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    out = rollup_hierarchy(ev, "ts", "value", grains=("hour", "day"))
+    out.count()
+    levels = out._bpetl_persisted_levels
+    assert len(levels) == 2
+    assert all(lv.storageLevel.useMemory or lv.storageLevel.useDisk for lv in levels)
+    assert release_rollup(out) == 2
+    assert all(
+        not lv.storageLevel.useMemory and not lv.storageLevel.useDisk for lv in levels
+    )
+    assert release_rollup(out) == 2  # idempotent
+
+    with rollup_hierarchy_scope(ev, "ts", "value", grains=("hour", "day")) as scoped:
+        scoped.count()
+        lvls = scoped._bpetl_persisted_levels
+        assert all(lv.storageLevel.useMemory or lv.storageLevel.useDisk for lv in lvls)
+    assert all(not lv.storageLevel.useMemory and not lv.storageLevel.useDisk for lv in lvls)
 
 
 def test_merge_rollup_increment_equals_full_recompute(spark):
