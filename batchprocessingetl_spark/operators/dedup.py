@@ -433,19 +433,33 @@ def fuzzy_name_pairs(
     to tighten recall). The oracle replicates the blocking exactly, so
     the operator's semantics — not a recall statistic — are pinned.
 
-    Plan: one narrow projection per side, equi-join on the block key
-    (length band + id ordering + the Levenshtein verify evaluate
-    inside the join), hash-shuffled on the prefix — block sizes are
-    ~uniform for natural name data; a hot block is ordinary join skew
-    (AQE splits it). Levenshtein is a JVM built-in — no Python in the
-    loop.
+    Blocking is a COMPOSITE equi-join key (VERDICT r3 #2): the join
+    key is (prefix, length), with one side exploded to its 2*max_dist
+    + 1 admissible partner lengths, so the length band is enforced BY
+    THE HASH JOIN rather than as a post-join filter. The candidate set
+    is provably identical to prefix-match AND |len diff| <= max_dist
+    (each qualifying pair matches exactly one (pfx, len) key — b's
+    replicas carry distinct lengths — so no dedup pass is needed), but
+    the join now materializes Σ|(pfx, len)-block| x band-width pairs
+    instead of Σ|pfx-block|² — on dense name spaces where a 2-char
+    prefix block grows linearly with the corpus, splitting it by
+    length divides the verify workload by the number of distinct
+    lengths in the block (measured 1x->10x in docs/SCALE.md).
 
-    Scale note: candidate count grows with Σ|block|², and blocks grow
-    linearly with the corpus under a FIXED ``prefix_len`` — at larger
-    corpora lengthen the prefix (each extra character divides block
-    sizes ~alphabet-fold) or add a second blocking key (suffix,
-    phonetic code, token count) so per-block self-joins stay bounded,
-    exactly as the LSH band count bounds minhash candidates."""
+    Plan: one narrow projection per side, a (2*max_dist+1)-way narrow
+    generate on the build side, equi-join on (prefix, length) with the
+    id ordering and the Levenshtein verify evaluating inside the join,
+    hash-shuffled on the composite key — a hot block is ordinary join
+    skew (AQE splits it). Levenshtein is a JVM built-in — no Python in
+    the loop.
+
+    Scale note: with a FIXED prefix_len over a bounded name space ANY
+    blocking scheme's candidates eventually grow with true-pair count
+    (which is itself quadratic when names repeat); the composite key
+    keeps candidates tracking the OUTPUT, not corpus². At larger
+    corpora additionally lengthen the prefix (each extra character
+    divides block sizes ~alphabet-fold), exactly as the LSH band count
+    bounds minhash candidates."""
     if max_dist < 0 or prefix_len < 1:
         raise ValueError("max_dist must be >= 0 and prefix_len >= 1")
     side = df.select(
@@ -454,12 +468,17 @@ def fuzzy_name_pairs(
         F.substring(F.col(name_col), 1, prefix_len).alias("__pfx"),
         F.length(name_col).alias("__len"),
     )
-    a, b = side.alias("a"), side.alias("b")
+    band = [F.col("__len") + F.lit(i) for i in range(-max_dist, max_dist + 1)]
+    a = side.alias("a")
+    b = (
+        side.withColumn("__lenkey", F.explode(F.array(*band)))
+        .alias("b")
+    )
     return (
         a.join(
             b,
             (F.col("a.__pfx") == F.col("b.__pfx"))
-            & (F.abs(F.col("a.__len") - F.col("b.__len")) <= max_dist)
+            & (F.col("a.__len") == F.col("b.__lenkey"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= max_dist),
         )
