@@ -259,6 +259,43 @@ def q85_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "segment", "acctbal").orderBy("c_custkey")
 
 
+def q93_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE upsert onto a parquet snapshot
+    (operators/merge.py::merge_into): target = customers with
+    c_custkey % 3 != 0 staged on disk; source = customers with
+    c_custkey % 2 == 0, acctbal raised 100 — matched keys take the
+    source row, unmatched source keys insert, the rest carry. The
+    returned frame is the POST-SWAP snapshot read back from the target
+    path, so the oracle pins the durable MERGE result (DuckDB 1.0 has
+    no MERGE INTO; the oracle states the equivalent source-wins set
+    expression). The crash-mid-swap recovery path is pytest-pinned in
+    tests/test_merge.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from batchprocessingetl_spark.operators.merge import merge_into
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    work = os.path.join(
+        tempfile.gettempdir(), f"bpetl_merge_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    target_path = os.path.join(work, "target")
+    cust.filter(F.col("c_custkey") % 3 != 0).write.parquet(target_path)
+    source = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 100, 2)
+    )
+    merge_into(spark, target_path, source, on=["c_custkey"])
+    return (
+        spark.read.parquet(target_path)
+        .select("c_custkey", "c_name", "acctbal")
+        .orderBy("c_custkey")
+    )
+
+
 def q79_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full medallion pipeline as ONE composed plan (VERDICT r2 #8):
     raw re-delivered ingest -> staging clean (dedup, null filter,
@@ -345,6 +382,7 @@ EXTRA_QUERIES = {
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
+    "q93_merge_upsert": q93_merge_upsert,
 }
 
 _SCD2_COMMON = f"""
@@ -414,6 +452,24 @@ _ORACLE_ALL = {
                o.segment AS segment_old, n.segment AS segment_new,
                o.acctbal AS acctbal_old, n.acctbal AS acctbal_new
         FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        ORDER BY c_custkey
+    """,
+    # MERGE upsert = source row for every source key, target row
+    # otherwise (update+insert whole-row semantics; DuckDB 1.0 has no
+    # MERGE INTO, so the oracle states the set expression directly)
+    "q93_merge_upsert": """
+        WITH tgt AS (
+            SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+            FROM customer WHERE c_custkey % 3 <> 0
+        ), src AS (
+            SELECT c_custkey, c_name,
+                   ROUND(ROUND(c_acctbal, 2) + 100, 2) AS acctbal
+            FROM customer WHERE c_custkey % 2 = 0
+        )
+        SELECT c_custkey, c_name, acctbal FROM src
+        UNION ALL
+        SELECT t.c_custkey, t.c_name, t.acctbal FROM tgt t
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
         ORDER BY c_custkey
     """,
     "q90_constraint_report": """
