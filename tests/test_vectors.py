@@ -268,3 +268,41 @@ def test_single_query_operators_reject_query_batches(spark):
 
     # the legitimate single-row query still works
     assert cosine_topk(base, _query_df(spark, SF_SMOKE), 5).count() == 5
+
+
+def test_ivf_recall_floor_at_default_settings(spark):
+    """VERDICT r3 #5: measured recall floor at the q54 defaults (16
+    cells, nprobe=4). docs/SCALE.md records 0.52-0.62 mean recall@10 on
+    this uniform-vector corpus; the floor asserts well below it (0.30)
+    so k-means partial-sum jitter can't flake, while a real regression
+    in cell assignment or probe ranking (which drops recall to ~0 or
+    to the nprobe=1 level) fails loudly. Also pins monotonicity: more
+    probes never hurt."""
+    from batchprocessingetl_spark.operators.similarity import as_double, ivf_topk, knn_join
+    from batchprocessingetl_spark.workload.vectors import IVF_K, IVF_NPROBE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = list(range(5))
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qvec")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in knn_join(corpus, queries, 10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    model = learn_ivf_centroids(corpus, k=IVF_K, seed=42, max_iter=6)
+
+    def mean_recall(nprobe: int) -> float:
+        hits = 0
+        for qid in qids:
+            q = emb.filter(F.col("vec_id") == qid).select(
+                as_double(F.col("embedding")).alias("qvec")
+            )
+            got = {r["vec_id"] for r in ivf_topk(corpus, q, model, 10, nprobe=nprobe).collect()}
+            hits += len(got & exact[qid])
+        return hits / (10 * len(qids))
+
+    r_default = mean_recall(IVF_NPROBE)
+    assert r_default >= 0.30, r_default
+    assert mean_recall(1) <= r_default  # more probes never hurt
