@@ -1,10 +1,15 @@
 """Skew mitigation: salted aggregation and salted joins.
 
-AQE's skew-join splitting (enabled in session.py) handles most runtime
-skew; these operators are the explicit, planner-independent fallback
-for pathological key distributions (a handful of keys owning most
-rows — e.g. a null-ish default key, a bot user, boilerplate dedup
-buckets):
+AQE's skew-join splitting (enabled in session.py) handles runtime skew
+for plain shuffle-to-shuffle joins at production partition sizes, but
+it has two structural gates measured in docs/SCALE.md (round-4 probe):
+it pattern-matches only SMJ(Sort(Shuffle), Sort(Shuffle)) — a dim
+derived by distinct/aggregate in the same query defeats the rule — and
+it splits skewed partitions at map-output granularity, so few-mapper
+shuffles are indivisible. These operators are the explicit,
+planner-independent control that works on every plan shape, for
+pathological key distributions (a handful of keys owning most rows —
+e.g. a null-ish default key, a bot user, boilerplate dedup buckets):
 
 - :func:`salted_agg` — two-phase aggregation: rows get a deterministic
   salt, partial-aggregate on (key, salt) spreads a hot key over

@@ -329,6 +329,38 @@ def q81_skewed_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_skewed_user_rollup_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE bake-off twin of q81 (VERDICT r3 #7): the SAME 20%-hot
+    zipf fixture joined PLAIN, forced to sort-merge (merge hint on the
+    dim side) so Spark's built-in AQE skew-join splitting — not manual
+    salting and not a broadcast — is the machinery in play. Benched
+    next to q81; tools/bench_skew.py measures the crossover and
+    docs/SCALE.md records when AQE suffices (its skew split triggers
+    on partition-byte thresholds tuned for production scale; below
+    them the plain join simply eats the hot partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_user"),
+        "value",
+    )
+    dim = (
+        skewed.select("skew_user")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("skew_user"), F.lit(7)))
+    )
+    j = skewed.join(dim.hint("merge"), "skew_user")
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -360,6 +392,7 @@ EXTRA_QUERIES = {
     "q23_json_props_extract": q23_json_props_extract,
     "q25_value_band_rollup": q25_value_band_rollup,
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
+    "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
 }
 
 _ORACLE_ALL = {
@@ -569,6 +602,10 @@ _ORACLE_ALL = {
         ORDER BY event_type
     """,
 }
+
+# q94 is the plain-join AQE twin of q81 — value-identical by
+# construction, so it shares q81's plain-join oracle verbatim
+_ORACLE_ALL["q94_skewed_user_rollup_aqe"] = _ORACLE_ALL["q81_skewed_user_rollup"]
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -28,7 +28,8 @@ from batchprocessingetl_spark.workload import collect_extra_queries, collect_que
 # GEMM). Same set as BENCH_r01 (for round-over-round comparability;
 # q12 now lives in EXTRA_QUERIES but stays benched) + q53 added in r2
 # after its de-collect rewrite + q81 added in r3 (the measured-skew
-# salted join, VERDICT r2 #4).
+# salted join, VERDICT r2 #4) + q94 added in r4 (q81's plain-join AQE
+# twin — the salted-vs-AQE bake-off line, VERDICT r3 #7).
 HEADLINE = (
     "q01_pricing_summary",
     "q02_revenue_by_nation_month",
@@ -46,6 +47,7 @@ HEADLINE = (
     "q50_knn_bruteforce",
     "q53_embedding_similar_pairs",
     "q81_skewed_user_rollup",
+    "q94_skewed_user_rollup_aqe",
 )
 
 
