@@ -174,6 +174,80 @@ def build_vocab(
     return ranked.select("term", "term_id", "n_occurrences")
 
 
+def bigram_structs(col: Column) -> Column:
+    """Adjacent token pairs as array<struct<a,b>> — built narrowly from
+    the token array itself (two slices + zip_with), so bigram extraction
+    never needs a positional self-join. Empty / 1-token text -> empty
+    array."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))  # slice() rejects length < 0
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Perplexity-proxy quality scoring (CCNet-style): train an add-alpha
+    smoothed bigram LM on the corpus itself, then score every document by
+    the average negative log-likelihood of its bigrams — the standard
+    model-based filter a pre-training pipeline runs after the cheap
+    heuristics (``with_quality_signals``). p(b|a) = (c(a,b) + alpha) /
+    (c(a,*) + alpha * V), V = corpus distinct-token count.
+
+    Plan shape (all linear in corpus tokens): bigrams come from one
+    narrow zip_with (no positional self-join); LM counts are one hash
+    aggregate on the fixed-width (a, b) key with map-side partials; the
+    context totals fold from the LM table (vocabulary-sized, not
+    corpus-sized); V stays IN the plan as a 1-row aggregate broadcast
+    via cross join — no driver-side count action. Scoring re-joins
+    bigrams to the LM on (a, b); at 100 TB the LM side is vocab^2-bounded
+    and heavy-hitter-skewed, which AQE's skew-join handles, while the
+    final per-document fold is a hash aggregate on the doc key.
+
+    Returns (id_col, n_bigrams, avg_nll) — avg_nll is NULL for documents
+    with fewer than two tokens (no bigrams to score).
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(bigram_structs(F.col(text_col))).alias("bg")
+    ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    lm = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("vsz"))
+    p = (F.col("c_ab") + F.lit(alpha)) / (F.col("c_a") + F.lit(alpha) * F.col("vsz"))
+    scored = (
+        bg.join(lm, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # per-bigram nll pre-rounded to 7dp, then exact decimal
+            # accumulation: the cross-row mean is order-independent and
+            # engine-exact (parity.py convention)
+            F.round(
+                F.sum(F.round(-F.log(p), 7).cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
 def cooccurrence_counts(
     df: DataFrame, id_col: str, text_col: str, window: int = 2
 ) -> DataFrame:

@@ -281,6 +281,21 @@ def q87_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (operators/text.py::
+    lm_quality_scores): an add-0.5-smoothed bigram LM trained on the
+    corpus scores every document by average bigram negative
+    log-likelihood — the CCNet-style model-based filter that runs after
+    the cheap heuristics (q31). Bigrams extract narrowly (zip_with, no
+    positional self-join); LM counts and the per-document fold are hash
+    aggregates on fixed-width keys; V stays in-plan as a broadcast 1-row
+    aggregate."""
+    from batchprocessingetl_spark.operators.text import lm_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_scores(docs, "doc_id", "text", alpha=0.5).orderBy("doc_id")
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -428,6 +443,7 @@ EXTRA_QUERIES = {
     "q39_language_prediction": q39_language_prediction,
     "q64_curated_corpus": q64_curated_corpus,
     "q77_bm25_topk": q77_bm25_topk,
+    "q95_lm_quality_score": q95_lm_quality_score,
 }
 
 _SHINGLES_SQL = (
@@ -831,6 +847,32 @@ EXTRA_ORACLE = {
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id
         LIMIT {BM25_TOPK}
+    """,
+    "q95_lm_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks)))::INT AS i
+                  FROM t WHERE len(toks) > 1)
+        ), lm AS (
+            SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+        ), ctx AS (
+            SELECT a, SUM(c_ab) AS c_a FROM lm GROUP BY a
+        ), v AS (
+            SELECT COUNT(DISTINCT tok) AS vsz
+            FROM (SELECT unnest(toks) AS tok FROM t)
+        ), scored AS (
+            SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(CAST(ROUND(
+                       -ln((c_ab + 0.5) / (c_a + 0.5 * vsz)), 7)
+                       AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+            FROM bg JOIN lm USING (a, b) JOIN ctx USING (a) CROSS JOIN v
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_nll
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY doc_id
     """,
 }
 

@@ -343,3 +343,35 @@ def test_fuzzy_name_pairs_composite_key_in_plan(spark):
     assert got == want
     # no duplicate pairs from the band explode
     assert out.count() == len(got)
+
+
+def test_bigram_structs_edge_cases(spark):
+    from batchprocessingetl_spark.operators.text import bigram_structs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "id long, t string"
+    )
+    got = {r["id"]: r["bg"] for r in df.select("id", bigram_structs(F.col("t")).alias("bg")).collect()}
+    assert [(p["a"], p["b"]) for p in got[1]] == [("a", "b"), ("b", "c")]
+    assert got[2] == [] and got[3] == []
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    import math
+
+    from batchprocessingetl_spark.operators.text import lm_quality_scores
+
+    # corpus: bigrams (a,b):3, (b,a):1; ctx a->3, b->1; V = |{a,b,x}| = 3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_quality_scores(df, "doc_id", "text").collect()}
+    nll_ab = round(-math.log((3 + 0.5) / (3 + 0.5 * 3)), 7)
+    nll_ba = round(-math.log((1 + 0.5) / (1 + 0.5 * 3)), 7)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll"] == round((2 * nll_ab + nll_ba) / 3, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == round(nll_ab, 6)
+    # sub-bigram docs: present with zero bigrams and NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_nll"] is None
