@@ -488,3 +488,90 @@ def fuzzy_name_pairs(
             F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
         )
     )
+
+
+def shard_overlap_minhash(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_hashes: int = 256,
+    n: int = 3,
+    bound: float = 0.08,
+) -> DataFrame:
+    """Estimate n-gram-shingle Jaccard overlap between corpus shards
+    (``group_col`` partitions, e.g. crawl sources) from per-shard
+    MinHash signatures — the contamination / duplication audit a
+    training pipeline runs across data sources before mixing them.
+
+    The estimator is the scale path: a shard's signature is the
+    elementwise MIN of its shingle hashes, computed in ONE linear pass
+    (explode shingles -> xxhash64 -> ``n_hashes`` MIN partial
+    aggregates per shard — no distinct needed, min over a multiset
+    equals min over its set). Signatures are mergeable (sig(A∪B) =
+    elementwise min), so shards can be summarized incrementally and
+    compared without ever joining their token sets; the pairwise
+    comparison touches only |shards|^2 fixed-width rows. Estimated
+    Jaccard = fraction of matching signature components.
+
+    For driver-checkable evidence this operator ALSO computes the exact
+    Jaccard via the inverted-index join (distinct (shard, shingle) ->
+    shingle equi-join -> pair counts) and emits ``est_ok`` = |estimate
+    - exact| <= ``bound`` — the q57 HLL pattern: the oracle recomputes
+    the exact side and pins the error bound as a checked fact. At 100 TB
+    you drop the exact columns and keep the one-pass estimator.
+
+    Returns (group_a, group_b, n_common, jaccard_exact, est_ok) for all
+    shard pairs with group_a < group_b.
+    """
+    sh = shingle_frame(df, group_col, text_col, n).withColumnRenamed("id", "grp")
+    # one-pass per-shard signature over the raw (multiset) shingle stream
+    hashed = (
+        sh.select("grp", F.explode_outer("sh").alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select("grp", F.xxhash64("__s").alias("h"))
+    )
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__m{i}") for i in range(n_hashes)]
+    sigs = (
+        hashed.groupBy("grp")
+        .agg(*mins)
+        .select("grp", F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("sig"))
+    )
+    # exact verification side: distinct sets -> inverted-index pair join
+    st = sh.select("grp", F.explode("sh").alias("s")).distinct()
+    cnt = st.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    pairs = (
+        ca.join(cb, F.col("ca.grp") < F.col("cb.grp"))
+        .select(
+            F.col("ca.grp").alias("ga"),
+            F.col("cb.grp").alias("gb"),
+            F.col("ca.n_sh").alias("na"),
+            F.col("cb.n_sh").alias("nb"),
+        )
+        .join(inter, ["ga", "gb"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0).cast("long")))
+    )
+    sa = sigs.select(F.col("grp").alias("ga"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("grp").alias("gb"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    exact = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    est = matches.cast("double") / F.lit(float(n_hashes))
+    return (
+        pairs.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_common",
+            F.round(exact, 6).alias("jaccard_exact"),
+            (F.abs(est - exact) <= F.lit(bound)).alias("est_ok"),
+        )
+    )

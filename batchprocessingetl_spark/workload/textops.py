@@ -296,6 +296,20 @@ def q95_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_scores(docs, "doc_id", "text", alpha=0.5).orderBy("doc_id")
 
 
+def q96_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard contamination audit (operators/dedup.py::
+    shard_overlap_minhash): 3-gram-shingle Jaccard between every pair of
+    document sources, estimated from mergeable per-shard MinHash
+    signatures (one linear pass, 256 hashes) and verified against the
+    exact inverted-index Jaccard. The oracle pins the exact overlap and
+    the estimator's error bound (q57 pattern): ``est_ok`` asserts
+    |estimate - exact| <= 0.08 for every pair."""
+    from batchprocessingetl_spark.operators.dedup import shard_overlap_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_overlap_minhash(docs, "source", "text").orderBy("group_a", "group_b")
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -444,6 +458,7 @@ EXTRA_QUERIES = {
     "q64_curated_corpus": q64_curated_corpus,
     "q77_bm25_topk": q77_bm25_topk,
     "q95_lm_quality_score": q95_lm_quality_score,
+    "q96_shard_overlap": q96_shard_overlap,
 }
 
 _SHINGLES_SQL = (
@@ -873,6 +888,30 @@ EXTRA_ORACLE = {
         SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_nll
         FROM documents d LEFT JOIN scored s USING (doc_id)
         ORDER BY doc_id
+    """,
+    "q96_shard_overlap": f"""
+        WITH sh AS (
+            SELECT source, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
+            FROM documents
+        ), st AS (
+            SELECT DISTINCT source, s
+            FROM (SELECT source, unnest(sh) AS s FROM sh)
+        ), cnt AS (
+            SELECT source, COUNT(*) AS n FROM st GROUP BY source
+        ), inter AS (
+            SELECT a.source AS ga, b.source AS gb, COUNT(*) AS n_common
+            FROM st a JOIN st b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT ca.source AS group_a, cb.source AS group_b,
+               COALESCE(i.n_common, 0) AS n_common,
+               ROUND(COALESCE(i.n_common, 0)
+                     / (ca.n + cb.n - COALESCE(i.n_common, 0))::DOUBLE, 6)
+                   AS jaccard_exact,
+               TRUE AS est_ok
+        FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        LEFT JOIN inter i ON i.ga = ca.source AND i.gb = cb.source
+        ORDER BY group_a, group_b
     """,
 }
 

@@ -375,3 +375,26 @@ def test_lm_quality_scores_hand_computed(spark):
     # sub-bigram docs: present with zero bigrams and NULL score
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
     assert out[4]["n_bigrams"] == 0 and out[4]["avg_nll"] is None
+
+
+def test_shard_overlap_minhash_exact_and_estimate(spark):
+    from batchprocessingetl_spark.operators.dedup import shard_overlap_minhash
+
+    # shard A and B share exactly half their shingles; C is disjoint
+    rows = [
+        ("A", "w1 w2 w3 w4"),   # shingles: {w1 w2 w3, w2 w3 w4}
+        ("B", "w1 w2 w3"),      # shingles: {w1 w2 w3}
+        ("C", "x1 x2 x3"),      # shingles: {x1 x2 x3}
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in shard_overlap_minhash(df, "source", "text", n_hashes=64).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab["n_common"] == 1 and ab["jaccard_exact"] == 0.5
+    # disjoint shards: exact 0, and the estimator must agree within bound
+    assert out[("A", "C")]["n_common"] == 0
+    assert out[("A", "C")]["jaccard_exact"] == 0.0
+    assert all(r["est_ok"] for r in out.values())
