@@ -1,0 +1,145 @@
+"""Iterative graph algorithms as DataFrame plans.
+
+Connected components (min-label propagation) lives in
+``operators.dedup.connected_components`` next to its dedup use case;
+this module holds the general-purpose iterative operators, starting
+with weighted PageRank. The reference has no graph surface; this is
+part of the beyond-reference extension set (domain ranking, source
+authority scoring for corpus curation).
+
+Design: a FIXED number of power iterations, each expressed as one
+equi-join (ranks -> edges on the source key) plus one hash aggregate
+(contributions per destination) — the exact shape GraphX/Pregel lowers
+to, but in pure DataFrame ops so Catalyst handles partitioning.
+Dangling-node mass (nodes with no out-edges) is folded back uniformly
+each iteration, so ranks always sum to 1 and the result matches the
+textbook formulation.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with ``iterations`` fixed power iterations.
+
+    ``edges`` is a (src, dst[, weight]) frame; parallel edges are
+    aggregated. Returns (id, rank) over every node appearing as a
+    source or destination. With ``weight_col`` None every edge weighs 1.
+
+    Scale notes (the Pregel/GraphX superstep discipline, in DataFrame
+    form): the graph-shaped frames (transition matrix, node list,
+    dangling-node list) are computed once and persisted; each iteration
+    is then ONE equi-join + hash aggregate over them, keyed on the node
+    id. Dangling mass is a per-superstep 1-row scalar collect — the
+    same legitimate scalar-materialization class as the connected-
+    components convergence probe — and that collect doubles as the
+    superstep barrier that materializes the iteration's rank cache
+    (lazily chaining it instead would recompute the whole prefix at
+    every reference). Graphs with NO dangling nodes skip the scalar
+    entirely and run all ``iterations`` as one lazy linear plan with
+    zero per-iteration driver actions. Release the cached graph frames
+    with :func:`release_pagerank` or run inside :func:`pagerank_scope`.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # transition probability per edge; dangling sources have no row here
+    trans = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    dangling_ids = nodes.join(
+        trans.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+    n = float(nodes.count())
+    n_dangling = dangling_ids.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    keep = [trans, nodes, dangling_ids]
+    prev_cached: DataFrame | None = None
+    for _ in range(iterations):
+        if n_dangling:
+            ranks = ranks.persist()
+            dm = (
+                dangling_ids.join(ranks, "id")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = ranks
+        else:
+            dm = 0.0
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, nodes["id"] == contrib["dst"], "left").select(
+            "id",
+            (
+                F.lit(base)
+                + damping * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+    if prev_cached is not None:
+        keep.append(prev_cached)
+    out = ranks.select("id", "rank")
+    out._bpetl_persisted_levels = keep  # type: ignore[attr-defined]
+    return out
+
+
+def release_pagerank(ranks: DataFrame) -> int:
+    """Unpersist the graph/rank frames cached by :func:`pagerank`;
+    returns how many were released. Idempotent."""
+    levels = getattr(ranks, "_bpetl_persisted_levels", [])
+    for lv in levels:
+        lv.unpersist()
+    return len(levels)
+
+
+@contextlib.contextmanager
+def pagerank_scope(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> Iterator[DataFrame]:
+    """Scoped :func:`pagerank`: yields the rank frame and releases every
+    cached superstep on exit — materialize (write/collect) inside the
+    block; the frame stays valid afterwards but recomputes lazily."""
+    out = pagerank(edges, src_col, dst_col, weight_col, iterations, damping)
+    try:
+        yield out
+    finally:
+        release_pagerank(out)

@@ -556,6 +556,38 @@ def q78_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py) over the nation trade
+    graph: an edge customer-nation -> supplier-nation per lineitem,
+    weighted by line count — 'which nations does trade flow authority
+    into'. Edge extraction is the scale-relevant part (4-way join with
+    both dims broadcast, one hash aggregate to <= 25^2 edges); the 5
+    fixed power iterations then run on the fixed-width rank frame. The
+    oracle replays the identical iterations as chained CTEs — a fully
+    SQL-checkable iterative algorithm, not a rows-only check."""
+    from batchprocessingetl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", "w", iterations=5, damping=0.85)
+    return (
+        pr.join(F.broadcast(n), pr["id"] == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "nation")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -616,9 +648,54 @@ EXTRA_QUERIES = {
     "q27_order_date_spans": q27_order_date_spans,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
+    "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
 }
 
+# PageRank oracle: replay the exact power iterations as chained CTEs.
+# Arithmetic is written to match the Spark operator bit-for-bit:
+# r * (w / ow) — the transition probability is formed first, as in
+# operators/graph.py — and the dangling-mass term folds in per
+# iteration even though this graph has none (every nation has
+# customers), so the formulation stays general.
+_PR_ITER_CTES = ",\n".join(
+    f"""    r{i} AS (
+        SELECT nodes.id,
+               (1.0 - 0.85) / (SELECT cnt FROM n)
+               + 0.85 * (COALESCE(c.s, 0)
+                   + (SELECT COALESCE(SUM(r{i-1}.r), 0) FROM r{i-1}
+                      LEFT JOIN outw ON outw.src = r{i-1}.id
+                      WHERE outw.src IS NULL) / (SELECT cnt FROM n)) AS r
+        FROM nodes
+        LEFT JOIN (SELECT e.dst AS id, SUM(r{i-1}.r * (e.w / outw.ow)) AS s
+                   FROM edges e JOIN r{i-1} ON r{i-1}.id = e.src
+                   JOIN outw ON outw.src = e.src GROUP BY 1) c USING (id)
+    )"""
+    for i in range(1, 6)
+)
+
 _ORACLE_ALL = {
+    "q97_nation_trade_pagerank": f"""
+        WITH edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::DOUBLE AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), nodes AS (
+            SELECT src AS id FROM edges UNION SELECT dst FROM edges
+        ), n AS (
+            SELECT COUNT(*)::DOUBLE AS cnt FROM nodes
+        ), outw AS (
+            SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT id, 1.0 / (SELECT cnt FROM n) AS r FROM nodes
+        ),
+{_PR_ITER_CTES}
+        SELECT nn.n_name AS nation, ROUND(r5.r, 6) AS pagerank
+        FROM r5 JOIN nation nn ON nn.n_nationkey = r5.id
+        ORDER BY pagerank DESC, nation
+    """,
     "q78_unpivot_metrics": """
         WITH w AS (
             SELECT l_returnflag,

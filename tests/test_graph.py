@@ -1,0 +1,77 @@
+"""PageRank operator: textbook semantics on crafted graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from batchprocessingetl_spark.operators.graph import (
+    pagerank,
+    pagerank_scope,
+    release_pagerank,
+)
+
+
+def _reference_pagerank(edges, iterations=5, damping=0.85):
+    """Driver-side reference implementation (dict arithmetic)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if v not in outw)
+        nxt = {}
+        for v in nodes:
+            in_sum = sum(
+                r[s] * (w / outw[s]) for s, d, w in edges if d == v
+            )
+            nxt[v] = (1.0 - damping) / n + damping * (in_sum + dm / n)
+        r = nxt
+    return r
+
+
+EDGES = [
+    ("a", "b", 1.0),
+    ("a", "c", 3.0),
+    ("b", "c", 1.0),
+    ("c", "a", 1.0),
+    ("c", "d", 1.0),
+    # d is dangling: no out-edges, its mass redistributes uniformly
+]
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    out = pagerank(df, weight_col="w", iterations=5)
+    got = {r["id"]: r["rank"] for r in out.collect()}
+    want = _reference_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # mass conservation: dangling redistribution keeps ranks summing to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert release_pagerank(out) >= 3
+    assert release_pagerank(out) >= 0  # idempotent
+
+
+def test_pagerank_unweighted_and_scope_releases(spark):
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in EDGES], "src string, dst string"
+    )
+    with pagerank_scope(df, iterations=3) as out:
+        want = _reference_pagerank([(s, d, 1.0) for s, d, _ in EDGES], iterations=3)
+        got = {r["id"]: r["rank"] for r in out.collect()}
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # after scope exit the cached graph frames are released
+    assert release_pagerank(out) == 0 or all(
+        lv.storageLevel.useMemory is False
+        for lv in getattr(out, "_bpetl_persisted_levels", [])
+    )
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
