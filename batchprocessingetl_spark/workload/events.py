@@ -361,6 +361,41 @@ def q94_skewed_user_rollup_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.5  # exact binary fraction: weight products stay bit-exact
+EWMA_WINDOW = 12
+
+
+def q98_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the hourly value series: weights
+    alpha^k over the last ``EWMA_WINDOW`` observed buckets, normalized
+    over the weights actually present (series starts use fewer lags).
+    The 12 lag expressions share ONE window spec, so the physical plan
+    is a single hash-partition-by-user window pass after the hourly
+    aggregate — two shuffles total, both keyed for the series. The
+    weighted sum is an explicit left-associated expression chain (not
+    an aggregate), so it is bit-exact across engines; alpha = 0.5 keeps
+    every weight product an exact mantissa shift."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    num = None
+    den = None
+    for k in range(EWMA_WINDOW):
+        lg = F.col("v") if k == 0 else F.lag("v", k).over(w)
+        wt = F.lit(EWMA_ALPHA**k)
+        nk = F.coalesce(lg * wt, F.lit(0.0))
+        dk = F.when(lg.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return (
+        s.withColumn("ewma", F.when(den > F.lit(0.0), F.round(num / den, 6)))
+        .select("user_id", F.col("bucket").alias("bucket_start"), "v", "ewma")
+        .orderBy("user_id", "bucket_start")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -393,9 +428,38 @@ EXTRA_QUERIES = {
     "q25_value_band_rollup": q25_value_band_rollup,
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
+    "q98_ewma_smoothing": q98_ewma_smoothing,
 }
 
+# EWMA oracle terms: the same left-associated chain the Spark side
+# builds, generated from the same constants.
+_EWMA_NUM = " + ".join(
+    f"COALESCE({'v' if k == 0 else f'lag(v, {k}) OVER w'} * {EWMA_ALPHA**k!r}, 0.0)"
+    for k in range(EWMA_WINDOW)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN {'v' if k == 0 else f'lag(v, {k}) OVER w'} IS NOT NULL"
+    f" THEN {EWMA_ALPHA**k!r} ELSE 0.0 END"
+    for k in range(EWMA_WINDOW)
+)
+
 _ORACLE_ALL = {
+    "q98_ewma_smoothing": f"""
+        WITH s AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   {dsum_sql('value')} AS v
+            FROM events GROUP BY 1, 2
+        ), l AS (
+            SELECT user_id, bucket, v,
+                   {_EWMA_NUM} AS num,
+                   {_EWMA_DEN} AS den
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+        )
+        SELECT user_id, bucket AS bucket_start, v,
+               CASE WHEN den > 0.0 THEN ROUND(num / den, 6) END AS ewma
+        FROM l
+        ORDER BY user_id, bucket_start
+    """,
     "q91_rollup_increment": f"""
         SELECT date_trunc('hour', ts) AS bucket_ts,
                COUNT(*) AS n_events,

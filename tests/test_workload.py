@@ -267,3 +267,34 @@ def test_snapshot_diff_kinds_and_null_safety(spark):
     # 1 unchanged; 2 NULL->value = changed (null-safe); 3 changed;
     # 4 removed; 5 added
     assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_ewma_smoothing_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    from batchprocessingetl_spark.workload.events import q98_ewma_smoothing
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: values 1, 2, 4 in consecutive hours
+    for i, v in enumerate([1.0, 2.0, 4.0]):
+        rows.append((i, base + dt.timedelta(hours=i), 1, "view", v, "{}"))
+    # user 2: a spike then 13 zero hours — bucket 13 falls outside the
+    # 12-lag window, so its ewma must drop to exactly 0
+    for i in range(14):
+        rows.append((100 + i, base + dt.timedelta(hours=i), 2, "view", 1024.0 if i == 0 else 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        (r["user_id"], r["bucket_start"].hour + 24 * (r["bucket_start"].day - 1)): r["ewma"]
+        for r in q98_ewma_smoothing(spark, sf).collect()
+    }
+    assert out[(1, 0)] == 1.0
+    assert out[(1, 1)] == round((2.0 + 1.0 * 0.5) / 1.5, 6)
+    assert out[(1, 2)] == round((4.0 + 2.0 * 0.5 + 1.0 * 0.25) / 1.75, 6)
+    # spike still visible at lag 11, gone at lag 12
+    assert out[(2, 11)] > 0.0
+    assert out[(2, 12)] == 0.0
