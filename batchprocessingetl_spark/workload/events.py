@@ -9,12 +9,12 @@ sessionization) — the Structured Streaming variants live in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batchprocessingetl_spark.catalog import load_table
-from batchprocessingetl_spark.workload.parity import dsum, dsum_sql
+from batchprocessingetl_spark.workload.parity import davg, davg_sql, dsum, dsum_sql
 
 SESSION_GAP_MINUTES = 30
 
@@ -361,6 +361,65 @@ def q94_skewed_user_rollup_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel analysis: users progressing view ->
+    click -> purchase, each stage's event strictly AFTER the previous
+    stage's earliest qualifying event — the product-analytics pattern a
+    sequence of per-user conditional MINs expresses exactly. Output is
+    one row per stage with the surviving user count and the mean hours
+    from funnel entry.
+
+    Plan shape: each stage is one filtered aggregate joined back on
+    user_id, so all three stages share the user-key partitioning —
+    three hash aggregates + two co-partitioned joins, no windows, no
+    row explosion. Stage timing uses integer epoch-microseconds
+    (engine-exact) divided once into hours; the cross-user mean
+    accumulates in the decimal domain (parity.py)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+
+    def hours(end: str) -> Column:
+        return (F.unix_micros(F.col(end)) - F.unix_micros(F.col("t1"))) / F.lit(
+            3_600_000_000.0
+        )
+
+    def stage(df: DataFrame, name: str, end: str | None) -> DataFrame:
+        h = hours(end) if end else F.lit(0.0)
+        return (
+            df.select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                davg(F.col("h")).alias("avg_hours_from_entry"),
+            )
+            .select(F.lit(name).alias("stage"), "n_users", "avg_hours_from_entry")
+        )
+
+    return (
+        stage(t1, "1_view", None)
+        .unionByName(stage(t2, "2_click", "t2"))
+        .unionByName(stage(t3, "3_purchase", "t3"))
+        .orderBy("stage")
+    )
+
+
 EWMA_ALPHA = 0.5  # exact binary fraction: weight products stay bit-exact
 EWMA_WINDOW = 12
 
@@ -429,6 +488,7 @@ EXTRA_QUERIES = {
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
     "q98_ewma_smoothing": q98_ewma_smoothing,
+    "q99_funnel_conversion": q99_funnel_conversion,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -444,6 +504,34 @@ _EWMA_DEN = " + ".join(
 )
 
 _ORACLE_ALL = {
+    "q99_funnel_conversion": f"""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ), t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY 1
+        ), t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2.t1) AS t1
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY 1
+        )
+        SELECT * FROM (
+            SELECT '1_view' AS stage, COUNT(*) AS n_users,
+                   {davg_sql('0.0')} AS avg_hours_from_entry
+            FROM t1
+            UNION ALL
+            SELECT '2_click', COUNT(*), {davg_sql('h')}
+            FROM (SELECT (epoch_us(t2) - epoch_us(t1)) / 3600000000.0 AS h FROM t2)
+            UNION ALL
+            SELECT '3_purchase', COUNT(*), {davg_sql('h')}
+            FROM (SELECT (epoch_us(t3) - epoch_us(t1)) / 3600000000.0 AS h FROM t3)
+        )
+        ORDER BY stage
+    """,
     "q98_ewma_smoothing": f"""
         WITH s AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -298,3 +298,37 @@ def test_ewma_smoothing_hand_computed(spark, tmp_path):
     # spike still visible at lag 11, gone at lag 12
     assert out[(2, 11)] > 0.0
     assert out[(2, 12)] == 0.0
+
+
+def test_funnel_strict_sequence_semantics(spark, tmp_path):
+    import datetime as dt
+
+    from batchprocessingetl_spark.workload.events import q99_funnel_conversion
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, hours, user, etype):
+        return (eid, base + dt.timedelta(hours=hours), user, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full funnel in order -> reaches all stages
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"), ev(3, 3, 1, "purchase"),
+        # user 2: click BEFORE first view -> click stage not reached
+        ev(4, 1, 2, "view"), ev(5, 0, 2, "click"), ev(6, 2, 2, "purchase"),
+        # user 3: purchase before click -> purchase stage not reached
+        ev(7, 0, 3, "view"), ev(8, 2, 3, "click"), ev(9, 1, 3, "purchase"),
+        # user 4: never views -> not in the funnel at all
+        ev(10, 0, 4, "click"), ev(11, 1, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r["stage"]: r for r in q99_funnel_conversion(spark, sf).collect()}
+    assert out["1_view"]["n_users"] == 3  # users 1, 2, 3
+    assert out["2_click"]["n_users"] == 2  # users 1, 3
+    assert out["3_purchase"]["n_users"] == 1  # user 1 only
+    assert out["1_view"]["avg_hours_from_entry"] == 0.0
+    assert out["2_click"]["avg_hours_from_entry"] == 1.5  # (1h + 2h) / 2
+    assert out["3_purchase"]["avg_hours_from_entry"] == 3.0
