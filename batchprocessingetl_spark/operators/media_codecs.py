@@ -297,6 +297,220 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     return sample_rate, list(struct.unpack(f"<{len(data) // 2}h", data))
 
 
+# ---------------------------------------------------------------- GIF
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Split an LZW byte stream into GIF sub-blocks (<=255 bytes each)
+    followed by the 0x00 terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+class _LsbBitWriter:
+    """LSB-first variable-width bit packer (GIF's bit order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    growing when the just-assigned code reaches 2^width (so the NEXT
+    assignment would overflow), capped at 12 bits with an explicit
+    CLEAR + table reset at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbBitWriter()
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    w.write(clear, width)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        w.write(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            w.write(clear, width)
+            table, next_code, width = fresh()
+        cur = bytes([b])
+    if cur:
+        w.write(table[cur], width)
+    w.write(eoi, width)
+    return w.finish()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of GIF LZW, written against the spec rather than the
+    encoder above: the decoder's table runs one entry behind the
+    encoder's, so its width grows when its entry count reaches 2^width
+    (one stream position after the encoder's 2^width+1 rule lands on
+    the same code boundary). Handles the KwKwK self-reference case and
+    deferred-clear streams (full table, no CLEAR: stop adding)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """GIF89a with a global color table built from the raster's
+    distinct colors (<= 256 required), one non-interlaced image block,
+    LZW-compressed index stream."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    colors = sorted({rgb[i : i + 3] for i in range(0, len(rgb), 3)})
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, raster has {len(colors)}")
+    depth = 1
+    while (1 << depth) < max(len(colors), 2):
+        depth += 1
+    palette = b"".join(colors) + b"\x00\x00\x00" * ((1 << depth) - len(colors))
+    index_of = {c: i for i, c in enumerate(colors)}
+    indices = bytes(
+        index_of[rgb[i : i + 3]] for i in range(0, len(rgb), 3)
+    )
+    mcs = max(2, depth)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    return (
+        b"GIF89a"
+        + lsd
+        + palette
+        + img
+        + bytes([mcs])
+        + _gif_subblocks(_lzw_encode(indices, mcs))
+        + b";"
+    )
+
+
+@_normalizes_parse_errors
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a GIF87a/89a -> (width, height, top-down RGB bytes) for
+    the first image block: logical screen descriptor, global/local
+    color tables, extension-block skipping, sub-block reassembly, and
+    full variable-width LZW decompression. Interlaced images are out
+    of scope and raise."""
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if not pal:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(lzw), mcs)
+            if len(indices) != iw * ih:
+                raise ValueError(
+                    f"GIF raster size mismatch: {len(indices)} != {iw}x{ih}"
+                )
+            out = bytearray(3 * iw * ih)
+            for i, idx in enumerate(indices):
+                off = 3 * idx
+                if off + 3 > len(pal):
+                    raise ValueError(f"GIF index {idx} outside color table")
+                out[3 * i : 3 * i + 3] = pal[off : off + 3]
+            return iw, ih, bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 # ------------------------------------------------- format dispatch
 
 
@@ -309,12 +523,15 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:6] in _GIF_SIGS:
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
 
 
-IMAGE_DECODERS = {"bmp": decode_bmp, "png": decode_png, "ppm": decode_ppm}
+IMAGE_DECODERS = {"bmp": decode_bmp, "png": decode_png, "ppm": decode_ppm, "gif": decode_gif}
+IMAGE_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "ppm": encode_ppm, "gif": encode_gif}
 
 
 # ------------------------------------- deterministic fixture payloads
@@ -350,13 +567,21 @@ def synth_samples(doc_id: int) -> tuple[int, list[int]]:
 
 def synthesize_payload(doc_id: int) -> tuple[str, bytes]:
     """(kind, encoded bytes) for a doc: kind cycles bmp/png/ppm/wav."""
-    kind = MEDIA_KINDS[doc_id % 4]
+    return synthesize_payload_as(doc_id, MEDIA_KINDS[doc_id % 4])
+
+
+def synthesize_payload_as(doc_id: int, kind: str) -> tuple[str, bytes]:
+    """(kind, encoded bytes) for a doc in an EXPLICIT wire format —
+    the same closed-form raster/samples as :func:`synthesize_payload`,
+    so analytic oracles are format-independent. ``kind`` in
+    bmp/png/ppm/gif/wav."""
     if kind == "wav":
         rate, samples = synth_samples(doc_id)
         return kind, encode_wav(rate, samples)
+    if kind not in IMAGE_ENCODERS:
+        raise ValueError(f"unknown media kind {kind!r}")
     w, h, rgb = synth_raster(doc_id)
-    enc = {"bmp": encode_bmp, "png": encode_png, "ppm": encode_ppm}[kind]
-    return kind, enc(w, h, rgb)
+    return kind, IMAGE_ENCODERS[kind](w, h, rgb)
 
 
 def resize_rgb(
@@ -383,13 +608,14 @@ def resize_rgb(
 
 def resize_image_payload(payload: bytes, out_w: int, out_h: int) -> bytes:
     """Real decode -> nearest-neighbor resize -> re-encode in the SAME
-    wire format (BMP/PNG/PPM). Raises ValueError for non-image or
+    wire format (BMP/PNG/PPM/GIF). Raises ValueError for non-image or
     unrecognized payloads — callers with exotic formats fall back
-    explicitly (see multimodal.resize_images)."""
+    explicitly (see multimodal.resize_images). GIF re-encode stays
+    valid because nearest-neighbor output colors are a subset of the
+    source palette."""
     fmt = sniff_format(payload)
     if fmt not in IMAGE_DECODERS:
         raise ValueError(f"not a decodable image payload (sniffed {fmt!r})")
     w, h, rgb = IMAGE_DECODERS[fmt](payload)
     out_rgb = resize_rgb(w, h, rgb, out_w, out_h)
-    enc = {"bmp": encode_bmp, "png": encode_png, "ppm": encode_ppm}[fmt]
-    return enc(out_w, out_h, out_rgb)
+    return IMAGE_ENCODERS[fmt](out_w, out_h, out_rgb)

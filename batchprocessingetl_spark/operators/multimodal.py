@@ -192,15 +192,23 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(dm, schema=DECODED_SCHEMA)
 
 
-def synthesize_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(
+    ids: DataFrame, id_col: str = "doc_id", kind: str | None = None
+) -> DataFrame:
     """Encode a deterministic real media payload per id (kind cycles
-    bmp/png/ppm/wav; closed-form rasters/samples — see
+    bmp/png/ppm/wav, or is forced to ``kind`` for single-format
+    fixtures; closed-form rasters/samples — see
     ``media_codecs.synthesize_payload``). Arrow-batched; used to build
     multimodal fixtures at any scale without shipping binary files."""
 
     def sy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pairs = [codecs.synthesize_payload(int(i)) for i in pdf[id_col]]
+            pairs = [
+                codecs.synthesize_payload(int(i))
+                if kind is None
+                else codecs.synthesize_payload_as(int(i), kind)
+                for i in pdf[id_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

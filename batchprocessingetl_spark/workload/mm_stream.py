@@ -42,6 +42,22 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(synthesize_media(docs, "doc_id")).orderBy("doc_id")
 
 
+def q100_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a/89a end-to-end (round 4, VERDICT r3 #9): every document's
+    closed-form raster is palette-quantized and LZW-compressed into a
+    real GIF by the stdlib encoder, then parsed back by the INDEPENDENT
+    stdlib decoder (variable-width LZW, sub-block reassembly, color-
+    table mapping — operators/media_codecs.py::decode_gif). The oracle
+    recomputes the decoded channel sums analytically, so a bug in the
+    LZW width schedule or palette order flips the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        decode_media(synthesize_media(docs, "doc_id", kind="gif"))
+        .select("doc_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    )
+
+
 def q61_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of q20: stage events as microsecond
     parquet, stream it back with availableNow + checkpoint, aggregate
@@ -105,6 +121,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q61_streaming_hourly": q61_streaming_hourly,
     "q62_frame_sampling": q62_frame_sampling,
+    "q100_gif_decode": q100_gif_decode,
 }
 
 ORACLE = {
@@ -177,3 +194,24 @@ ORACLE = {
 # Round 4 rotation (VERDICT r3 #1): q62 moved to EXTRA; its byte-exact
 # oracle follows it so check_oracle --extra keeps value-pinning it.
 EXTRA_ORACLE = {"q62_frame_sampling": ORACLE.pop("q62_frame_sampling")}
+
+# q100: the q60 analytic raster oracle, with every document an image
+# (no wav split) and the wire format pinned to GIF.
+EXTRA_ORACLE["q100_gif_decode"] = """
+    WITH img AS (
+        SELECT doc_id, (4 + doc_id % 13) AS w, (4 + doc_id % 7) AS h
+        FROM documents
+    ), px AS (
+        SELECT i.doc_id, i.w, i.h, u.x, v.y
+        FROM img i,
+             UNNEST(range(0, i.w)) AS u(x),
+             UNNEST(range(0, i.h)) AS v(y)
+    )
+    SELECT doc_id, 'gif' AS kind,
+           MAX(w)::INT AS width, MAX(h)::INT AS height,
+           SUM((31 * doc_id + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+           SUM((17 * doc_id + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+           SUM((23 * doc_id + 3 * x + 19 * y) % 256)::BIGINT AS sum_b
+    FROM px GROUP BY doc_id
+    ORDER BY doc_id
+"""

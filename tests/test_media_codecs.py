@@ -248,3 +248,87 @@ def test_feature_and_resize_operators_survive_corrupt_payloads(spark):
     assert len(rz) == len(rows)
     for j, g in enumerate(_SNIFFABLE_GARBAGE):
         assert rz[100 + j] == resize_stub(g, 8, 8)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 42, 111])
+def test_gif_roundtrip_synth_rasters(doc_id):
+    w, h, rgb = mc.synth_raster(doc_id)
+    enc = mc.encode_gif(w, h, rgb)
+    assert mc.sniff_format(enc) == "gif"
+    assert mc.decode_gif(enc) == (w, h, rgb)
+
+
+def test_gif_lzw_width_growth_and_table_overflow_roundtrip():
+    """128x64 pseudo-random indices over a 256-color palette force the
+    LZW code width to grow to 12 bits and the table past 4096 entries,
+    exercising the encoder's CLEAR+reset and the decoder's matching
+    width schedule."""
+    import random
+
+    rnd = random.Random(42)
+    pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    rgb = b"".join(bytes(pal[rnd.randrange(256)]) for _ in range(128 * 64))
+    enc = mc.encode_gif(128, 64, rgb)
+    assert mc.decode_gif(enc) == (128, 64, rgb)
+
+
+def test_gif_decoder_reads_hand_packed_uncompressed_stream():
+    """Decoder validated independently of the encoder: a GIF built by
+    hand with the classic 'uncompressed LZW' trick — min code size 7,
+    so every literal code is exactly one byte, with a CLEAR every 100
+    codes to keep the table from forcing a width change. Any decoder
+    bug in sub-block reassembly, CLEAR handling, or palette mapping
+    breaks the pixel-for-pixel comparison."""
+    import random
+    import struct as st
+
+    rnd = random.Random(7)
+    w, h = 25, 8
+    indices = [rnd.randrange(128) for _ in range(w * h)]
+    pal = b"".join(bytes(((3 * i) % 256, (5 * i) % 256, i)) for i in range(128))
+    clear, eoi = 128, 129
+    stream = bytearray([clear])
+    for i, idx in enumerate(indices):
+        if i and i % 100 == 0:
+            stream.append(clear)
+        stream.append(idx)
+    stream.append(eoi)
+    payload = (
+        b"GIF89a"
+        + st.pack("<HHBBB", w, h, 0x80 | 0x06, 0, 0)  # GCT, 2<<6=128 colors
+        + pal
+        + st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + bytes([7])  # min code size
+        + mc._gif_subblocks(bytes(stream))
+        + b";"
+    )
+    got = mc.decode_gif(payload)
+    want = b"".join(pal[3 * i : 3 * i + 3] for i in indices)
+    assert got == (w, h, want)
+
+
+def test_gif_rejects_interlaced_and_truncated():
+    w, h, rgb = mc.synth_raster(3)
+    enc = bytearray(mc.encode_gif(w, h, rgb))
+    # flip the interlace bit in the image descriptor flags byte
+    img_off = enc.index(0x2C, 13)
+    enc[img_off + 9] |= 0x40
+    with pytest.raises(ValueError):
+        mc.decode_gif(bytes(enc))
+    with pytest.raises(ValueError):
+        mc.decode_gif(mc.encode_gif(w, h, rgb)[:20])
+
+
+def test_gif_encoder_rejects_wide_palettes():
+    rgb = b"".join(bytes((i % 256, i // 256, 0)) for i in range(300))
+    with pytest.raises(ValueError):
+        mc.encode_gif(300, 1, rgb)
+
+
+def test_gif_resize_keeps_format_and_palette_subset():
+    w, h, rgb = mc.synth_raster(9)
+    rs = mc.resize_image_payload(mc.encode_gif(w, h, rgb), 5, 3)
+    assert mc.sniff_format(rs) == "gif"
+    w2, h2, rgb2 = mc.decode_gif(rs)
+    assert (w2, h2) == (5, 3)
+    assert rgb2 == mc.resize_rgb(w, h, rgb, 5, 3)
