@@ -497,6 +497,7 @@ def shard_overlap_minhash(
     n_hashes: int = 256,
     n: int = 3,
     bound: float = 0.08,
+    bitmap_max_shards: int = 64,
 ) -> DataFrame:
     """Estimate n-gram-shingle Jaccard overlap between corpus shards
     (``group_col`` partitions, e.g. crawl sources) from per-shard
@@ -514,15 +515,25 @@ def shard_overlap_minhash(
     Jaccard = fraction of matching signature components.
 
     For driver-checkable evidence this operator ALSO computes the exact
-    Jaccard via the inverted-index join (distinct (shard, shingle) ->
-    shingle equi-join -> pair counts) and emits ``est_ok`` = |estimate
-    - exact| <= ``bound`` — the q57 HLL pattern: the oracle recomputes
-    the exact side and pins the error bound as a checked fact. At 100 TB
-    you drop the exact columns and keep the one-pass estimator.
+    Jaccard and emits ``est_ok`` = |estimate - exact| <= ``bound`` —
+    the q57 HLL pattern: the oracle recomputes the exact side and pins
+    the error bound as a checked fact. At 100 TB you drop the exact
+    columns and keep the one-pass estimator.
+
+    The exact side uses a SOURCE-BITMAP plan when there are <= 64
+    shards (the common case): one hash aggregate ORs each shingle's
+    shard memberships into a 64-bit mask, a second folds identical
+    masks together, and pair intersection counts come from exploding
+    set-bit pairs of the tiny distinct-mask frame — no shingle
+    self-join, no distinct, and the only corpus-sized shuffle carries
+    (shingle, shard-id) pairs. Beyond 64 shards it falls back to the
+    inverted-index pair join (cost sum-over-shingles of k^2).
 
     Returns (group_a, group_b, n_common, jaccard_exact, est_ok) for all
     shard pairs with group_a < group_b.
     """
+    from pyspark.sql.window import Window
+
     sh = shingle_frame(df, group_col, text_col, n).withColumnRenamed("id", "grp")
     # one-pass per-shard signature over the raw (multiset) shingle stream
     hashed = (
@@ -536,15 +547,64 @@ def shard_overlap_minhash(
         .agg(*mins)
         .select("grp", F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("sig"))
     )
-    # exact verification side: distinct sets -> inverted-index pair join
-    st = sh.select("grp", F.explode("sh").alias("s")).distinct()
-    cnt = st.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = st.alias("a"), st.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.grp") < F.col("b.grp")))
-        .groupBy(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # shard ids: dense 0..k-1 (window over the shard-cardinality frame)
+    srcs = (
+        sh.select("grp")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("grp")) - 1)
     )
+    n_src = srcs.count()  # shard-cardinality scalar (bounded, like nprobe)
+    if n_src <= bitmap_max_shards:
+        # bitmap plan: shingle -> 64-bit shard-membership mask.
+        # explode_outer + null-filter, NOT plain explode: the inferred
+        # size()>0 pre-filter would inline the shingle construction
+        # below the parallelizing exchange (see minhash_signatures).
+        masks = (
+            sh.select("grp", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .join(F.broadcast(srcs), "grp")
+            .groupBy("s")
+            .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), sid)")).alias("mask"))
+            .groupBy("mask")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        bits = F.expr(
+            "filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)"
+        )
+        bm = masks.select("n_sh", bits.alias("bits"))
+        cnt = (
+            bm.select(F.explode("bits").alias("sid"), "n_sh")
+            .groupBy("sid")
+            .agg(F.sum("n_sh").alias("n_sh"))
+            .join(F.broadcast(srcs), "sid")
+            .select("grp", "n_sh")
+        )
+        bit_pairs = F.expr(
+            "flatten(transform(bits, i -> "
+            "transform(filter(bits, j -> j > i), j -> struct(i AS ia, j AS ib))))"
+        )
+        inter = (
+            bm.select(F.explode(bit_pairs).alias("p"), "n_sh")
+            .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+            .agg(F.sum("n_sh").alias("n_common"))
+            .join(F.broadcast(srcs.select(F.col("sid").alias("ia"), F.col("grp").alias("ga"))), "ia")
+            .join(F.broadcast(srcs.select(F.col("sid").alias("ib"), F.col("grp").alias("gb"))), "ib")
+            .select("ga", "gb", "n_common")
+        )
+    else:
+        # >64 shards: inverted-index pair join over distinct sets
+        st = (
+            sh.select("grp", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .distinct()
+        )
+        cnt = st.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = st.alias("a"), st.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.grp") < F.col("b.grp")))
+            .groupBy(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
     pairs = (
         ca.join(cb, F.col("ca.grp") < F.col("cb.grp"))

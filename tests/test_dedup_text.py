@@ -398,3 +398,28 @@ def test_shard_overlap_minhash_exact_and_estimate(spark):
     assert out[("A", "C")]["n_common"] == 0
     assert out[("A", "C")]["jaccard_exact"] == 0.0
     assert all(r["est_ok"] for r in out.values())
+
+
+def test_shard_overlap_join_fallback_matches_bitmap_plan(spark):
+    from batchprocessingetl_spark.operators.dedup import shard_overlap_minhash
+
+    rows = [
+        ("A", "w1 w2 w3 w4"),
+        ("A", "z1 z2 z3"),
+        ("B", "w1 w2 w3"),
+        ("B", "z1 z2 z3 z4"),
+        ("C", "x1 x2 x3"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    def rows_of(out):
+        return sorted(
+            (r["group_a"], r["group_b"], r["n_common"], r["jaccard_exact"], r["est_ok"])
+            for r in out.collect()
+        )
+
+    bitmap = rows_of(shard_overlap_minhash(df, "source", "text", n_hashes=64))
+    joined = rows_of(
+        shard_overlap_minhash(df, "source", "text", n_hashes=64, bitmap_max_shards=0)
+    )
+    assert bitmap == joined
