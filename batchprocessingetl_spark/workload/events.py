@@ -455,6 +455,87 @@ def q98_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of each user's first
+    event; a user is retained at offset k if active in cohort_week + k
+    weeks. Two hash shuffles, both on user_id (min-ts cohort assign,
+    then distinct active weeks) — AQE reuses the exchange — followed by
+    one small rollup on (cohort_week, offset). No windows, no
+    cross-join of the calendar: offsets come from observed activity
+    only, so sparse users cost nothing. At 100 TB the heavy side
+    (distinct user-weeks) is a map-side-combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    per_cell = (
+        active.join(cohorts, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = per_cell.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        per_cell.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ANOMALY_BASELINE_BUCKETS = 24  # trailing buckets feeding mean/stddev
+ANOMALY_Z = 2.0
+
+
+def q103_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over per-type hourly event
+    counts: each bucket is scored against the mean/stddev of the 24
+    PRECEDING buckets (frame excludes the current row, so a spike
+    can't mask itself). One shuffle for the hourly rollup, then one
+    window partitioned by event_type — bounded state (24 rows) per
+    partition, no global window. The stddev is the sample form over
+    integer counts, identical in both engines; z is rounded before the
+    flag comparison so the cutoff itself is drift-free."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-ANOMALY_BASELINE_BUCKETS, -1)
+    )
+    mu = F.avg(F.col("n").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    z = F.round((F.col("n") - mu) / sd, 6)
+    return (
+        hourly.withColumn("baseline_n", cnt)
+        .withColumn("mu", F.round(mu, 6))
+        .withColumn("sd", F.round(sd, 6))
+        .withColumn(
+            "z",
+            F.when((F.col("baseline_n") >= 12) & (sd > 0), z),
+        )
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("event_type", "bucket", "n", "mu", "sd", "z")
+        .orderBy("event_type", "bucket")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -489,6 +570,8 @@ EXTRA_QUERIES = {
     "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
     "q98_ewma_smoothing": q98_ewma_smoothing,
     "q99_funnel_conversion": q99_funnel_conversion,
+    "q102_cohort_retention": q102_cohort_retention,
+    "q103_rate_anomalies": q103_rate_anomalies,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -758,6 +841,57 @@ _ORACLE_ALL = {
 # q94 is the plain-join AQE twin of q81 — value-identical by
 # construction, so it shares q81's plain-join oracle verbatim
 _ORACLE_ALL["q94_skewed_user_rollup_aqe"] = _ORACLE_ALL["q81_skewed_user_rollup"]
+
+# Monday-start date_trunc('week') agrees between Spark and DuckDB; the
+# day-difference of two week-truncated timestamps is an exact multiple
+# of 7, so /7 hits an integer in both engines (DuckDB CAST rounds,
+# Spark truncates — identical on exact integers).
+_ORACLE_ALL["q102_cohort_retention"] = """
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    ), per_cell AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INT)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT p.cohort_week, p.week_offset, p.n_users,
+           s.n_users AS cohort_size,
+           ROUND(p.n_users / CAST(s.n_users AS DOUBLE), 6) AS retention
+    FROM per_cell p
+    JOIN (SELECT cohort_week, n_users FROM per_cell WHERE week_offset = 0) s
+      USING (cohort_week)
+    ORDER BY p.cohort_week, p.week_offset
+"""
+
+_ORACLE_ALL["q103_rate_anomalies"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, bucket, n,
+               COUNT(*) OVER w AS baseline_n,
+               ROUND(AVG(CAST(n AS DOUBLE)) OVER w, 6) AS mu,
+               ROUND(STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w, 6) AS sd,
+               CASE WHEN COUNT(*) OVER w >= 12
+                     AND STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w > 0
+                    THEN ROUND((n - AVG(CAST(n AS DOUBLE)) OVER w)
+                               / STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w, 6)
+               END AS z
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, n, mu, sd, z
+    FROM scored WHERE ABS(z) >= 2.0
+    ORDER BY event_type, bucket
+"""
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -360,6 +360,52 @@ def q79_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (operators/cdc.py::apply_changelog):
+    a deterministic I/U/U/D operation log derived from ``orders`` —
+    every key inserts at v1, keys %7 update at v2, keys %5 update
+    again at v3 (out-of-order delivery is irrelevant: the compaction
+    is a commutative struct-max aggregate), keys %13 delete at v4.
+    ONE hash aggregation on the key, no window sort, no join — the
+    cheapest latest-version-wins shape at 100 TB. The oracle states
+    the same log with a row_number-per-key window."""
+    from batchprocessingetl_spark.operators.cdc import apply_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("totalprice"),
+    )
+    upd3 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("version"),
+        F.lit("U").alias("op"),
+        F.col("o_orderpriority").alias("status"),
+        (F.col("o_totalprice") + F.lit(25.0)).alias("totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(4).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("totalprice"),
+    )
+    # union order deliberately scrambled: deletes and late updates first
+    changelog = dels.unionByName(upd3).unionByName(base).unionByName(upd2)
+    snap = apply_changelog(changelog, ["o_orderkey"], "version", "op")
+    return snap.orderBy("o_orderkey")
+
+
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
@@ -383,6 +429,7 @@ EXTRA_QUERIES = {
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
     "q93_merge_upsert": q93_merge_upsert,
+    "q101_cdc_snapshot": q101_cdc_snapshot,
 }
 
 _SCD2_COMMON = f"""
@@ -471,6 +518,33 @@ _ORACLE_ALL = {
         SELECT t.c_custkey, t.c_name, t.acctbal FROM tgt t
         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
         ORDER BY c_custkey
+    """,
+    # CDC compaction: latest version per key wins, winning delete
+    # erases the key. Versions are unique per key by construction, so
+    # the window tie-break never fires and the oracle's row_number
+    # equals the Spark side's struct-max.
+    "q101_cdc_snapshot": """
+        WITH changelog AS (
+            SELECT o_orderkey, 4 AS version, 'D' AS op,
+                   NULL::VARCHAR AS status, NULL::DOUBLE AS totalprice
+            FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'U', o_orderpriority, o_totalprice + 25.0
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, 1, 'I', o_orderstatus, o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2, 'U', 'X', o_totalprice + 10.0
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+            FROM changelog
+        )
+        SELECT o_orderkey, status, totalprice
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        ORDER BY o_orderkey
     """,
     "q90_constraint_report": """
         WITH v(rule, target, n_violations) AS (
