@@ -143,3 +143,77 @@ def pagerank_scope(
         yield out
     finally:
         release_pagerank(out)
+
+
+def canonical_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Undirected simple-graph canonical form: per edge (lo, hi) with
+    lo < hi, self-loops dropped, parallel edges collapsed. One shuffle
+    (the distinct)."""
+    lo = F.least(F.col(src_col), F.col(dst_col)).alias("lo")
+    hi = F.greatest(F.col(src_col), F.col(dst_col)).alias("hi")
+    return (
+        edges.select(lo, hi).filter(F.col("lo") != F.col("hi")).distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Classic degree-oriented wedge join ("compact-forward"; the shape
+    Schank & Wagner 2005 / Suri & Vassilvitskii 2011 analyze): orient
+    every canonical edge from the lower-(degree, id) endpoint to the
+    higher one, form wedges by self-joining the oriented adjacency on
+    the wedge center, then confirm the closing edge with one more
+    equi-join. Orientation bounds each node's out-degree by O(sqrt(m))
+    on any graph, so the wedge (shuffle) volume is O(m^1.5) worst-case
+    instead of sum(deg^2) — the difference between feasible and not on
+    skewed (power-law) graphs at 100 TB. All three steps are hash
+    equi-joins with map-side-combinable aggregates; no windows, no
+    driver iteration.
+
+    Returns (id, n_triangles) for every node in at least one triangle.
+    """
+    und = canonical_edges(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .union(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): lower rank -> higher rank
+    ranked = (
+        und.join(deg.withColumnRenamed("id", "lo"), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(deg.withColumnRenamed("id", "hi"), "hi")
+        .withColumnRenamed("deg", "deg_hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
+    )
+    # wedges centered at u between out-neighbors v < w (by rank), then
+    # close with the oriented edge (v, w)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedge_rank = (F.col("e1.deg_v") < F.col("e2.deg_v")) | (
+        (F.col("e1.deg_v") == F.col("e2.deg_v")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_rank).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    return (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

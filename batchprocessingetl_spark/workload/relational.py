@@ -588,6 +588,32 @@ def q97_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_MOD = 2003  # prime node-space size for the hash-derived graph
+
+
+def q104_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_counts)
+    over a deterministic random graph hashed out of the orders keys:
+    each endpoint is an INDEPENDENT md5 stream ('ta:'/'tb:' seeds, the
+    repo's engine-identical uniform idiom) mod a prime, so both engines
+    derive the same G(n, m) edge set with no RNG and no src<->dst
+    correlation (an affine map of one residue would yield a functional,
+    triangle-free graph). The operator uses degree-oriented wedge
+    joins, bounding shuffle volume at O(m^1.5) on any degree
+    distribution; the oracle enumerates each triangle once via the
+    canonical a<b<c 3-way self-join and unions the three corner
+    roles."""
+    from batchprocessingetl_spark.operators.graph import triangle_counts
+
+    def _end(seed: str) -> F.Column:
+        h = F.md5(F.concat(F.lit(seed + ":"), F.col("o_orderkey").cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")) % TRIANGLE_MOD
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(_end("ta").alias("src"), _end("tb").alias("dst"))
+    return triangle_counts(edges).orderBy("id")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -649,6 +675,7 @@ EXTRA_QUERIES = {
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
     "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
+    "q104_triangle_counts": q104_triangle_counts,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.
@@ -982,5 +1009,30 @@ _ORACLE_ALL = {
 
 # Driver registry sees only oracles for registered queries; the rest
 # back the EXTRA_QUERIES in local parity checks (tools/check_oracle.py).
+_ORACLE_ALL["q104_triangle_counts"] = f"""
+    WITH raw AS (
+        SELECT ('0x' || substr(md5('ta:' || o_orderkey::VARCHAR), 1, 15))::BIGINT
+                   % {TRIANGLE_MOD} AS s,
+               ('0x' || substr(md5('tb:' || o_orderkey::VARCHAR), 1, 15))::BIGINT
+                   % {TRIANGLE_MOD} AS d
+        FROM orders
+    ), und AS (
+        SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+        FROM raw WHERE s <> d
+    ), tri AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM und e1
+        JOIN und e2 ON e2.lo = e1.hi
+        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT id, COUNT(*) AS n_triangles
+    FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY id ORDER BY id
+"""
+
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

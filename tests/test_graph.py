@@ -75,3 +75,35 @@ def test_pagerank_rejects_bad_iterations(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    from batchprocessingetl_spark.operators.graph import triangle_counts
+
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} only; noisy
+    # input — duplicates, reversed duplicates, a self-loop
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (1, 4), (2, 4), (1, 2), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from batchprocessingetl_spark.operators.graph import triangle_counts
+
+    # star graph + a 4-cycle: zero triangles
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_skewed_hub(spark):
+    from batchprocessingetl_spark.operators.graph import triangle_counts
+
+    # hub node 0 connected to everyone, plus a chain 1-2, 3-4: the
+    # degree orientation must point edges AWAY from low-degree leaves
+    # into the hub, and counts must still be exact
+    edges = [(0, i) for i in range(1, 8)] + [(1, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
