@@ -278,3 +278,85 @@ def cooccurrence_counts(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )
+
+
+def phrase_count(toks: Column, terms: tuple[str, ...]) -> Column:
+    """Occurrences of the exact token phrase ``terms`` in the token
+    array — count of start positions where all n terms match
+    consecutively.
+
+    A pure higher-order array expression (filter over a position
+    sequence), so phrase counting is ONE narrow projection inside
+    whole-stage codegen: no posting-list explode, no self-joins on
+    (doc, position), no shuffle at all. At 100 TB that is the right
+    default for batch phrase analytics (n-gram mining, probe-phrase
+    counting); an inverted index only wins when the corpus is scanned
+    once and queried many times interactively. Several phrases share
+    one scan — see :func:`phrase_hits`.
+
+    DuckDB twin: ``len(list_filter(range(1, len(toks) - n + 2),
+    i -> toks[i] = t0 AND toks[i+1] = t1 AND ...))``.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    n = len(terms)
+
+    def starts_here(i: Column) -> Column:
+        conds = [
+            F.element_at(toks, i + k + 1) == F.lit(t) for k, t in enumerate(terms)
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    # guard: sequence(0, -x) would infer a negative step and emit
+    # invalid (0-based negative) positions
+    return F.when(
+        F.size(toks) >= n,
+        F.size(F.filter(F.sequence(F.lit(0), F.size(toks) - n), starts_here)),
+    ).otherwise(F.lit(0))
+
+
+def phrase_count_sql_duckdb(toks_sql: str, terms: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`phrase_count` (1-based list indexing)."""
+    n = len(terms)
+    conds = " AND ".join(
+        f"({toks_sql})[i + {k}] = '{t}'" for k, t in enumerate(terms)
+    )
+    return (
+        f"CASE WHEN len({toks_sql}) >= {n} THEN "
+        f"len(list_filter(range(1, len({toks_sql}) - {n} + 2), i -> {conds})) "
+        f"ELSE 0 END"
+    )
+
+
+def phrase_hits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: dict[str, tuple[str, ...]],
+) -> DataFrame:
+    """Match a BATCH of phrases in one corpus scan: tokenize once, emit
+    an inline (phrase, n_occ) struct array, explode it, keep hits.
+    Returns (id, phrase, n_occ) with n_occ >= 1. The explode fans out
+    only len(phrases) rows per document before the filter — narrow and
+    shuffle-free; ordering/aggregation is the caller's concern."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    toks = tokens(F.col(text_col))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("phrase"),
+                phrase_count(F.col("__toks"), terms).cast("long").alias("n_occ"),
+            )
+            for label, terms in phrases.items()
+        ]
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", F.explode(entries).alias("e"))
+        .select("id", F.col("e.phrase").alias("phrase"), F.col("e.n_occ").alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+    )

@@ -310,6 +310,31 @@ def q96_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_overlap_minhash(docs, "source", "text").orderBy("group_a", "group_b")
 
 
+PHRASES: dict[str, tuple[str, ...]] = {
+    "table table": ("table", "table"),
+    "fast table": ("fast", "table"),
+    "value table part": ("value", "table", "part"),
+}
+
+
+def q105_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch phrase matching (operators/text.py::phrase_hits): count
+    exact consecutive-token occurrences of three probe phrases across
+    the corpus in ONE scan — the phrase counter is a higher-order
+    array expression (filter over start positions), so there is no
+    postings explode, no positional self-join, and no shuffle until
+    the final per-phrase ordering. The oracle recomputes each phrase
+    with the identical list_filter expression."""
+    from batchprocessingetl_spark.operators.text import phrase_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        phrase_hits(docs, "doc_id", "text", PHRASES)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("phrase", "doc_id")
+    )
+
+
 def q37_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline (scale path): candidates
     from band-bucket equi-join only, then exact-Jaccard verification of
@@ -459,6 +484,7 @@ EXTRA_QUERIES = {
     "q77_bm25_topk": q77_bm25_topk,
     "q95_lm_quality_score": q95_lm_quality_score,
     "q96_shard_overlap": q96_shard_overlap,
+    "q105_phrase_search": q105_phrase_search,
 }
 
 _SHINGLES_SQL = (
@@ -749,7 +775,24 @@ _BM25_QUERY_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
 )
 
+_PHRASE_HITS_SQL = "\n        UNION ALL\n".join(
+    f"""        SELECT doc_id, '{label}' AS phrase,
+               {T_ops.phrase_count_sql_duckdb('toks', terms)} AS n_occ
+        FROM t"""
+    for label, terms in PHRASES.items()
+)
+
 EXTRA_ORACLE = {
+    "q105_phrase_search": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ), hits AS (
+{_PHRASE_HITS_SQL}
+        )
+        SELECT doc_id, phrase, n_occ
+        FROM hits WHERE n_occ > 0
+        ORDER BY phrase, doc_id
+    """,
     "q89_fuzzy_name_pairs": f"""
         WITH p AS (
             SELECT p_partkey, p_name,

@@ -423,3 +423,39 @@ def test_shard_overlap_join_fallback_matches_bitmap_plan(spark):
         shard_overlap_minhash(df, "source", "text", n_hashes=64, bitmap_max_shards=0)
     )
     assert bitmap == joined
+
+
+def test_phrase_count_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.text import phrase_count, tokens
+
+    rows = [
+        (1, "a b a b a"),     # "a b" twice, overlapping "a b a" twice
+        (2, "a"),             # shorter than the phrase
+        (3, ""),              # empty
+        (4, "b a b"),         # "a b" once
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens(F.col("text")).alias("toks")
+    )
+    got = {
+        r["id"]: (r["ab"], r["aba"])
+        for r in df.select(
+            "id",
+            phrase_count(F.col("toks"), ("a", "b")).alias("ab"),
+            phrase_count(F.col("toks"), ("a", "b", "a")).alias("aba"),
+        ).collect()
+    }
+    assert got == {1: (2, 2), 2: (0, 0), 3: (0, 0), 4: (1, 0)}
+
+
+def test_phrase_hits_single_scan_no_shuffle(spark):
+    from batchprocessingetl_spark.operators.text import phrase_hits
+
+    df = spark.createDataFrame([(1, "x y z"), (2, "y z y z")], "doc_id long, text string")
+    out = phrase_hits(df, "doc_id", "text", {"y z": ("y", "z")})
+    got = {(r["id"], r["phrase"]): r["n_occ"] for r in out.collect()}
+    assert got == {(1, "y z"): 1, (2, "y z"): 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
