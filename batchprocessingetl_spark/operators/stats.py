@@ -1,0 +1,123 @@
+"""Grouped statistical model fitting from sufficient statistics.
+
+``group_ols`` fits a per-group simple linear regression (y = a + b*x)
+the scale-correct way: ONE hash aggregate collecting the five
+sufficient sums (n, Sx, Sy, Sxx, Sxy [, Syy]) with map-side combine,
+then closed-form slope/intercept/r2 arithmetic on the tiny grouped
+result. No per-group iteration, no MLlib fit loop, no second scan —
+this is how regression-at-100-TB should decompose: the heavy pass is
+a plain aggregation Catalyst already knows how to distribute.
+
+Cross-engine determinism (the same discipline as workload/parity.py):
+float SUMs are partition-order-dependent, so the x column must be an
+integer expression and y is accumulated as a fixed-scale DECIMAL —
+both sums are then exact and order-independent. The closed-form
+arithmetic happens AFTER casting the exact sums to double, as a fixed
+sequence of IEEE operations that any engine reproduces bit-for-bit.
+
+Built-in ``regr_slope``/``regr_intercept`` exist in both Spark and
+DuckDB but accumulate in floating point with engine-specific
+streaming updates — fine for exploration, not reproducible enough to
+hash-compare (or to rerun on a cluster where partition order shifts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# exact accumulators: x is integer-valued by contract; y gets a fixed
+# 2-dp-friendly scale that keeps y*y within decimal(38) in BOTH engines
+Y_ACC = "decimal(12,2)"
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group OLS of y on x. ``x`` must be integer-valued (cast
+    enforced); ``y`` is accumulated as DECIMAL(12,2) — exact for
+    currency-style inputs. Returns group_cols + (n, slope, intercept,
+    r2), with NULLs where x has no variance (or n < 2)."""
+    xi = x.cast("long")
+    yd = y.cast(Y_ACC)
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xi.cast("decimal(10,0)") * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy  # n^2 * cov
+    varx_n = n * sxx - sx * sx  # n^2 * var(x)
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return sums.select(
+        *group_cols,
+        "n",
+        F.when(varx_n > 0, F.round(slope, round_to)).alias("slope"),
+        F.when(varx_n > 0, F.round((sy - slope * sx) / n, round_to)).alias(
+            "intercept"
+        ),
+        F.when(
+            (varx_n > 0) & (vary_n > 0),
+            F.round((cov_n * cov_n) / (varx_n * vary_n), round_to),
+        ).alias("r2"),
+    )
+
+
+def group_ols_sql_duckdb(
+    table_expr: str,
+    group_cols: list[str],
+    x_sql: str,
+    y_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`group_ols` — the identical sums and the
+    identical post-cast double arithmetic, so results hash-match."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH sums AS (
+            SELECT {g},
+                   COUNT(*) AS n,
+                   SUM(CAST({x_sql} AS BIGINT)) AS sx,
+                   SUM(CAST({x_sql} AS BIGINT) * CAST({x_sql} AS BIGINT)) AS sxx,
+                   SUM(CAST({y_sql} AS DECIMAL(12,2))) AS sy,
+                   SUM(CAST({y_sql} AS DECIMAL(12,2))
+                       * CAST({y_sql} AS DECIMAL(12,2))) AS syy,
+                   SUM(CAST({x_sql} AS DECIMAL(10,0))
+                       * CAST({y_sql} AS DECIMAL(12,2))) AS sxy
+            FROM {table_expr}
+            GROUP BY {g}
+        ), d AS (
+            SELECT {g}, n,
+                   CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+            FROM sums
+        )
+        SELECT {g}, n,
+               CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+                   ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd),
+                         {round_to}) END AS slope,
+               CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+                   ROUND((syd - (nd * sxyd - sxd * syd)
+                                / (nd * sxxd - sxd * sxd) * sxd) / nd,
+                         {round_to}) END AS intercept,
+               CASE WHEN nd * sxxd - sxd * sxd > 0
+                     AND nd * syyd - syd * syd > 0 THEN
+                   ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                         {round_to}) END AS r2
+        FROM d
+    """

@@ -536,6 +536,35 @@ def q103_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead(event_type) within each user's (ts, event_id)
+    ordered stream, then one hash rollup per (from, to) pair and an
+    in-plan per-source normalizer (window sum — 25 source rows, not a
+    second scan). ONE shuffle on user_id feeds the sequence window;
+    the pair rollup's map-side combine collapses to |types|^2 rows
+    before its exchange. The (ts, event_id) ordering is a total order,
+    so lead() is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(per_src), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -572,6 +601,7 @@ EXTRA_QUERIES = {
     "q99_funnel_conversion": q99_funnel_conversion,
     "q102_cohort_retention": q102_cohort_retention,
     "q103_rate_anomalies": q103_rate_anomalies,
+    "q106_event_transitions": q106_event_transitions,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -868,6 +898,24 @@ _ORACLE_ALL["q102_cohort_retention"] = """
     JOIN (SELECT cohort_week, n_users FROM per_cell WHERE week_offset = 0) s
       USING (cohort_week)
     ORDER BY p.cohort_week, p.week_offset
+"""
+
+_ORACLE_ALL["q106_event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+               AS p
+    FROM pairs
+    ORDER BY from_type, to_type
 """
 
 _ORACLE_ALL["q103_rate_anomalies"] = """

@@ -614,6 +614,25 @@ def q104_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).orderBy("id")
 
 
+def q107_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time
+    (operators/stats.py::group_ols): ONE sufficient-statistics hash
+    aggregate (n, Sx, Sy, Sxx, Sxy, Syy — exact integer/decimal sums,
+    order-independent) followed by closed-form slope/intercept/r2 on
+    the 5-row grouped result. x = days since 1992-01-01 (integer), so
+    no float accumulates across partitions; the oracle replays the
+    identical sums and the identical post-cast IEEE arithmetic."""
+    from batchprocessingetl_spark.operators.stats import group_ols
+
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    return group_ols(
+        o, ["o_orderpriority"], x, F.col("o_totalprice")
+    ).orderBy("o_orderpriority")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -676,6 +695,7 @@ EXTRA_QUERIES = {
     "q59_calendar_spine": q59_calendar_spine,
     "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
     "q104_triangle_counts": q104_triangle_counts,
+    "q107_price_trend_ols": q107_price_trend_ols,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.
@@ -1033,6 +1053,18 @@ _ORACLE_ALL["q104_triangle_counts"] = f"""
     )
     GROUP BY id ORDER BY id
 """
+
+from batchprocessingetl_spark.operators.stats import group_ols_sql_duckdb as _ols_sql
+
+_ORACLE_ALL["q107_price_trend_ols"] = (
+    _ols_sql(
+        "orders",
+        ["o_orderpriority"],
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+        "o_totalprice",
+    )
+    + " ORDER BY o_orderpriority"
+)
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

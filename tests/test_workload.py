@@ -332,3 +332,36 @@ def test_funnel_strict_sequence_semantics(spark, tmp_path):
     assert out["1_view"]["avg_hours_from_entry"] == 0.0
     assert out["2_click"]["avg_hours_from_entry"] == 1.5  # (1h + 2h) / 2
     assert out["3_purchase"]["avg_hours_from_entry"] == 3.0
+
+
+def test_group_ols_recovers_known_line(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.stats import group_ols
+
+    # perfect line y = 3 + 2x in group 'a' (r2 = 1); constant x in 'b'
+    # (no variance -> NULLs); two points in 'c'
+    rows = (
+        [("a", x, 3.0 + 2.0 * x) for x in range(10)]
+        + [("b", 5, float(v)) for v in (1, 2, 3)]
+        + [("c", 0, 1.0), ("c", 10, 21.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in group_ols(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert out["a"] == (10, 2.0, 3.0, 1.0)
+    assert out["b"] == (3, None, None, None)
+    assert out["c"] == (2, 2.0, 1.0, 1.0)
+
+
+def test_group_ols_single_aggregate_plan(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.stats import group_ols
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, x long, y double")
+    plan = group_ols(df, ["g"], F.col("x"), F.col("y"))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shuffle: the grouped sums
+    assert "Join" not in plan and "Window" not in plan
