@@ -82,3 +82,66 @@ def check_constraints(
     return report.select(
         "r.rule", "r.target", "r.n_violations", (F.col("r.n_violations") == 0).alias("passed")
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: tuple[str, ...] = (),
+    string_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-pass column profiler (Deequ-analyzer-style): one row per
+    profiled column with (kind, n_rows, n_nulls, n_distinct, min_v,
+    max_v, avg_v). String columns profile the LENGTH distribution
+    (min/max/avg chars) plus exact distinct count of the value itself —
+    length stats are integers, so every number here is exact and
+    engine-independent (averages accumulate in fixed-scale decimal per
+    workload/parity.py).
+
+    ALL metrics for ALL columns come from ONE aggregate over ONE scan —
+    the profiler never rescans per column. The multiple exact
+    count(DISTINCT) specs lower to a single Expand + two-phase
+    aggregate (rows multiply by the number of distinct specs map-side,
+    which is the documented price of exactness; swap in
+    approx_count_distinct when profiling very wide tables at full
+    scale). No joins, no windows, no driver loop.
+    """
+    from batchprocessingetl_spark.workload.parity import davg
+
+    if not numeric_cols and not string_cols:
+        raise ValueError("nothing to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(F.when(v.isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(v).alias(f"{c}__dist"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+            davg(v, 6).alias(f"{c}__avg"),
+        ]
+    for c in string_cols:
+        v = F.col(c)
+        ln = F.length(v).cast("double")
+        aggs += [
+            F.count(F.when(v.isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(v).alias(f"{c}__dist"),
+            F.min(ln).alias(f"{c}__min"),
+            F.max(ln).alias(f"{c}__max"),
+            davg(ln, 6).alias(f"{c}__avg"),
+        ]
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(kind).alias("kind"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            F.col(f"{c}__avg").alias("avg_v"),
+        )
+        for c, kind in [(c, "numeric") for c in numeric_cols]
+        + [(c, "string") for c in string_cols]
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("e")).select("e.*")

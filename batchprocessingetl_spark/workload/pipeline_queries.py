@@ -406,6 +406,23 @@ def q101_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("o_orderkey")
 
 
+PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
+PROFILE_STRING = ("l_returnflag", "l_linestatus")
+
+
+def q108_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (operators/quality.py::
+    profile_columns): per-column null counts, exact distinct counts,
+    min/max/avg for three numeric and two string columns of lineitem —
+    all from ONE aggregate over ONE scan, then an in-plan unpivot to
+    one row per column. The oracle recomputes every metric with scalar
+    SQL aggregates per column."""
+    from batchprocessingetl_spark.operators.quality import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, PROFILE_NUMERIC, PROFILE_STRING).orderBy("column")
+
+
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
@@ -430,7 +447,22 @@ EXTRA_QUERIES = {
     "q44_price_percentiles": q44_price_percentiles,
     "q93_merge_upsert": q93_merge_upsert,
     "q101_cdc_snapshot": q101_cdc_snapshot,
+    "q108_table_profile": q108_table_profile,
 }
+
+
+def _profile_oracle_col(col: str, kind: str) -> str:
+    from batchprocessingetl_spark.workload.parity import davg_sql
+
+    v = f"CAST({col} AS DOUBLE)" if kind == "numeric" else f"CAST(LENGTH({col}) AS DOUBLE)"
+    dist = col  # strings count distinct VALUES, numerics distinct doubles
+    return f"""        SELECT '{col}' AS "column", '{kind}' AS kind,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS n_nulls,
+               COUNT(DISTINCT {dist}) AS n_distinct,
+               MIN({v}) AS min_v, MAX({v}) AS max_v,
+               {davg_sql(v, 6)} AS avg_v
+        FROM lineitem"""
 
 _SCD2_COMMON = f"""
         WITH existing AS (
@@ -519,6 +551,11 @@ _ORACLE_ALL = {
         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
         ORDER BY c_custkey
     """,
+    "q108_table_profile": "\n        UNION ALL\n".join(
+        [_profile_oracle_col(c, "numeric") for c in PROFILE_NUMERIC]
+        + [_profile_oracle_col(c, "string") for c in PROFILE_STRING]
+    )
+    + '\n        ORDER BY "column"',
     # CDC compaction: latest version per key wins, winning delete
     # erases the key. Versions are unique per key by construction, so
     # the window tie-break never fires and the oracle's row_number
