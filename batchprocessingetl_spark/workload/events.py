@@ -565,6 +565,27 @@ def q106_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON = 0.5
+DP_SEED = "dp-r4"
+
+
+def q109_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private daily activity release (operators/
+    privacy.py::dp_noisy_counts): exact (event_type, day) counts +
+    deterministic Laplace(1/eps) noise from the md5-uniform inverse
+    CDF, releasing ONLY the noisy value. One count shuffle + a narrow
+    noise projection; the oracle replays the identical draw, so the
+    mechanism (not just the shape) is pinned cross-engine."""
+    from batchprocessingetl_spark.operators.privacy import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return dp_noisy_counts(
+        ev, ["event_type", "day"], DP_EPSILON, DP_SEED
+    ).orderBy("event_type", "day")
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -602,6 +623,7 @@ EXTRA_QUERIES = {
     "q102_cohort_retention": q102_cohort_retention,
     "q103_rate_anomalies": q103_rate_anomalies,
     "q106_event_transitions": q106_event_transitions,
+    "q109_dp_daily_counts": q109_dp_daily_counts,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -898,6 +920,21 @@ _ORACLE_ALL["q102_cohort_retention"] = """
     JOIN (SELECT cohort_week, n_users FROM per_cell WHERE week_offset = 0) s
       USING (cohort_week)
     ORDER BY p.cohort_week, p.week_offset
+"""
+
+from batchprocessingetl_spark.operators.privacy import dp_noise_sql_duckdb as _dp_sql
+
+_ORACLE_ALL["q109_dp_daily_counts"] = f"""
+    WITH g AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(n + {_dp_sql("event_type || chr(31) || CAST(CAST(day AS TIMESTAMP) AS VARCHAR)", DP_EPSILON, DP_SEED)},
+                 6) AS noisy_count
+    FROM g
+    ORDER BY event_type, day
 """
 
 _ORACLE_ALL["q106_event_transitions"] = """

@@ -1,0 +1,56 @@
+"""Laplace-mechanism DP release semantics (operators/privacy.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from batchprocessingetl_spark.operators.privacy import dp_noisy_counts, laplace_noise
+
+
+def _counts_df(spark, n_groups=200, per_group=10):
+    rows = [(f"g{i:03d}",) for i in range(n_groups) for _ in range(per_group)]
+    return spark.createDataFrame(rows, "g string")
+
+
+def test_dp_release_is_deterministic_and_excludes_exact(spark):
+    df = _counts_df(spark)
+    out = dp_noisy_counts(df, ["g"], epsilon=0.5, seed="s1")
+    assert out.columns == ["g", "noisy_count"]
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, dp_noisy_counts(df.repartition(7), ["g"], 0.5, "s1").collect()))
+    assert a == b  # same seed -> identical release regardless of partitioning
+
+
+def test_dp_seed_rotation_changes_noise_mean_error_tracks_scale(spark):
+    df = _counts_df(spark, n_groups=400, per_group=5)
+    r1 = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 1.0, "a").collect()}
+    r2 = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 1.0, "b").collect()}
+    assert r1 != r2
+    # Laplace(1/eps): E|noise| = 1/eps; with 400 draws the sample mean
+    # should be within a loose factor-2 band
+    errs = [abs(v - 5.0) for v in r1.values()]
+    mean_err = sum(errs) / len(errs)
+    assert 0.5 < mean_err < 2.0
+
+
+def test_dp_epsilon_scales_noise_and_validates(spark):
+    df = _counts_df(spark, n_groups=50)
+    tight = dp_noisy_counts(df, ["g"], epsilon=1e9, seed="s")
+    for r in tight.collect():
+        assert r["noisy_count"] == pytest.approx(10.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        laplace_noise(F.lit("x"), 0.0, "s")
+
+
+def test_laplace_noise_matches_inverse_cdf(spark):
+    # one concrete draw, recomputed in python from the same md5 uniform
+    import hashlib
+
+    key, seed, eps = "k1", "sd", 0.5
+    u = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16) / float(16**15) - 0.5
+    want = -(1 / eps) * math.copysign(1.0, u) * math.log(1 - 2 * abs(u))
+    df = spark.range(1).select(laplace_noise(F.lit(key), eps, seed).alias("x"))
+    assert df.collect()[0]["x"] == pytest.approx(want, rel=1e-12)
