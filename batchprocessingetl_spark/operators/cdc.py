@@ -36,19 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def apply_changelog(
+def compact_changelog(
     changelog: DataFrame,
     keys: list[str],
     version_col: str = "version",
     op_col: str = "op",
-    delete_op: str = "D",
 ) -> DataFrame:
-    """Compact an I/U/D operation log into the current snapshot.
-
-    ``changelog`` columns = keys + [version_col, op_col] + payload.
-    Returns keys + payload for every key whose latest operation is not
-    a delete. Payload column order is preserved.
-    """
+    """Winning row per key INCLUDING winning deletes — the closed form
+    an incremental compactor persists as state: compacting (state ∪
+    new slice) with this same function is associative, so deletes keep
+    shadowing lower-versioned re-deliveries across restarts. Columns
+    come back in the input's (keys, version, op, payload) order."""
     payload = [
         c for c in changelog.columns if c not in (*keys, version_col, op_col)
     ]
@@ -62,6 +60,28 @@ def apply_changelog(
         )
     ).alias("w")
     out = changelog.groupBy(*[F.col(k) for k in keys]).agg(winner)
-    return out.filter(F.col("w.o") != F.lit(delete_op)).select(
-        *keys, *[F.col(f"w.p.{c}").alias(c) for c in payload]
+    return out.select(
+        *keys,
+        F.col("w.v").alias(version_col),
+        F.col("w.o").alias(op_col),
+        *[F.col(f"w.p.{c}").alias(c) for c in payload],
+    )
+
+
+def apply_changelog(
+    changelog: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact an I/U/D operation log into the current snapshot.
+
+    ``changelog`` columns = keys + [version_col, op_col] + payload.
+    Returns keys + payload for every key whose latest operation is not
+    a delete. Payload column order is preserved.
+    """
+    out = compact_changelog(changelog, keys, version_col, op_col)
+    return out.filter(F.col(op_col) != F.lit(delete_op)).drop(
+        version_col, op_col
     )

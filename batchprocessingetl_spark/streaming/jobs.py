@@ -522,3 +522,82 @@ def session_window_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def cdc_changelog_stream(
+    spark: SparkSession,
+    source_dir: str,
+    changelog_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous CDC compaction: changelog files (I/U/D rows tagged
+    with versions) land in ``source_dir``; each micro-batch folds into
+    the compacted state at ``state_dir`` via ``foreachBatch`` +
+    ``operators.cdc.compact_changelog``. The state keeps winning
+    DELETES (not just live rows) so a delete goes on shadowing
+    lower-versioned re-deliveries of its key in later batches; the
+    live snapshot is :func:`cdc_snapshot` over the state.
+
+    Correctness under the streaming contract:
+
+    - compaction is associative + commutative (struct-max), so ANY
+      slicing of the log into micro-batches yields the same state as
+      one batch compaction — the test pins stream == batch;
+    - epoch replay (at-least-once foreachBatch) is a no-op because
+      re-compacting already-absorbed rows cannot change a struct-max;
+    - the staged swap bounds crash damage to a dir rename, same
+      data-before-metadata ordering as scd2_maintenance_stream.
+
+    100 TB posture: state is a table, not executor memory; each fold
+    shuffles only on the key, and the batch side is typically tiny vs
+    the state side, so AQE broadcasts it into the aggregate's
+    exchange. For very large states, partition ``state_dir`` by key
+    range and rewrite only touched partitions — the fold algebra is
+    unchanged.
+    """
+    import shutil
+
+    from batchprocessingetl_spark.operators.cdc import compact_changelog
+    from batchprocessingetl_spark.sources.readers import path_exists
+
+    log = (
+        spark.readStream.schema(changelog_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merged = batch
+        if path_exists(spark, state_dir):
+            merged = spark.read.parquet(state_dir).unionByName(batch)
+        state = compact_changelog(
+            merged, keys, version_col, op_col
+        ).localCheckpoint(eager=True)
+        tmp = state_dir.rstrip("/") + ".staging"
+        state.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, state_dir):
+            shutil.rmtree(state_dir)
+        shutil.move(tmp, state_dir)
+
+    q = (
+        log.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cdc_snapshot(
+    spark: SparkSession, state_dir: str, op_col: str = "op", delete_op: str = "D"
+) -> DataFrame:
+    """Live-rows view over a :func:`cdc_changelog_stream` state dir."""
+    state = spark.read.parquet(state_dir)
+    return state.filter(F.col(op_col) != F.lit(delete_op))

@@ -427,3 +427,41 @@ def test_streaming_unique_users_within_hll_error_of_batch_exact(spark, tmp_path)
     for w, r in got.items():
         assert abs(r["approx_users"] - exact[w]) <= max(2, 0.05 * exact[w])
         assert r["n_events"] == 50
+
+
+def test_cdc_stream_equals_batch_compaction(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.operators.cdc import apply_changelog
+    from batchprocessingetl_spark.streaming.jobs import cdc_changelog_stream, cdc_snapshot
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    src, state, ckpt = (str(tmp_path / d) for d in ("log", "state", "ckpt"))
+    slice1 = [(1, 1, "I", "a"), (2, 1, "I", "b"), (3, 1, "I", "c")]
+    slice2 = [(1, 2, "U", "a2"), (2, 2, "D", None)]
+    # out-of-order re-delivery of key 2 BELOW its delete version: the
+    # persisted delete must keep shadowing it across a separate run
+    slice3 = [(2, 1, "I", "b-redelivered"), (4, 1, "I", "d")]
+
+    spark.createDataFrame(slice1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(slice2, schema).write.mode("append").parquet(src)
+    cdc_changelog_stream(spark, src, schema, state, ckpt, ["k"])
+    got = {r["k"]: r["val"] for r in cdc_snapshot(spark, state).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+    spark.createDataFrame(slice3, schema).write.mode("append").parquet(src)
+    cdc_changelog_stream(spark, src, schema, state, ckpt, ["k"])  # same ckpt: only new file
+    got = {r["k"]: r["val"] for r in cdc_snapshot(spark, state).collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}
+
+    # stream state == one-shot batch compaction of the full log
+    full = spark.createDataFrame(slice1 + slice2 + slice3, schema)
+    want = {r["k"]: r["val"] for r in apply_changelog(full, ["k"]).collect()}
+    assert got == want
