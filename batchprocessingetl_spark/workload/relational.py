@@ -633,6 +633,89 @@ def q107_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+BASKET_MINSUP = 2
+
+
+def q110_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item-pair mining (market-basket): distinct parts per
+    order, within-order ordered self-join (a < b kills the mirror
+    pair), support count, min-support prune. The self-join is keyed on
+    the basket id, so pair blow-up is sum over baskets of C(k,2) —
+    bounded by basket width, never corpus² — and the support rollup is
+    a map-side-combinable hash aggregate on the pair. This is the
+    A-priori candidate-pair pass; higher-order itemsets iterate the
+    same join shape against the surviving pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = bp.alias("a"), bp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MINSUP)
+        .orderBy("part_a", "part_b")
+    )
+
+
+def q111_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a JOIN-aggregate: the
+    materialized revenue-by-nation view (history = lineitems of orders
+    with key % 10 != 0) absorbs an increment (keys % 10 == 0) by
+    running the SAME join-agg plan over the increment ONLY and
+    full-outer-merging the two grouped results — history is never
+    rescanned. Revenue accumulates UNROUNDED in fixed-scale decimal,
+    so delta-merge equals full recompute EXACTLY (sum-of-rounds would
+    not); the one display round happens after the merge. The oracle is
+    the full recompute over all lineitem — pinning the IVM algebra,
+    not just the shape."""
+    acc = "decimal(28,6)"
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def view(lines: DataFrame) -> DataFrame:
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+        return (
+            lines.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n_lines"))
+        )
+
+    mat = view(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = view(li.filter(F.col("l_orderkey") % 10 == 0))
+    zero = F.lit(0).cast("decimal(28,6)")
+    merged = (
+        mat.withColumnRenamed("rev", "rev_m").withColumnRenamed("n_lines", "nl_m")
+        .join(
+            delta.withColumnRenamed("rev", "rev_d")
+            .withColumnRenamed("nl_m", "nl_d")
+            .withColumnRenamed("n_lines", "nl_d"),
+            "n_name",
+            "full_outer",
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(
+                (F.coalesce(F.col("rev_m"), zero) + F.coalesce(F.col("rev_d"), zero)),
+                2,
+            ).cast("double").alias("total_revenue"),
+            (
+                F.coalesce(F.col("nl_m"), F.lit(0)) + F.coalesce(F.col("nl_d"), F.lit(0))
+            ).alias("n_lines"),
+        )
+    )
+    return merged.orderBy("nation")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
@@ -696,6 +779,8 @@ EXTRA_QUERIES = {
     "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
     "q104_triangle_counts": q104_triangle_counts,
     "q107_price_trend_ols": q107_price_trend_ols,
+    "q110_copurchase_pairs": q110_copurchase_pairs,
+    "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.
@@ -1065,6 +1150,34 @@ _ORACLE_ALL["q107_price_trend_ols"] = (
     )
     + " ORDER BY o_orderpriority"
 )
+
+_ORACLE_ALL["q110_copurchase_pairs"] = f"""
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM bp a JOIN bp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {BASKET_MINSUP}
+    ORDER BY part_a, part_b
+"""
+
+# full recompute over ALL lineitem — the IVM merge must equal this
+_ORACLE_ALL["q111_ivm_nation_revenue"] = """
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+"""
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -365,3 +365,29 @@ def test_group_ols_single_aggregate_plan(spark):
     plan = group_ols(df, ["g"], F.col("x"), F.col("y"))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # one shuffle: the grouped sums
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_copurchase_pairs_basket_semantics(spark, tmp_path):
+    # tiny basket fixture exercised through the registered query shape:
+    # duplicate lines collapse, mirror pairs are killed by a < b
+    from batchprocessingetl_spark.workload.relational import BASKET_MINSUP
+
+    assert BASKET_MINSUP == 2
+    from pyspark.sql import functions as F
+
+    bp = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 10), (3, 20), (3, 30)],
+        "l_orderkey long, l_partkey long",
+    ).distinct()
+    a, b = bp.alias("a"), bp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .count()
+    )
+    got = {(r["pa"], r["pb"]): r["count"] for r in pairs.collect()}
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
