@@ -489,3 +489,12 @@ for _name in (
 ):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
     ORACLE[_name] = EXTRA_ORACLE.pop(_name)
+
+# Round 4 mid-round rotation: q68 (repetition signals) and q69 (PII
+# redaction) move out to make room for the round-4 net-new families —
+# the curation family line keeps q67 (decontamination) and q70 (bloom
+# incremental dedup) registered, and q68/q69 stay value-pinned by
+# check_oracle --extra at two scale factors plus the q64 composite.
+for _name in ("q68_repetition_signals", "q69_pii_redaction"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLE[_name] = ORACLE.pop(_name)

@@ -588,17 +588,22 @@ def q109_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
-    "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q24_asof_attribution": q24_asof_attribution,
-    # Round 3 rotation (VERDICT r2 #1): hypertable rollup + big-big
-    # interval join gain driver-side CORRECTNESS rows.
-    "q72_hypertable_rollup": q72_hypertable_rollup,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
     # Round 4 rotation (VERDICT r3 #1): the r3 net-new time-series /
     # skew families gain driver-side CORRECTNESS rows.
     "q81_skewed_user_rollup": q81_skewed_user_rollup,
     "q88_gapfill_locf": q88_gapfill_locf,
     "q91_rollup_increment": q91_rollup_increment,
+    # Round 4 mid-round rotation: funnel analysis and the DP release
+    # gain driver-side rows. Displaced: q20 (tumbling window — §2.9's
+    # window family keeps q28's session_window registered row and q20
+    # stays benched + streaming-pytest-pinned) and q72 (hypertable
+    # rollup — the family keeps q88 gapfill + q91 incremental refresh
+    # registered; the hierarchy algebra itself is also pinned by
+    # tests/test_rangejoin.py's rollup suite).
+    "q99_funnel_conversion": q99_funnel_conversion,
+    "q109_dp_daily_counts": q109_dp_daily_counts,
 }
 
 # Out of the ~50-entry driver registry budget; daily date_format rollup
@@ -612,6 +617,8 @@ QUERIES = {
 # (broadcast range join — the range family keeps q75 big-big interval
 # + q24 as-of registered) to make room for q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
+    "q20_hourly_event_rollup": q20_hourly_event_rollup,
+    "q72_hypertable_rollup": q72_hypertable_rollup,
     "q21_sessionization": q21_sessionization,
     "q22_event_type_daily": q22_event_type_daily,
     "q23_json_props_extract": q23_json_props_extract,
@@ -619,11 +626,9 @@ EXTRA_QUERIES = {
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
     "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
     "q98_ewma_smoothing": q98_ewma_smoothing,
-    "q99_funnel_conversion": q99_funnel_conversion,
     "q102_cohort_retention": q102_cohort_retention,
     "q103_rate_anomalies": q103_rate_anomalies,
     "q106_event_transitions": q106_event_transitions,
-    "q109_dp_daily_counts": q109_dp_daily_counts,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side

@@ -433,6 +433,12 @@ QUERIES = {
     "q85_scd1_upsert": q85_scd1_upsert,
     "q90_constraint_report": q90_constraint_report,
     "q92_snapshot_diff": q92_snapshot_diff,
+    # Round 4 mid-round rotation: the transactional MERGE surface, CDC
+    # changelog compaction and the single-pass profiler gain
+    # driver-side rows.
+    "q93_merge_upsert": q93_merge_upsert,
+    "q101_cdc_snapshot": q101_cdc_snapshot,
+    "q108_table_profile": q108_table_profile,
 }
 
 # Out of the ~50-entry driver registry budget; skew-salting evidence is
@@ -445,9 +451,6 @@ EXTRA_QUERIES = {
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
-    "q93_merge_upsert": q93_merge_upsert,
-    "q101_cdc_snapshot": q101_cdc_snapshot,
-    "q108_table_profile": q108_table_profile,
 }
 
 

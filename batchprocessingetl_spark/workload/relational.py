@@ -717,12 +717,14 @@ def q111_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q01_pricing_summary": q01_pricing_summary,
-    "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
-    "q13_frequent_customers": q13_frequent_customers,
     "q78_unpivot_metrics": q78_unpivot_metrics,
+    # Round 4 mid-round rotation (VERDICT r3 #1 playbook): the round-4
+    # net-new graph/stats/IVM families gain driver-side rows.
+    "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
+    "q104_triangle_counts": q104_triangle_counts,
+    "q107_price_trend_ols": q107_price_trend_ols,
 }
 
 # Still first-class operators (pytest-covered via collect_extra_queries
@@ -753,7 +755,17 @@ QUERIES = {
 # tests/test_workload.py::test_approx_distinct_within_error_bound and
 # the streaming windowed_unique_users test) out, making room for the
 # r3 net-new families q80-q92 per VERDICT r3 #1.
+# Round 4 (late rotation) also displaced q01/q02 (pricing summary and
+# the flagship revenue rollup — §2.4 A6-A7/§2.6 O1-O2/§2.8 F3-F6 keep
+# registered rows via q03 + q40, q02 remains the driver's entry()
+# smoke check AND a benched query, q01 remains benched) and q13
+# (HAVING-on-aggregate — §2.2 P5 keeps registered rows via q82's and
+# q87's min-support HAVING thresholds), making room for the round-4
+# families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
+    "q13_frequent_customers": q13_frequent_customers,
     "q08_customers_without_orders": q08_customers_without_orders,
     "q48_salted_nation_revenue": q48_salted_nation_revenue,
     "q55_grouping_sets": q55_grouping_sets,
@@ -776,9 +788,6 @@ EXTRA_QUERIES = {
     "q27_order_date_spans": q27_order_date_spans,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
-    "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
-    "q104_triangle_counts": q104_triangle_counts,
-    "q107_price_trend_ols": q107_price_trend_ols,
     "q110_copurchase_pairs": q110_copurchase_pairs,
     "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
 }

@@ -444,16 +444,24 @@ def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q30_token_stats": q30_token_stats,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
     "q31_quality_score": q31_quality_score,
     "q33_exact_dedup": q33_exact_dedup,
-    "q34_language_id": q34_language_id,
-    "q36_jaccard_near_dups": q36_jaccard_near_dups,
     "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
     "q46_tfidf": q46_tfidf,
     "q37_minhash_near_dups": q37_minhash_near_dups,
+    # Round 4 mid-round rotation: LM quality scoring, shard-overlap
+    # estimation and batch phrase matching gain driver-side rows.
+    # Displaced: q30 (token stats — the family keeps q31 quality +
+    # q46 TF-IDF + q86 vocab registered), q34 (language-ID — same
+    # family line, q39's prediction twin was already EXTRA) and q36
+    # (exact n-gram Jaccard pairs — that exact pair set IS q37's
+    # oracle, so the registered q37 pins it every round by
+    # construction).
+    "q95_lm_quality_score": q95_lm_quality_score,
+    "q96_shard_overlap": q96_shard_overlap,
+    "q105_phrase_search": q105_phrase_search,
     # Round 4 rotation (VERDICT r3 #1): multi-query BM25 retrieval
     # join, vocab table, skip-gram co-occurrence and blocked fuzzy
     # matching gain driver-side CORRECTNESS rows.
@@ -476,15 +484,15 @@ QUERIES = {
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
+    "q30_token_stats": q30_token_stats,
+    "q34_language_id": q34_language_id,
+    "q36_jaccard_near_dups": q36_jaccard_near_dups,
     "q32_term_frequencies": q32_term_frequencies,
     "q35_fingerprint": q35_fingerprint,
     "q38_simhash_signatures": q38_simhash_signatures,
     "q39_language_prediction": q39_language_prediction,
     "q64_curated_corpus": q64_curated_corpus,
     "q77_bm25_topk": q77_bm25_topk,
-    "q95_lm_quality_score": q95_lm_quality_score,
-    "q96_shard_overlap": q96_shard_overlap,
-    "q105_phrase_search": q105_phrase_search,
 }
 
 _SHINGLES_SQL = (
@@ -513,7 +521,7 @@ _SIMHASH_SIG_CTES = f"""tok AS (
             FROM bits GROUP BY doc_id
         )"""
 
-ORACLE = {
+_ORACLE_ALL = {
     "q47_simhash_near_dups": f"""
         WITH {_SIMHASH_SIG_CTES}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -782,7 +790,7 @@ _PHRASE_HITS_SQL = "\n        UNION ALL\n".join(
     for label, terms in PHRASES.items()
 )
 
-EXTRA_ORACLE = {
+_ORACLE_ALL.update({
     "q105_phrase_search": f"""
         WITH t AS (
             SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -956,13 +964,9 @@ EXTRA_ORACLE = {
         LEFT JOIN inter i ON i.ga = ca.source AND i.gb = cb.source
         ORDER BY group_a, group_b
     """,
-}
+})
 
-# Round 3/4 rotations (VERDICT r2 #1 / r3 #1): keep the oracle dicts
-# aligned with the QUERIES/EXTRA_QUERIES split above.
-for _name in ("q32_term_frequencies", "q39_language_prediction",
-              "q64_curated_corpus"):
-    EXTRA_ORACLE[_name] = ORACLE.pop(_name)
-for _name in ("q80_bm25_query_join", "q86_vocab_table",
-              "q87_cooccurrence", "q89_fuzzy_name_pairs"):
-    ORACLE[_name] = EXTRA_ORACLE.pop(_name)
+# The registered/extra oracle split derives from EXTRA_QUERIES, so
+# rotations only ever touch the QUERIES/EXTRA_QUERIES dicts above.
+ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
+EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -114,9 +114,11 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, m: int) -> None:
     open(marker, "w").close()
 
 
-def time_queries(spark, queries, sf_dir: str, n_runs: int) -> dict[str, float]:
+def time_queries(
+    spark, queries, sf_dir: str, n_runs: int, names: list[str] | None = None
+) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names or HEADLINE:
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -128,8 +130,11 @@ def time_queries(spark, queries, sf_dir: str, n_runs: int) -> dict[str, float]:
 
 
 def main() -> None:
+    # usage: bench_scale.py [m] [n_runs] [q_a,q_b,...]
+    # a third arg probes the named queries instead of the HEADLINE set
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     scaled_dir = f"/tmp/bpetl_scaled_m{m}"
     spark = get_spark("bench_scale")
     from batchprocessingetl_spark.workload import collect_extra_queries, collect_queries
@@ -138,11 +143,11 @@ def main() -> None:
     build_scaled_dir(spark, scaled_dir, m)
     spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()  # warm
 
-    t1 = time_queries(spark, queries, BASE_DIR, n_runs)
-    tm = time_queries(spark, queries, scaled_dir, n_runs)
+    t1 = time_queries(spark, queries, BASE_DIR, n_runs, names)
+    tm = time_queries(spark, queries, scaled_dir, n_runs, names)
     exps = {
         q: round(math.log(max(tm[q], 1e-3) / max(t1[q], 1e-3)) / math.log(m), 3)
-        for q in HEADLINE
+        for q in (names or HEADLINE)
     }
     print(
         json.dumps(
