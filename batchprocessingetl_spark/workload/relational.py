@@ -602,7 +602,14 @@ def q104_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, bounding shuffle volume at O(m^1.5) on any degree
     distribution; the oracle enumerates each triangle once via the
     canonical a<b<c 3-way self-join and unions the three corner
-    roles."""
+    roles.
+
+    Fixture note: the node space is FIXED (2003), so corpora far
+    beyond sf0.1 saturate the random graph toward completeness and
+    triangle counts approach C(2003,3) — a fixture property, not
+    operator cost. docs/SCALE.md probes the operator the honest way
+    (constant average degree, node space growing with edges: alpha
+    ~0.13 at 10x)."""
     from batchprocessingetl_spark.operators.graph import triangle_counts
 
     def _end(seed: str) -> F.Column:
