@@ -465,3 +465,41 @@ def test_cdc_stream_equals_batch_compaction(spark, tmp_path):
     full = spark.createDataFrame(slice1 + slice2 + slice3, schema)
     want = {r["k"]: r["val"] for r in apply_changelog(full, ["k"]).collect()}
     assert got == want
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark 4 StatefulProcessor twin must produce the same running
+    totals as the applyInPandasWithState operator, including state
+    resume across a second availableNow run from its checkpoint."""
+    import pytest
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState state server needs protobuf (absent here)")
+
+    src = str(tmp_path / "events")
+    old_ck, old_out = str(tmp_path / "ck_old"), str(tmp_path / "out_old")
+    new_ck, new_out = str(tmp_path / "ck_new"), str(tmp_path / "out_new")
+
+    spark.createDataFrame(_rows(range(4), 1)).write.mode("append").parquet(src)
+    running_user_totals(spark, src, old_ck, old_out)
+    running_user_totals_tws(spark, src, new_ck, new_out)
+
+    spark.createDataFrame(_rows(range(4, 10), 2)).write.mode("append").parquet(src)
+    running_user_totals(spark, src, old_ck, old_out)
+    running_user_totals_tws(spark, src, new_ck, new_out)
+
+    old = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in latest_user_totals(spark, old_out).collect()
+    }
+    new = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in latest_user_totals(spark, new_out).collect()
+    }
+    assert old == new and len(old) == 2
+    assert old[0][0] == 5  # users 0/1 alternate over ids 0..9
