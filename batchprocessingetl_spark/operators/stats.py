@@ -121,3 +121,52 @@ def group_ols_sql_duckdb(
                          {round_to}) END AS r2
         FROM d
     """
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    round_to: int = 2,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram — the feature-binning /
+    data-profiling primitive: exact interpolated percentile cutpoints
+    at k/n_bins (one sort-based aggregate, the same exact-percentile
+    machinery q44 pins cross-engine), broadcast back as a 1-row frame,
+    bin assignment as a narrow ``aggregate`` fold over the cutpoint
+    array (bin = #cutpoints strictly below the value), then a
+    fixed-width rollup. NO global window: a naive ntile() needs a
+    single-partition global sort, which is exactly what dies at 100 TB
+    — here the heavy input is touched by one percentile aggregate and
+    one codegen projection, both distributed.
+
+    Returns (bin, n_rows, min_v, max_v) for non-empty bins, bin in
+    [0, n_bins-1]. Null values are dropped (no bin)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(col).cast("double")
+    fracs = [k / n_bins for k in range(1, n_bins)]
+    cuts = df.filter(v.isNotNull()).agg(
+        F.percentile(v, F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(cuts))
+        .select(
+            v.alias("__v"),
+            F.aggregate(
+                "__cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("__v") > c, 1).otherwise(0),
+            ).alias("bin"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("__v"), round_to).alias("min_v"),
+            F.round(F.max("__v"), round_to).alias("max_v"),
+        )
+        .orderBy("bin")
+    )

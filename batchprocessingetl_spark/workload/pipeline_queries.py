@@ -406,6 +406,22 @@ def q101_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("o_orderkey")
 
 
+HIST_BINS = 16
+
+
+def q112_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 16-bin histogram of order value (operators/stats.py::
+    equi_depth_histogram): exact interpolated percentile cutpoints in
+    one distributed aggregate, bin assignment as a broadcast-fold
+    projection — no ntile(), no single-partition global sort. The
+    oracle recomputes the identical cutpoints (quantile_cont) and the
+    identical strictly-greater fold."""
+    from batchprocessingetl_spark.operators.stats import equi_depth_histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(o, "o_totalprice", HIST_BINS)
+
+
 PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
 PROFILE_STRING = ("l_returnflag", "l_linestatus")
 
@@ -448,6 +464,7 @@ QUERIES = {
 # q74, which pins the same quantile semantics plus the sketch) out to
 # make room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
+    "q112_price_histogram": q112_price_histogram,
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
@@ -553,6 +570,22 @@ _ORACLE_ALL = {
         SELECT t.c_custkey, t.c_name, t.acctbal FROM tgt t
         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
         ORDER BY c_custkey
+    """,
+    "q112_price_histogram": f"""
+        WITH cuts AS (
+            SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                 [{", ".join(str(k / HIST_BINS) for k in range(1, HIST_BINS))}])
+                       AS c
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ), binned AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                   len(list_filter(c, x -> CAST(o_totalprice AS DOUBLE) > x))::INT
+                       AS bin
+            FROM orders, cuts WHERE o_totalprice IS NOT NULL
+        )
+        SELECT bin, COUNT(*) AS n_rows,
+               ROUND(MIN(v), 2) AS min_v, ROUND(MAX(v), 2) AS max_v
+        FROM binned GROUP BY bin ORDER BY bin
     """,
     "q108_table_profile": "\n        UNION ALL\n".join(
         [_profile_oracle_col(c, "numeric") for c in PROFILE_NUMERIC]

@@ -250,6 +250,42 @@ def q89_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q113_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the q89 fuzzy-match pair graph
+    (composite-blocked candidates, Levenshtein <= 1 verify) resolved
+    into entity clusters by min-label connected components
+    (operators/dedup.py::connected_components) — match THEN cluster,
+    the full ER loop a dedup pipeline runs. Per-cluster summary keeps
+    the output narrow: one row per multi-member entity with its
+    canonical (min) key and size. The oracle replays the pair graph
+    and a recursive transitive closure — the fixture takes a
+    deterministic 10% key slice because that closure materializes
+    sum(|component|^2) rows, which explodes on the FULL dense name
+    space at sf0.1 (true pairs are quadratic there, docs/SCALE.md on
+    q89); the Spark side's min-label iterations don't have that
+    problem, so the slice bounds ORACLE cost, not operator cost."""
+    from batchprocessingetl_spark.operators.dedup import (
+        connected_components,
+        fuzzy_name_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    pairs = fuzzy_name_pairs(
+        part, "p_partkey", "p_name", max_dist=FUZZY_MAX_DIST, prefix_len=FUZZY_PREFIX
+    )
+    vertices = part.select(F.col("p_partkey").alias("id"))
+    # max_iter must cover the worst component DIAMETER (a chain of
+    # edit-distance-1 names propagates its min one hop per round); the
+    # convergence probe stops early on real data
+    cc = connected_components(pairs.select("id_a", "id_b"), vertices, max_iter=64)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 VOCAB_MIN_COUNT = 100
 COOC_WINDOW = 2
 COOC_MIN = 60
@@ -484,6 +520,7 @@ QUERIES = {
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
+    "q113_entity_clusters": q113_entity_clusters,
     "q30_token_stats": q30_token_stats,
     "q34_language_id": q34_language_id,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
@@ -791,6 +828,35 @@ _PHRASE_HITS_SQL = "\n        UNION ALL\n".join(
 )
 
 _ORACLE_ALL.update({
+    "q113_entity_clusters": f"""
+        WITH RECURSIVE p AS (
+            SELECT p_partkey, p_name,
+                   substr(p_name, 1, {FUZZY_PREFIX}) AS pfx,
+                   len(p_name) AS l
+            FROM part WHERE p_partkey % 10 = 0
+        ), pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM p a JOIN p b
+              ON a.pfx = b.pfx
+             AND abs(a.l - b.l) <= {FUZZY_MAX_DIST}
+             AND a.p_partkey < b.p_partkey
+             AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(a, b) AS (
+            SELECT p_partkey, p_partkey FROM part WHERE p_partkey % 10 = 0
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ), labels AS (
+            SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM labels GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_id
+    """,
     "q105_phrase_search": f"""
         WITH t AS (
             SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

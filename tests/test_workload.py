@@ -391,3 +391,32 @@ def test_copurchase_pairs_basket_semantics(spark, tmp_path):
     )
     got = {(r["pa"], r["pb"]): r["count"] for r in pairs.collect()}
     assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
+def test_equi_depth_histogram_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.stats import equi_depth_histogram
+
+    # 0..99 into 4 bins -> exact quartile cutpoints, 25 rows per bin
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    out = {r["bin"]: (r["n_rows"], r["min_v"], r["max_v"])
+           for r in equi_depth_histogram(df, "v", 4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert sum(n for n, _, _ in out.values()) == 100
+    assert out[0][1] == 0.0 and out[3][2] == 99.0
+    # bins are contiguous and ordered
+    assert out[0][2] < out[1][1] <= out[1][2] < out[2][1]
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", 1)
+
+
+def test_equi_depth_histogram_no_global_window(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.stats import equi_depth_histogram
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    plan = equi_depth_histogram(df, "v", 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # ntile would need a single-partition sort
