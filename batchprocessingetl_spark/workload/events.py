@@ -586,6 +586,53 @@ def q109_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q114_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics — DAU / WAU(7) / MAU(28) per day,
+    EXACT. A distinct (user, day) base is computed once; each trailing
+    window materializes as an offset explode (a user active on day d
+    covers days d..d+n-1), distinct again, then a fixed-width count
+    rollup — turning 'distinct over a sliding window' (not directly
+    expressible as a window aggregate) into plain hash shuffles keyed
+    on (user, day). Cost is user-days x 36, the documented exactness
+    price; the sketch path at extreme scale is a per-day HLL merge
+    (q57/q61 machinery). Trailing-window days beyond the observed max
+    are clipped in-plan via a broadcast 1-row max."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .distinct()
+    )
+    bounds = du.agg(F.max("day").alias("max_day"))
+
+    def roll(n: int, name: str) -> DataFrame:
+        covered = (
+            du.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"),
+                "day",
+            )
+            .select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
+            .distinct()
+        )
+        return (
+            covered.join(F.broadcast(bounds))
+            .filter(F.col("day") <= F.col("max_day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    out = (
+        roll(1, "dau")
+        .join(roll(7, "wau"), "day")
+        .join(roll(28, "mau"), "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"), "dau", "wau", "mau"
+        )
+        .orderBy("day")
+    )
+    return out
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q24_asof_attribution": q24_asof_attribution,
@@ -629,6 +676,7 @@ EXTRA_QUERIES = {
     "q102_cohort_retention": q102_cohort_retention,
     "q103_rate_anomalies": q103_rate_anomalies,
     "q106_event_transitions": q106_event_transitions,
+    "q114_active_users": q114_active_users,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -940,6 +988,31 @@ _ORACLE_ALL["q109_dp_daily_counts"] = f"""
                  6) AS noisy_count
     FROM g
     ORDER BY event_type, day
+"""
+
+_ORACLE_ALL["q114_active_users"] = """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), b AS (
+        SELECT MAX(day) AS max_day FROM du
+    ),
+    wau_cov AS (
+        SELECT DISTINCT user_id, day + k * INTERVAL 1 DAY AS day
+        FROM (SELECT user_id, day, unnest(range(0, 7))::INT AS k FROM du)
+    ),
+    mau_cov AS (
+        SELECT DISTINCT user_id, day + k * INTERVAL 1 DAY AS day
+        FROM (SELECT user_id, day, unnest(range(0, 28))::INT AS k FROM du)
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (SELECT CAST(c.day AS DATE) AS day, COUNT(*) AS wau
+            FROM wau_cov c, b WHERE c.day <= b.max_day GROUP BY 1),
+    mau AS (SELECT CAST(c.day AS DATE) AS day, COUNT(*) AS mau
+            FROM mau_cov c, b WHERE c.day <= b.max_day GROUP BY 1)
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau, m.mau
+    FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+    ORDER BY day
 """
 
 _ORACLE_ALL["q106_event_transitions"] = """
