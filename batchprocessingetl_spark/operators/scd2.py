@@ -152,3 +152,19 @@ def apply_scd1(
         )
     carried = existing.join(new_data.select(*primary_key), primary_key, "left_anti")
     return new_data.unionByName(carried)
+
+
+def as_of(dim: DataFrame, ts: str) -> DataFrame:
+    """Time-travel read over an SCD2 dimension: the version row valid
+    at timestamp ``ts`` — start_date <= ts < end_date, with the open
+    (current) interval as end_date IS NULL. A pure narrow filter, so
+    Catalyst pushes it into the dimension scan (partition/row-group
+    pruning when the dim is laid out by start_date); keys born after
+    ``ts`` simply yield no row. This is the consumer-side counterpart
+    of ``apply_scd2``: dashboards replay any historical state without
+    snapshots having been materialized per day."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col("start_date") <= t)
+        & (F.col("end_date").isNull() | (F.col("end_date") > t))
+    )

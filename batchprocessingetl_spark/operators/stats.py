@@ -170,3 +170,26 @@ def equi_depth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    q: float,
+) -> DataFrame:
+    """Per-group quantile gate — keep rows with ``col`` >= their
+    group's q-th exact interpolated percentile ("top-X% per source",
+    the standard corpus-curation allocation rule). One grouped
+    percentile aggregate (tiny result: one row per group) joined back
+    broadcast-style on the group key, then a narrow filter — no
+    percent_rank window, whose per-group sort + full materialization
+    is the thing to avoid when groups are huge. Adds the cutoff as
+    ``__cut`` for auditability; callers drop it if unwanted."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    v = F.col(col).cast("double")
+    cuts = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(q)).alias("__cut")
+    )
+    return df.join(F.broadcast(cuts), group_cols).filter(v >= F.col("__cut"))

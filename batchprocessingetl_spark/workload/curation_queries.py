@@ -235,9 +235,31 @@ def q83_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_Q = 0.75
+
+
+def q116_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile gate (operators/stats.py::quantile_gate):
+    keep each source's top quartile of documents by length — the
+    'top-X% per stratum' allocation rule corpus curation applies
+    before expensive model scoring. One grouped exact-percentile
+    aggregate joined back broadcast on the group key; no percent_rank
+    window. The oracle recomputes the per-source quantile_cont cutoff
+    and the same >= filter."""
+    from batchprocessingetl_spark.operators.stats import quantile_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quantile_gate(docs, ["source"], "n_chars", GATE_Q)
+        .select("source", "doc_id", "n_chars", F.round("__cut", 6).alias("cutoff"))
+        .orderBy("source", "doc_id")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
+    "q116_source_quality_gate": q116_source_quality_gate,
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
     "q76_weighted_sample": q76_weighted_sample,
@@ -249,6 +271,17 @@ EXTRA_QUERIES = {
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q116_source_quality_gate": f"""
+        WITH cuts AS (
+            SELECT source,
+                   quantile_cont(CAST(n_chars AS DOUBLE), {GATE_Q}) AS cut
+            FROM documents GROUP BY source
+        )
+        SELECT d.source, d.doc_id, d.n_chars, ROUND(c.cut, 6) AS cutoff
+        FROM documents d JOIN cuts c USING (source)
+        WHERE CAST(d.n_chars AS DOUBLE) >= c.cut
+        ORDER BY d.source, d.doc_id
+    """,
     "q84_strip_boilerplate": f"""
         WITH t AS (
             SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks

@@ -406,6 +406,37 @@ def q101_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("o_orderkey")
 
 
+TRAVEL_T_BEFORE = "2022-06-15 00:00:00"  # between the two SCD2 batch stamps
+TRAVEL_T_AFTER = "2024-06-01 00:00:00"
+
+
+def q115_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads over the q41 SCD2 dimension
+    (operators/scd2.py::as_of): reconstruct the dimension as of a
+    timestamp BEFORE the change batch (original attribute values;
+    batch-born keys absent) and AFTER it (current values), labeled and
+    unioned. Both slices are narrow filters over one dim build — no
+    per-day snapshot materialization. The oracle applies the same
+    interval predicate to the replayed merged dimension."""
+    from batchprocessingetl_spark.operators.scd2 import as_of
+
+    new_data, existing = _scd2_inputs(spark, sf_dir)
+    dim = apply_scd2(
+        new_data,
+        existing,
+        primary_key=["c_custkey"],
+        update_columns=["segment", "acctbal"],
+        batch_ts=SCD2_BATCH_TS,
+    )
+    out = None
+    for label, ts in (("before", TRAVEL_T_BEFORE), ("after", TRAVEL_T_AFTER)):
+        sl = as_of(dim, ts).select(
+            F.lit(label).alias("snapshot"), "c_custkey", "segment", "acctbal"
+        )
+        out = sl if out is None else out.unionByName(sl)
+    return out.orderBy("snapshot", "c_custkey")
+
+
 HIST_BINS = 16
 
 
@@ -465,6 +496,7 @@ QUERIES = {
 # make room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
     "q112_price_histogram": q112_price_histogram,
+    "q115_dim_time_travel": q115_dim_time_travel,
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
@@ -765,6 +797,32 @@ _ORACLE_ALL = {
                NULL::TIMESTAMP AS end_date, TRUE AS is_current
         FROM changes c
         ORDER BY c_custkey, start_date, is_current
+    """,
+    "q115_dim_time_travel": _SCD2_COMMON
+    + f"""
+        , dim AS (
+            SELECT e.c_custkey, e.segment, e.acctbal, e.start_date,
+                   TIMESTAMP '{SCD2_BATCH_TS}' AS end_date
+            FROM existing e
+            WHERE e.c_custkey IN (SELECT c_custkey FROM changes)
+            UNION ALL
+            SELECT e.c_custkey, e.segment, e.acctbal, e.start_date, e.end_date
+            FROM existing e
+            WHERE e.c_custkey NOT IN (SELECT c_custkey FROM changes)
+            UNION ALL
+            SELECT c.c_custkey, c.segment, c.acctbal,
+                   TIMESTAMP '{SCD2_BATCH_TS}' AS start_date,
+                   NULL::TIMESTAMP AS end_date
+            FROM changes c
+        )
+        SELECT 'before' AS snapshot, c_custkey, segment, acctbal FROM dim
+        WHERE start_date <= TIMESTAMP '{TRAVEL_T_BEFORE}'
+          AND (end_date IS NULL OR end_date > TIMESTAMP '{TRAVEL_T_BEFORE}')
+        UNION ALL
+        SELECT 'after', c_custkey, segment, acctbal FROM dim
+        WHERE start_date <= TIMESTAMP '{TRAVEL_T_AFTER}'
+          AND (end_date IS NULL OR end_date > TIMESTAMP '{TRAVEL_T_AFTER}')
+        ORDER BY snapshot, c_custkey
     """,
     "q42_scd2_initial_load": f"""
         SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal,

@@ -134,3 +134,31 @@ def test_scd1_rejects_column_mismatch(spark):
     b = spark.createDataFrame([(1, "a", 2.0)], "k long, v string, w double")
     with _pytest.raises(ValueError, match="column mismatch"):
         apply_scd1(a, b, ["k"])
+
+
+def test_as_of_time_travel(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.scd2 import as_of
+
+    rows = [
+        # key 1: v1 [2020, 2022), v2 [2022, open)
+        (1, "v1", dt.datetime(2020, 1, 1), dt.datetime(2022, 1, 1), False),
+        (1, "v2", dt.datetime(2022, 1, 1), None, True),
+        # key 2: born 2023
+        (2, "w1", dt.datetime(2023, 1, 1), None, True),
+    ]
+    dim = spark.createDataFrame(
+        rows, "k long, val string, start_date timestamp, end_date timestamp, is_current boolean"
+    )
+    def snap(ts):
+        return {r["k"]: r["val"] for r in as_of(dim, ts).collect()}
+
+    assert snap("2021-06-01 00:00:00") == {1: "v1"}          # key 2 not born
+    assert snap("2022-01-01 00:00:00") == {1: "v2"}          # boundary: start inclusive, end exclusive
+    assert snap("2023-06-01 00:00:00") == {1: "v2", 2: "w1"}
+    # the filter is pushable: no joins/windows/shuffles in the plan
+    plan = as_of(dim, "2021-01-01 00:00:00")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
