@@ -723,6 +723,52 @@ def q111_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("nation")
 
 
+ABC_A, ABC_B = 0.7, 0.9
+
+
+def q117_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification per brand: part revenue
+    (exact decimal sum), ranked within brand, running cumulative share
+    of the brand's total, classed A (first 70% of revenue), B (to
+    90%), C (tail). The windows partition by brand — bounded state per
+    group, never a single-partition global sort — and run over the
+    ALREADY-AGGREGATED part grain, so the fact table is touched by one
+    join + one hash aggregate only. Ties rank deterministically by
+    part key. Output is the per-brand class summary (brand x class:
+    n_parts, share of revenue), which keeps the oracle fixed-width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    acc = "decimal(28,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+    per_part = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev"), "p_partkey")
+    tot = Window.partitionBy("p_brand")
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .withColumn("total", F.sum("rev").over(tot))
+        .withColumn("cum_share", F.col("cum").cast("double") / F.col("total").cast("double"))
+        .withColumn(
+            "abc",
+            F.when(F.col("cum_share") <= ABC_A, "A")
+            .when(F.col("cum_share") <= ABC_B, "B")
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        classed.groupBy("p_brand", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+        )
+        .orderBy("p_brand", "abc")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -797,6 +843,7 @@ EXTRA_QUERIES = {
     "q59_calendar_spine": q59_calendar_spine,
     "q110_copurchase_pairs": q110_copurchase_pairs,
     "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
+    "q117_abc_analysis": q117_abc_analysis,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.
@@ -1193,6 +1240,32 @@ _ORACLE_ALL["q111_ivm_nation_revenue"] = """
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     ORDER BY nation
+"""
+
+_ORACLE_ALL["q117_abc_analysis"] = f"""
+    WITH per_part AS (
+        SELECT p.p_brand, p.p_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), classed AS (
+        SELECT p_brand, rev,
+               CAST(SUM(rev) OVER (PARTITION BY p_brand
+                                   ORDER BY rev DESC, p_partkey) AS DOUBLE)
+               / CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+                   AS cum_share
+        FROM per_part
+    )
+    SELECT p_brand,
+           CASE WHEN cum_share <= {ABC_A} THEN 'A'
+                WHEN cum_share <= {ABC_B} THEN 'B'
+                ELSE 'C' END AS abc,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY 1, 2
+    ORDER BY p_brand, abc
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

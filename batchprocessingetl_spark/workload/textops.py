@@ -286,6 +286,52 @@ def q113_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_SEED = "split-r4"
+SPLIT_TRAIN_FRAC = 0.8
+
+
+def q118_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/holdout split: documents are clustered by
+    SimHash near-duplication (the q63 machinery) and the md5-uniform
+    split draw is keyed on the CLUSTER id, not the doc id — so a
+    near-duplicate pair can never straddle train and holdout (the
+    eval-set leakage a doc-keyed split allows). One extra narrow
+    projection on top of connected components; the oracle replays the
+    closure and the identical draw, pinning the no-leakage property
+    itself cross-engine."""
+    from batchprocessingetl_spark.operators.dedup import (
+        connected_components,
+        simhash60_md5,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sigs, max_hamming=3, bands=4)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, verts)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SEED + ":"), F.col("cluster_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            F.when(u < SPLIT_TRAIN_FRAC, "train").otherwise(F.lit("holdout")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 VOCAB_MIN_COUNT = 100
 COOC_WINDOW = 2
 COOC_MIN = 60
@@ -521,6 +567,7 @@ QUERIES = {
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
     "q113_entity_clusters": q113_entity_clusters,
+    "q118_leakage_free_split": q118_leakage_free_split,
     "q30_token_stats": q30_token_stats,
     "q34_language_id": q34_language_id,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,
@@ -828,6 +875,33 @@ _PHRASE_HITS_SQL = "\n        UNION ALL\n".join(
 )
 
 _ORACLE_ALL.update({
+    "q118_leakage_free_split": f"""
+        WITH RECURSIVE {_SIMHASH_SIG_CTES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        labels AS (
+            SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5('{SPLIT_SEED}:' || cluster_id::VARCHAR), 1, 15))::BIGINT
+                         / {float(16**15)!r} < {SPLIT_TRAIN_FRAC}
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM labels
+        ORDER BY doc_id
+    """,
     "q113_entity_clusters": f"""
         WITH RECURSIVE p AS (
             SELECT p_partkey, p_name,

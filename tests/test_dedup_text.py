@@ -459,3 +459,19 @@ def test_phrase_hits_single_scan_no_shuffle(spark):
     assert got == {(1, "y z"): 1, (2, "y z"): 2}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.workload.textops import q118_leakage_free_split
+
+    out = q118_leakage_free_split(spark, "/root/testdata/sf0.001")
+    # every cluster maps to exactly one split value
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # both splits are populated on this corpus
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "holdout"}
