@@ -365,3 +365,36 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    id_from_stem: bool = True,
+) -> "DataFrame":
+    """Media-file ingestion via Spark's ``binaryFile`` source: each
+    file becomes one row (path, modificationTime, length, content) —
+    the standard way raw image/audio payloads enter a multimodal
+    pipeline before ``operators.multimodal`` decodes them as Arrow
+    batches. ``glob`` maps to pathGlobFilter (pushed into file
+    listing, not a post-scan filter). With ``id_from_stem`` the file
+    stem is parsed as a bigint ``media_id`` when fully numeric (the
+    common shard-by-id layout), else NULL.
+
+    Scale notes: binaryFile parallelizes by file; tiny-file corpora
+    should be compacted into parquet payload tables (write the result
+    of this reader back via write_parquet) so downstream scans are not
+    listing-bound — the same small-file discipline as any lake layout.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if id_from_stem:
+        stem = F.regexp_extract(F.reverse(F.split(F.col("path"), "/"))[0], r"^(\d+)\.", 1)
+        df = df.withColumn(
+            "media_id",
+            F.when(stem != "", stem.cast("bigint")),
+        )
+    return df

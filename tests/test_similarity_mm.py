@@ -205,3 +205,33 @@ def test_resize_and_frame_sampling(spark):
     assert set(got) == {(1, 0), (1, 4)}  # docs 2,3 too short -> no frames
     assert got[(1, 0)] == src[0:64] and got[(1, 4)] == src[256:320]
     assert all(r["n_frame_bytes"] == 64 for r in fr)
+
+
+def test_binary_file_ingest_to_decode_pipeline(spark, tmp_path):
+    """binaryFile source -> media frame -> real decode: files written
+    with the repo's own BMP encoder round-trip through Spark's binary
+    file reader into the Arrow decode path with exact pixel sums."""
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.media_codecs import encode_bmp
+    from batchprocessingetl_spark.operators.multimodal import as_media_frame, decode_media
+    from batchprocessingetl_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    want = {}
+    for i, (w, h) in enumerate([(2, 2), (3, 1), (4, 4)]):
+        rgb = bytes((i * 7 + j) % 256 for j in range(w * h * 3))
+        (d / f"{i}.bmp").write_bytes(encode_bmp(w, h, rgb))
+        want[i] = (w, h, sum(rgb))
+    (d / "notes.txt").write_text("not an image")  # filtered by glob
+
+    files = read_binary_files(spark, str(d), glob="*.bmp")
+    assert files.count() == 3
+    media = as_media_frame(files, "media_id", "content", "image")
+    dec = decode_media(media)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_r"] + r["sum_g"] + r["sum_b"])
+        for r in dec.collect()
+    }
+    assert got == want
