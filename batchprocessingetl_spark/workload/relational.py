@@ -769,6 +769,82 @@ def q117_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — suppliers achieving the MAXIMUM quarterly
+    revenue, ties included: per-supplier revenue over one quarter
+    (exact decimal sum), then an argmax via rank() over a GLOBAL
+    1-column window applied to the ALREADY-AGGREGATED supplier grain
+    (|suppliers| rows, dimension-sized — the fact table never enters a
+    window). The classic correlated `WHERE rev = (SELECT MAX...)`
+    decorrelates to exactly this plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    acc = "decimal(28,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_rev"))
+    )
+    w = Window.orderBy(F.desc("total_rev"))
+    top = per_supp.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+IDLE_SEGMENTS = ("BUILDING", "MACHINERY", "FURNITURE")
+IDLE_CUTOFF = "2001-01-01 00:00:00"
+
+
+def q120_idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — win-back-target analysis: customers in chosen
+    segments with above-average positive balances and NO orders since
+    the cutoff (gone idle), rolled up per segment. Both correlated
+    subqueries decorrelate: the scalar AVG becomes a broadcast 1-row
+    aggregate cross-joined into the filter, the NOT EXISTS becomes a
+    left-anti join against order custkeys. All shuffles are on
+    c_custkey; the balance average touches customers only. The
+    above-average test is the cross-multiplied exact form
+    (bal * n > sum) — engines disagree on decimal-division result
+    types, and a rounded average can flip boundary rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    acc = "decimal(28,6)"
+    base = c.filter(F.col("c_mktsegment").isin(*IDLE_SEGMENTS))
+    avg_bal = base.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(acc)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        base.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast(acc) * F.col("__n") > F.col("__s"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(F.col("c_acctbal").cast(acc)), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -844,6 +920,8 @@ EXTRA_QUERIES = {
     "q110_copurchase_pairs": q110_copurchase_pairs,
     "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
     "q117_abc_analysis": q117_abc_analysis,
+    "q119_top_suppliers": q119_top_suppliers,
+    "q120_idle_customer_balances": q120_idle_customer_balances,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.
@@ -1266,6 +1344,43 @@ _ORACLE_ALL["q117_abc_analysis"] = f"""
     FROM classed
     GROUP BY 1, 2
     ORDER BY p_brand, abc
+"""
+
+_ORACLE_ALL["q119_top_suppliers"] = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(p.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.total_rev = (SELECT MAX(total_rev) FROM per_supp)
+    ORDER BY s.s_suppkey
+"""
+
+_ORACLE_ALL["q120_idle_customer_balances"] = f"""
+    WITH base AS (
+        SELECT * FROM customer
+        WHERE c_mktsegment IN ({", ".join(f"'{s}'" for s in IDLE_SEGMENTS)})
+    ), avg_bal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS s, COUNT(*) AS n
+        FROM base WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS total_balance
+    FROM base, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(28,6)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = base.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
