@@ -19,6 +19,13 @@ Rotating ``seed`` per release is exactly "fresh randomness" while
 keeping every individual release replayable for audit. The privacy
 guarantee holds for any fixed seed choice made independently of the
 data (the standard PRG-based DP deployment posture).
+
+Null groups: the draw key NULL-coalesces every group value to a \\x01
+sentinel BEFORE joining with the \\x1f separator — ``concat_ws`` alone
+silently skips NULLs, which would give a NULL group the same draw as
+an empty-string group (correlated noise across two released cells).
+Oracle twins must apply the identical construction; see
+:func:`dp_key_sql_duckdb`.
 """
 
 from __future__ import annotations
@@ -58,7 +65,10 @@ def dp_noisy_counts(
     noise keyed on the group value. Returns group_cols +
     (noisy_count,) ONLY — the exact count must not ride along in a
     DP release. One shuffle (the count), then a narrow projection."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in group_cols],
+    )
     return (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -71,10 +81,19 @@ def dp_noisy_counts(
     )
 
 
+def dp_key_sql_duckdb(col_sqls: list[str]) -> str:
+    """DuckDB twin of the null-safe draw key: COALESCE each value to
+    the chr(1) sentinel, join with the chr(31) separator."""
+    parts = [f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in col_sqls]
+    return " || chr(31) || ".join(parts)
+
+
 def dp_noise_sql_duckdb(key_sql: str, epsilon: float, seed: str) -> str:
-    """DuckDB twin of :func:`laplace_noise` for oracle queries."""
+    """DuckDB twin of :func:`laplace_noise` for oracle queries.
+    ``seed`` is embedded as a SQL literal — single quotes doubled."""
+    seed_sql = seed.replace("'", "''")
     u = (
-        f"(('0x' || substr(md5('{seed}:' || {key_sql}), 1, 15))::BIGINT"
+        f"(('0x' || substr(md5('{seed_sql}:' || {key_sql}), 1, 15))::BIGINT"
         f" / {HEX15!r} - 0.5)"
     )
     return f"(-1.0 / {epsilon!r}) * sign({u}) * ln(1.0 - 2.0 * abs({u}))"

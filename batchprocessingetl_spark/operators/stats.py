@@ -39,10 +39,14 @@ def group_ols(
     round_to: int = 6,
 ) -> DataFrame:
     """Per-group OLS of y on x. ``x`` must be integer-valued (cast
-    enforced); ``y`` is accumulated as DECIMAL(12,2) — exact for
-    currency-style inputs. Returns group_cols + (n, slope, intercept,
+    enforced) with |x| < 1e18; ``y`` is accumulated as DECIMAL(12,2) —
+    exact for currency-style inputs. Every x sum accumulates in
+    DECIMAL(18,0) (not long) so an out-of-range regressor — e.g.
+    epoch-millisecond x values whose squares exceed the 64-bit range —
+    overflows to a VISIBLE NULL in both engines instead of silently
+    wrapping a long sum. Returns group_cols + (n, slope, intercept,
     r2), with NULLs where x has no variance (or n < 2)."""
-    xi = x.cast("long")
+    xi = x.cast("long").cast("decimal(18,0)")
     yd = y.cast(Y_ACC)
     sums = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -50,7 +54,7 @@ def group_ols(
         F.sum(xi * xi).alias("sxx"),
         F.sum(yd).alias("sy"),
         F.sum(yd * yd).alias("syy"),
-        F.sum(xi.cast("decimal(10,0)") * yd).alias("sxy"),
+        F.sum(xi * yd).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -90,12 +94,13 @@ def group_ols_sql_duckdb(
         WITH sums AS (
             SELECT {g},
                    COUNT(*) AS n,
-                   SUM(CAST({x_sql} AS BIGINT)) AS sx,
-                   SUM(CAST({x_sql} AS BIGINT) * CAST({x_sql} AS BIGINT)) AS sxx,
+                   SUM(CAST({x_sql} AS DECIMAL(18,0))) AS sx,
+                   SUM(CAST({x_sql} AS DECIMAL(18,0))
+                       * CAST({x_sql} AS DECIMAL(18,0))) AS sxx,
                    SUM(CAST({y_sql} AS DECIMAL(12,2))) AS sy,
                    SUM(CAST({y_sql} AS DECIMAL(12,2))
                        * CAST({y_sql} AS DECIMAL(12,2))) AS syy,
-                   SUM(CAST({x_sql} AS DECIMAL(10,0))
+                   SUM(CAST({x_sql} AS DECIMAL(18,0))
                        * CAST({y_sql} AS DECIMAL(12,2))) AS sxy
             FROM {table_expr}
             GROUP BY {g}

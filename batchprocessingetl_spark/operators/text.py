@@ -319,10 +319,13 @@ def phrase_count(toks: Column, terms: tuple[str, ...]) -> Column:
 
 
 def phrase_count_sql_duckdb(toks_sql: str, terms: tuple[str, ...]) -> str:
-    """DuckDB twin of :func:`phrase_count` (1-based list indexing)."""
+    """DuckDB twin of :func:`phrase_count` (1-based list indexing).
+    Terms are embedded as SQL literals — single quotes doubled, so a
+    term like ``don't`` stays parseable."""
     n = len(terms)
     conds = " AND ".join(
-        f"({toks_sql})[i + {k}] = '{t}'" for k, t in enumerate(terms)
+        f"({toks_sql})[i + {k}] = '{t.replace(chr(39), chr(39) * 2)}'"
+        for k, t in enumerate(terms)
     )
     return (
         f"CASE WHEN len({toks_sql}) >= {n} THEN "

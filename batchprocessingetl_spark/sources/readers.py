@@ -392,7 +392,11 @@ def read_binary_files(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     if id_from_stem:
-        stem = F.regexp_extract(F.reverse(F.split(F.col("path"), "/"))[0], r"^(\d+)\.", 1)
+        # fully-numeric stem, with or without a single extension:
+        # "123.bmp" -> 123, "12345" -> 12345, "123.45.jpg" (stem
+        # "123.45", not fully numeric) -> NULL
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        stem = F.regexp_extract(fname, r"^(\d+)(\.[^.]*)?$", 1)
         df = df.withColumn(
             "media_id",
             F.when(stem != "", stem.cast("bigint")),

@@ -383,6 +383,30 @@ def incremental_ingest_stream(
     q.awaitTermination()
 
 
+
+def recover_staged_swap(target_dir: str) -> bool:
+    """Close the staged-swap crash window: if a previous run died
+    BETWEEN removing the live dir and renaming the staging dir into
+    place, the complete new snapshot is stranded at
+    ``<target>.staging`` while ``target`` is missing — adopt it.
+    A staging dir is adopted ONLY when the live dir is absent AND the
+    staging write completed (Spark's ``_SUCCESS`` marker): a crash
+    mid-write leaves the live dir intact, so a partial staging dir is
+    never promoted. Returns True when a recovery happened. Idempotent;
+    both staged-swap streaming jobs call it at the top of every fold."""
+    import os
+    import shutil
+
+    staging = target_dir.rstrip("/") + ".staging"
+    if (
+        not os.path.exists(target_dir)
+        and os.path.exists(os.path.join(staging, "_SUCCESS"))
+    ):
+        shutil.move(staging, target_dir)
+        return True
+    return False
+
+
 def scd2_maintenance_stream(
     spark: SparkSession,
     source_dir: str,
@@ -433,6 +457,7 @@ def scd2_maintenance_stream(
     )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(dim_dir)
         if batch.isEmpty():
             return
         b = resolve_grain(batch, primary_key, [F.col(ts_col).desc()])
@@ -572,6 +597,7 @@ def cdc_changelog_stream(
     )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(state_dir)
         if batch.isEmpty():
             return
         merged = batch
@@ -599,6 +625,7 @@ def cdc_snapshot(
     spark: SparkSession, state_dir: str, op_col: str = "op", delete_op: str = "D"
 ) -> DataFrame:
     """Live-rows view over a :func:`cdc_changelog_stream` state dir."""
+    recover_staged_swap(state_dir)
     state = spark.read.parquet(state_dir)
     return state.filter(F.col(op_col) != F.lit(delete_op))
 

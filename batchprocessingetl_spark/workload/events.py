@@ -497,6 +497,7 @@ def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANOMALY_BASELINE_BUCKETS = 24  # trailing buckets feeding mean/stddev
+ANOMALY_MIN_BASELINE = ANOMALY_BASELINE_BUCKETS // 2  # min history to score
 ANOMALY_Z = 2.0
 
 
@@ -528,7 +529,7 @@ def q103_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sd", F.round(sd, 6))
         .withColumn(
             "z",
-            F.when((F.col("baseline_n") >= 12) & (sd > 0), z),
+            F.when((F.col("baseline_n") >= ANOMALY_MIN_BASELINE) & (sd > 0), z),
         )
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
         .select("event_type", "bucket", "n", "mu", "sd", "z")
@@ -596,13 +597,20 @@ def q114_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (user, day). Cost is user-days x 36, the documented exactness
     price; the sketch path at extreme scale is a per-day HLL merge
     (q57/q61 machinery). Trailing-window days beyond the observed max
-    are clipped in-plan via a broadcast 1-row max."""
+    are clipped in-plan via a broadcast 1-row max, and the output is
+    driven by a generated [min_day, max_day] spine LEFT-joined to each
+    metric — a day with NO same-day activity still reports dau=0 with
+    its true trailing wau/mau instead of silently vanishing (an inner
+    join on the dau day set would hole the series)."""
     ev = load_table(spark, sf_dir, "events")
     du = (
         ev.select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
         .distinct()
     )
-    bounds = du.agg(F.max("day").alias("max_day"))
+    bounds = du.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("min_day"), F.col("max_day"))).alias("day")
+    )
 
     def roll(n: int, name: str) -> DataFrame:
         covered = (
@@ -622,11 +630,14 @@ def q114_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = (
-        roll(1, "dau")
-        .join(roll(7, "wau"), "day")
-        .join(roll(28, "mau"), "day")
+        spine.join(roll(1, "dau"), "day", "left")
+        .join(roll(7, "wau"), "day", "left")
+        .join(roll(28, "mau"), "day", "left")
         .select(
-            F.col("day").cast("timestamp").alias("day"), "dau", "wau", "mau"
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("mau", F.lit(0)).alias("mau"),
         )
         .orderBy("day")
     )
@@ -975,7 +986,10 @@ _ORACLE_ALL["q102_cohort_retention"] = """
     ORDER BY p.cohort_week, p.week_offset
 """
 
-from batchprocessingetl_spark.operators.privacy import dp_noise_sql_duckdb as _dp_sql
+from batchprocessingetl_spark.operators.privacy import (
+    dp_key_sql_duckdb as _dp_key,
+    dp_noise_sql_duckdb as _dp_sql,
+)
 
 _ORACLE_ALL["q109_dp_daily_counts"] = f"""
     WITH g AS (
@@ -984,7 +998,7 @@ _ORACLE_ALL["q109_dp_daily_counts"] = f"""
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, day,
-           ROUND(n + {_dp_sql("event_type || chr(31) || CAST(CAST(day AS TIMESTAMP) AS VARCHAR)", DP_EPSILON, DP_SEED)},
+           ROUND(n + {_dp_sql(_dp_key(["event_type", "CAST(day AS TIMESTAMP)"]), DP_EPSILON, DP_SEED)},
                  6) AS noisy_count
     FROM g
     ORDER BY event_type, day
@@ -995,7 +1009,12 @@ _ORACLE_ALL["q114_active_users"] = """
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         FROM events
     ), b AS (
-        SELECT MAX(day) AS max_day FROM du
+        SELECT MIN(day) AS min_day, MAX(day) AS max_day FROM du
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(min_day, max_day,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
     ),
     wau_cov AS (
         SELECT DISTINCT user_id, day + k * INTERVAL 1 DAY AS day
@@ -1010,8 +1029,14 @@ _ORACLE_ALL["q114_active_users"] = """
             FROM wau_cov c, b WHERE c.day <= b.max_day GROUP BY 1),
     mau AS (SELECT CAST(c.day AS DATE) AS day, COUNT(*) AS mau
             FROM mau_cov c, b WHERE c.day <= b.max_day GROUP BY 1)
-    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau, m.mau
-    FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.dau, 0) AS dau,
+           COALESCE(w.wau, 0) AS wau,
+           COALESCE(m.mau, 0) AS mau
+    FROM spine s
+    LEFT JOIN dau d USING (day)
+    LEFT JOIN wau w USING (day)
+    LEFT JOIN mau m USING (day)
     ORDER BY day
 """
 
@@ -1033,7 +1058,7 @@ _ORACLE_ALL["q106_event_transitions"] = """
     ORDER BY from_type, to_type
 """
 
-_ORACLE_ALL["q103_rate_anomalies"] = """
+_ORACLE_ALL["q103_rate_anomalies"] = f"""
     WITH hourly AS (
         SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
@@ -1042,17 +1067,18 @@ _ORACLE_ALL["q103_rate_anomalies"] = """
                COUNT(*) OVER w AS baseline_n,
                ROUND(AVG(CAST(n AS DOUBLE)) OVER w, 6) AS mu,
                ROUND(STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w, 6) AS sd,
-               CASE WHEN COUNT(*) OVER w >= 12
+               CASE WHEN COUNT(*) OVER w >= {ANOMALY_MIN_BASELINE}
                      AND STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w > 0
                     THEN ROUND((n - AVG(CAST(n AS DOUBLE)) OVER w)
                                / STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w, 6)
                END AS z
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                     ROWS BETWEEN {ANOMALY_BASELINE_BUCKETS} PRECEDING
+                              AND 1 PRECEDING)
     )
     SELECT event_type, bucket, n, mu, sd, z
-    FROM scored WHERE ABS(z) >= 2.0
+    FROM scored WHERE ABS(z) >= {ANOMALY_Z!r}
     ORDER BY event_type, bucket
 """
 

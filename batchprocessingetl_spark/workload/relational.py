@@ -703,9 +703,7 @@ def q111_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         mat.withColumnRenamed("rev", "rev_m").withColumnRenamed("n_lines", "nl_m")
         .join(
-            delta.withColumnRenamed("rev", "rev_d")
-            .withColumnRenamed("nl_m", "nl_d")
-            .withColumnRenamed("n_lines", "nl_d"),
+            delta.withColumnRenamed("rev", "rev_d").withColumnRenamed("n_lines", "nl_d"),
             "n_name",
             "full_outer",
         )

@@ -54,3 +54,13 @@ def test_laplace_noise_matches_inverse_cdf(spark):
     want = -(1 / eps) * math.copysign(1.0, u) * math.log(1 - 2 * abs(u))
     df = spark.range(1).select(laplace_noise(F.lit(key), eps, seed).alias("x"))
     assert df.collect()[0]["x"] == pytest.approx(want, rel=1e-12)
+
+
+def test_dp_null_group_distinct_from_empty_string(spark):
+    # NULL and '' groups must draw INDEPENDENT noise (concat_ws alone
+    # would collide them); exact counts are equal so any output
+    # difference comes from the draw key
+    df = spark.createDataFrame([(None,), ("",), (None,), ("",)], "g string")
+    out = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 0.5, "s").collect()}
+    assert set(out) == {None, ""}
+    assert out[None] != out[""]

@@ -503,3 +503,30 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     }
     assert old == new and len(old) == 2
     assert old[0][0] == 5  # users 0/1 alternate over ids 0..9
+
+
+def test_staged_swap_crash_recovery(spark, tmp_path):
+    """Crash between rmtree(live) and move(staging, live): the stranded
+    complete staging dir (with _SUCCESS) must be adopted; a PARTIAL
+    staging dir (no _SUCCESS) must never be promoted."""
+    import shutil
+
+    from batchprocessingetl_spark.streaming.jobs import recover_staged_swap
+
+    live = tmp_path / "state"
+    staging = tmp_path / "state.staging"
+
+    # simulate: completed staging write, live dir already removed
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(str(staging))
+    assert (staging / "_SUCCESS").exists()
+    assert recover_staged_swap(str(live)) is True
+    assert {r["v"] for r in spark.read.parquet(str(live)).collect()} == {"a"}
+    # idempotent second call
+    assert recover_staged_swap(str(live)) is False
+
+    # partial staging (no _SUCCESS) with live missing: refuse
+    shutil.rmtree(live)
+    staging.mkdir()
+    (staging / "part-00000.parquet").write_bytes(b"partial")
+    assert recover_staged_swap(str(live)) is False
+    assert not live.exists()
