@@ -1,0 +1,95 @@
+"""Mergeable frequency sketch: Count-Min with guarantee-checked reads.
+
+The GK quantile sketch (q74) and HLL (q57) cover rank and cardinality;
+this adds the third classic mergeable summary — frequency. A Count-Min
+sketch (Cormode & Muthukrishnan 2005) is a d x w counter grid; each
+item increments one counter per row (row i uses hash_i), and a point
+query reads the MIN of its d counters: an overestimate by at most
+eps*N with probability 1 - delta for w = ceil(e/eps), d = ceil(ln
+1/delta).
+
+Spark-first decomposition — the sketch IS a grouped aggregation:
+
+- build: explode d (row, bucket) pairs per input row -> one hash
+  aggregate on (row, bucket). The result is d*w rows REGARDLESS of
+  input size, mergeable across shards/streams by simple addition
+  (union + re-aggregate), exactly how sketch state should live in a
+  warehouse table.
+- probe: hash each query key to its d buckets, equi-join against the
+  sketch, take min per key. Broadcast-sized whenever d*w is small.
+
+Hashes are the repo's engine-independent md5 idiom, so a DuckDB
+oracle replays the identical sketch — the differential check pins the
+actual CM guarantee (true <= est <= true + eps*N), not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX15 = float(16**15)
+
+
+def _bucket(key: Column, row: Column, width: int) -> Column:
+    h = F.md5(F.concat(F.lit("cms"), row.cast("string"), F.lit(":"), key))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame, key: Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of ``key``'s frequency distribution: returns
+    the (row, bucket, c) counter table, d*w rows max. One narrow
+    explode (factor d) + one hash aggregate; map-side combine shrinks
+    every partition to <= d*w counters before the shuffle."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        df.select(key.cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .select(rows, F.col("__k"))
+        .select("row", _bucket(F.col("__k"), F.col("row"), width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query a CM sketch for every row of ``keys``: joins each
+    key's d (row, bucket) probes against the counter table and takes
+    the min — returns (key_col, est). Missing counters read as 0."""
+    probes = (
+        keys.select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+        .select(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+        )
+        .select("__k", "row", _bucket(F.col("__k"), F.col("row"), width).alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .select(F.col("__k").alias(key_col), "est")
+    )
+
+
+def cms_sql_duckdb(
+    source_sql: str, key_sql: str, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB CTE fragment computing the identical sketch counters as
+    :func:`cms_build` (name it in a WITH clause)."""
+    return f"""
+        SELECT row, ('0x' || substr(md5('cms' || row::VARCHAR || ':' || k), 1, 15))::BIGINT
+                   % {width} AS bucket,
+               COUNT(*) AS c
+        FROM (
+            SELECT CAST({key_sql} AS VARCHAR) AS k,
+                   unnest(range(0, {depth}))::INT AS row
+            FROM {source_sql}
+            WHERE {key_sql} IS NOT NULL
+        )
+        GROUP BY 1, 2
+    """

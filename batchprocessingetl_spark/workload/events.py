@@ -644,6 +644,49 @@ def q114_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+CMS_EPS = 2.718281828459045 / CMS_WIDTH  # e / w — the CM error bound
+
+
+def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch heavy hitters (operators/sketches.py): the
+    top-20 users by exact event count, re-estimated from a 4x1024
+    Count-Min sketch, with the CM guarantee CHECKED per key (true <=
+    est <= true + eps*N, eps = e/w) — the q57/q74/q96 pattern of
+    oracle-pinning a sketch's actual contract rather than its exact
+    values. The sketch is d*w counters regardless of corpus size and
+    merges across shards by addition; at 100 TB the exact top-k is
+    the expensive path and the sketch is the cheap always-on one."""
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    top = exact.orderBy(F.desc("true_n"), "user_id").limit(20)
+    sketch = cms_build(ev, F.col("user_id"), CMS_DEPTH, CMS_WIDTH)
+    est = cms_point_estimates(sketch, top, "user_id", CMS_DEPTH, CMS_WIDTH)
+    n_total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        top.join(
+            est.select(F.col("user_id").cast("long").alias("user_id"), "est"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "true_n",
+            "est",
+            (
+                (F.col("est") >= F.col("true_n"))
+                & (F.col("est") <= F.col("true_n") + F.lit(CMS_EPS) * F.col("__n"))
+            ).alias("est_ok"),
+        )
+        .orderBy(F.desc("true_n"), "user_id")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q24_asof_attribution": q24_asof_attribution,
@@ -688,6 +731,7 @@ EXTRA_QUERIES = {
     "q103_rate_anomalies": q103_rate_anomalies,
     "q106_event_transitions": q106_event_transitions,
     "q114_active_users": q114_active_users,
+    "q121_heavy_hitters": q121_heavy_hitters,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -1002,6 +1046,34 @@ _ORACLE_ALL["q109_dp_daily_counts"] = f"""
                  6) AS noisy_count
     FROM g
     ORDER BY event_type, day
+"""
+
+from batchprocessingetl_spark.operators.sketches import cms_sql_duckdb as _cms_sql
+
+_ORACLE_ALL["q121_heavy_hitters"] = f"""
+    WITH sketch AS ({_cms_sql("events", "user_id", CMS_DEPTH, CMS_WIDTH)}),
+    exact AS (
+        SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+    ), top AS (
+        SELECT user_id, true_n FROM exact
+        ORDER BY true_n DESC, user_id LIMIT 20
+    ), probes AS (
+        SELECT user_id, true_n, r.row,
+               ('0x' || substr(md5('cms' || r.row::VARCHAR || ':'
+                                   || user_id::VARCHAR), 1, 15))::BIGINT
+                   % {CMS_WIDTH} AS bucket
+        FROM top, (SELECT unnest(range(0, {CMS_DEPTH}))::INT AS row) r
+    ), ests AS (
+        SELECT p.user_id, p.true_n, MIN(s.c) AS est
+        FROM probes p JOIN sketch s USING (row, bucket)
+        GROUP BY 1, 2
+    )
+    SELECT e.user_id, e.true_n, e.est,
+           e.est >= e.true_n
+           AND e.est <= e.true_n + {CMS_EPS!r} * (SELECT COUNT(*) FROM events)
+               AS est_ok
+    FROM ests e
+    ORDER BY true_n DESC, user_id
 """
 
 _ORACLE_ALL["q114_active_users"] = """

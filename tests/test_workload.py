@@ -420,3 +420,40 @@ def test_equi_depth_histogram_no_global_window(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("v"))
     plan = equi_depth_histogram(df, "v", 4)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # ntile would need a single-partition sort
+
+
+def test_cms_sketch_guarantee_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    # skewed corpus: key k appears k times, k = 1..60 (N = 1830)
+    rows = [(k,) for k in range(1, 61) for _ in range(k)]
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_build(df, F.col("k"), depth=4, width=256)
+    assert sketch.count() <= 4 * 256
+    keys = df.select("k").distinct()
+    est = {
+        int(r["k"]): r["est"]
+        for r in cms_point_estimates(sketch, keys, "k", 4, 256).collect()
+    }
+    n = 1830
+    eps_n = (2.718281828459045 / 256) * n
+    for k in range(1, 61):
+        assert est[k] >= k  # never under-counts
+        assert est[k] <= k + eps_n  # CM bound
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a = df.filter(F.col("k") <= 30)
+    b = df.filter(F.col("k") > 30)
+    merged = (
+        cms_build(a, F.col("k"), 4, 256)
+        .unionByName(cms_build(b, F.col("k"), 4, 256))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_build(df, F.col("k"), 4, 256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
