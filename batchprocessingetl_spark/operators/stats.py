@@ -198,3 +198,79 @@ def quantile_gate(
         F.percentile(v, F.lit(q)).alias("__cut")
     )
     return df.join(F.broadcast(cuts), group_cols).filter(v >= F.col("__cut"))
+
+
+BOOT_B = 32  # resamples; explode factor of the bootstrap pass
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    id_col: str,
+    n_resamples: int = BOOT_B,
+    seed: str = "boot",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group mean with a subsample-bootstrap confidence interval —
+    uncertainty quantification as a PLAN, with replayable resamples.
+
+    Each of ``n_resamples`` half-samples keeps a row iff its
+    md5(seed:b:id) uniform < 0.5 (the m-out-of-n bootstrap, m = n/2);
+    the spread of the resample means estimates the sampling error,
+    scaled by sqrt(m/n) = 1/sqrt(2) back to the full-sample scale.
+    Deterministic draws make the CI reproducible run-to-run and
+    oracle-replicable — an RNG bootstrap cannot be differentially
+    tested at all.
+
+    Shape: one explode (factor B) -> one hash aggregate on
+    (group, b) with exact decimal sums -> one tiny aggregate of B
+    means per group. No window, no driver loop; the heavy pass is
+    B x |input| narrow rows with map-side combine.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col("__b").cast("string"),
+                        F.lit(":"),
+                        F.col("__id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    acc = "decimal(28,6)"
+    resampled = (
+        df.select(
+            *group_cols,
+            value.cast(acc).alias("__v"),
+            F.col(id_col).alias("__id"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("__b"),
+        )
+        .filter(u < 0.5)
+        .groupBy(*group_cols, "__b")
+        .agg((F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__mean_b"))
+    )
+    full = df.groupBy(*group_cols).agg(
+        (F.sum(value.cast(acc)).cast("double") / F.count(F.lit(1))).alias("mean")
+    )
+    half_sd = F.stddev_samp("__mean_b")
+    spread = resampled.groupBy(*group_cols).agg(
+        (half_sd / F.lit(2.0 ** 0.5)).alias("__se"),
+        F.count(F.lit(1)).alias("n_resamples"),
+    )
+    return full.join(spread, group_cols).select(
+        *group_cols,
+        F.round("mean", 6).alias("mean"),
+        F.round(F.col("mean") - F.lit(z) * F.col("__se"), 6).alias("ci_lo"),
+        F.round(F.col("mean") + F.lit(z) * F.col("__se"), 6).alias("ci_hi"),
+        "n_resamples",
+    )

@@ -687,6 +687,25 @@ def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_SEED = "boot-r4"
+
+
+def q122_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean event value with a subsample-bootstrap 95% CI
+    (operators/stats.py::bootstrap_mean_ci): 32 deterministic
+    half-samples (md5-uniform membership), exact decimal per-resample
+    means, spread scaled back to full-sample standard error. The
+    oracle replays every draw — an RNG bootstrap could never be
+    differentially tested; this one is reproducible to the last
+    digit."""
+    from batchprocessingetl_spark.operators.stats import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, ["event_type"], F.col("value"), "event_id", seed=BOOT_SEED
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q24_asof_attribution": q24_asof_attribution,
@@ -732,6 +751,7 @@ EXTRA_QUERIES = {
     "q106_event_transitions": q106_event_transitions,
     "q114_active_users": q114_active_users,
     "q121_heavy_hitters": q121_heavy_hitters,
+    "q122_bootstrap_mean_ci": q122_bootstrap_mean_ci,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -1074,6 +1094,35 @@ _ORACLE_ALL["q121_heavy_hitters"] = f"""
                AS est_ok
     FROM ests e
     ORDER BY true_n DESC, user_id
+"""
+
+_ORACLE_ALL["q122_bootstrap_mean_ci"] = f"""
+    WITH resamp AS (
+        SELECT event_type, b.b,
+               SUM(CAST(value AS DECIMAL(28,6))) AS s, COUNT(*) AS m
+        FROM events, (SELECT unnest(range(0, 32))::INT AS b) b
+        WHERE ('0x' || substr(md5('{BOOT_SEED}:' || b.b::VARCHAR || ':'
+                                  || event_id::VARCHAR), 1, 15))::BIGINT
+              / {float(16**15)!r} < 0.5
+        GROUP BY 1, 2
+    ), spread AS (
+        SELECT event_type,
+               STDDEV_SAMP(CAST(s AS DOUBLE) / m) / sqrt(2.0) AS se,
+               COUNT(*) AS n_resamples
+        FROM resamp GROUP BY 1
+    ), fullm AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS mean
+        FROM events GROUP BY 1
+    )
+    SELECT f.event_type,
+           ROUND(f.mean, 6) AS mean,
+           ROUND(f.mean - 1.96 * s.se, 6) AS ci_lo,
+           ROUND(f.mean + 1.96 * s.se, 6) AS ci_hi,
+           s.n_resamples
+    FROM fullm f JOIN spread s USING (event_type)
+    ORDER BY event_type
 """
 
 _ORACLE_ALL["q114_active_users"] = """

@@ -457,3 +457,26 @@ def test_cms_sketch_guarantee_and_merge(spark):
     )
     whole = cms_build(df, F.col("k"), 4, 256)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.stats import bootstrap_mean_ci
+
+    # known population: values 0..999 in one group, true mean 499.5
+    df = spark.createDataFrame([(i % 2, float(i), i) for i in range(1000)], "g long, v double, id long")
+    out = bootstrap_mean_ci(df, ["g"], F.col("v"), "id", seed="t")
+    rows = {r["g"]: r for r in out.collect()}
+    for g, r in rows.items():
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+        assert r["n_resamples"] == 32
+        # CI is sane: a few percent of the mean, not zero-width or huge
+        width = r["ci_hi"] - r["ci_lo"]
+        assert 0 < width < r["mean"]
+    # deterministic under repartition
+    again = {
+        r["g"]: (r["ci_lo"], r["ci_hi"])
+        for r in bootstrap_mean_ci(df.repartition(7), ["g"], F.col("v"), "id", seed="t").collect()
+    }
+    assert again == {g: (r["ci_lo"], r["ci_hi"]) for g, r in rows.items()}
