@@ -64,10 +64,16 @@ def dp_noisy_counts(
     1 under add/remove-one-row adjacency) plus Laplace(1/epsilon)
     noise keyed on the group value. Returns group_cols +
     (noisy_count,) ONLY — the exact count must not ride along in a
-    DP release. One shuffle (the count), then a narrow projection."""
+    DP release. One shuffle (the count), then a narrow projection.
+
+    The draw key is an INJECTIVE netstring-style encoding — NULL ->
+    'N', value v -> 'V<len>:<v>' — so two distinct group tuples can
+    never alias to one draw key (and thus share correlated noise),
+    even when values contain the separator or look like the NULL
+    sentinel. ``dp_key_sql_duckdb`` is the byte-identical twin."""
     key = F.concat_ws(
         "\x1f",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in group_cols],
+        *[_netstring(F.col(c).cast("string")) for c in group_cols],
     )
     return (
         df.groupBy(*group_cols)
@@ -81,10 +87,24 @@ def dp_noisy_counts(
     )
 
 
+def _netstring(v: Column) -> Column:
+    """Injective component encoding: NULL -> 'N', value -> 'V<len>:<v>'.
+    The length prefix makes the concatenation decodable left-to-right,
+    so no value content (separators, sentinel look-alikes) can alias
+    two distinct group tuples to the same draw key."""
+    return F.when(v.isNull(), F.lit("N")).otherwise(
+        F.concat(F.lit("V"), F.length(v).cast("string"), F.lit(":"), v)
+    )
+
+
 def dp_key_sql_duckdb(col_sqls: list[str]) -> str:
-    """DuckDB twin of the null-safe draw key: COALESCE each value to
-    the chr(1) sentinel, join with the chr(31) separator."""
-    parts = [f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in col_sqls]
+    """DuckDB twin of the injective netstring draw key: NULL -> 'N',
+    value -> 'V<len>:<v>', components joined with chr(31)."""
+    parts = [
+        f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' ||"
+        f" length(CAST({c} AS VARCHAR)) || ':' || CAST({c} AS VARCHAR) END"
+        for c in col_sqls
+    ]
     return " || chr(31) || ".join(parts)
 
 

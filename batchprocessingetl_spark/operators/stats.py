@@ -43,8 +43,12 @@ def group_ols(
     exact for currency-style inputs. Every x sum accumulates in
     DECIMAL(18,0) (not long) so an out-of-range regressor — e.g.
     epoch-millisecond x values whose squares exceed the 64-bit range —
-    overflows to a VISIBLE NULL in both engines instead of silently
-    wrapping a long sum. Returns group_cols + (n, slope, intercept,
+    never silently wraps a long sum: Spark (non-ANSI) overflows to a
+    VISIBLE NULL, while DuckDB (and Spark under ANSI mode) raises a
+    hard out-of-range error — either way the corruption is loud, but
+    the two engines fail DIFFERENTLY, so keep |x| within ~1e9 (x^2
+    within DECIMAL(18)) when a query is oracle-compared. Returns
+    group_cols + (n, slope, intercept,
     r2), with NULLs where x has no variance (or n < 2)."""
     xi = x.cast("long").cast("decimal(18,0)")
     yd = y.cast(Y_ACC)
@@ -186,18 +190,21 @@ def quantile_gate(
     """Per-group quantile gate — keep rows with ``col`` >= their
     group's q-th exact interpolated percentile ("top-X% per source",
     the standard corpus-curation allocation rule). One grouped
-    percentile aggregate (tiny result: one row per group) joined back
-    broadcast-style on the group key, then a narrow filter — no
-    percent_rank window, whose per-group sort + full materialization
-    is the thing to avoid when groups are huge. Adds the cutoff as
-    ``__cut`` for auditability; callers drop it if unwanted."""
+    percentile aggregate (one row per group) joined back on the group
+    key, then a narrow filter — no percent_rank window, whose
+    per-group sort + full materialization is the thing to avoid when
+    groups are huge. The cutoff table scales with GROUP-KEY
+    CARDINALITY, not input size, so the join side is left unhinted:
+    AQE broadcasts it when it's small and falls back to shuffle when a
+    high-cardinality key would OOM a forced broadcast. Adds the cutoff
+    as ``__cut`` for auditability; callers drop it if unwanted."""
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0,1), got {q}")
     v = F.col(col).cast("double")
     cuts = df.groupBy(*group_cols).agg(
         F.percentile(v, F.lit(q)).alias("__cut")
     )
-    return df.join(F.broadcast(cuts), group_cols).filter(v >= F.col("__cut"))
+    return df.join(cuts, group_cols).filter(v >= F.col("__cut"))
 
 
 BOOT_B = 32  # resamples; explode factor of the bootstrap pass

@@ -289,6 +289,38 @@ def path_exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` via the Hadoop FS gateway —
+    works for any configured URI scheme (file://, hdfs://, s3a://),
+    unlike os.path/shutil which silently no-op on non-local stores."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API (any scheme,
+    any path kind — file, dir, marker)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API. Returns
+    True when something was deleted."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, True))
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-where-the-store-allows rename through the Hadoop
+    FileSystem API (HDFS renames are atomic; object stores degrade to
+    copy+delete — the staged-swap recovery protocol tolerates both)."""
+    fs, jsrc = _hadoop_fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(jsrc, jdst))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -384,7 +384,7 @@ def incremental_ingest_stream(
 
 
 
-def recover_staged_swap(target_dir: str) -> bool:
+def recover_staged_swap(spark: SparkSession, target_dir: str) -> bool:
     """Close the staged-swap crash window: if a previous run died
     BETWEEN removing the live dir and renaming the staging dir into
     place, the complete new snapshot is stranded at
@@ -393,16 +393,17 @@ def recover_staged_swap(target_dir: str) -> bool:
     staging write completed (Spark's ``_SUCCESS`` marker): a crash
     mid-write leaves the live dir intact, so a partial staging dir is
     never promoted. Returns True when a recovery happened. Idempotent;
-    both staged-swap streaming jobs call it at the top of every fold."""
-    import os
-    import shutil
+    both staged-swap streaming jobs call it at the top of every fold.
+    All state moves go through the Hadoop FileSystem API, so the
+    protocol works unchanged on hdfs:// and s3a:// dirs, not just the
+    local filesystem."""
+    from batchprocessingetl_spark.sources.readers import fs_exists, fs_rename
 
     staging = target_dir.rstrip("/") + ".staging"
-    if (
-        not os.path.exists(target_dir)
-        and os.path.exists(os.path.join(staging, "_SUCCESS"))
+    if not fs_exists(spark, target_dir) and fs_exists(
+        spark, staging + "/_SUCCESS"
     ):
-        shutil.move(staging, target_dir)
+        fs_rename(spark, staging, target_dir)
         return True
     return False
 
@@ -457,7 +458,7 @@ def scd2_maintenance_stream(
     )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
-        recover_staged_swap(dim_dir)
+        recover_staged_swap(spark, dim_dir)
         if batch.isEmpty():
             return
         b = resolve_grain(batch, primary_key, [F.col(ts_col).desc()])
@@ -476,13 +477,14 @@ def scd2_maintenance_stream(
         # would destroy the dimension, and the replayed epoch would then
         # mistake the batch for an initial load (history loss). Writing
         # aside and swapping shrinks the unsafe window to a dir rename.
-        import shutil
+        # Delete + rename go through the Hadoop FS API (URI-agnostic).
+        from batchprocessingetl_spark.sources.readers import fs_delete, fs_rename
 
         tmp = dim_dir.rstrip("/") + ".staging"
         merged.write.mode("overwrite").parquet(tmp)
         if path_exists(spark, dim_dir):
-            shutil.rmtree(dim_dir)
-        shutil.move(tmp, dim_dir)
+            fs_delete(spark, dim_dir)
+        fs_rename(spark, tmp, dim_dir)
 
     q = (
         snaps.writeStream.foreachBatch(fold)
@@ -585,10 +587,12 @@ def cdc_changelog_stream(
     range and rewrite only touched partitions — the fold algebra is
     unchanged.
     """
-    import shutil
-
     from batchprocessingetl_spark.operators.cdc import compact_changelog
-    from batchprocessingetl_spark.sources.readers import path_exists
+    from batchprocessingetl_spark.sources.readers import (
+        fs_delete,
+        fs_rename,
+        path_exists,
+    )
 
     log = (
         spark.readStream.schema(changelog_schema)
@@ -597,7 +601,7 @@ def cdc_changelog_stream(
     )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
-        recover_staged_swap(state_dir)
+        recover_staged_swap(spark, state_dir)
         if batch.isEmpty():
             return
         merged = batch
@@ -609,8 +613,8 @@ def cdc_changelog_stream(
         tmp = state_dir.rstrip("/") + ".staging"
         state.write.mode("overwrite").parquet(tmp)
         if path_exists(spark, state_dir):
-            shutil.rmtree(state_dir)
-        shutil.move(tmp, state_dir)
+            fs_delete(spark, state_dir)
+        fs_rename(spark, tmp, state_dir)
 
     q = (
         log.writeStream.foreachBatch(fold)
@@ -625,7 +629,7 @@ def cdc_snapshot(
     spark: SparkSession, state_dir: str, op_col: str = "op", delete_op: str = "D"
 ) -> DataFrame:
     """Live-rows view over a :func:`cdc_changelog_stream` state dir."""
-    recover_staged_swap(state_dir)
+    recover_staged_swap(spark, state_dir)
     state = spark.read.parquet(state_dir)
     return state.filter(F.col(op_col) != F.lit(delete_op))
 

@@ -531,3 +531,16 @@ for _name in (
 for _name in ("q68_repetition_signals", "q69_pii_redaction"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLE[_name] = ORACLE.pop(_name)
+
+# Round 5 rotation (VERDICT r4 #1): the per-group quantile gate (q116)
+# moves in; q67 (decontamination — the curation family keeps q70 bloom
+# incremental dedup + q82/q84 boilerplate registered, and the
+# broadcast-semi decontam join stays pinned by tests/test_curation.py)
+# and q83 (temperature resample — the sampling family's registered row
+# moves to q118's leakage-free cluster-keyed split) move out, both
+# still value-pinned by check_oracle --extra at two scale factors.
+QUERIES["q116_source_quality_gate"] = EXTRA_QUERIES.pop("q116_source_quality_gate")
+ORACLE["q116_source_quality_gate"] = EXTRA_ORACLE.pop("q116_source_quality_gate")
+for _name in ("q67_decontamination", "q83_temperature_resample"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLE[_name] = ORACLE.pop(_name)

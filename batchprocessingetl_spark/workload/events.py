@@ -708,13 +708,24 @@ def q122_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
-    "q24_asof_attribution": q24_asof_attribution,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
-    # Round 4 rotation (VERDICT r3 #1): the r3 net-new time-series /
-    # skew families gain driver-side CORRECTNESS rows.
-    "q81_skewed_user_rollup": q81_skewed_user_rollup,
-    "q88_gapfill_locf": q88_gapfill_locf,
-    "q91_rollup_increment": q91_rollup_increment,
+    # Round 5 rotation (VERDICT r4 #1): the round-4 net-new event
+    # analytics gain driver-side rows. Displaced: q24 (as-of join —
+    # the range family keeps q75's big-big interval join registered;
+    # as-of stays benched + oracle-checked as EXTRA), q81 (salted skew
+    # rollup — q94 registers the SAME measured-zipf fixture through
+    # the AQE skew-join path; the salting twin stays benched), q88
+    # (gapfill+LOCF — the time-series family keeps q98 EWMA + q103
+    # z-score registered) and q91 (incremental rollup refresh — q111
+    # registers the strictly more general join-aggregate IVM).
+    "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
+    "q98_ewma_smoothing": q98_ewma_smoothing,
+    "q102_cohort_retention": q102_cohort_retention,
+    "q103_rate_anomalies": q103_rate_anomalies,
+    "q106_event_transitions": q106_event_transitions,
+    "q114_active_users": q114_active_users,
+    "q121_heavy_hitters": q121_heavy_hitters,
+    "q122_bootstrap_mean_ci": q122_bootstrap_mean_ci,
     # Round 4 mid-round rotation: funnel analysis and the DP release
     # gain driver-side rows. Displaced: q20 (tumbling window — §2.9's
     # window family keeps q28's session_window registered row and q20
@@ -742,16 +753,12 @@ EXTRA_QUERIES = {
     "q21_sessionization": q21_sessionization,
     "q22_event_type_daily": q22_event_type_daily,
     "q23_json_props_extract": q23_json_props_extract,
+    "q24_asof_attribution": q24_asof_attribution,
     "q25_value_band_rollup": q25_value_band_rollup,
     "q29_sliding_window_rollup": q29_sliding_window_rollup,
-    "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
-    "q98_ewma_smoothing": q98_ewma_smoothing,
-    "q102_cohort_retention": q102_cohort_retention,
-    "q103_rate_anomalies": q103_rate_anomalies,
-    "q106_event_transitions": q106_event_transitions,
-    "q114_active_users": q114_active_users,
-    "q121_heavy_hitters": q121_heavy_hitters,
-    "q122_bootstrap_mean_ci": q122_bootstrap_mean_ci,
+    "q81_skewed_user_rollup": q81_skewed_user_rollup,
+    "q88_gapfill_locf": q88_gapfill_locf,
+    "q91_rollup_increment": q91_rollup_increment,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side

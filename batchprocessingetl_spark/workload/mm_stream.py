@@ -108,6 +108,10 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q60_multimodal_features": q60_multimodal_features,
+    # Round 5 rotation (VERDICT r4 #1): the GIF variable-width-LZW
+    # decode path gains a driver row alongside q60's multi-format
+    # analytic oracle.
+    "q100_gif_decode": q100_gif_decode,
 }
 
 # Out of the ~50-entry driver registry budget: the streaming run is
@@ -121,7 +125,6 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q61_streaming_hourly": q61_streaming_hourly,
     "q62_frame_sampling": q62_frame_sampling,
-    "q100_gif_decode": q100_gif_decode,
 }
 
 ORACLE = {
@@ -195,9 +198,9 @@ ORACLE = {
 # oracle follows it so check_oracle --extra keeps value-pinning it.
 EXTRA_ORACLE = {"q62_frame_sampling": ORACLE.pop("q62_frame_sampling")}
 
-# q100: the q60 analytic raster oracle, with every document an image
-# (no wav split) and the wire format pinned to GIF.
-EXTRA_ORACLE["q100_gif_decode"] = """
+# q100 (registered in r5): the q60 analytic raster oracle, with every
+# document an image (no wav split) and the wire format pinned to GIF.
+ORACLE["q100_gif_decode"] = """
     WITH img AS (
         SELECT doc_id, (4 + doc_id % 13) AS w, (4 + doc_id % 7) AS h
         FROM documents

@@ -473,19 +473,25 @@ def q108_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
-    "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
     "q79_medallion_e2e": q79_medallion_e2e,
-    # Round 4 rotation (VERDICT r3 #1): SCD1 upsert, the constraint
-    # gate and the keyed snapshot diff gain driver-side rows.
-    "q85_scd1_upsert": q85_scd1_upsert,
-    "q90_constraint_report": q90_constraint_report,
-    "q92_snapshot_diff": q92_snapshot_diff,
     # Round 4 mid-round rotation: the transactional MERGE surface, CDC
     # changelog compaction and the single-pass profiler gain
     # driver-side rows.
     "q93_merge_upsert": q93_merge_upsert,
     "q101_cdc_snapshot": q101_cdc_snapshot,
     "q108_table_profile": q108_table_profile,
+    # Round 5 rotation (VERDICT r4 #1): equi-depth histogram binning
+    # and SCD2 time-travel reads gain driver rows. Displaced: q74 (GK
+    # quantile sketch — the sketch family's registered row moves to
+    # q121's Count-Min heavy hitters; GK's exact-vs-sketch error bound
+    # stays pytest-pinned), q85 (SCD1 upsert — the upsert family keeps
+    # q93's transactional MERGE registered and §2.11 keeps q41), q90
+    # (constraint gate — the gating family's registered row moves to
+    # q116's per-group quantile gate) and q92 (snapshot diff — the
+    # change-detection family keeps q101 CDC compaction + the newly
+    # registered q111 IVM delta-merge).
+    "q112_price_histogram": q112_price_histogram,
+    "q115_dim_time_travel": q115_dim_time_travel,
 }
 
 # Out of the ~50-entry driver registry budget; skew-salting evidence is
@@ -495,8 +501,10 @@ QUERIES = {
 # q74, which pins the same quantile semantics plus the sketch) out to
 # make room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
-    "q112_price_histogram": q112_price_histogram,
-    "q115_dim_time_travel": q115_dim_time_travel,
+    "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
+    "q85_scd1_upsert": q85_scd1_upsert,
+    "q90_constraint_report": q90_constraint_report,
+    "q92_snapshot_diff": q92_snapshot_diff,
     "q42_scd2_initial_load": q42_scd2_initial_load,
     "q43_salted_supplier_agg": q43_salted_supplier_agg,
     "q44_price_percentiles": q44_price_percentiles,
@@ -507,7 +515,10 @@ def _profile_oracle_col(col: str, kind: str) -> str:
     from batchprocessingetl_spark.workload.parity import davg_sql
 
     v = f"CAST({col} AS DOUBLE)" if kind == "numeric" else f"CAST(LENGTH({col}) AS DOUBLE)"
-    dist = col  # strings count distinct VALUES, numerics distinct doubles
+    # Mirror profile_columns exactly: numerics count distinct over the
+    # DOUBLE cast (two high-precision decimals that collide as doubles
+    # must collide in the oracle too), strings over the raw value.
+    dist = f"CAST({col} AS DOUBLE)" if kind == "numeric" else col
     return f"""        SELECT '{col}' AS "column", '{kind}' AS kind,
                COUNT(*) AS n_rows,
                COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS n_nulls,

@@ -644,26 +644,24 @@ BASKET_MINSUP = 2
 
 
 def q110_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent item-pair mining (market-basket): distinct parts per
-    order, within-order ordered self-join (a < b kills the mirror
-    pair), support count, min-support prune. The self-join is keyed on
-    the basket id, so pair blow-up is sum over baskets of C(k,2) —
-    bounded by basket width, never corpus² — and the support rollup is
-    a map-side-combinable hash aggregate on the pair. This is the
-    A-priori candidate-pair pass; higher-order itemsets iterate the
-    same join shape against the surviving pairs."""
+    """Frequent item-pair mining (market-basket) via
+    operators/baskets.py::copurchase_pairs: distinct parts per order,
+    A-priori item-support prefilter (an item below pair min-support
+    cannot appear in a surviving pair, so pruning items FIRST is
+    semantics-preserving and shrinks the quadratic self-join input),
+    within-order ordered self-join (a < b kills the mirror pair),
+    support count, min-support prune. The self-join is keyed on the
+    basket id, so pair blow-up is sum over baskets of C(k,2) — bounded
+    by basket width, never corpus²; the operator's max_basket_width
+    guard (off here: the oracle mines the uncapped set) drops
+    pathological giant baskets with a logged count."""
+    from batchprocessingetl_spark.operators.baskets import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    bp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = bp.alias("a"), bp.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= BASKET_MINSUP)
+        copurchase_pairs(li, "l_orderkey", "l_partkey", BASKET_MINSUP)
+        .withColumnRenamed("item_a", "part_a")
+        .withColumnRenamed("item_b", "part_b")
         .orderBy("part_a", "part_b")
     )
 
@@ -852,6 +850,13 @@ QUERIES = {
     "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
     "q104_triangle_counts": q104_triangle_counts,
     "q107_price_trend_ols": q107_price_trend_ols,
+    # Round 5 rotation (VERDICT r4 #1): co-purchase mining, IVM, ABC
+    # classification and the TPC-H Q15/Q22 analogs gain driver rows.
+    "q110_copurchase_pairs": q110_copurchase_pairs,
+    "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
+    "q117_abc_analysis": q117_abc_analysis,
+    "q119_top_suppliers": q119_top_suppliers,
+    "q120_idle_customer_balances": q120_idle_customer_balances,
 }
 
 # Still first-class operators (pytest-covered via collect_extra_queries
@@ -915,11 +920,6 @@ EXTRA_QUERIES = {
     "q27_order_date_spans": q27_order_date_spans,
     "q49_customer_order_analytics": q49_customer_order_analytics,
     "q59_calendar_spine": q59_calendar_spine,
-    "q110_copurchase_pairs": q110_copurchase_pairs,
-    "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
-    "q117_abc_analysis": q117_abc_analysis,
-    "q119_top_suppliers": q119_top_suppliers,
-    "q120_idle_customer_balances": q120_idle_customer_balances,
 }
 
 # PageRank oracle: replay the exact power iterations as chained CTEs.

@@ -526,10 +526,19 @@ def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q47_simhash_near_dups": q47_simhash_near_dups,
-    "q63_dedup_clusters": q63_dedup_clusters,
-    "q31_quality_score": q31_quality_score,
-    "q33_exact_dedup": q33_exact_dedup,
+    # Round 5 rotation (VERDICT r4 #1): the end-to-end entity
+    # resolution pipeline and the near-dup-aware leakage-free split
+    # gain driver-side rows. Displaced: q47 (SimHash — the near-dup
+    # family keeps q37 MinHash + q45 winnowing registered), q63
+    # (connected-components clusters — q113 registers the SAME
+    # min-label machinery end-to-end on fuzzy pairs), q31 (quality
+    # score — family keeps q46 TF-IDF + q95 LM quality), q33 (exact
+    # dedup — §2.4 A4/A5 keeps q40's full-row dropDuplicates
+    # registered), q86/q87 (vocab / co-occurrence — family keeps q46 +
+    # q95 + q105 registered; q87's min-support HAVING shape is also
+    # pinned by q82).
+    "q113_entity_clusters": q113_entity_clusters,
+    "q118_leakage_free_split": q118_leakage_free_split,
     "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
     "q46_tfidf": q46_tfidf,
     "q37_minhash_near_dups": q37_minhash_near_dups,
@@ -548,8 +557,6 @@ QUERIES = {
     # join, vocab table, skip-gram co-occurrence and blocked fuzzy
     # matching gain driver-side CORRECTNESS rows.
     "q80_bm25_query_join": q80_bm25_query_join,
-    "q86_vocab_table": q86_vocab_table,
-    "q87_cooccurrence": q87_cooccurrence,
     "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
 }
 
@@ -566,8 +573,12 @@ QUERIES = {
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
-    "q113_entity_clusters": q113_entity_clusters,
-    "q118_leakage_free_split": q118_leakage_free_split,
+    "q47_simhash_near_dups": q47_simhash_near_dups,
+    "q63_dedup_clusters": q63_dedup_clusters,
+    "q31_quality_score": q31_quality_score,
+    "q33_exact_dedup": q33_exact_dedup,
+    "q86_vocab_table": q86_vocab_table,
+    "q87_cooccurrence": q87_cooccurrence,
     "q30_token_stats": q30_token_stats,
     "q34_language_id": q34_language_id,
     "q36_jaccard_near_dups": q36_jaccard_near_dups,

@@ -192,9 +192,12 @@ def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q50_knn_bruteforce": q50_knn_bruteforce,
-    "q65_knn_join": q65_knn_join,
-    "q66_semantic_dedup": q66_semantic_dedup,
+    # Round 5 rotation (VERDICT r4 #1): q50 (exact brute-force kNN),
+    # q65 (batch kNN join) and q66 (SemDeDup) move to EXTRA to fund
+    # driver rows for the round-4 net-new families; the similarity
+    # family keeps q53 (exact pair mining) + q54 (IVF ANN) registered,
+    # and q50's exact top-k remains pinned every round as the recall
+    # ground truth in tools/ann_recall.py's pytest floor.
     "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
     "q54_knn_ivf": q54_knn_ivf,
 }
@@ -349,6 +352,9 @@ ORACLE = {
 # (exact baseline) registered, and q52's retrieval quality is pinned
 # by the measured recall floor in tools/ann_recall.py's pytest.
 EXTRA_QUERIES = {
+    "q50_knn_bruteforce": q50_knn_bruteforce,
+    "q65_knn_join": q65_knn_join,
+    "q66_semantic_dedup": q66_semantic_dedup,
     "q52_knn_lsh": q52_knn_lsh,
     "q56_knn_int8": q56_knn_int8,
     "q51_label_centroid_similarity": q51_label_centroid_similarity,
@@ -375,6 +381,9 @@ EXTRA_ORACLE = {
     """,
 }
 
-# Round 4 mid-round rotation: align the oracle dicts with the
-# QUERIES/EXTRA_QUERIES split above.
+# Rotation bookkeeping: align the oracle dicts with the
+# QUERIES/EXTRA_QUERIES split above (r4: q52; r5: q50/q65/q66).
 EXTRA_ORACLE["q52_knn_lsh"] = ORACLE.pop("q52_knn_lsh")
+EXTRA_ORACLE["q50_knn_bruteforce"] = ORACLE.pop("q50_knn_bruteforce")
+EXTRA_ORACLE["q65_knn_join"] = ORACLE.pop("q65_knn_join")
+EXTRA_ORACLE["q66_semantic_dedup"] = ORACLE.pop("q66_semantic_dedup")

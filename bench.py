@@ -51,6 +51,26 @@ HEADLINE = (
 )
 
 
+def calibrate() -> float:
+    """Fixed CPU-bound micro-task timed on the bench host (seconds,
+    best of 3). Rounds r3->r4 showed uniform 1.0-1.7x per-query drift
+    from host speed alone; dividing each round's totals by its
+    calibration constant separates host drift from plan regressions
+    when comparing BENCH_r{N}.json across rounds. The task (pure-JVM
+    via a Spark-free Python loop would mismeasure the JVM; a pure-JVM
+    spark job would fold in scheduler noise) is a single-threaded
+    Python arithmetic loop — it tracks the same CPU clock the
+    single-stage query work runs on."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) % 2147483648
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -79,6 +99,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    calibration = calibrate()
     print(
         json.dumps(
             {
@@ -87,6 +108,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-speed yardstick: compare value/calibration (and
+                # per-query t/calibration) across rounds, not raw secs
+                "calibration": calibration,
+                "value_normalized": round(total / calibration, 2),
             }
         )
     )

@@ -519,14 +519,14 @@ def test_staged_swap_crash_recovery(spark, tmp_path):
     # simulate: completed staging write, live dir already removed
     spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(str(staging))
     assert (staging / "_SUCCESS").exists()
-    assert recover_staged_swap(str(live)) is True
+    assert recover_staged_swap(spark, str(live)) is True
     assert {r["v"] for r in spark.read.parquet(str(live)).collect()} == {"a"}
     # idempotent second call
-    assert recover_staged_swap(str(live)) is False
+    assert recover_staged_swap(spark, str(live)) is False
 
     # partial staging (no _SUCCESS) with live missing: refuse
     shutil.rmtree(live)
     staging.mkdir()
     (staging / "part-00000.parquet").write_bytes(b"partial")
-    assert recover_staged_swap(str(live)) is False
+    assert recover_staged_swap(spark, str(live)) is False
     assert not live.exists()
