@@ -169,24 +169,26 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """Banded-LSH candidate pairs from MinHash signatures.
-
-    Splits each signature into ``bands`` slices, hashes each slice to a
-    bucket, and equi-joins on (band, bucket). Output: distinct
-    (id_a < id_b) candidate pairs for exact verification.
+def band_signatures(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """(id, band, bucket) band rows from MinHash signatures — the
+    PERSISTABLE unit of an LSH index. Splits each signature into
+    ``bands`` slices and hashes each slice to a bucket; two docs are
+    near-dup candidates iff they share a (band, bucket) key. Written
+    to a table (3 narrow columns x bands rows per doc), this is the
+    incremental-dedup store: a future batch joins its OWN band rows
+    against it and never recomputes the corpus's signatures.
 
     The signature column is re-materialized through an exchange before
     banding: the band explode references ``sig`` once per band, and
     projection collapse would otherwise re-inline the whole
     n_hashes-pass MinHash computation into each reference (measured
     ~bands x slowdown). The exchange is cheap — signatures are
-    fixed-width (n_hashes longs per doc) — and both sides of the
-    self-join then reuse the same exchange output."""
+    fixed-width (n_hashes longs per doc) — and every consumer (both
+    sides of a self-join) reuses the same exchange output."""
     par = signatures.sparkSession.sparkContext.defaultParallelism
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = (
+    return (
         signatures.repartition(par, "id")
         .select(
             "id",
@@ -204,6 +206,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
         )
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures: band rows
+    (:func:`band_signatures`) equi-self-joined on (band, bucket).
+    Output: distinct (id_a < id_b) candidate pairs for exact
+    verification."""
+    banded = band_signatures(signatures, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -216,6 +226,43 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    batch_bands: DataFrame, store_bands: DataFrame
+) -> DataFrame:
+    """Candidate pairs TOUCHING the new batch, from band rows alone —
+    the growing-corpus production shape: the corpus's band rows live in
+    a persisted table (:func:`band_signatures` written once per batch,
+    appended forever); a new batch computes ONLY its own signatures and
+    equi-joins (band, bucket) against the store plus itself. The corpus
+    is never rescanned and its signatures never recomputed; per-batch
+    cost is O(batch) + O(candidates), independent of corpus size.
+
+    Invariant (what makes this a dedup protocol, pinned by the q124
+    oracle): incremental pairs over batch N, unioned across batches,
+    equal the full-recompute pair set — because every pair has a
+    later-arriving member, and that member's batch emits it.
+
+    Both inputs are (id, band, bucket). Output: distinct (id_a < id_b)
+    pairs with at least one batch member — batch-vs-store plus
+    batch-internal. Ids must be globally unique across store + batch."""
+    cross = batch_bands.alias("n").join(
+        store_bands.alias("s"),
+        (F.col("n.band") == F.col("s.band"))
+        & (F.col("n.bucket") == F.col("s.bucket")),
+    ).select(
+        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+    )
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    internal = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return cross.unionByName(internal).distinct()
 
 
 def minhash_dedup_pairs(
@@ -366,6 +413,7 @@ def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id, cluster_id) where cluster_id = min doc id reachable through
@@ -378,29 +426,40 @@ def connected_components(
     diameter is tiny in practice; ``max_iter`` bounds pathological
     chains). Scale posture per round: one shuffle for the
     edge-label join + one for the min-aggregate, both keyed on id;
-    ``localCheckpoint`` truncates lineage so the plan doesn't grow
+    the per-round barrier truncates lineage so the plan doesn't grow
     with the iteration count (the classic iterative-algorithm trap),
     and the convergence probe piggybacks on the aggregate (a max over
     per-vertex change flags), not a separate join.
 
+    ``checkpoint_dir``: None (default) barriers with executor-local
+    ``localCheckpoint`` — fast, but one lost executor kills a cluster
+    run mid-iteration; set a fault-tolerant dir to barrier with
+    reliable ``checkpoint()`` instead (the 100 TB posture — see
+    operators/iteration.py for the trade-off).
+
     ``pairs``: (id_a, id_b); ``vertices``: one column ``id`` (the full
     doc universe — singletons come out labeled with themselves).
     """
+    from batchprocessingetl_spark.operators.iteration import barrier
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    edges = barrier(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        checkpoint_dir,
+    )
     labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("comp"))
         )
-        new = (
+        new = barrier(
             labels.unionByName(nbr_min)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            checkpoint_dir,
         )
         changed = (
             new.join(labels.select("id", F.col("comp").alias("old")), "id")

@@ -32,6 +32,7 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank with ``iterations`` fixed power iterations.
 
@@ -52,7 +53,15 @@ def pagerank(
     entirely and run all ``iterations`` as one lazy linear plan with
     zero per-iteration driver actions. Release the cached graph frames
     with :func:`release_pagerank` or run inside :func:`pagerank_scope`.
+
+    ``checkpoint_dir``: None (default) keeps per-superstep state as
+    persisted/lazy frames — recoverable through lineage, but recovery
+    cost and lineage depth grow with the iteration count; set a
+    fault-tolerant dir to barrier each superstep's ranks with reliable
+    ``checkpoint()``, bounding both (the long-run / preemptible-cluster
+    posture — see operators/iteration.py).
     """
+    from batchprocessingetl_spark.operators.iteration import barrier
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -110,6 +119,8 @@ def pagerank(
                 + damping * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
+        if checkpoint_dir is not None:
+            ranks = barrier(ranks, checkpoint_dir)
     if prev_cached is not None:
         keep.append(prev_cached)
     out = ranks.select("id", "rank")

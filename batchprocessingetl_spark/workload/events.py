@@ -687,6 +687,74 @@ def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_LG_K = 14  # 2^14 registers -> rsd ~= 1.04/sqrt(2^14) ~= 0.8%
+
+
+def q123_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of q114 — the documented extreme-scale path for
+    rolling DAU/WAU/MAU, now runnable: ONE DataSketches-HLL sketch per
+    day (``hll_sketch_agg``), then each trailing window merges 7/28
+    per-day SKETCHES (``hll_union_agg`` -> ``hll_sketch_estimate``)
+    instead of exploding user-day rows. The shuffle after the per-day
+    aggregate is days x 36 sketch-sized (~KB) rows — independent of
+    user cardinality — vs q114's user-days x 36; at 100 TB the sketch
+    plan's exchange is megabytes where the exact plan's is terabytes.
+
+    Estimates are engine-defined, so (the q57/q121 pattern) the output
+    carries the EXACT q114 metrics plus per-window ``*_ok`` flags —
+    whether each HLL estimate landed within 5% of exact (lgConfigK=14
+    gives ~0.8% rsd, so 5% is a deterministic-pass margin on fixed
+    data). The oracle recomputes the exact side and pins every flag
+    TRUE, making the sketch's error bound a driver-checked fact."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .distinct()
+    )
+    bounds = du.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    per_day = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk")
+    )
+
+    def roll_est(n: int, name: str) -> DataFrame:
+        covered = per_day.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"), "day", "sk"
+        ).select(F.date_add(F.col("day"), F.col("k")).alias("day"), "sk")
+        return (
+            covered.join(F.broadcast(bounds))
+            .filter(F.col("day") <= F.col("max_day"))
+            .groupBy("day")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(name))
+        )
+
+    est = (
+        roll_est(1, "dau_est")
+        .join(roll_est(7, "wau_est"), "day", "full")
+        .join(roll_est(28, "mau_est"), "day", "full")
+        .select(F.col("day").cast("timestamp").alias("day"), "dau_est", "wau_est", "mau_est")
+    )
+    exact = q114_active_users(spark, sf_dir)
+
+    def ok(est_col: str, exact_col: str) -> Column:
+        e = F.coalesce(F.col(est_col).cast("double"), F.lit(0.0))
+        x = F.col(exact_col).cast("double")
+        return F.abs(e - x) <= F.lit(0.05) * F.greatest(x, F.lit(1.0))
+
+    return (
+        exact.join(est, "day", "left")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            ok("dau_est", "dau").alias("dau_ok"),
+            ok("wau_est", "wau").alias("wau_ok"),
+            ok("mau_est", "mau").alias("mau_ok"),
+        )
+        .orderBy("day")
+    )
+
+
 BOOT_SEED = "boot-r4"
 
 
@@ -759,6 +827,7 @@ EXTRA_QUERIES = {
     "q81_skewed_user_rollup": q81_skewed_user_rollup,
     "q88_gapfill_locf": q88_gapfill_locf,
     "q91_rollup_increment": q91_rollup_increment,
+    "q123_active_users_hll": q123_active_users_hll,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side
@@ -1167,6 +1236,16 @@ _ORACLE_ALL["q114_active_users"] = """
     LEFT JOIN mau m USING (day)
     ORDER BY day
 """
+
+# q123: the exact q114 oracle with every HLL error-bound flag pinned
+# TRUE — the sketch estimates are engine-defined, the BOUND is the
+# cross-engine fact (q57/q121 pattern).
+_ORACLE_ALL["q123_active_users_hll"] = _ORACLE_ALL["q114_active_users"].replace(
+    "COALESCE(m.mau, 0) AS mau\n",
+    "COALESCE(m.mau, 0) AS mau,\n"
+    "           TRUE AS dau_ok, TRUE AS wau_ok, TRUE AS mau_ok\n",
+)
+assert "dau_ok" in _ORACLE_ALL["q123_active_users_hll"]  # replace anchored
 
 _ORACLE_ALL["q106_event_transitions"] = """
     WITH seq AS (

@@ -337,6 +337,66 @@ COOC_WINDOW = 2
 COOC_MIN = 60
 
 
+def q124_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED LSH band store
+    (operators/dedup.py::band_signatures + incremental_lsh_pairs) —
+    the production shape for a growing corpus. The standing corpus
+    (doc_id % 10 != 0) has its band rows written to a parquet store
+    ONCE; the new batch (doc_id % 10 == 0) computes only its own
+    signatures and joins its band rows against the store plus itself.
+    Candidate pairs touching the batch are then exact-Jaccard-verified
+    at q37's threshold. The corpus's signatures are never recomputed —
+    per-batch candidate cost is O(batch) + O(candidates); verification
+    here re-derives candidate docs' shingles from the doc table (at
+    production scale: point look-ups of candidate ids only).
+
+    Oracle: the full-recompute exact-Jaccard pair set restricted to
+    pairs with >= 1 batch member — pinning the incremental protocol's
+    defining invariant (incremental == full recompute on the batch's
+    slice) AND the band join's recall, same as q37."""
+    import os
+    import shutil
+    import tempfile
+
+    from batchprocessingetl_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_pairs,
+        minhash_signatures,
+        shingle_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"bpetl_lshstore_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    band_signatures(
+        minhash_signatures(store_docs, "doc_id", "text", n_hashes=32, n=3), bands=16
+    ).write.parquet(work)
+    store_bands = spark.read.parquet(work)
+
+    batch_bands = band_signatures(
+        minhash_signatures(batch_docs, "doc_id", "text", n_hashes=32, n=3), bands=16
+    )
+    cands = incremental_lsh_pairs(batch_bands, store_bands)
+
+    sh = shingle_frame(docs, "doc_id", "text", 3)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q86_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (operators/text.py::build_vocab):
     dense term ids by (count DESC, term ASC) over terms with >= 100
@@ -573,6 +633,7 @@ QUERIES = {
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
+    "q124_incremental_near_dups": q124_incremental_near_dups,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
     "q31_quality_score": q31_quality_score,
@@ -812,6 +873,27 @@ _ORACLE_ALL = {
                      6) AS jaccard
         FROM sh a, sh b
         WHERE a.id < b.id
+          AND len(list_intersect(a.sh, b.sh)) > 0
+          AND len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    # q124: the q37 full-recompute exact pair set, restricted to pairs
+    # with >= 1 new-batch member (doc_id % 10 = 0) — the incremental
+    # protocol must produce exactly the full-recompute answer on its
+    # slice, with no recall loss from the persisted band store.
+    "q124_incremental_near_dups": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.id < b.id
+          AND (a.id % 10 = 0 OR b.id % 10 = 0)
           AND len(list_intersect(a.sh, b.sh)) > 0
           AND len(list_intersect(a.sh, b.sh))
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2

@@ -475,3 +475,77 @@ def test_leakage_free_split_keeps_clusters_together(spark):
     # both splits are populated on this corpus
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "holdout"}
+
+
+def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
+    """Reliable-barrier mode (checkpoint_dir) must produce the exact
+    label set of the default localCheckpoint mode, on a chain long
+    enough to force several propagation rounds."""
+    from batchprocessingetl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(9)]  # diameter 9 -> multi-round
+    pairs = spark.createDataFrame(chain + [(20, 21)], "id_a long, id_b long")
+    verts = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(20,), (21,), (30,)], "id long"
+    )
+    plain = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, verts).collect()
+    }
+    reliable = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            pairs, verts, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert plain == reliable
+    assert {c for _, c in plain} == {0, 20, 30}  # chain, pair, singleton
+    assert any((tmp_path / "cc").rglob("*")), "no reliable checkpoint written"
+
+
+def test_incremental_lsh_union_equals_full_recompute(spark):
+    """The incremental protocol's defining invariant: per-batch
+    incremental candidate pairs, unioned across batches, equal the
+    full-corpus self-join candidate set (every pair is emitted by its
+    later-arriving member's batch)."""
+    from batchprocessingetl_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 5}"  # 5 near-dup families
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, "doc_id", "text", n_hashes=16, n=3), bands=8
+        ).collect()
+    }
+    assert full  # fixture produces candidates
+
+    got = set()
+    store = None
+    for b in range(3):  # arrival order: batch 0, then 1, then 2
+        batch = band_signatures(
+            minhash_signatures(
+                docs.filter(F.col("doc_id") % 3 == b), "doc_id", "text",
+                n_hashes=16, n=3,
+            ),
+            bands=8,
+        )
+        if store is None:
+            empty = batch.filter(F.lit(False))
+            inc = incremental_lsh_pairs(batch, empty)
+        else:
+            inc = incremental_lsh_pairs(batch, store)
+        got |= {(r["id_a"], r["id_b"]) for r in inc.collect()}
+        store = batch if store is None else store.unionByName(batch)
+    assert got == full

@@ -107,3 +107,21 @@ def test_triangle_counts_skewed_hub(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_pagerank_reliable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_dir (reliable barrier) must not change the numbers,
+    and must actually write checkpoint state into the dir."""
+    edges = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    plain = pagerank(edges, weight_col="w", iterations=4)
+    reliable = pagerank(
+        edges, weight_col="w", iterations=4, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    a = {r["id"]: r["rank"] for r in plain.collect()}
+    b = {r["id"]: r["rank"] for r in reliable.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+    release_pagerank(plain)
+    release_pagerank(reliable)
+    assert any((tmp_path / "ckpt").rglob("*")), "no reliable checkpoint written"
