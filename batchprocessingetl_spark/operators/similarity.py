@@ -258,6 +258,76 @@ def ivf_topk(
     )
 
 
+def ivf_topk_int8(
+    df: DataFrame,
+    query_df: DataFrame,
+    model,
+    k: int,
+    nprobe: int = 2,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multiprobe IVF composed with the int8 two-phase scan — the
+    raised ANN operating point (VERDICT r4 #5). Three stages:
+
+    1. probe the query's ``nprobe`` nearest cells (q54 machinery),
+    2. scan the surviving cells' INT8-quantized vectors (8x narrower
+       than float64) for an approximate-cosine short list of
+       ``rerank * k`` candidates,
+    3. exact double-precision re-rank of the short list only.
+
+    The cost accounting that makes this the better operating point:
+    float-equivalent scan fraction ~= (nprobe / n_cells) / 8 +
+    rerank*k / N. Probing ALL cells through int8 costs ~0.125
+    float-equivalent — LESS than plain-IVF nprobe=4 (0.25) — while
+    candidate recall is limited only by int8 rounding noise (>0.999
+    rank correlation), not by cell pruning. On the uniform fixture
+    (the worst case for space partitioning, where plain-IVF recall
+    can't beat its scan fraction) this reaches ~1.0 recall at ~0.13
+    float-equivalent scan; measured curves in docs/SCALE.md, floor
+    pinned in tests/test_vectors.py."""
+    from pyspark.sql.window import Window
+
+    _require_single_query(query_df, "ivf_topk_int8")
+    spark = df.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cents = spark.createDataFrame(centers, "__cell int, centroid array<double>")
+    probes = (
+        query_df.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(cosine(F.col("qvec"), F.col("centroid"))), F.asc("__cell")
+                )
+            ),
+        )
+        .filter(F.col("__rnk") <= nprobe)
+        .select("qvec", "__cell")
+    )
+    survivors = ivf_assign(df.select(id_col, vec_col), model, vec_col).join(
+        F.broadcast(probes.select("__cell")), "__cell"
+    )
+    quant = quantize_int8(survivors, vec_col)
+    q8 = quantize_int8(query_df.select(F.col("qvec").alias("v")), "v").select(
+        F.col("qvec").alias("q8")
+    )
+    a8 = F.transform(F.col("qvec"), lambda v: v.cast("double"))
+    b8 = F.transform(F.col("q8"), lambda v: v.cast("double"))
+    cands = (
+        quant.crossJoin(F.broadcast(q8))
+        .select(
+            id_col, (dot(a8, b8) / (l2_norm(a8) * l2_norm(b8))).alias("approx_cos")
+        )
+        .orderBy(F.desc("approx_cos"), F.asc(id_col))
+        .limit(rerank * k)
+    )
+    return cosine_topk(
+        df.join(cands.select(id_col), id_col), query_df, k, vec_col, id_col
+    )
+
+
 def build_ivf_index(df: DataFrame, model, path: str, vec_col: str = "embedding") -> None:
     """Materialize the IVF index: assign every vector to its cell
     (JVM model transform, narrow) and write parquet PARTITIONED BY

@@ -710,7 +710,15 @@ def running_user_totals_tws(
 
 def tws_available() -> bool:
     """True when the transformWithState Python worker can start: its
-    state-server protocol requires a working protobuf runtime."""
+    state-server protocol requires a working protobuf runtime.
+
+    Blocker status (re-checked round 5): ``google.protobuf`` and
+    ``grpc`` are both absent from this container, package installs are
+    disallowed, and the Spark distribution bundles only py4j on the
+    Python side — there is no vendorable runtime on the box. The
+    parity test in tests/test_streaming_state.py stays capability-
+    gated on this probe and runs unmodified wherever protobuf exists
+    (any standard `pip install pyspark[connect]` environment)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -841,6 +841,119 @@ def q120_idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_MIN_QTY = 250
+
+
+def q127_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: the classic
+    `o_orderkey IN (SELECT l_orderkey ... GROUP BY ... HAVING SUM > T)`
+    decorrelates to an aggregate-then-join plan: one grouped exact
+    decimal sum over lineitem (map-side combinable), the survivors
+    (order-grain, tiny after the HAVING) joined back to orders and
+    broadcast-joined to customer. The fact table is scanned once and
+    never re-enters a correlated probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def q128_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — sole-blame analysis: per supplier, the number
+    of multi-supplier orders where THEIR line was returned and no
+    other supplier's was (the EXISTS + NOT-EXISTS correlated pair,
+    with l_returnflag standing in for the receipt>commit lateness
+    predicate this schema lacks). Decorrelation: both correlated
+    subqueries collapse into grouped aggregates on the SAME distinct
+    (order, supplier) frame — orders with >= 2 distinct suppliers
+    (EXISTS), orders with exactly 1 distinct returning supplier
+    (NOT EXISTS) — then two order-grain semi-joins. No per-row probe,
+    no fact-table re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    ret_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("l_orderkey")
+    )
+    sole = (
+        ret_pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__r"))
+        .filter(F.col("__r") == 1)
+        .select("l_orderkey")
+    )
+    blamed = ret_pairs.join(multi, "l_orderkey", "left_semi").join(
+        sole, "l_orderkey", "left_semi"
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+Q11_PPM = 500  # keep parts above 500 ppm (0.05%) of global revenue
+
+
+def q129_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds a FRACTION of the
+    global total: `HAVING SUM(v) > (SELECT SUM(v) * f FROM ...)`. The
+    scalar subquery decorrelates to a 1-row global aggregate broadcast
+    against the part-grain rollup; the threshold compare stays in
+    EXACT decimal arithmetic on both engines (value * 1_000_000 >
+    global * ppm — integer multiplies, no float fraction) so the
+    boundary part can't flip on rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    acc = "decimal(28,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    total = li.agg(F.sum(rev).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1_000_000 > F.col("__total") * Q11_PPM)
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("value", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -895,6 +1008,9 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q127_large_volume_orders": q127_large_volume_orders,
+    "q128_sole_blame_suppliers": q128_sole_blame_suppliers,
+    "q129_important_parts": q129_important_parts,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q13_frequent_customers": q13_frequent_customers,
@@ -1379,6 +1495,64 @@ _ORACLE_ALL["q120_idle_customer_balances"] = f"""
                         AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
+"""
+
+_ORACLE_ALL["q127_large_volume_orders"] = f"""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+"""
+
+_ORACLE_ALL["q128_sole_blame_suppliers"] = """
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), ret_pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'
+    ), multi AS (
+        SELECT l_orderkey FROM pairs GROUP BY l_orderkey HAVING COUNT(*) >= 2
+    ), sole AS (
+        SELECT l_orderkey FROM ret_pairs GROUP BY l_orderkey HAVING COUNT(*) = 1
+    ), blamed AS (
+        SELECT r.l_suppkey
+        FROM ret_pairs r
+        JOIN multi USING (l_orderkey)
+        JOIN sole USING (l_orderkey)
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+"""
+
+_ORACLE_ALL["q129_important_parts"] = f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                   AS value
+        FROM lineitem GROUP BY l_partkey
+    ), total AS (
+        SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                   AS t
+        FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(ROUND(pp.value, 2) AS DOUBLE) AS value
+    FROM per_part pp, total
+    JOIN part p ON pp.l_partkey = p.p_partkey
+    WHERE pp.value * 1000000 > total.t * {Q11_PPM}
+    ORDER BY value DESC, p.p_partkey
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

@@ -397,6 +397,23 @@ def q124_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING
+    (operators/dedup.py::setsim_join_prefix, the AllPairs/PPJoin
+    candidate rule): the complete 3-shingle Jaccard >= 0.2 pair set —
+    same answer as the q36 inverted-index plan — from a posting table
+    pruned to each doc's rarest |s| - ceil(t|s|) + 1 shingles. The cut
+    is provably lossless, so the oracle is the full exact pair set:
+    any over-pruning fails the oracle, any under-pruning shows up in
+    the SCALE.md candidate-count probe."""
+    from batchprocessingetl_spark.operators.dedup import setsim_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_join_prefix(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q86_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (operators/text.py::build_vocab):
     dense term ids by (count DESC, term ASC) over terms with >= 100
@@ -634,6 +651,7 @@ QUERIES = {
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
     "q124_incremental_near_dups": q124_incremental_near_dups,
+    "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
     "q31_quality_score": q31_quality_score,
@@ -863,6 +881,25 @@ _ORACLE_ALL = {
     # miss would fail this oracle — that's the point: it pins the
     # candidate generator's recall, not just the verifier.
     "q37_minhash_near_dups": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.id < b.id
+          AND len(list_intersect(a.sh, b.sh)) > 0
+          AND len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    # q126: prefix filtering is lossless, so the oracle is the SAME
+    # full exact pair set as q36/q37 — the candidate rule's
+    # completeness is the checked fact.
+    "q126_setsim_prefix_join": f"""
         WITH sh AS (
             SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
             FROM documents

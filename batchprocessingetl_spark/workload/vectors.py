@@ -144,6 +144,25 @@ def q56_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_int8(emb, _query_df(spark, sf_dir), TOP_K, rerank=4)
 
 
+def q125_knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF + int8 re-rank composite
+    (operators/similarity.py::ivf_topk_int8, VERDICT r4 #5): probe all
+    16 cells through the 8x-narrower int8 table (~0.125
+    float-equivalent scan), exact-re-rank the 4k short list. At full
+    probe the only recall risk is int8 rounding, and the exact re-rank
+    restores the true top-k deterministically on fixed data — so the
+    oracle is q50's exact brute-force answer, pinning the whole
+    probe -> quantize -> shortlist -> re-rank composition end-to-end.
+    Pruned-probe recall curves live in docs/SCALE.md with a pytest
+    floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    model = S.learn_ivf_centroids(base, k=IVF_K, seed=42, max_iter=6)
+    return S.ivf_topk_int8(
+        base, _query_df(spark, sf_dir), model, TOP_K, nprobe=IVF_K, rerank=4
+    )
+
+
 KNN_JOIN_K = 5
 SEMDEDUP_THRESHOLD = 0.35
 
@@ -352,6 +371,7 @@ ORACLE = {
 # (exact baseline) registered, and q52's retrieval quality is pinned
 # by the measured recall floor in tools/ann_recall.py's pytest.
 EXTRA_QUERIES = {
+    "q125_knn_ivf_int8": q125_knn_ivf_int8,
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q65_knn_join": q65_knn_join,
     "q66_semantic_dedup": q66_semantic_dedup,
@@ -362,6 +382,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLE = {
     "q56_knn_int8": _Q50_SQL,
+    "q125_knn_ivf_int8": _Q50_SQL,
     "q51_label_centroid_similarity": f"""
         WITH q AS (
             SELECT list_transform(embedding, x -> x::DOUBLE) AS qe

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from batchprocessingetl_spark.operators.dedup import (
@@ -549,3 +551,41 @@ def test_incremental_lsh_union_equals_full_recompute(spark):
         got |= {(r["id_a"], r["id_b"]) for r in inc.collect()}
         store = batch if store is None else store.unionByName(batch)
     assert got == full
+
+
+def test_setsim_prefix_join_lossless_and_prunes(spark):
+    """Prefix filtering must return EXACTLY jaccard_pairs' answer at
+    every threshold, from a strictly smaller posting table."""
+    from batchprocessingetl_spark.operators.dedup import (
+        jaccard_pairs,
+        setsim_join_prefix,
+        shingle_frame,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base.replace(base.split()[i % 10], f"x{i % 4}")) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.2, 0.4, 0.7):
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in setsim_join_prefix(docs, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        assert pref == full, f"threshold {t}"
+    assert full is not None and len(pref) >= 0
+
+    # the posting cut is real: prefix length < full shingle count
+    sh = shingle_frame(docs, "doc_id", "text", 3)
+    n_full = sh.select(F.explode("sh")).count()
+    import math
+    n_prefix = sum(
+        len(r["sh"]) - math.ceil(0.7 * len(r["sh"])) + 1 for r in sh.collect()
+    )
+    assert n_prefix < n_full * 0.5  # t=0.7 drops >half the postings
+
+    with pytest.raises(ValueError):
+        setsim_join_prefix(docs, "doc_id", "text", threshold=0.0)

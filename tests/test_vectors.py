@@ -306,3 +306,49 @@ def test_ivf_recall_floor_at_default_settings(spark):
     r_default = mean_recall(IVF_NPROBE)
     assert r_default >= 0.30, r_default
     assert mean_recall(1) <= r_default  # more probes never hurt
+
+
+def test_ivf_int8_composite_recall_floor(spark):
+    """VERDICT r4 #5 operating point: the multiprobe-IVF + int8-rerank
+    composite at HALF probe must beat plain IVF's same-nprobe recall
+    floor while scanning ~1/8 the float-equivalent bytes, and at FULL
+    probe must reproduce the exact top-k ids EXACTLY (int8 shortlist
+    + exact re-rank loses nothing on fixed data — also oracle-pinned
+    by q125). Floors sit well under the measured 0.75-1.00 band
+    (docs/SCALE.md) so k-means jitter can't flake."""
+    from batchprocessingetl_spark.operators.similarity import (
+        as_double,
+        ivf_topk_int8,
+        knn_join,
+    )
+    from batchprocessingetl_spark.workload.vectors import IVF_K
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = list(range(5))
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qvec")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in knn_join(corpus, queries, 10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    model = learn_ivf_centroids(corpus, k=IVF_K, seed=42, max_iter=6)
+
+    def recall(nprobe: int) -> float:
+        hits = 0
+        for qid in qids:
+            q = emb.filter(F.col("vec_id") == qid).select(
+                as_double(F.col("embedding")).alias("qvec")
+            )
+            got = {
+                r["vec_id"]
+                for r in ivf_topk_int8(
+                    corpus, q, model, 10, nprobe=nprobe, rerank=4
+                ).collect()
+            }
+            hits += len(got & exact[qid])
+        return hits / (10 * len(qids))
+
+    assert recall(IVF_K) == 1.0  # full probe: exact, deterministically
+    assert recall(IVF_K // 2) >= 0.5  # half probe at ~1/16 the bytes

@@ -90,6 +90,27 @@ def main() -> None:
                 f" {nprobe / IVF_CELLS:.2f} | {rec:.2f} |"
             )
 
+        # IVF + int8 two-phase composite (VERDICT r4 #5): scan fraction
+        # is FLOAT-EQUIVALENT bytes — int8 rows cost 1/8 of a float64
+        # row — plus the exact re-rank's short list.
+        for nprobe in NPROBES:
+            hits = 0
+            for qid in query_ids:
+                got = {
+                    r["vec_id"]
+                    for r in S.ivf_topk_int8(
+                        corpus, one_query_df(emb, qid), model, K,
+                        nprobe=nprobe, rerank=4,
+                    ).collect()
+                }
+                hits += len(got & exact[qid])
+            rec = hits / (K * len(query_ids))
+            frac = (nprobe / IVF_CELLS) / 8 + (4 * K) / n_total
+            print(
+                f"| {sf} | IVF+int8 rerank (16 cells) | nprobe={nprobe} |"
+                f" {frac:.3f} | {rec:.2f} |"
+            )
+
         for n_planes, multiprobe in PLANE_SETTINGS:
             planes = planes_from(emb, n_planes)
             lsh_corpus = corpus.filter(~F.col("vec_id").isin(list(range(1, n_planes + 1))))
