@@ -82,7 +82,12 @@ def copurchase_pairs(
         .filter(F.col("__sup") >= min_support)
         .select("__item")
     )
-    bi = bi.join(frequent, "__item", "left_semi")
+    # materialize the filtered basket-item frame through one exchange
+    # keyed on the basket: both sides of the self-join then consume the
+    # SAME exchange (ReuseExchange) instead of re-running the distinct
+    # + prefilter pipeline twice (the lsh_candidate_pairs trick).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bi = bi.join(frequent, "__item", "left_semi").repartition(par, "__basket")
 
     a, b = bi.alias("a"), bi.alias("b")
     pairs = a.join(

@@ -954,6 +954,42 @@ def q129_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_rolling_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per order priority via a RANGE-frame
+    window — the VALUE-based frame (`RANGE BETWEEN 6 PRECEDING AND
+    CURRENT ROW` over a day index) that a ROWS frame cannot express
+    when days are missing or duplicated. Revenue is pre-aggregated to
+    the (priority, day) grain FIRST (map-side-combinable hash agg), so
+    the window runs over ~priorities x days rows, not the fact table —
+    the only correct place for a window at 100 TB. The day index is an
+    integer datediff in BOTH engines, making frame membership exact
+    cross-engine (timestamp RANGE frames differ on bound inclusion
+    rounding)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    acc = "decimal(28,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+    daily = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).alias("day_idx"),
+        )
+        .agg(F.sum(rev).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day_idx",
+        F.round("day_rev", 2).cast("double").alias("day_rev"),
+        F.round(F.sum("day_rev").over(w), 2).cast("double").alias("rev_7d"),
+    ).orderBy("o_orderpriority", "day_idx")
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -1009,6 +1045,7 @@ QUERIES = {
 # families q97/q104/q107.
 EXTRA_QUERIES = {
     "q127_large_volume_orders": q127_large_volume_orders,
+    "q130_rolling_revenue_range": q130_rolling_revenue_range,
     "q128_sole_blame_suppliers": q128_sole_blame_suppliers,
     "q129_important_parts": q129_important_parts,
     "q01_pricing_summary": q01_pricing_summary,
@@ -1553,6 +1590,26 @@ _ORACLE_ALL["q129_important_parts"] = f"""
     JOIN part p ON pp.l_partkey = p.p_partkey
     WHERE pp.value * 1000000 > total.t * {Q11_PPM}
     ORDER BY value DESC, p.p_partkey
+"""
+
+_ORACLE_ALL["q130_rolling_revenue_range"] = """
+    WITH daily AS (
+        SELECT o.o_orderpriority,
+               datediff('day', DATE '1990-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS day_idx,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS day_rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day_idx,
+           CAST(ROUND(day_rev, 2) AS DOUBLE) AS day_rev,
+           CAST(ROUND(SUM(day_rev) OVER (
+               PARTITION BY o_orderpriority ORDER BY day_idx
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS rev_7d
+    FROM daily
+    ORDER BY o_orderpriority, day_idx
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

@@ -48,7 +48,7 @@ def test_approx_distinct_within_error_bound(spark):
 
 
 def test_int8_knn_equals_exact_knn(spark):
-    exact = QUERIES["q50_knn_bruteforce"](spark, SF_SMOKE).collect()
+    exact = EXTRA["q50_knn_bruteforce"](spark, SF_SMOKE).collect()
     quant = EXTRA["q56_knn_int8"](spark, SF_SMOKE).collect()
     assert [r.asDict() for r in quant] == [r.asDict() for r in exact]
 
