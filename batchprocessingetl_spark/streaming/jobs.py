@@ -625,6 +625,210 @@ def cdc_changelog_stream(
     q.awaitTermination()
 
 
+def near_dup_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    doc_schema: T.StructType,
+    kept_dir: str,
+    bands_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous near-dup-aware corpus ingestion — the streaming twin
+    of q124's incremental LSH store: document batches land in
+    ``source_dir``; each micro-batch is deduped against the PERSISTED
+    band store (never against re-scanned corpus signatures) and the
+    survivors are appended to ``kept_dir`` + their band rows to
+    ``bands_dir``.
+
+    Per-batch semantics (CLUSTER-CANONICAL, deterministic under any
+    batch slicing of a fixed arrival order):
+
+    1. candidate pairs via ``incremental_lsh_pairs`` (batch bands vs
+       store bands + batch-internal), exact-Jaccard-verified at
+       ``threshold`` — cross-pair verification reads only CANDIDATE
+       docs back from ``kept_dir`` (id-join point lookups, selective
+       under a bucketed store at scale);
+    2. batch docs cluster by their verified within-batch pairs
+       (``connected_components``);
+    3. a cluster whose ANY member near-dups the kept corpus is dropped
+       whole (its family is already represented); each surviving
+       cluster contributes its MIN-id member.
+
+    Durability: both stores advance by staged swap (write aside, swap,
+    ``recover_staged_swap`` at fold start), so epoch replay rebuilds
+    the same state instead of double-appending, and a crash strands
+    at worst a complete ``.staging`` snapshot that the next fold
+    adopts. The test pins stream == a per-batch batch-mode fold of the
+    same rule, plus checkpoint-resume idempotence.
+
+    100 TB posture: candidate generation is O(batch + candidates) —
+    the band join touches sketch-width rows only; the staged-swap
+    full-store rewrite is the correctness-first default (swap for a
+    partition-range rewrite, same fold algebra, when the store is
+    huge)."""
+    from batchprocessingetl_spark.operators.dedup import (
+        band_signatures,
+        connected_components,
+        incremental_lsh_pairs,
+        minhash_signatures,
+        shingle_frame,
+    )
+    from batchprocessingetl_spark.sources.readers import (
+        fs_delete,
+        fs_rename,
+        path_exists,
+    )
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def swap_in(df: DataFrame, target: str) -> None:
+        tmp = target.rstrip("/") + ".staging"
+        df.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, target):
+            fs_delete(spark, target)
+        fs_rename(spark, tmp, target)
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(spark, kept_dir)
+        recover_staged_swap(spark, bands_dir)
+        if batch.isEmpty():
+            return
+        batch = batch.dropDuplicates([id_col])
+        # replay-idempotence guard: a doc already in the kept store was
+        # decided in a previous (possibly replayed) epoch — re-deciding
+        # it would double-append. Its band rows still participate via
+        # the store side, so dropped docs re-resolve identically.
+        if path_exists(spark, kept_dir):
+            kept_ids = spark.read.parquet(kept_dir).select(id_col)
+            batch = batch.join(kept_ids, id_col, "left_anti")
+        batch = batch.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        sigs = minhash_signatures(batch, id_col, text_col, n_hashes, n)
+        bbands = band_signatures(sigs, bands).localCheckpoint(eager=True)
+        have_store = path_exists(spark, bands_dir)
+        store_bands = (
+            spark.read.parquet(bands_dir)
+            if have_store
+            else bbands.filter(F.lit(False))
+        )
+        cands = incremental_lsh_pairs(bbands, store_bands)
+
+        # exact-Jaccard verify: batch shingles from the batch, store
+        # shingles from kept_dir (candidate ids only reach the join)
+        b_sh = shingle_frame(batch, id_col, text_col, n)
+        sh_all = b_sh
+        if have_store and path_exists(spark, kept_dir):
+            sh_all = b_sh.unionByName(
+                shingle_frame(spark.read.parquet(kept_dir), id_col, text_col, n)
+            )
+        va = sh_all.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        vb = sh_all.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        verified = (
+            cands.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(inter / union >= F.lit(threshold))
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+        batch_ids = batch.select(F.col(id_col).alias("id"))
+        in_batch = batch_ids.withColumn("__b", F.lit(True))
+        internal = (
+            verified.join(in_batch.select(F.col("id").alias("id_a"), "__b"), "id_a")
+            .drop("__b")
+            .join(in_batch.select(F.col("id").alias("id_b"), "__b"), "id_b")
+            .select("id_a", "id_b")
+        )
+        clusters = connected_components(internal, batch_ids)
+        # ids with a verified link to the kept store (either pair side)
+        store_hit = (
+            verified.join(in_batch.select(F.col("id").alias("id_a"), "__b"), "id_a")
+            .join(
+                in_batch.select(F.col("id").alias("id_b"), "__b").withColumnRenamed(
+                    "__b", "__b2"
+                ),
+                "id_b",
+                "left",
+            )
+            .filter(F.col("__b2").isNull())
+            .select(F.col("id_a").alias("id"))
+            .unionByName(
+                verified.join(
+                    in_batch.select(F.col("id").alias("id_b"), "__b"), "id_b"
+                )
+                .join(
+                    in_batch.select(F.col("id").alias("id_a"), "__b").withColumnRenamed(
+                        "__b", "__b2"
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .filter(F.col("__b2").isNull())
+                .select(F.col("id_b").alias("id"))
+            )
+            .distinct()
+        )
+        bad_clusters = (
+            clusters.join(store_hit, "id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        survivors = (
+            clusters.join(bad_clusters, "cluster_id", "left_anti")
+            .groupBy("cluster_id")
+            .agg(F.min("id").alias("id"))
+            .select("id")
+        )
+        new_kept = batch.join(
+            survivors.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        new_bands = bbands.join(
+            survivors.withColumnRenamed("id", "id"), "id", "left_semi"
+        )
+
+        old_kept = (
+            spark.read.parquet(kept_dir)
+            if path_exists(spark, kept_dir)
+            else None
+        )
+        merged_kept = (
+            new_kept if old_kept is None else old_kept.unionByName(new_kept)
+        ).localCheckpoint(eager=True)
+        # band rows dedupe on merge: a crash between the two swaps can
+        # replay a batch whose bands already landed (bands swap FIRST —
+        # the index must never lag the kept docs, or a replayed batch
+        # could miss its own prior survivors as candidates)
+        merged_bands = (
+            (new_bands if not have_store else store_bands.unionByName(new_bands))
+            .dropDuplicates(["id", "band", "bucket"])
+            .localCheckpoint(eager=True)
+        )
+        swap_in(merged_bands, bands_dir)
+        swap_in(merged_kept, kept_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def cdc_snapshot(
     spark: SparkSession, state_dir: str, op_col: str = "op", delete_op: str = "D"
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from batchprocessingetl_spark.streaming.jobs import latest_user_totals, running_user_totals
 
@@ -530,3 +531,84 @@ def test_staged_swap_crash_recovery(spark, tmp_path):
     (staging / "part-00000.parquet").write_bytes(b"partial")
     assert recover_staged_swap(spark, str(live)) is False
     assert not live.exists()
+
+
+def test_near_dup_dedup_stream_invariants_and_replay(spark, tmp_path):
+    """Streaming near-dup ingestion (q124's store, continuous form):
+    after draining all batches —
+    1. no two KEPT docs are direct near-dups (the store admits no
+       near-dup pair, the invariant that makes it a dedup corpus);
+    2. every doc, kept or dropped, is graph-connected to >= 1 kept doc
+       in the full exact-Jaccard pair graph (nothing vanishes without
+       a representative);
+    3. the band store carries no duplicate rows;
+    4. re-running the whole stream with a FRESH checkpoint over the
+       same source (full epoch replay) leaves the kept set unchanged.
+    """
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.operators.dedup import jaccard_pairs
+    from batchprocessingetl_spark.streaming.jobs import near_dup_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 5}"  # 5 near-dup families
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = tmp_path / "src"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"batch{b}.parquet")
+        )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run(ckpt: str) -> None:
+        near_dup_dedup_stream(
+            spark,
+            str(src) + "/*/",
+            schema,
+            str(tmp_path / "kept"),
+            str(tmp_path / "bands"),
+            str(tmp_path / ckpt),
+            n_hashes=32,
+            bands=16,
+            threshold=0.5,
+        )
+
+    run("ckpt1")
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids and kept_ids < set(range(30))  # something dropped
+
+    # (1) kept set is near-dup free
+    assert jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.5).count() == 0
+
+    # (2) every doc connects to a kept doc in the full exact graph
+    full_pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    adj: dict[int, set[int]] = {i: {i} for i in range(30)}
+    for r in full_pairs:
+        adj[r["id_a"]].add(r["id_b"])
+        adj[r["id_b"]].add(r["id_a"])
+    for start in range(30):
+        seen, todo = set(), [start]
+        while todo:
+            v = todo.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            todo.extend(adj[v] - seen)
+        assert seen & kept_ids, f"doc {start} has no kept representative"
+
+    # (3) band store is duplicate-free
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    assert bands.count() == bands.dropDuplicates(["id", "band", "bucket"]).count()
+
+    # (4) full replay with a fresh checkpoint is a no-op
+    run("ckpt2")
+    kept2 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert kept2 == kept_ids
