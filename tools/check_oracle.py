@@ -82,7 +82,7 @@ def main() -> int:
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     if include_extra:
-        # the 14 EXTRA_QUERIES kept out of the driver's ~50-entry check
+        # the EXTRA_QUERIES kept out of the driver's ~50-entry check
         # budget still get local differential evidence here
         from batchprocessingetl_spark.workload import (
             collect_extra_oracle,
