@@ -990,6 +990,198 @@ def q130_rolling_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "day_idx")
 
 
+Q17_TYPE = "PROMO"  # dim-side selective filter (Q17's brand+container stand-in)
+
+
+def q131_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked up in SMALL orders: lines whose
+    quantity is below 20% of the part's own average quantity
+    (`l_quantity < (SELECT 0.2 * AVG(l_quantity) ... WHERE l_partkey =
+    p_partkey)`). The correlated scalar subquery decorrelates into one
+    grouped aggregate at part grain joined back to the fact — the fact
+    table is scanned twice but never probed per-row, and the per-part
+    stats frame is part-grain (small), so the second join shuffles on
+    l_partkey once.
+
+    The 20%-of-average compare is kept EXACT across engines by clearing
+    the division: qty < sum/(5*n)  <=>  qty * 5 * n < sum, all in
+    decimal — an average computed as decimal-divide would round
+    differently in Spark vs DuckDB and flip boundary lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    parts_f = p.filter(F.col("p_type") == Q17_TYPE).select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(parts_f.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(qty).alias("__sum_qty"), F.count(F.lit(1)).alias("__n"))
+    )
+    small = (
+        li.join(per_part, "l_partkey")
+        .filter(qty * 5 * F.col("__n") < F.col("__sum_qty"))
+    )
+    return (
+        small.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("revenue_small"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# Q19-style disjunctive bands: (brand, max size, quantity band).
+Q19_BANDS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def q132_banded_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — a join whose predicate is an OR of three
+    multi-column conjunctions mixing BOTH sides (part brand/size with
+    lineitem quantity). The part-side implication of the disjunction
+    (brand IN bands AND size <= max(band sizes)) is applied as a
+    pre-filter so only qualifying parts are scanned, broadcast, and
+    probed; the full cross-side disjunction then runs as the join
+    residual. Catalyst cannot derive the cross-side OR into a scan
+    filter by itself — extracting the single-side implication by hand
+    is the 100 TB move (the part scan shrinks ~10x, the join stays a
+    broadcast-hash probe with an inlined residual, no fact re-scan per
+    branch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_side = None
+    residual = None
+    for brand, smax, qlo, qhi in Q19_BANDS:
+        ps = (F.col("p_brand") == brand) & F.col("p_size").between(1, smax)
+        full = ps & F.col("l_quantity").between(qlo, qhi)
+        part_side = ps if part_side is None else (part_side | ps)
+        residual = full if residual is None else (residual | full)
+    parts_f = p.filter(part_side).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"  # market-share subject (supplier side)
+
+
+def q133_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's supplier-side market share of a
+    region's purchases, per order year: a 6-way join (lineitem ⋈ orders
+    ⋈ customer ⋈ nation ⋈ region on the buyer side, supplier ⋈ nation
+    on the seller side) feeding a CONDITIONAL aggregate — share =
+    SUM(CASE WHEN supp_nation = subject THEN rev END) / SUM(rev).
+
+    Both sums accumulate in exact decimal; the share is formed as one
+    double division of those exact totals, so both engines divide
+    bit-identical IEEE inputs and agree to the last bit — no rounding
+    of a ratio near a tie. All dims broadcast; the only shuffles are
+    the lineitem⋈orders key exchange and the final year rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust_nations = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == Q8_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_nations, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("__rev"),
+            F.col("supp_nation"),
+        )
+    )
+    subject = F.when(F.col("supp_nation") == Q8_NATION, F.col("__rev"))
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(F.coalesce(F.sum(subject), F.lit(0).cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("nation_rev"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("total_rev"),
+            (
+                F.coalesce(F.sum(subject), F.lit(0).cast("decimal(28,6)")).cast("double")
+                / F.sum("__rev").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q134_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipping volume BETWEEN two nations, both
+    directions, by ship year: the symmetric disjunction
+    `(supp=A AND cust=B) OR (supp=B AND cust=A)` over attributes from
+    two DIFFERENT dimension joins. Each side is pre-filtered to the
+    implied `IN (A, B)` (supplier and customer shrink to two nations'
+    worth before any fact join — semi-join reduction by hand), then the
+    cross-side disjunction runs as a residual on the joined rows. The
+    fact tables shuffle once on the orderkey; both nation-filtered dims
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    supp = (
+        s.join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        c.join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    cross = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(cross)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -1044,6 +1236,10 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q131_small_quantity_revenue": q131_small_quantity_revenue,
+    "q132_banded_promo_revenue": q132_banded_promo_revenue,
+    "q133_market_share": q133_market_share,
+    "q134_nation_pair_volume": q134_nation_pair_volume,
     "q127_large_volume_orders": q127_large_volume_orders,
     "q130_rolling_revenue_range": q130_rolling_revenue_range,
     "q128_sole_blame_suppliers": q128_sole_blame_suppliers,
@@ -1610,6 +1806,96 @@ _ORACLE_ALL["q130_rolling_revenue_range"] = """
                AS rev_7d
     FROM daily
     ORDER BY o_orderpriority, day_idx
+"""
+
+_ORACLE_ALL["q131_small_quantity_revenue"] = f"""
+    WITH parts_f AS (
+        SELECT p_partkey, p_brand FROM part WHERE p_type = '{Q17_TYPE}'
+    ), per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM parts_f)
+        GROUP BY l_partkey
+    )
+    SELECT pf.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS revenue_small,
+           COUNT(*) AS n_small_lines
+    FROM lineitem l
+    JOIN per_part pp ON l.l_partkey = pp.l_partkey
+    JOIN parts_f pf ON l.l_partkey = pf.p_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.n < pp.sum_qty
+    GROUP BY pf.p_brand
+    ORDER BY pf.p_brand
+"""
+
+_Q19_SQL_BRANCHES = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {smax}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, smax, qlo, qhi in Q19_BANDS
+)
+_ORACLE_ALL["q132_banded_promo_revenue"] = f"""
+    SELECT p.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q19_SQL_BRANCHES}
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""
+
+_ORACLE_ALL["q133_market_share"] = f"""
+    WITH base AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,6)) AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE o.o_custkey IN (
+            SELECT c.c_custkey
+            FROM customer c
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{Q8_REGION}'
+        )
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(ROUND(COALESCE(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                                        THEN rev END),
+                               CAST(0 AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS nation_rev,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_rev,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                                  THEN rev END),
+                         CAST(0 AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_ORACLE_ALL["q134_nation_pair_volume"] = f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,6))), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+       OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
