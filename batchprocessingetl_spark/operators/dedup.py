@@ -157,8 +157,14 @@ def setsim_join_prefix(
         .filter(F.col("shingle").isNotNull())
     )
     dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # ceil() of t*n in doubles can land one ULP ABOVE an exactly-integer
+    # product (0.2 * 5 = 1.0000000000000002 -> ceil 2, not 1), which
+    # would SHORTEN the prefix and break losslessness. The epsilon nudge
+    # only ever lengthens the prefix (extra candidates die in verify).
     prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
     ).cast("int")
     ranked = (
         posting.join(dfreq, "shingle")
@@ -190,6 +196,82 @@ def setsim_join_prefix(
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT directional set-CONTAINMENT self-join with prefix
+    filtering: all ordered pairs (id_a != id_b) where
+    C(a -> b) = |sh_a ∩ sh_b| / |sh_a| >= threshold — "document a is
+    mostly contained in document b". The asymmetric twin of
+    :func:`setsim_join_prefix`'s Jaccard: quote inclusion, page-in-page
+    boilerplate, and truncated-crawl shadows all show up as high
+    containment at LOW Jaccard (a tiny doc inside a huge one), so a
+    Jaccard join never finds them.
+
+    Candidate rule: a qualifying pair needs overlap >= ceil(t*|a|), so
+    the PROBE side a must expose a match within its first
+    |a| - ceil(t*|a|) + 1 rarest-first shingles; the indexed side b has
+    no size-free bound under containment, so b keeps FULL postings.
+    The join is still sub-quadratic: probe postings shrink by ~t, and
+    the rare-first ranking removes exactly the high-df shingles that
+    explode inverted-index joins. Survivors are verified with one
+    array_intersect pass. Scale shape mirrors setsim_join_prefix: one
+    df-count aggregate, one per-doc rank window, a pruned equi-join,
+    one verify join — nothing corpus-quadratic."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    from pyspark.sql.window import Window
+
+    sh = shingle_frame(df, id_col, text_col, n)
+    posting = (
+        sh.select("id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posting.join(dfreq, "shingle").withColumn(
+        "__rnk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("shingle"))
+        ),
+    )
+    # Epsilon-guarded ceil as in setsim_join_prefix: never shorten the
+    # prefix on an exactly-integer t*n product.
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    probe = ranked.filter(F.col("__rnk") <= prefix_len).select("id", "shingle")
+    full = ranked.select("id", "shingle")
+    a, b = probe.alias("a"), full.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

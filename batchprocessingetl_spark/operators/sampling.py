@@ -209,3 +209,94 @@ def split_train_holdout(
     return df.withColumn(
         "split", F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 4,
+    n_buckets: int = 32,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling: for every anchor
+    row, up to ``k`` negative keys drawn from OTHER groups (same-group
+    rows are potential positives — same near-dup cluster, same source —
+    and must never be served as negatives).
+
+    Scheme (bucket representatives, O(n*k) not O(n^2)): every row gets
+    a ring position and a bucket from two INDEPENDENT md5 streams; each
+    (bucket, group) keeps one representative — its min-(pos, key) row,
+    a tiny B x |groups| frame. Anchor i-th draw targets bucket
+    md5(seed:key:i) % B and takes the minimum-pos representative whose
+    group differs from the anchor's. Everything is a broadcast join of
+    anchors x k against the representative frame — no corpus
+    self-join, no RNG state, replayable on any engine (md5 is the only
+    entropy source, per the oracle-parity playbook). A draw whose
+    bucket holds only same-group representatives yields no row (both
+    engines drop it identically); with |groups| >> 1 and B sized so
+    buckets hold several groups this is rare.
+
+    At 100 TB: the representative frame stays B x |groups| regardless
+    of corpus size — the only full-corpus work is one hash aggregate."""
+    if k < 1 or n_buckets < 1:
+        raise ValueError(f"need k >= 1 and n_buckets >= 1, got {k}, {n_buckets}")
+    key = F.col(key_col).cast("string")
+    pos = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "p:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "b:"), key)), 1, 15), 16, 10
+    ).cast("long") % n_buckets
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        F.col(group_col).alias("__grp"),
+        pos.alias("__pos"),
+        bucket.alias("__bkt"),
+    )
+    reps = (
+        base.groupBy("__bkt", "__grp")
+        .agg(F.min(F.struct("__pos", "__key")).alias("__rep"))
+        .select(
+            "__bkt",
+            F.col("__grp").alias("rep_grp"),
+            F.col("__rep.__pos").alias("rep_pos"),
+            F.col("__rep.__key").alias("rep_key"),
+        )
+    )
+    draws = base.select(
+        F.col("__key").alias("anchor"),
+        F.col("__grp").alias("anchor_grp"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("draw"),
+    ).withColumn(
+        "__bkt",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "t:"),
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("draw").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets,
+    )
+    return (
+        draws.join(F.broadcast(reps), "__bkt")
+        .filter(F.col("rep_grp") != F.col("anchor_grp"))
+        .groupBy("anchor", "anchor_grp", "draw")
+        .agg(F.min(F.struct("rep_pos", "rep_key")).alias("__neg"))
+        .select(
+            "anchor",
+            "anchor_grp",
+            "draw",
+            F.col("__neg.rep_key").alias("negative"),
+        )
+    )

@@ -256,9 +256,35 @@ def q116_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 4
+NEG_BUCKETS = 32
+NEG_SEED = "neg"
+
+
+def q136_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive NEGATIVE sampling (operators/sampling.py::
+    negative_pairs): up to 4 deterministic negatives per anchor doc,
+    drawn from md5-bucket representatives and excluding the anchor's
+    own source (same-source docs are potential positives). The oracle
+    replays the identical md5 draws with window functions, so every
+    (anchor, draw) -> negative assignment is value-pinned."""
+    from batchprocessingetl_spark.operators.sampling import negative_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        negative_pairs(
+            docs, "doc_id", "source", k=NEG_K, n_buckets=NEG_BUCKETS, seed=NEG_SEED
+        )
+        .withColumnRenamed("anchor", "doc_id")
+        .withColumnRenamed("anchor_grp", "source")
+        .orderBy("doc_id", "draw")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
+    "q136_negative_pairs": q136_negative_pairs,
     "q116_source_quality_gate": q116_source_quality_gate,
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
@@ -271,6 +297,38 @@ EXTRA_QUERIES = {
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q136_negative_pairs": f"""
+        WITH base AS (
+            SELECT doc_id AS key, source AS grp,
+                   ('0x' || substr(md5('{NEG_SEED}p:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS pos,
+                   ('0x' || substr(md5('{NEG_SEED}b:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % {NEG_BUCKETS} AS bkt
+            FROM documents
+        ), reps AS (
+            SELECT bkt, grp AS rep_grp, pos AS rep_pos, key AS rep_key
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY bkt, grp ORDER BY pos, key) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), draws AS (
+            SELECT b.key AS doc_id, b.grp AS source, i.i::INT AS draw,
+                   ('0x' || substr(md5('{NEG_SEED}t:' || b.key::VARCHAR
+                                       || ':' || i.i::VARCHAR), 1, 15))::BIGINT
+                       % {NEG_BUCKETS} AS bkt
+            FROM base b CROSS JOIN (SELECT unnest(range(1, {NEG_K + 1})) AS i) i
+        )
+        SELECT doc_id, source, draw, rep_key AS negative
+        FROM (
+            SELECT d.doc_id, d.source, d.draw, r.rep_key,
+                   ROW_NUMBER() OVER (PARTITION BY d.doc_id, d.draw
+                                      ORDER BY r.rep_pos, r.rep_key) AS rn
+            FROM draws d
+            JOIN reps r ON d.bkt = r.bkt AND r.rep_grp <> d.source
+        ) WHERE rn = 1
+        ORDER BY doc_id, draw
+    """,
     "q116_source_quality_gate": f"""
         WITH cuts AS (
             SELECT source,

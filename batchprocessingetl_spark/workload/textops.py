@@ -414,6 +414,25 @@ def q126_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.4
+
+
+def q135_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional set-CONTAINMENT join (operators/dedup.py::
+    containment_join_prefix): all ordered pairs where >= 40% of doc a's
+    3-shingles appear in doc b — the quote/substring/truncated-crawl
+    detector that Jaccard joins miss (a small doc inside a big one has
+    high containment but low Jaccard). The probe-side prefix cut is
+    provably lossless, so the oracle is the FULL exact containment pair
+    set: over-pruning fails the oracle."""
+    from batchprocessingetl_spark.operators.dedup import containment_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join_prefix(
+        docs, "doc_id", "text", n=3, threshold=CONTAIN_T
+    ).orderBy("id_a", "id_b")
+
+
 def q86_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (operators/text.py::build_vocab):
     dense term ids by (count DESC, term ASC) over terms with >= 100
@@ -650,6 +669,7 @@ QUERIES = {
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
+    "q135_containment_near_dups": q135_containment_near_dups,
     "q124_incremental_near_dups": q124_incremental_near_dups,
     "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
@@ -1238,5 +1258,25 @@ _ORACLE_ALL.update({
 
 # The registered/extra oracle split derives from EXTRA_QUERIES, so
 # rotations only ever touch the QUERIES/EXTRA_QUERIES dicts above.
+# q135: the probe-side prefix cut is lossless for containment
+# (overlap >= ceil(t|a|) forces a match inside a's first
+# |a| - ceil(t|a|) + 1 ranked shingles), so the oracle is the full
+# exact DIRECTIONAL pair set.
+_ORACLE_ALL["q135_containment_near_dups"] = f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL.format(toks=_TOKENS_SQL)} AS sh
+        FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh)::DOUBLE, 6)
+               AS containment
+    FROM sh a, sh b
+    WHERE a.id <> b.id
+      AND len(list_intersect(a.sh, b.sh)) > 0
+      AND ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh)::DOUBLE, 6)
+          >= {CONTAIN_T}
+    ORDER BY id_a, id_b
+"""
+
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

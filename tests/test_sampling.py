@@ -242,3 +242,41 @@ def test_temperature_resample_deterministic_and_layout_independent(spark):
         for r in temperature_resample(df.repartition(13), "src", "id", 0.5, 100).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_negative_pairs_match_python_replay(spark):
+    """negative_pairs must equal a driver-side replay of the identical
+    md5 draws (reps per (bucket, group), min-pos non-same-group rep per
+    draw) — and never serve a same-group row as a negative."""
+    import hashlib
+
+    from batchprocessingetl_spark.operators.sampling import negative_pairs
+
+    rows = [(i, f"src_{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["anchor"], r["draw"]): (r["anchor_grp"], r["negative"])
+        for r in negative_pairs(
+            df, "doc_id", "source", k=3, n_buckets=8, seed="t"
+        ).collect()
+    }
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    base = [(k, g, h(f"tp:{k}"), h(f"tb:{k}") % 8) for k, g in rows]
+    reps: dict[tuple[int, str], tuple[int, int]] = {}
+    for k, g, pos, bkt in base:
+        cur = reps.get((bkt, g))
+        if cur is None or (pos, k) < cur:
+            reps[(bkt, g)] = (pos, k)
+    want = {}
+    for k, g, _, _ in base:
+        for i in range(1, 4):
+            tb = h(f"tt:{k}:{i}") % 8
+            cands = [v for (bk, gg), v in reps.items() if bk == tb and gg != g]
+            if cands:
+                want[(k, i)] = (g, min(cands)[1])
+    assert got == want
+    for (k, _), (g, neg) in got.items():
+        assert rows[neg][1] != g

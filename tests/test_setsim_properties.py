@@ -85,3 +85,35 @@ def test_copurchase_equals_bruteforce(spark, rows, minsup):
             counts[(a, b)] = counts.get((a, b), 0) + 1
     want = {(a, b, n) for (a, b), n in counts.items() if n >= minsup}
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(corpus=corpus_st, threshold=st.sampled_from([0.4, 0.5, 1.0]))
+def test_containment_join_equals_bruteforce(spark, corpus, threshold):
+    from batchprocessingetl_spark.operators.dedup import containment_join_prefix
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_join_prefix(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    sh = {i: _shingles(t) for i, t in enumerate(corpus)}
+    want = set()
+    for a in range(len(corpus)):
+        for b in range(len(corpus)):
+            if a == b or not sh[a]:
+                continue
+            # mirror the operator: compare the 6dp-rounded ratio
+            c = round(len(sh[a] & sh[b]) / len(sh[a]), 6)
+            if len(sh[a] & sh[b]) > 0 and c >= threshold:
+                want.add((a, b))
+    assert got == want
