@@ -363,3 +363,123 @@ def phrase_hits(
         .select("id", F.col("e.phrase").alias("phrase"), F.col("e.n_occ").alias("n_occ"))
         .filter(F.col("n_occ") > 0)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-token vocabulary
+    size at ``n_checkpoints`` evenly-spaced doc-id thresholds, with the
+    cumulative doc and token counts at each — the corpus statistic that
+    sizes tokenizers and predicts vocab saturation (V ≈ K·n^β; the
+    curve's log-log slope is the Heaps exponent).
+
+    Shape: V(c) needs no per-checkpoint rescan — a token contributes to
+    every checkpoint past its FIRST occurrence, so one hash aggregate
+    (min doc id per token) plus one conditional-sum pass over a tiny
+    broadcast checkpoint frame covers all checkpoints at once. Both
+    passes are map-side-combinable; the map stage inflates rows by
+    n_checkpoints (small constant), the shuffle carries n_checkpoints
+    rows per partition. Thresholds cut on doc-id VALUES, not ranks, so
+    no global row-number window exists anywhere (a global rank is the
+    non-scalable formulation)."""
+    if n_checkpoints < 1:
+        raise ValueError(f"need n_checkpoints >= 1, got {n_checkpoints}")
+    spark = df.sparkSession
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    mx = base.agg(F.max("id").alias("__mx"))
+    cps = (
+        spark.range(1, n_checkpoints + 1)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "k",
+            F.floor(((F.col("__mx") + 1) * F.col("k")) / n_checkpoints)
+            .cast("long")
+            .alias("cp"),
+        )
+    )
+    docstats = (
+        base.crossJoin(F.broadcast(cps))
+        .groupBy("k", "cp")
+        .agg(
+            F.count(F.when(F.col("id") < F.col("cp"), 1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("id") < F.col("cp"), F.size("__toks"))), F.lit(0)
+            ).alias("n_tokens_cum"),
+        )
+    )
+    firsts = (
+        base.select("id", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("id").alias("first_id"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cps))
+        .groupBy("k")
+        .agg(F.count(F.when(F.col("first_id") < F.col("cp"), 1)).alias("vocab"))
+    )
+    return docstats.join(vocab, "k").select("k", "cp", "n_docs", "n_tokens_cum", "vocab")
+
+
+def keyness_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_count: int = 100,
+    prior: float = 0.01,
+) -> DataFrame:
+    """Distinctive-term extraction ("keyness") per group: the log-odds
+    ratio with an informative Dirichlet prior (Monroe, Colaresi &
+    Quinn, "Fightin' Words", Political Analysis 2008) of each term in
+    group i vs the REST of the corpus, z-scored:
+
+        δ_w = ln((y + a_w)/(n_i + a_0 − y − a_w))
+            − ln((y' + a_w)/(n_j + a_0 − y' − a_w)),
+        z_w = δ_w / sqrt(1/(y + a_w) + 1/(y' + a_w)),
+
+    with y'/n_j the rest-of-corpus counts and a_w = prior · corpus
+    count of w (the informative prior that tames rare-word variance,
+    where plain PMI/chi-square explode). The row set is fixed by the
+    INTEGER support filter (y >= min_count) — engine-exact — and the
+    double-math columns are rounded to 4dp, far above libm's 1-ulp
+    ln/sqrt jitter.
+
+    Shape: three hash aggregates (group×term, term, group) + one global
+    count, all map-side-combinable; the group×term frame joins the
+    term totals on the term key and broadcasts the tiny group totals.
+    Nothing is corpus-quadratic and no driver collect exists."""
+    tok = df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("term"))
+    y = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("y"))
+    cw = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cw"))
+    ni = tok.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    c0 = tok.agg(F.count(F.lit(1)).alias("__c0"))
+    d = F.col("y").cast("double")
+    dcw = F.col("__cw").cast("double")
+    dn = F.col("__n").cast("double")
+    dc0 = F.col("__c0").cast("double")
+    aw = F.lit(prior) * dcw
+    a0 = F.lit(prior) * dc0
+    yj = dcw - d
+    nj = dc0 - dn
+    t1 = (d + aw) / (dn + a0 - d - aw)
+    t2 = (yj + aw) / (nj + a0 - yj - aw)
+    delta = F.log(t1) - F.log(t2)
+    z = delta / F.sqrt(1.0 / (d + aw) + 1.0 / (yj + aw))
+    return (
+        y.filter(F.col("y") >= min_count)
+        .join(cw, "term")
+        .join(F.broadcast(ni), "grp")
+        .crossJoin(F.broadcast(c0))
+        .select(
+            F.col("grp"),
+            F.col("term"),
+            F.col("y"),
+            F.round(delta, 4).alias("log_odds"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -433,6 +433,41 @@ def q135_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+KEYNESS_MIN = 30
+KEYNESS_PRIOR = 0.01
+
+
+def q137_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (operators/text.py::
+    vocab_growth): vocabulary size + cumulative doc/token counts at 8
+    evenly-spaced doc-id thresholds. One min-per-token aggregate serves
+    every checkpoint (a token counts from its FIRST occurrence), so
+    there is no per-checkpoint rescan and no global rank window."""
+    from batchprocessingetl_spark.operators.text import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "doc_id", "text", n_checkpoints=8).orderBy("k")
+
+
+def q138_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction per source (operators/text.py::
+    keyness_by_group): Dirichlet-prior log-odds z-scores ('Fightin'
+    Words') of every term with >= 30 in-group occurrences vs the rest
+    of the corpus — the 'what makes this source different' statistic
+    used for domain tagging and contamination triage. Row set fixed by
+    the integer support filter; double math rounded 4dp."""
+    from batchprocessingetl_spark.operators.text import keyness_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        keyness_by_group(
+            docs, "source", "text", min_count=KEYNESS_MIN, prior=KEYNESS_PRIOR
+        )
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "term")
+    )
+
+
 def q86_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (operators/text.py::build_vocab):
     dense term ids by (count DESC, term ASC) over terms with >= 100
@@ -670,6 +705,8 @@ QUERIES = {
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
 EXTRA_QUERIES = {
     "q135_containment_near_dups": q135_containment_near_dups,
+    "q137_vocab_growth": q137_vocab_growth,
+    "q138_keyness_by_source": q138_keyness_by_source,
     "q124_incremental_near_dups": q124_incremental_near_dups,
     "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
@@ -1276,6 +1313,74 @@ _ORACLE_ALL["q135_containment_near_dups"] = f"""
       AND ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh)::DOUBLE, 6)
           >= {CONTAIN_T}
     ORDER BY id_a, id_b
+"""
+
+_ORACLE_ALL["q137_vocab_growth"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), mx AS (
+        SELECT MAX(doc_id) AS mx FROM documents
+    ), cps AS (
+        SELECT k.k::INT AS k,
+               CAST(floor(((mx.mx + 1) * k.k) / 8.0) AS BIGINT) AS cp
+        FROM mx, (SELECT unnest(range(1, 9)) AS k) k
+    ), firsts AS (
+        SELECT tok, MIN(doc_id) AS first_id
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        GROUP BY tok
+    ), docstats AS (
+        SELECT c.k, c.cp,
+               COUNT(CASE WHEN d.doc_id < c.cp THEN 1 END) AS n_docs,
+               COALESCE(SUM(CASE WHEN d.doc_id < c.cp THEN len(d.toks) END), 0)::BIGINT
+                   AS n_tokens_cum
+        FROM d CROSS JOIN cps c GROUP BY c.k, c.cp
+    ), vocab AS (
+        SELECT c.k, COUNT(CASE WHEN f.first_id < c.cp THEN 1 END) AS vocab
+        FROM firsts f CROSS JOIN cps c GROUP BY c.k
+    )
+    SELECT ds.k, ds.cp, ds.n_docs, ds.n_tokens_cum, v.vocab
+    FROM docstats ds JOIN vocab v USING (k)
+    ORDER BY k
+"""
+
+# q138: counts are integer-exact; the double-domain log-odds math is
+# written as the IDENTICAL expression tree so both engines divide /
+# ln / sqrt the same IEEE inputs (round-4 swallows libm 1-ulp jitter).
+_ORACLE_ALL["q138_keyness_by_source"] = f"""
+    WITH tok AS (
+        SELECT source AS grp, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), y AS (
+        SELECT grp, term, COUNT(*) AS y FROM tok GROUP BY 1, 2
+    ), cw AS (
+        SELECT term, COUNT(*) AS cw FROM tok GROUP BY 1
+    ), ni AS (
+        SELECT grp, COUNT(*) AS n FROM tok GROUP BY 1
+    ), c0 AS (
+        SELECT COUNT(*) AS c0 FROM tok
+    ), m AS (
+        SELECT y.grp, y.term, y.y,
+               y.y::DOUBLE AS dy, cw.cw::DOUBLE AS dcw,
+               ni.n::DOUBLE AS dn, c0.c0::DOUBLE AS dc0
+        FROM y JOIN cw USING (term) JOIN ni USING (grp), c0
+        WHERE y.y >= {KEYNESS_MIN}
+    )
+    SELECT grp AS source, term, y,
+           ROUND(
+               ln((dy + {KEYNESS_PRIOR} * dcw)
+                  / (dn + {KEYNESS_PRIOR} * dc0 - dy - {KEYNESS_PRIOR} * dcw))
+             - ln(((dcw - dy) + {KEYNESS_PRIOR} * dcw)
+                  / ((dc0 - dn) + {KEYNESS_PRIOR} * dc0
+                     - (dcw - dy) - {KEYNESS_PRIOR} * dcw)), 4) AS log_odds,
+           ROUND(
+               (ln((dy + {KEYNESS_PRIOR} * dcw)
+                   / (dn + {KEYNESS_PRIOR} * dc0 - dy - {KEYNESS_PRIOR} * dcw))
+              - ln(((dcw - dy) + {KEYNESS_PRIOR} * dcw)
+                   / ((dc0 - dn) + {KEYNESS_PRIOR} * dc0
+                      - (dcw - dy) - {KEYNESS_PRIOR} * dcw)))
+               / sqrt(1.0 / (dy + {KEYNESS_PRIOR} * dcw)
+                      + 1.0 / ((dcw - dy) + {KEYNESS_PRIOR} * dcw)), 4) AS z
+    FROM m
+    ORDER BY source, term
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
