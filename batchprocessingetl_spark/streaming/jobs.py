@@ -281,6 +281,8 @@ def attribution_stream_join(
     out_dir: str,
     attribution_window: str = "1 hour",
     late: str = "2 hours",
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Stream-stream interval join: attribute each purchase to every
     click by the same user within the preceding ``attribution_window``
@@ -293,8 +295,26 @@ def attribution_stream_join(
     join state: a click older than late+window past the watermark can
     never match a future purchase and is dropped — state is
     O(in-flight window), not O(stream history). Append output mode
-    (joined rows are immutable once emitted) to a durable parquet sink."""
-    ev = stream_events(spark, source_dir)
+    (joined rows are immutable once emitted) to a durable parquet sink.
+
+    ``how="left_outer"`` additionally emits UNATTRIBUTED purchases with
+    NULL click columns — but only once the watermark proves no matching
+    click can still arrive, which happens in a LATER micro-batch than
+    the purchase's own (the watermark used by batch N is computed from
+    batch N-1's max event time). Callers needing the trailing
+    unmatched rows flushed must advance the watermark past them —
+    either future batches in a live stream, or sentinel events split
+    across >= 2 extra files with ``max_files_per_trigger=1`` so
+    availableNow runs the extra micro-batches. The global watermark is
+    the MIN across both sides' watermark operators, so sentinels must
+    advance BOTH streams (a click-only sentinel leaves the purchase
+    side's watermark — and therefore the join's — stuck; pinned in
+    tests/test_streaming_state.py). This is Structured Streaming's
+    documented outer-join semantics, not a quirk of this job."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(source_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -320,7 +340,7 @@ def attribution_stream_join(
             f"c_user = user_id AND "
             f"click_ts BETWEEN p_ts - INTERVAL {attribution_window} AND p_ts"
         ),
-        "inner",
+        how,
     ).select("purchase_id", "user_id", "p_ts", "value", "click_id", "click_ts")
     q = (
         joined.writeStream.outputMode("append")

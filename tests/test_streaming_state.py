@@ -612,3 +612,68 @@ def test_near_dup_dedup_stream_invariants_and_replay(spark, tmp_path):
     run("ckpt2")
     kept2 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert kept2 == kept_ids
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    # left_outer must also emit UNATTRIBUTED purchases (NULL click)
+    # once the watermark proves no matching click can arrive. Two
+    # far-future sentinel click files + maxFilesPerTrigger=1 force the
+    # extra micro-batches that advance the watermark and flush them.
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.streaming.jobs import attribution_stream_join
+
+    rows = []
+    for i in range(40):
+        kind = "purchase" if i % 4 == 0 else "click"
+        # user_id i % 5 with clicks only for users 1..4 of the i%5
+        # cycle leaves some purchases with no same-user click at all
+        rows.append(
+            Row(event_id=i, ts=dt.datetime(2024, 1, 1, i // 6, (i * 7) % 60),
+                user_id=i % 5, event_type=kind, value=float(i), props="{}")
+        )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    # The global watermark is the MIN across both withWatermark
+    # operators, so sentinels must advance BOTH streams: each file
+    # carries a purchase AND a click (user -1, excluded from compare).
+    for j, day in enumerate((10, 11)):
+        spark.createDataFrame(
+            [Row(event_id=1000 + 2 * j, ts=dt.datetime(2024, 1, day), user_id=-1,
+                 event_type="purchase", value=0.0, props="{}"),
+             Row(event_id=1001 + 2 * j, ts=dt.datetime(2024, 1, day), user_id=-1,
+                 event_type="click", value=0.0, props="{}")]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    attribution_stream_join(
+        spark, src, str(tmp_path / "ckpt"), out,
+        how="left_outer", max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["purchase_id"] < 1000
+    )
+
+    ev = spark.read.parquet(src).filter("user_id >= 0")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "c_user = user_id AND click_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+            ),
+            "left",
+        ).collect()
+    )
+    assert got == want
+    assert any(cid is None for _, cid in got)  # unmatched purchases flushed
