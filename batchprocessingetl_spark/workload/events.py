@@ -774,6 +774,48 @@ def q122_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q139_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise AUDIENCE OVERLAP between event types: for every
+    unordered type pair, the number of users who did both, each side's
+    audience size, and the Jaccard overlap — the segment-intersection
+    matrix behind "users who viewed AND purchased" analyses. Shape:
+    one distinct (type, user) aggregate collapses the fact table, then
+    a self-join keyed on user_id whose blow-up is bounded by
+    C(types, 2) PER USER (types is a small enum), never corpus² —
+    followed by a hash rollup on the type pair. The Jaccard is one
+    IEEE double division of exact integer counts, bit-identical in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("overlap_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
@@ -816,6 +858,7 @@ QUERIES = {
 # (broadcast range join — the range family keeps q75 big-big interval
 # + q24 as-of registered) to make room for q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
+    "q139_audience_overlap": q139_audience_overlap,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q72_hypertable_rollup": q72_hypertable_rollup,
     "q21_sessionization": q21_sessionization,
@@ -1287,6 +1330,28 @@ _ORACLE_ALL["q103_rate_anomalies"] = f"""
     SELECT event_type, bucket, n, mu, sd, z
     FROM scored WHERE ABS(z) >= {ANOMALY_Z!r}
     ORDER BY event_type, bucket
+"""
+
+_ORACLE_ALL["q139_audience_overlap"] = """
+    WITH ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1
+    ), both_t AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT bt.type_a, bt.type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, bt.n_both,
+           bt.n_both::DOUBLE / (sa.n_users + sb.n_users - bt.n_both)::DOUBLE
+               AS overlap_jaccard
+    FROM both_t bt
+    JOIN sizes sa ON bt.type_a = sa.event_type
+    JOIN sizes sb ON bt.type_b = sb.event_type
+    ORDER BY bt.type_a, bt.type_b
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

@@ -1182,6 +1182,59 @@ def q134_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_EPOCH = "1990-01-01"
+_RFM_QS = ((1, 0.25), (2, 0.5), (3, 0.75))
+
+
+def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since
+    epoch of last order), Frequency (order count) and Monetary (exact
+    decimal spend) quartile-scored 1-4 against GLOBAL quartile cuts,
+    composed into the classic 3-digit RFM code. The cuts come from ONE
+    1-row exact-percentile aggregate broadcast over the customer-grain
+    frame — no ntile/percent_rank window, whose global sort is the
+    non-scalable formulation. Scores are integers decided by <=
+    compares against interpolated cuts both engines compute from
+    identical doubles, so the segmentation is engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit(RFM_EPOCH))
+        .cast("double")
+        .alias("rec"),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("mon"),
+    )
+    cuts = per_cust.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c}_q{i}")
+            for c in ("rec", "freq", "mon")
+            for i, q in _RFM_QS
+        ]
+    )
+
+    def score(c: str):
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_q1"), 1)
+            .when(F.col(c) <= F.col(f"{c}_q2"), 2)
+            .when(F.col(c) <= F.col(f"{c}_q3"), 3)
+            .otherwise(4)
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            score("rec").alias("r_score"),
+            score("freq").alias("f_score"),
+            score("mon").alias("m_score"),
+            (score("rec") * 100 + score("freq") * 10 + score("mon")).alias("rfm"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -1236,6 +1289,7 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
     "q133_market_share": q133_market_share,
@@ -1896,6 +1950,42 @@ _ORACLE_ALL["q134_nation_pair_volume"] = f"""
        OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
+"""
+
+_RFM_CUTS_SQL = ",\n               ".join(
+    f"quantile_cont({c}, {q}) AS {c}_q{i}"
+    for c in ("rec", "freq", "mon")
+    for i, q in _RFM_QS
+)
+
+
+def _rfm_score_sql(c: str) -> str:
+    return (
+        f"CASE WHEN {c} <= {c}_q1 THEN 1 WHEN {c} <= {c}_q2 THEN 2 "
+        f"WHEN {c} <= {c}_q3 THEN 3 ELSE 4 END"
+    )
+
+
+_ORACLE_ALL["q140_rfm_segments"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               datediff('day', DATE '{RFM_EPOCH}',
+                        CAST(MAX(o_orderdate) AS DATE))::DOUBLE AS rec,
+               COUNT(*)::DOUBLE AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6)))::DOUBLE AS mon
+        FROM orders GROUP BY 1
+    ), cuts AS (
+        SELECT {_RFM_CUTS_SQL}
+        FROM per_cust
+    )
+    SELECT o_custkey,
+           {_rfm_score_sql("rec")} AS r_score,
+           {_rfm_score_sql("freq")} AS f_score,
+           {_rfm_score_sql("mon")} AS m_score,
+           {_rfm_score_sql("rec")} * 100 + {_rfm_score_sql("freq")} * 10
+               + {_rfm_score_sql("mon")} AS rfm
+    FROM per_cust, cuts
+    ORDER BY o_custkey
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
