@@ -184,3 +184,35 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     got = [(r["vec_id"], r["cosine"]) for r in out.collect()]
     want = [(r["vec_id"], r["cosine"]) for r in mem.collect()]
     assert got == want
+
+
+def test_q132_part_side_implication_reaches_scan(spark):
+    # The cross-side OR-of-ANDs can't be pushed by Catalyst; the
+    # hand-extracted part-side implication must reach the part scan as
+    # a data filter so only band parts are read and broadcast.
+    from batchprocessingetl_spark.workload.relational import q132_banded_promo_revenue
+
+    plan = _physical(q132_banded_promo_revenue(spark, SF_SMOKE))
+    part_scan = next(l for l in plan.splitlines() if "part.parquet" in l)
+    assert "p_brand" in part_scan and "p_size" in part_scan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_q140_rfm_has_no_window(spark):
+    # Quartile scoring must come from the 1-row percentile aggregate
+    # broadcast, NOT an ntile/percent_rank window (global sort).
+    from batchprocessingetl_spark.workload.relational import q140_rfm_segments
+
+    plan = _physical(q140_rfm_segments(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "percentile" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cuts frame
+
+
+def test_q137_vocab_growth_has_no_global_rank(spark):
+    # Checkpoint thresholds cut on doc-id VALUES; a Window would mean
+    # the non-scalable global row-number formulation crept back in.
+    from batchprocessingetl_spark.workload.textops import q137_vocab_growth
+
+    plan = _physical(q137_vocab_growth(spark, SF_SMOKE))
+    assert "Window" not in plan
