@@ -100,3 +100,49 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_width: int | None = None,
+) -> DataFrame:
+    """Association-rule metrics over the frequent pairs: for every
+    surviving (a < b) pair, both directed confidences
+    (P(b|a) = sup_ab / sup_a, P(a|b) = sup_ab / sup_b) and the
+    symmetric lift (sup_ab · n_baskets / (sup_a · sup_b)) — the
+    signals that separate "popular with everything" items from real
+    affinities (lift > 1).
+
+    Adds two aggregate-sized frames to :func:`copurchase_pairs`'s
+    plan: per-item basket supports (joined twice on the item key, AQE
+    broadcasts them when small) and the 1-row basket count. Every
+    metric is one IEEE double division/multiply of exact integer
+    counts, so any engine computes identical bits — no rounding
+    needed for cross-engine parity."""
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support, max_basket_width)
+    bi = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    item_sup = bi.groupBy("__item").agg(F.count(F.lit(1)).alias("__sup"))
+    n_baskets = bi.agg(F.count_distinct("__basket").alias("__n"))
+    sa = item_sup.select(F.col("__item").alias("item_a"), F.col("__sup").alias("sup_a"))
+    sb = item_sup.select(F.col("__item").alias("item_b"), F.col("__sup").alias("sup_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "sup_a",
+            "sup_b",
+            (d("support") / d("sup_a")).alias("conf_a_to_b"),
+            (d("support") / d("sup_b")).alias("conf_b_to_a"),
+            (d("support") * d("__n") / (d("sup_a") * d("sup_b"))).alias("lift"),
+        )
+    )

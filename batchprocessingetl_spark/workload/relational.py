@@ -1182,6 +1182,60 @@ def q134_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics (operators/baskets.py::
+    association_rules) over the q110 frequent pairs: directed
+    confidences and symmetric lift from exact integer supports — the
+    'is this a real affinity or just two popular parts' read. Every
+    metric is one IEEE double op over exact counts, bit-identical
+    cross-engine, so nothing is rounded."""
+    from batchprocessingetl_spark.operators.baskets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        association_rules(li, "l_orderkey", "l_partkey", BASKET_MINSUP)
+        .withColumnRenamed("item_a", "part_a")
+        .withColumnRenamed("item_b", "part_b")
+        .orderBy("part_a", "part_b")
+    )
+
+
+def q142_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort curves: customers cohorted by
+    FIRST-order year; per (cohort, age-in-years) the active-customer
+    count, that year's exact decimal revenue, and the cumulative
+    revenue-to-date — the monetary twin of q102's retention triangle.
+    The running sum windows over the cohort×age GRAIN (post-aggregate,
+    ~years² rows), never the fact table; revenue accumulates unrounded
+    decimal and rounds once per output cell, so cumulative cells can't
+    drift from sum-of-rounds."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    acc = "decimal(28,6)"
+    per_year = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.year("o_orderdate") - F.col("cohort")).alias("age"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast(acc)).alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_year.select(
+        "cohort",
+        "age",
+        "n_active",
+        F.round("__rev", 2).cast("double").alias("yr_revenue"),
+        F.round(F.sum("__rev").over(w), 2).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort", "age")
+
+
 RFM_EPOCH = "1990-01-01"
 _RFM_QS = ((1, 0.25), (2, 0.5), (3, 0.75))
 
@@ -1289,6 +1343,8 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q141_copurchase_rules": q141_copurchase_rules,
+    "q142_cohort_ltv": q142_cohort_ltv,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -1950,6 +2006,55 @@ _ORACLE_ALL["q134_nation_pair_volume"] = f"""
        OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
+"""
+
+_ORACLE_ALL["q141_copurchase_rules"] = f"""
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM bp a JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MINSUP}
+    ), isup AS (
+        SELECT l_partkey, COUNT(*) AS sup FROM bp GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM bp
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           sa.sup AS sup_a, sb.sup AS sup_b,
+           p.support::DOUBLE / sa.sup::DOUBLE AS conf_a_to_b,
+           p.support::DOUBLE / sb.sup::DOUBLE AS conf_b_to_a,
+           p.support::DOUBLE * n.n::DOUBLE
+               / (sa.sup::DOUBLE * sb.sup::DOUBLE) AS lift
+    FROM pairs p
+    JOIN isup sa ON p.part_a = sa.l_partkey
+    JOIN isup sb ON p.part_b = sb.l_partkey, n
+    ORDER BY p.part_a, p.part_b
+"""
+
+_ORACLE_ALL["q142_cohort_ltv"] = """
+    WITH first AS (
+        SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate))::INT AS cohort
+        FROM orders GROUP BY 1
+    ), per_year AS (
+        SELECT f.cohort,
+               (EXTRACT(year FROM o.o_orderdate)::INT - f.cohort) AS age,
+               COUNT(DISTINCT o.o_custkey) AS n_active,
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, age, n_active,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS yr_revenue,
+           CAST(ROUND(SUM(rev) OVER (
+               PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS cum_revenue
+    FROM per_year
+    ORDER BY cohort, age
 """
 
 _RFM_CUTS_SQL = ",\n               ".join(
