@@ -816,6 +816,96 @@ def q139_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: the median and
+    p90 gap (seconds) between a user's consecutive events of the same
+    type — the cadence statistic behind session-gap tuning and
+    anomaly baselines. Gaps come from one lag window over fine
+    (user, type) partitions — millions of small partitions, the shape
+    window functions scale on (never one global sort); the exact
+    percentiles aggregate gap rows per type. Gap seconds are exact
+    integer epoch differences, so the interpolated percentiles start
+    from identical inputs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.percentile(F.col("gap_s").cast("double"), F.lit(0.5)), 4)
+            .alias("p50_gap_s"),
+            F.round(F.percentile(F.col("gap_s").cast("double"), F.lit(0.9)), 4)
+            .alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q144_user_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (nats) — the
+    behavioral-diversity score separating single-purpose accounts from
+    broad users (and a standard bot signal at the extremes). Two hash
+    aggregates: (user, type) counts, then the per-user entropy fold
+    -Σ p·ln p with p from exact integer counts — identical IEEE inputs
+    in both engines, rounded 6dp against libm jitter."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = ut.groupBy("user_id").agg(F.sum("n").alias("n_events"))
+    p = F.col("n").cast("double") / F.col("n_events").cast("double")
+    return (
+        ut.join(tot, "user_id")
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q145_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap words: users pack
+    into 64-bit words (word = id div 64, bit = id mod 64), each day
+    keeps one bit_or word per occupied word index, and the WEEKLY
+    distinct-user count merges the daily words with another bit_or +
+    popcount — the fact table is scanned once and the weekly rollup
+    touches only day×word rows (the roaring-bitmap/Theta-sketch
+    pattern, but exact). Unlike HLL (q123) there is no error bar, at
+    the cost of state linear in the id space; the oracle recomputes
+    weekly COUNT(DISTINCT) directly, so any bit-packing or merge bug
+    flips the value hash."""
+    ev = load_table(spark, sf_dir, "events")
+    day_words = (
+        ev.select(
+            F.date_trunc("week", "ts").alias("week"),
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("word_idx"),
+            # F.shiftleft takes a literal bit count; the SQL form
+            # accepts an expression
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("bit"),
+        )
+        .groupBy("week", "day", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        day_words.groupBy("week", "word_idx")
+        .agg(F.bit_or("word").alias("wword"))
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("wword")).alias("n_users"))
+        .orderBy("week")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
@@ -859,6 +949,9 @@ QUERIES = {
 # + q24 as-of registered) to make room for q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
     "q139_audience_overlap": q139_audience_overlap,
+    "q143_interarrival_stats": q143_interarrival_stats,
+    "q144_user_mix_entropy": q144_user_mix_entropy,
+    "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q72_hypertable_rollup": q72_hypertable_rollup,
     "q21_sessionization": q21_sessionization,
@@ -1352,6 +1445,53 @@ _ORACLE_ALL["q139_audience_overlap"] = """
     JOIN sizes sa ON bt.type_a = sa.event_type
     JOIN sizes sb ON bt.type_b = sb.event_type
     ORDER BY bt.type_a, bt.type_b
+"""
+
+_ORACLE_ALL["q143_interarrival_stats"] = """
+    WITH gaps AS (
+        -- floor() before ::BIGINT: DuckDB CAST rounds while Spark's
+        -- unix_timestamp truncates, and events.ts carries sub-second
+        -- precision
+        SELECT event_type,
+               floor(epoch(ts))::BIGINT
+               - lag(floor(epoch(ts))::BIGINT) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(quantile_cont(gap_s::DOUBLE, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s::DOUBLE, 0.9), 4) AS p90_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_ORACLE_ALL["q144_user_mix_entropy"] = """
+    WITH ut AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT user_id, SUM(n)::BIGINT AS n_events FROM ut GROUP BY 1
+    )
+    SELECT ut.user_id, tot.n_events, COUNT(*) AS n_types,
+           ROUND(-SUM((ut.n::DOUBLE / tot.n_events::DOUBLE)
+                      * ln(ut.n::DOUBLE / tot.n_events::DOUBLE)), 6)
+               AS entropy_nats
+    FROM ut JOIN tot USING (user_id)
+    GROUP BY ut.user_id, tot.n_events
+    ORDER BY ut.user_id
+"""
+
+# q145: the oracle is the DIRECT weekly distinct count — any bitmap
+# packing or merge bug flips the hash.
+_ORACLE_ALL["q145_bitmap_distinct_rollup"] = """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY week
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
