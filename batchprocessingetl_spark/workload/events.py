@@ -906,6 +906,61 @@ def q145_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MTA_WINDOW_S = 3600  # attribution lookback, seconds
+
+
+def q146_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every click
+    by the purchase's user within the lookback window earns credit —
+    sole click 1.0; otherwise first and last 0.4 each and the middles
+    split 0.2 evenly. The single-touch as-of pick (q24) is the
+    degenerate case; this is the marketing-standard generalization.
+    Shape: one user-keyed interval join (pair count bounded by clicks
+    within the window per purchase, never corpus²), then position /
+    count windows over per-purchase groups — tiny partitions. Credits
+    are exact rational doubles (0.4, 0.2/(k-2)) from integer
+    positions, bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("p_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {MTA_WINDOW_S} SECONDS")
+        ),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    wk = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(w)
+    k = F.count(F.lit(1)).over(wk)
+    credit = (
+        F.when(k == 1, F.lit(1.0))
+        .when((pos == 1) | (pos == k), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - 2).cast("double"))
+    )
+    return (
+        joined.select(
+            "purchase_id",
+            "click_id",
+            pos.alias("touch_pos"),
+            k.alias("n_touches"),
+            F.round(credit, 6).alias("credit"),
+        )
+        .orderBy("purchase_id", "touch_pos")
+    )
+
+
 QUERIES = {
     "q28_session_window_stats": q28_session_window_stats,
     "q75_interval_join_concurrency": q75_interval_join_concurrency,
@@ -950,6 +1005,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q139_audience_overlap": q139_audience_overlap,
     "q143_interarrival_stats": q143_interarrival_stats,
+    "q146_multitouch_attribution": q146_multitouch_attribution,
     "q144_user_mix_entropy": q144_user_mix_entropy,
     "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -1482,6 +1538,31 @@ _ORACLE_ALL["q144_user_mix_entropy"] = """
     FROM ut JOIN tot USING (user_id)
     GROUP BY ut.user_id, tot.n_events
     ORDER BY ut.user_id
+"""
+
+_ORACLE_ALL["q146_multitouch_attribution"] = f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.purchase_id, c.click_id,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.click_ts, c.click_id) AS touch_pos,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM p JOIN c
+          ON c.c_user = p.user_id
+         AND c.click_ts <= p.p_ts
+         AND c.click_ts >= p.p_ts - INTERVAL {MTA_WINDOW_S} SECONDS
+    )
+    SELECT purchase_id, click_id, touch_pos, n_touches,
+           ROUND(CASE WHEN n_touches = 1 THEN 1.0
+                      WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
+                      ELSE 0.2 / (n_touches - 2)::DOUBLE END, 6) AS credit
+    FROM j
+    ORDER BY purchase_id, touch_pos
 """
 
 # q145: the oracle is the DIRECT weekly distinct count — any bitmap
