@@ -233,6 +233,72 @@ def q80_bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_join(docs, queries, BM25_JOIN_K).orderBy("qid", "rank")
 
 
+HYBRID_QUERY_SET = (
+    (0, ("dup", "vector")),
+    (100, ("scan", "filter")),
+    (200, ("join", "merge", "hash")),
+    (300, ("customer",)),
+    (400, ("dup", "filter")),
+)
+HYBRID_K = 10
+RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q147_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — BM25 lexical ranking fused with exact-cosine
+    vector ranking by Reciprocal Rank Fusion: rrf(d) = Σ 1/(60 + rank)
+    over the rankers that returned d (Cormack et al., SIGIR'09) — the
+    standard first-stage of a modern RAG/search stack. Reuses both
+    production rankers unchanged (operators/retrieval.py::
+    bm25_topk_join, one corpus scan for the whole query batch;
+    operators/similarity.py::knn_join, tiled block GEMM + skinny
+    global top-k), full-outer-joins the two per-query top-10 lists on
+    (qid, doc) and fuses on INTEGER ranks — so the fusion arithmetic
+    is bit-identical cross-engine regardless of score-scale
+    differences, which is exactly why RRF is used in practice."""
+    from batchprocessingetl_spark.operators import similarity as S_ops
+    from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 != 0)
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in HYBRID_QUERY_SET],
+        "qid int, terms array<string>",
+    )
+    lex = bm25_topk_join(docs, queries, HYBRID_K).select(
+        "qid", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in HYBRID_QUERY_SET])
+    ).select(
+        F.col("vec_id").cast("int").alias("qid"),
+        S_ops.as_double(F.col("embedding")).alias("qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    vec = S_ops.knn_join(corpus, vq, HYBRID_K).select(
+        "qid", F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    from pyspark.sql.window import Window
+
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.col("lex_rank") + RRF_C), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.col("vec_rank") + RRF_C), F.lit(0.0))
+    w = Window.partitionBy("qid").orderBy(F.desc("__rrf"), "doc_id")
+    return (
+        fused.withColumn("__rrf", rrf)
+        .select(
+            "qid",
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("__rrf", 6).alias("rrf"),
+            F.row_number().over(w).alias("hybrid_rank"),
+        )
+        .orderBy("qid", "hybrid_rank")
+    )
+
+
 FUZZY_MAX_DIST = 1
 FUZZY_PREFIX = 2
 
@@ -707,6 +773,7 @@ EXTRA_QUERIES = {
     "q135_containment_near_dups": q135_containment_near_dups,
     "q137_vocab_growth": q137_vocab_growth,
     "q138_keyness_by_source": q138_keyness_by_source,
+    "q147_hybrid_retrieval_rrf": q147_hybrid_retrieval_rrf,
     "q124_incremental_near_dups": q124_incremental_near_dups,
     "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
@@ -1381,6 +1448,87 @@ _ORACLE_ALL["q138_keyness_by_source"] = f"""
                       + 1.0 / ((dcw - dy) + {KEYNESS_PRIOR} * dcw)), 4) AS z
     FROM m
     ORDER BY source, term
+"""
+
+_HYBRID_QUERY_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in HYBRID_QUERY_SET for t in terms
+)
+_HYBRID_QIDS = ", ".join(str(qid) for qid, _ in HYBRID_QUERY_SET)
+_RRF_SQL = (
+    f"COALESCE(1.0 / (lex_rank + {RRF_C}), 0.0)"
+    f" + COALESCE(1.0 / (vec_rank + {RRF_C}), 0.0)"
+)
+# q147: both rankers replicated exactly (the q80 BM25 pipeline over the
+# filtered corpus; the q65 cosine top-k), fused on integer ranks.
+_ORACLE_ALL["q147_hybrid_retrieval_rrf"] = f"""
+    WITH q(qid, term) AS (VALUES {_HYBRID_QUERY_VALUES}),
+    base AS (
+        SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks
+        FROM documents WHERE doc_id % 100 <> 0
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl FROM base
+    ), tf AS (
+        SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2, 3
+    ), dft AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+    ), sc AS (
+        SELECT t.doc_id, t.term,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / (s.sum_dl / s.n_docs)))
+                   AS score
+        FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+    ), pp AS (
+        SELECT q.qid, sc.doc_id,
+               CAST(ROUND(SUM(CAST(ROUND(sc.score, 7) AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        FROM sc JOIN q USING (term)
+        GROUP BY 1, 2
+    ), lex AS (
+        SELECT qid, doc_id, rnk::INT AS lex_rank FROM (
+            SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM pp
+        ) WHERE rnk <= {HYBRID_K}
+    ), vq AS (
+        SELECT vec_id::INT AS qid,
+               list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id IN ({_HYBRID_QIDS})
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ee
+        FROM embeddings WHERE vec_id % 100 <> 0
+    ), s2 AS (
+        SELECT vq.qid, e.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(range(1, len(ee) + 1),
+                                             i -> ee[i] * qe[i]))
+                     / (sqrt(list_sum(list_transform(ee, x -> x * x)))
+                        * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6)
+                   AS cosine
+        FROM e CROSS JOIN vq
+    ), vec AS (
+        SELECT qid, doc_id, rnk::INT AS vec_rank FROM (
+            SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, doc_id) AS rnk
+            FROM s2
+        ) WHERE rnk <= {HYBRID_K}
+    ), f AS (
+        SELECT COALESCE(l.qid, v.qid) AS qid,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank
+        FROM lex l FULL JOIN vec v
+          ON l.qid = v.qid AND l.doc_id = v.doc_id
+    )
+    SELECT qid, doc_id, lex_rank, vec_rank,
+           ROUND({_RRF_SQL}, 6) AS rrf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY {_RRF_SQL} DESC, doc_id) AS INT)
+               AS hybrid_rank
+    FROM f
+    ORDER BY qid, hybrid_rank
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
