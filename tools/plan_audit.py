@@ -100,6 +100,13 @@ AUDITED = (
     "q138_keyness_by_source",
     "q139_audience_overlap",
     "q140_rfm_segments",
+    "q141_copurchase_rules",
+    "q142_cohort_ltv",
+    "q143_interarrival_stats",
+    "q144_user_mix_entropy",
+    "q145_bitmap_distinct_rollup",
+    "q146_multitouch_attribution",
+    "q147_hybrid_retrieval_rrf",
 )
 
 
