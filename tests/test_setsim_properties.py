@@ -117,3 +117,44 @@ def test_containment_join_equals_bruteforce(spark, corpus, threshold):
             if len(sh[a] & sh[b]) > 0 and c >= threshold:
                 want.add((a, b))
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=basket_st, minsup=st.sampled_from([1, 2]))
+def test_association_rules_equal_bruteforce(spark, rows, minsup):
+    from batchprocessingetl_spark.operators.baskets import association_rules
+
+    data = rows or [(99, 99)]
+    df = spark.createDataFrame(data, "basket long, item long")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["support"], r["sup_a"], r["sup_b"],
+            r["conf_a_to_b"], r["conf_b_to_a"], r["lift"],
+        )
+        for r in association_rules(df, "basket", "item", minsup).collect()
+    }
+    baskets: dict[int, set[int]] = {}
+    for b, i in data:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    isup: dict[int, int] = {}
+    for items in baskets.values():
+        for i in items:
+            isup[i] = isup.get(i, 0) + 1
+    want = {}
+    pair_sup: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            pair_sup[(a, b)] = pair_sup.get((a, b), 0) + 1
+    for (a, b), s in pair_sup.items():
+        if s >= minsup:
+            want[(a, b)] = (
+                s, isup[a], isup[b],
+                s / isup[a], s / isup[b], s * n / (isup[a] * isup[b]),
+            )
+    assert got == want
