@@ -256,6 +256,83 @@ def q116_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUG_SEED = "aug"
+AUG_MOD = 10  # drop ~1/10 of tokens
+
+
+def q148_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation: each document yields
+    one augmented variant with ~10% of tokens removed, the keep/drop
+    decision per (doc, position) coming from md5 — replayable on any
+    engine, no RNG state, and stable as the corpus grows (a doc's
+    augmentation never changes). The drop runs as an indexed
+    higher-order filter over the token array — zero shuffle, one
+    narrow map over the corpus; the md5-per-token cost is the price of
+    engine-exact replay and stays embarrassingly parallel. Counts let
+    downstream mixing weight originals vs augments."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T_ops.tokens(F.col("text"))
+    keep = lambda t, i: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(AUG_SEED + ":"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % AUG_MOD
+        != 0
+    )
+    kept = F.filter(toks, keep)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_orig"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("aug_text"),
+    ).orderBy("doc_id")
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q149_winsorize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each document's length feature to
+    its source's [p05, p95] interpolated percentiles — the standard
+    outlier-taming transform before training statistics. One grouped
+    exact-percentile aggregate (rows = |groups|) joined back on the
+    group key, then a narrow clamp — the q116 quantile-gate shape, no
+    percent_rank window. Cut values are identical interpolated doubles
+    in both engines, so clamped values match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("double")
+    cuts = docs.groupBy("source").agg(
+        F.percentile(v, F.lit(WINSOR_LO)).alias("__lo"),
+        F.percentile(v, F.lit(WINSOR_HI)).alias("__hi"),
+    )
+    return (
+        docs.join(cuts, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.greatest(F.col("__lo"), F.least(F.col("__hi"), v)).alias(
+                "n_chars_winsor"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 NEG_K = 4
 NEG_BUCKETS = 32
 NEG_SEED = "neg"
@@ -285,6 +362,8 @@ def q136_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
     "q136_negative_pairs": q136_negative_pairs,
+    "q148_token_dropout_augment": q148_token_dropout_augment,
+    "q149_winsorize_by_source": q149_winsorize_by_source,
     "q116_source_quality_gate": q116_source_quality_gate,
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
@@ -297,6 +376,38 @@ EXTRA_QUERIES = {
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    # DuckDB lambda indexes are 1-based; Spark's filter() index is
+    # 0-based — hence the i-1.
+    "q148_token_dropout_augment": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks
+            FROM documents
+        ), k AS (
+            SELECT doc_id, toks,
+                   list_filter(toks, (x, i) ->
+                       ('0x' || substr(md5('{AUG_SEED}:' || doc_id::VARCHAR
+                                           || ':' || (i - 1)::VARCHAR), 1, 15)
+                       )::BIGINT % {AUG_MOD} <> 0) AS kept
+            FROM t
+        )
+        SELECT doc_id, len(toks)::INT AS n_orig, len(kept)::INT AS n_kept,
+               array_to_string(kept, ' ') AS aug_text
+        FROM k
+        ORDER BY doc_id
+    """,
+    "q149_winsorize_by_source": f"""
+        WITH cuts AS (
+            SELECT source,
+                   quantile_cont(n_chars::DOUBLE, {WINSOR_LO}) AS lo,
+                   quantile_cont(n_chars::DOUBLE, {WINSOR_HI}) AS hi
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               greatest(c.lo, least(c.hi, d.n_chars::DOUBLE)) AS n_chars_winsor
+        FROM documents d JOIN cuts c USING (source)
+        ORDER BY d.doc_id
+    """,
     "q136_negative_pairs": f"""
         WITH base AS (
             SELECT doc_id AS key, source AS grp,

@@ -1236,6 +1236,31 @@ def q142_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "age")
 
 
+EMBARGO_CUT = "1999-01-01"
+EMBARGO_DAYS = 30
+
+
+def q150_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap (purged split,
+    López de Prado): train = strictly before cut − 30d, test = at/after
+    the cut, and the 30 days before the cut are EXCLUDED from both —
+    the guard against look-ahead leakage through features computed
+    over windows that straddle the boundary. The near-dup-cluster
+    split (q118) prevents content leakage; this prevents TEMPORAL
+    leakage — a complete split toolkit needs both. One narrow map, no
+    shuffle; assignment is a pure function of the row's own timestamp,
+    so it is stable under reprocessing and engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(EMBARGO_CUT).cast("timestamp")
+    lo = cut - F.expr(f"INTERVAL {EMBARGO_DAYS} DAYS")
+    split = (
+        F.when(F.col("o_orderdate") < lo, F.lit("train"))
+        .when(F.col("o_orderdate") >= cut, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return o.select("o_orderkey", split.alias("split")).orderBy("o_orderkey")
+
+
 RFM_EPOCH = "1990-01-01"
 _RFM_QS = ((1, 0.25), (2, 0.5), (3, 0.75))
 
@@ -1345,6 +1370,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q141_copurchase_rules": q141_copurchase_rules,
     "q142_cohort_ltv": q142_cohort_ltv,
+    "q150_temporal_embargo_split": q150_temporal_embargo_split,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -2055,6 +2081,17 @@ _ORACLE_ALL["q142_cohort_ltv"] = """
                AS DOUBLE) AS cum_revenue
     FROM per_year
     ORDER BY cohort, age
+"""
+
+_ORACLE_ALL["q150_temporal_embargo_split"] = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderdate < TIMESTAMP '{EMBARGO_CUT} 00:00:00'
+                     - INTERVAL {EMBARGO_DAYS} DAYS THEN 'train'
+                WHEN o_orderdate >= TIMESTAMP '{EMBARGO_CUT} 00:00:00'
+                     THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM orders
+    ORDER BY o_orderkey
 """
 
 _RFM_CUTS_SQL = ",\n               ".join(
