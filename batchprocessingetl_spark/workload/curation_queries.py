@@ -256,6 +256,95 @@ def q116_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_BUDGET = 100
+QUOTA_SEED = "quota"
+
+
+def q151_quota_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional corpus sampling by LARGEST-REMAINDER quota
+    allocation (Hamilton's method): a fixed budget of 100 docs is
+    split across sources proportionally to their sizes, floor quotas
+    first, then the leftover seats go to the largest integer
+    remainders ((B·n_i) mod N, ties by source) — so the sample total
+    is EXACTLY the budget, which per-stratum caps (q83-style fixed n)
+    and Bernoulli fractions both fail to guarantee. All allocation
+    arithmetic is integer, hence engine-exact; within each source the
+    quota fills by md5 rank, the deterministic draw the oracle
+    replays. Plan: one tiny per-source count aggregate carries the
+    whole allocation (window over |sources| rows), broadcast back;
+    the corpus sees one hash shuffle for the per-source rank window."""
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.operators.sampling import rank_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = counts.agg(F.sum("n_i").alias("n"))
+    base = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("floor_q", (F.lit(QUOTA_BUDGET) * F.col("n_i") / F.col("n")).cast("long"))
+        .withColumn("rem", (F.lit(QUOTA_BUDGET) * F.col("n_i")) % F.col("n"))
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    wtot = Window.partitionBy()
+    quotas = base.select(
+        "source",
+        (
+            F.col("floor_q")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.lit(QUOTA_BUDGET) - F.sum("floor_q").over(wtot),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        rank_hash(F.col("doc_id"), QUOTA_SEED), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("__rk", F.row_number().over(wpick))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("__rk") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOP = 20
+
+
+def q152_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic: the top-20 adjacent CHARACTER
+    pairs across the corpus vocabulary, weighted by word frequency —
+    exactly the candidate table byte-pair encoding greedily merges
+    from (the first BPE iteration's input). Shape: word counts are one
+    hash aggregate; each distinct word then expands to its |w|−1
+    adjacent pairs via a sequence transform (narrow generate over the
+    VOCABULARY, not the corpus — frequency weighting happens in the
+    aggregate); the top-k is a single TakeOrdered with a total order
+    ((count, pair) — no ties possible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.concat(
+            F.col("w").substr(i, F.lit(1)), F.col("w").substr(i + 1, F.lit(1))
+        ),
+    )
+    return (
+        words.filter(F.length("w") >= 2)
+        .select("wc", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
 AUG_SEED = "aug"
 AUG_MOD = 10  # drop ~1/10 of tokens
 
@@ -364,6 +453,8 @@ EXTRA_QUERIES = {
     "q136_negative_pairs": q136_negative_pairs,
     "q148_token_dropout_augment": q148_token_dropout_augment,
     "q149_winsorize_by_source": q149_winsorize_by_source,
+    "q151_quota_allocation_sample": q151_quota_allocation_sample,
+    "q152_bpe_merge_candidates": q152_bpe_merge_candidates,
     "q116_source_quality_gate": q116_source_quality_gate,
     "q71_sequence_packing": q71_sequence_packing,
     "q73_passage_chunking": q73_passage_chunking,
@@ -376,6 +467,53 @@ EXTRA_QUERIES = {
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q151_quota_allocation_sample": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_i FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT SUM(n_i) AS n FROM counts
+        ), base AS (
+            SELECT source, n_i,
+                   ({QUOTA_BUDGET} * n_i) // n AS floor_q,
+                   ({QUOTA_BUDGET} * n_i) % n AS rem
+            FROM counts, tot
+        ), quotas AS (
+            SELECT source,
+                   floor_q + CASE WHEN ROW_NUMBER() OVER (
+                           ORDER BY rem DESC, source)
+                       <= {QUOTA_BUDGET} - (SELECT SUM(floor_q) FROM base)
+                       THEN 1 ELSE 0 END AS quota
+            FROM base
+        ), ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{QUOTA_SEED}:' || doc_id::VARCHAR),
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, q.quota::BIGINT AS quota
+        FROM ranked r JOIN quotas q USING (source)
+        WHERE r.rk <= q.quota
+        ORDER BY r.doc_id
+    """,
+    "q152_bpe_merge_candidates": f"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS wc
+            FROM (SELECT unnest({T_ops.TOKENS_SQL_DUCKDB.format(col="text")}) AS w
+                  FROM documents)
+            GROUP BY 1
+        ), p AS (
+            SELECT wc,
+                   unnest(list_transform(range(1, length(w)),
+                          i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
+            FROM words WHERE length(w) >= 2
+        )
+        SELECT pair, SUM(wc)::BIGINT AS n_occ
+        FROM p GROUP BY 1
+        ORDER BY n_occ DESC, pair
+        LIMIT {BPE_TOP}
+    """,
     # DuckDB lambda indexes are 1-based; Spark's filter() index is
     # 0-based — hence the i-1.
     "q148_token_dropout_augment": f"""
