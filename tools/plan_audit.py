@@ -107,6 +107,11 @@ AUDITED = (
     "q145_bitmap_distinct_rollup",
     "q146_multitouch_attribution",
     "q147_hybrid_retrieval_rrf",
+    "q148_token_dropout_augment",
+    "q149_winsorize_by_source",
+    "q150_temporal_embargo_split",
+    "q151_quota_allocation_sample",
+    "q152_bpe_merge_candidates",
 )
 
 
