@@ -906,6 +906,99 @@ def q145_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_N = 3
+PATH_TOP = 20
+
+
+def q153_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite: the top-20 most common 3-step
+    event-type paths WITHIN a session (q21's gaps-and-islands
+    sessionization, 30-min gap) — the "what do users do next"
+    statistic behind funnel design and next-action models. Three
+    window passes share ONE hash partition by user (lag for session
+    bounds, running-sum session ids, leads for the n-gram); paths
+    aggregate map-side-combinably; the top-k is one TakeOrdered under
+    a total order (count DESC, path ASC). Nothing re-sorts globally
+    and nothing is sequence-explosive: each event emits at most one
+    path."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (gap_us > SESSION_GAP_MINUTES * 60_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(by_user))
+    )
+    by_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(by_sess),
+        F.lead("event_type", 2).over(by_sess),
+    )
+    return (
+        sess.withColumn("__e2", F.lead("event_type", 2).over(by_sess))
+        .withColumn("path", path)
+        .filter(F.col("__e2").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "path")
+        .limit(PATH_TOP)
+    )
+
+
+def q154_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-negative running balance (inventory semantics: the balance
+    absorbs signed deltas but can never go below zero). The recurrence
+    b_i = max(b_{i-1} + x_i, 0) looks like it demands a stateful
+    per-row scan (applyInPandas), but it has a CLOSED FORM in two
+    windows: b_i = S_i − min(0, min_{j<=i} S_j) where S is the plain
+    running sum — reflecting the walk at zero. That turns an
+    unexpressible sequential fold into two whole-stage-codegen'd
+    window passes sharing one partition-by-user shuffle; at 100 TB
+    this closed-form-over-stateful-scan substitution IS the
+    difference between a plan and a Python loop. Deltas are signed
+    event values in exact decimal: purchase/signup credit, every
+    other type debits — a mix that clamps often, so the reflection
+    term is exercised on most users."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = "decimal(28,6)"
+    signed = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        )
+        .otherwise(-F.col("value"))
+        .cast(acc)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    zero = F.lit(0).cast(acc)
+    s = F.sum("__x").over(w)
+    running_min = F.min(F.least(F.col("__s"), zero)).over(w)
+    return (
+        ev.select("user_id", "event_id", F.col("ts"), signed.alias("__x"))
+        .withColumn("__s", s)
+        .withColumn("balance", F.col("__s") - running_min)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("__x", 2).cast("double").alias("delta"),
+            F.round("balance", 2).cast("double").alias("balance"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 MTA_WINDOW_S = 3600  # attribution lookback, seconds
 
 
@@ -1006,6 +1099,8 @@ EXTRA_QUERIES = {
     "q139_audience_overlap": q139_audience_overlap,
     "q143_interarrival_stats": q143_interarrival_stats,
     "q146_multitouch_attribution": q146_multitouch_attribution,
+    "q153_top_event_paths": q153_top_event_paths,
+    "q154_clamped_running_balance": q154_clamped_running_balance,
     "q144_user_mix_entropy": q144_user_mix_entropy,
     "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -1538,6 +1633,70 @@ _ORACLE_ALL["q144_user_mix_entropy"] = """
     FROM ut JOIN tot USING (user_id)
     GROUP BY ut.user_id, tot.n_events
     ORDER BY ut.user_id
+"""
+
+_ORACLE_ALL["q153_top_event_paths"] = f"""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR (epoch_us(ts) - epoch_us(prev_ts))
+                           > {SESSION_GAP_MINUTES} * 60000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM s
+    ), sess AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM marked
+    ), paths AS (
+        SELECT event_type
+               || '>' || lead(event_type, 1) OVER w2
+               || '>' || lead(event_type, 2) OVER w2 AS path,
+               lead(event_type, 2) OVER w2 AS e2
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, session_seq
+                      ORDER BY ts, event_id)
+    )
+    SELECT path, COUNT(*) AS n_occ
+    FROM paths WHERE e2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occ DESC, path
+    LIMIT {PATH_TOP}
+"""
+
+# q154: the oracle uses the SAME closed form (running sum minus the
+# clamped running min) — and the property test pins the closed form
+# against the literal per-row fold.
+_ORACLE_ALL["q154_clamped_running_balance"] = """
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(value AS DECIMAL(28,6))
+                    ELSE -CAST(value AS DECIMAL(28,6)) END AS dx
+        FROM events
+    ), s1 AS (
+        SELECT user_id, event_id, ts, dx,
+               SUM(dx) OVER w AS rs
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+        SELECT user_id, event_id, dx, rs,
+               MIN(least(rs, CAST(0 AS DECIMAL(28,6)))) OVER w AS rmin
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(ROUND(dx, 2) AS DOUBLE) AS delta,
+           CAST(ROUND(rs - rmin, 2) AS DOUBLE) AS balance
+    FROM s2
+    ORDER BY user_id, event_id
 """
 
 _ORACLE_ALL["q146_multitouch_attribution"] = f"""

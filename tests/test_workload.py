@@ -480,3 +480,33 @@ def test_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
         for r in bootstrap_mean_ci(df.repartition(7), ["g"], F.col("v"), "id", seed="t").collect()
     }
     assert again == {g: (r["ci_lo"], r["ci_hi"]) for g, r in rows.items()}
+
+
+def test_clamped_balance_closed_form_equals_literal_fold(spark):
+    """q154's two-window closed form b_i = S_i - min(0, min_j<=i S_j)
+    must equal the literal sequential fold b_i = max(b_{i-1} + x_i, 0)
+    it replaces."""
+    from decimal import Decimal
+
+    got = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in QUERIES.get(
+            "q154_clamped_running_balance",
+            EXTRA["q154_clamped_running_balance"],
+        )(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+        for r in ev.select("user_id", "ts", "event_id", "event_type", "value").collect()
+    )
+    want = {}
+    bal: dict = {}
+    for uid, _ts, eid, etype, value in rows:
+        dx = Decimal(str(value)) if etype in ("purchase", "signup") else -Decimal(str(value))
+        b = max(bal.get(uid, Decimal(0)) + dx, Decimal(0))
+        bal[uid] = b
+        want[(uid, eid)] = float(round(b, 2))
+    assert len(got) == len(want) > 0
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
