@@ -289,6 +289,29 @@ def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_ts")
 
 
+def q155_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sparse hourly series as q88 completed by LINEAR
+    interpolation instead of LOCF (operators/rollup.py::
+    gapfill_interp) — the right fill for continuously-varying gauges,
+    where a step function misrepresents the signal. Interpolation
+    times are integer epoch-micros, so both engines blend identical
+    IEEE doubles."""
+    from batchprocessingetl_spark.operators.rollup import gapfill_interp
+
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.filter(F.col("value") > GAPFILL_VALUE_MIN)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(dsum(F.col("value")).alias("total_value"))
+    )
+    out = gapfill_interp(actual, "bucket_ts", ("total_value",), step="1 hour")
+    return out.select(
+        "bucket_ts",
+        F.round("total_value", 6).alias("total_value"),
+        "is_filled",
+    ).orderBy("bucket_ts")
+
+
 SKEW_SALT_BUCKETS = 16
 
 
@@ -1101,6 +1124,7 @@ EXTRA_QUERIES = {
     "q146_multitouch_attribution": q146_multitouch_attribution,
     "q153_top_event_paths": q153_top_event_paths,
     "q154_clamped_running_balance": q154_clamped_running_balance,
+    "q155_gapfill_interpolate": q155_gapfill_interpolate,
     "q144_user_mix_entropy": q144_user_mix_entropy,
     "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -1633,6 +1657,47 @@ _ORACLE_ALL["q144_user_mix_entropy"] = """
     FROM ut JOIN tot USING (user_id)
     GROUP BY ut.user_id, tot.n_events
     ORDER BY ut.user_id
+"""
+
+_ORACLE_ALL["q155_gapfill_interpolate"] = f"""
+    WITH a AS (
+        SELECT date_trunc('hour', ts) AS bucket_ts,
+               {dsum_sql('value')} AS total_value
+        FROM events WHERE value > {GAPFILL_VALUE_MIN}
+        GROUP BY 1
+    ), sp AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(bucket_ts) FROM a),
+            (SELECT MAX(bucket_ts) FROM a),
+            INTERVAL 1 HOUR)) AS bucket_ts
+    ), j AS (
+        SELECT sp.bucket_ts, a.total_value
+        FROM sp LEFT JOIN a USING (bucket_ts)
+    ), w AS (
+        SELECT bucket_ts, total_value,
+               epoch_us(bucket_ts)::DOUBLE AS t,
+               last_value(total_value IGNORE NULLS)
+                   OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN total_value IS NOT NULL
+                               THEN epoch_us(bucket_ts)::DOUBLE END IGNORE NULLS)
+                   OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pt,
+               first_value(total_value IGNORE NULLS)
+                   OVER (ORDER BY bucket_ts
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN total_value IS NOT NULL
+                                THEN epoch_us(bucket_ts)::DOUBLE END IGNORE NULLS)
+                   OVER (ORDER BY bucket_ts
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j
+    )
+    SELECT bucket_ts,
+           ROUND(CASE WHEN total_value IS NOT NULL THEN total_value
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                      THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                      ELSE COALESCE(pv, nv) END, 6) AS total_value,
+           total_value IS NULL AS is_filled
+    FROM w
+    ORDER BY bucket_ts
 """
 
 _ORACLE_ALL["q153_top_event_paths"] = f"""

@@ -1236,6 +1236,44 @@ def q142_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "age")
 
 
+def q156_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group: the lowest price p per return
+    flag such that lines at-or-below p carry at least half the total
+    quantity weight — the volume-centered price statistic that plain
+    median (every line equal) misstates. No built-in computes it;
+    the formulation is one ordered cumulative-weight window per group
+    (partitions shard across groups, no global sort), a total-order
+    tie-break on the line key so cum-weight is deterministic, then the
+    first weight-crossing row per group via a min aggregate — all
+    integer weight arithmetic (quantities are integral), engine-exact
+    by construction."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    worder = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wflag = W.partitionBy("l_returnflag")
+    staged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(worder).alias("__cum"),
+        F.sum(qty).over(wflag).alias("__tot"),
+    )
+    return (
+        staged.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("__tot").alias("total_weight"),
+            F.round(F.min("l_extendedprice"), 2).cast("double").alias("wmedian_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 EMBARGO_CUT = "1999-01-01"
 EMBARGO_DAYS = 30
 
@@ -1371,6 +1409,7 @@ EXTRA_QUERIES = {
     "q141_copurchase_rules": q141_copurchase_rules,
     "q142_cohort_ltv": q142_cohort_ltv,
     "q150_temporal_embargo_split": q150_temporal_embargo_split,
+    "q156_weighted_median_price": q156_weighted_median_price,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -2081,6 +2120,26 @@ _ORACLE_ALL["q142_cohort_ltv"] = """
                AS DOUBLE) AS cum_revenue
     FROM per_year
     ORDER BY cohort, age
+"""
+
+_ORACLE_ALL["q156_weighted_median_price"] = """
+    WITH staged AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(tot)::BIGINT AS total_weight,
+           CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS wmedian_price
+    FROM staged
+    WHERE cum * 2 >= tot
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """
 
 _ORACLE_ALL["q150_temporal_embargo_split"] = f"""
