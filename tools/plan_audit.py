@@ -112,6 +112,10 @@ AUDITED = (
     "q150_temporal_embargo_split",
     "q151_quota_allocation_sample",
     "q152_bpe_merge_candidates",
+    "q153_top_event_paths",
+    "q154_clamped_running_balance",
+    "q155_gapfill_interpolate",
+    "q156_weighted_median_price",
 )
 
 
