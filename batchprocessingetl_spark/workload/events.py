@@ -312,6 +312,42 @@ def q155_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_ts")
 
 
+def q157_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the largest peak-to-trough drop of
+    the cumulative signed value series (the risk statistic behind
+    account-health and balance monitoring). Like q154's clamp, the
+    sequential-looking definition has a pure window form: drawdown_i =
+    running-max(S) − S_i, and max-drawdown is its per-user max — two
+    codegen'd windows plus one hash aggregate on a single user-keyed
+    shuffle. Exact decimal accumulation end-to-end; one rounding at
+    the output cell."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = "decimal(28,6)"
+    signed = (
+        F.when(F.col("event_type").isin("purchase", "signup"), F.col("value"))
+        .otherwise(-F.col("value"))
+        .cast(acc)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        ev.select("user_id", "event_id", "ts", signed.alias("__x"))
+        .withColumn("__s", F.sum("__x").over(w))
+        .withColumn("__dd", F.max("__s").over(w) - F.col("__s"))
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("__dd"), 2).cast("double").alias("max_drawdown"),
+        )
+        .orderBy("user_id")
+    )
+
+
 SKEW_SALT_BUCKETS = 16
 
 
@@ -1125,6 +1161,7 @@ EXTRA_QUERIES = {
     "q153_top_event_paths": q153_top_event_paths,
     "q154_clamped_running_balance": q154_clamped_running_balance,
     "q155_gapfill_interpolate": q155_gapfill_interpolate,
+    "q157_max_drawdown": q157_max_drawdown,
     "q144_user_mix_entropy": q144_user_mix_entropy,
     "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
@@ -1657,6 +1694,33 @@ _ORACLE_ALL["q144_user_mix_entropy"] = """
     FROM ut JOIN tot USING (user_id)
     GROUP BY ut.user_id, tot.n_events
     ORDER BY ut.user_id
+"""
+
+_ORACLE_ALL["q157_max_drawdown"] = """
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(value AS DECIMAL(28,6))
+                    ELSE -CAST(value AS DECIMAL(28,6)) END AS dx
+        FROM events
+    ), s1 AS (
+        SELECT user_id, event_id, ts,
+               SUM(dx) OVER w AS rs
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+        SELECT user_id,
+               MAX(rs) OVER w - rs AS dd
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(MAX(dd), 2) AS DOUBLE) AS max_drawdown
+    FROM s2
+    GROUP BY user_id
+    ORDER BY user_id
 """
 
 _ORACLE_ALL["q155_gapfill_interpolate"] = f"""

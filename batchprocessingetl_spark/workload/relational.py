@@ -1274,6 +1274,39 @@ def q156_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit: the first-significant-digit
+    distribution of order totals vs the Benford expectation
+    log10(1 + 1/d) — the classic anomaly screen for fabricated or
+    systematically-generated monetary data. The leading digit comes
+    from the CANONICAL DECIMAL RENDERING (cast to DECIMAL(15,2) then
+    string, identical in both engines), never from log10-floor math,
+    whose one-ULP wobble at exact powers of ten would flip digits
+    cross-engine. One narrow map + one 9-row hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1
+    ).cast("int")
+    tot = o.filter(F.col("o_totalprice") > 0).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("__n").cast("double"), 6)
+            .alias("obs_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+        )
+        .orderBy("digit")
+    )
+
+
 EMBARGO_CUT = "1999-01-01"
 EMBARGO_DAYS = 30
 
@@ -1410,6 +1443,7 @@ EXTRA_QUERIES = {
     "q142_cohort_ltv": q142_cohort_ltv,
     "q150_temporal_embargo_split": q150_temporal_embargo_split,
     "q156_weighted_median_price": q156_weighted_median_price,
+    "q159_benford_digit_audit": q159_benford_digit_audit,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -2140,6 +2174,22 @@ _ORACLE_ALL["q156_weighted_median_price"] = """
     WHERE cum * 2 >= tot
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+_ORACLE_ALL["q159_benford_digit_audit"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM d
+    )
+    SELECT digit, COUNT(*) AS n_orders,
+           ROUND(COUNT(*)::DOUBLE / MAX(t.n)::DOUBLE, 6) AS obs_freq,
+           ROUND(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_freq
+    FROM d, tot t
+    GROUP BY digit
+    ORDER BY digit
 """
 
 _ORACLE_ALL["q150_temporal_embargo_split"] = f"""

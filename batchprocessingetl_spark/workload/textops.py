@@ -299,6 +299,36 @@ def q147_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between two categorical corpus
+    dimensions (language × source) — the feature-association statistic
+    behind 'which sources are language-skewed' audits and categorical
+    feature selection. Three hash aggregates (cell, two marginals) and
+    one global count, joined cell-to-marginals with the tiny marginal
+    frames broadcast; PMI and the MI contribution are IEEE doubles
+    from exact integer counts, rounded 6dp against libm ln jitter."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    mx = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__nx"))
+    my = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__ny"))
+    tot = docs.agg(F.count(F.lit(1)).alias("__n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.log(d("n_xy") * d("__n") / (d("__nx") * d("__ny")))
+    return (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.round(pmi, 6).alias("pmi"),
+            F.round((d("n_xy") / d("__n")) * pmi, 6).alias("mi_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 FUZZY_MAX_DIST = 1
 FUZZY_PREFIX = 2
 
@@ -774,6 +804,7 @@ EXTRA_QUERIES = {
     "q137_vocab_growth": q137_vocab_growth,
     "q138_keyness_by_source": q138_keyness_by_source,
     "q147_hybrid_retrieval_rrf": q147_hybrid_retrieval_rrf,
+    "q158_lang_source_mi": q158_lang_source_mi,
     "q124_incremental_near_dups": q124_incremental_near_dups,
     "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
@@ -1448,6 +1479,26 @@ _ORACLE_ALL["q138_keyness_by_source"] = f"""
                       + 1.0 / ((dcw - dy) + {KEYNESS_PRIOR} * dcw)), 4) AS z
     FROM m
     ORDER BY source, term
+"""
+
+_ORACLE_ALL["q158_lang_source_mi"] = """
+    WITH cell AS (
+        SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+    ), mx AS (
+        SELECT lang, COUNT(*) AS nx FROM documents GROUP BY 1
+    ), my AS (
+        SELECT source, COUNT(*) AS ny FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT c.lang, c.source, c.n_xy,
+           ROUND(ln(c.n_xy::DOUBLE * t.n::DOUBLE
+                    / (mx.nx::DOUBLE * my.ny::DOUBLE)), 6) AS pmi,
+           ROUND((c.n_xy::DOUBLE / t.n::DOUBLE)
+                 * ln(c.n_xy::DOUBLE * t.n::DOUBLE
+                      / (mx.nx::DOUBLE * my.ny::DOUBLE)), 6) AS mi_term
+    FROM cell c JOIN mx USING (lang) JOIN my USING (source), tot t
+    ORDER BY c.lang, c.source
 """
 
 _HYBRID_QUERY_VALUES = ", ".join(
