@@ -116,6 +116,9 @@ AUDITED = (
     "q154_clamped_running_balance",
     "q155_gapfill_interpolate",
     "q156_weighted_median_price",
+    "q157_max_drawdown",
+    "q158_lang_source_mi",
+    "q159_benford_digit_audit",
 )
 
 
