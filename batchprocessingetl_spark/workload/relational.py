@@ -1307,6 +1307,108 @@ def q159_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_CUTOFF = "2001-05-03"  # last orders at/after this are right-censored
+
+
+def q160_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for customer lifetimes (product-
+    limit estimator): lifetime = days from first to last order, a
+    customer counts as CHURNED (event) if their last order predates
+    the censoring cutoff and as right-censored otherwise — the
+    survival-analysis formulation of retention that naive churn rates
+    get wrong by ignoring censoring. The estimator's running product
+    Π(1 − d_t/n_t) is computed as exp of a running LOG-SUM window over
+    the per-lifetime frame (distinct lifetimes, tiny after the
+    customer-grain aggregate); the at-risk set n_t falls out of one
+    cumulative count — no per-timestep iteration anywhere. Counts are
+    exact integers; the only doubles are the final ln/exp blend,
+    rounded 6dp."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("lt"),
+        (F.max("o_orderdate") < F.lit(KM_CUTOFF).cast("timestamp")).alias(
+            "churned"
+        ),
+    )
+    per_lt = cust.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count(F.when(F.col("churned"), 1)).alias("n_churned"),
+    )
+    n_total = cust.agg(F.count(F.lit(1)).alias("__n"))
+    w = W.orderBy("lt").rowsBetween(W.unboundedPreceding, 0)
+    staged = (
+        per_lt.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            F.col("__n") - (F.sum("c_all").over(w) - F.col("c_all")),
+        )
+        .withColumn(
+            "__lnterm",
+            F.when(
+                F.col("n_churned") > 0,
+                F.log(
+                    1.0
+                    - F.col("n_churned").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return staged.select(
+        "lt",
+        "n_at_risk",
+        "n_churned",
+        F.round(F.exp(F.sum("__lnterm").over(w)), 6).alias("survival"),
+    ).orderBy("lt")
+
+
+AB_PURCHASE = "purchase"
+AB_VALUE_MIN = 90.0  # conversion = a HIGH-VALUE purchase (plain purchase saturates)
+
+
+def q161_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split into
+    deterministic variants (user_id parity), conversion = at least one
+    purchase event, and the pooled-proportion z statistic decides
+    significance — the bread-and-butter experimentation readout. Two
+    hash aggregates (per-user conversion flag, per-variant counts) and
+    one 2-row pivot into a single output row; every double derives
+    from exact integer counts, so z matches bit-for-bit cross-engine
+    (rounded 4dp for display)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == AB_PURCHASE)
+                & (F.col("value") > AB_VALUE_MIN)
+            ).cast("int")
+        ).alias("conv")
+    )
+    variants = (
+        per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x"))
+    )
+    row = variants.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("x").alias("x")
+    )
+    na, xa = F.col("0_n").cast("double"), F.col("0_x").cast("double")
+    nb, xb = F.col("1_n").cast("double"), F.col("1_x").cast("double")
+    pp = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    return row.select(
+        F.col("0_n").alias("n_a"),
+        F.col("0_x").alias("conv_a"),
+        F.col("1_n").alias("n_b"),
+        F.col("1_x").alias("conv_b"),
+        F.round(xa / na, 6).alias("rate_a"),
+        F.round(xb / nb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
 EMBARGO_CUT = "1999-01-01"
 EMBARGO_DAYS = 30
 
@@ -1444,6 +1546,8 @@ EXTRA_QUERIES = {
     "q150_temporal_embargo_split": q150_temporal_embargo_split,
     "q156_weighted_median_price": q156_weighted_median_price,
     "q159_benford_digit_audit": q159_benford_digit_audit,
+    "q160_kaplan_meier": q160_kaplan_meier,
+    "q161_ab_test_ztest": q161_ab_test_ztest,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -2174,6 +2278,65 @@ _ORACLE_ALL["q156_weighted_median_price"] = """
     WHERE cum * 2 >= tot
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+_ORACLE_ALL["q160_kaplan_meier"] = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               datediff('day', CAST(MIN(o_orderdate) AS DATE),
+                        CAST(MAX(o_orderdate) AS DATE)) AS lt,
+               MAX(o_orderdate) < TIMESTAMP '{KM_CUTOFF} 00:00:00' AS churned
+        FROM orders GROUP BY 1
+    ), per_lt AS (
+        SELECT lt, COUNT(*) AS c_all,
+               COUNT(CASE WHEN churned THEN 1 END) AS n_churned
+        FROM cust GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM cust
+    ), staged AS (
+        SELECT lt, c_all, n_churned,
+               t.n - (SUM(c_all) OVER w - c_all) AS n_at_risk
+        FROM per_lt, tot t
+        WINDOW w AS (ORDER BY lt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lt, n_at_risk::BIGINT AS n_at_risk, n_churned,
+           ROUND(exp(SUM(CASE WHEN n_churned > 0
+                              THEN ln(1.0 - n_churned::DOUBLE
+                                      / n_at_risk::DOUBLE)
+                              ELSE 0.0 END) OVER w), 6) AS survival
+    FROM staged
+    WINDOW w AS (ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY lt
+"""
+
+_ORACLE_ALL["q161_ab_test_ztest"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = '{AB_PURCHASE}'
+                         AND value > {AB_VALUE_MIN} THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ), v AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               COUNT(*) AS n, SUM(conv)::BIGINT AS x
+        FROM per_user GROUP BY 1
+    ), r AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 0 THEN x END) AS conv_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 1 THEN x END) AS conv_b
+        FROM v
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a,
+           ROUND(conv_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b,
+           ROUND((conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+                 / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                        * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                        * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 4)
+               AS z_stat
+    FROM r
 """
 
 _ORACLE_ALL["q159_benford_digit_audit"] = """
