@@ -119,6 +119,8 @@ AUDITED = (
     "q157_max_drawdown",
     "q158_lang_source_mi",
     "q159_benford_digit_audit",
+    "q160_kaplan_meier",
+    "q161_ab_test_ztest",
 )
 
 
