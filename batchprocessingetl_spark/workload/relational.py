@@ -1307,6 +1307,76 @@ def q159_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality statistic behind 'whale concentration' risk reads,
+    from the exact rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending per-customer revenue. Ranks come from one window over
+    SEGMENT partitions (groups shard the sort; no global order), the
+    rank-weighted sum stays in exact decimal (i·x is decimal × int),
+    and the final G is one double blend of exact aggregates — so the
+    statistic matches cross-engine despite being rank-defined."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    acc = "decimal(28,6)"
+    per_cust = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(acc)).alias("rev"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("rev").alias("__sx"),
+        F.sum(F.col("rev") * F.col("i")).alias("__six"),
+    )
+    n = F.col("n_custs").cast("double")
+    gini = (
+        2.0 * F.col("__six").cast("double") / (n * F.col("__sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_custs",
+        F.round("__sx", 2).cast("double").alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+def q163_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    per nation — the antitrust-standard concentration score
+    Σ (share_i · 10000)², flagging single-supplier dependency. Two
+    hash aggregates (supplier grain, then nation rollup of squared
+    shares); shares are doubles from exact decimal revenue sums, so
+    both engines square identical values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    acc = "decimal(28,6)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+    per_supp = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(rev).alias("srev"))
+    )
+    tot = per_supp.groupBy("nation").agg(F.sum("srev").alias("__tot"))
+    share = F.col("srev").cast("double") / F.col("__tot").cast("double")
+    return (
+        per_supp.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10_000.0, 4).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
 KM_CUTOFF = "2001-05-03"  # last orders at/after this are right-censored
 
 
@@ -1548,6 +1618,8 @@ EXTRA_QUERIES = {
     "q159_benford_digit_audit": q159_benford_digit_audit,
     "q160_kaplan_meier": q160_kaplan_meier,
     "q161_ab_test_ztest": q161_ab_test_ztest,
+    "q162_revenue_gini": q162_revenue_gini,
+    "q163_supplier_hhi": q163_supplier_hhi,
     "q140_rfm_segments": q140_rfm_segments,
     "q131_small_quantity_revenue": q131_small_quantity_revenue,
     "q132_banded_promo_revenue": q132_banded_promo_revenue,
@@ -2278,6 +2350,50 @@ _ORACLE_ALL["q156_weighted_median_price"] = """
     WHERE cum * 2 >= tot
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+_ORACLE_ALL["q162_revenue_gini"] = """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c_mktsegment, rev,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY rev, c_custkey) AS i
+        FROM per_cust
+    ), agg AS (
+        SELECT c_mktsegment, COUNT(*) AS n_custs,
+               SUM(rev) AS sx, SUM(rev * i) AS six
+        FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n_custs,
+           CAST(ROUND(sx, 2) AS DOUBLE) AS total_revenue,
+           ROUND(2.0 * six::DOUBLE / (n_custs::DOUBLE * sx::DOUBLE)
+                 - (n_custs::DOUBLE + 1.0) / n_custs::DOUBLE, 6) AS gini
+    FROM agg
+    ORDER BY c_mktsegment
+"""
+
+_ORACLE_ALL["q163_supplier_hhi"] = """
+    WITH per_supp AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS srev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT nation, SUM(srev) AS t FROM per_supp GROUP BY 1
+    )
+    SELECT p.nation, COUNT(*) AS n_suppliers,
+           ROUND(SUM((p.srev::DOUBLE / t.t::DOUBLE)
+                     * (p.srev::DOUBLE / t.t::DOUBLE)) * 10000.0, 4) AS hhi
+    FROM per_supp p JOIN tot t USING (nation)
+    GROUP BY p.nation
+    ORDER BY p.nation
 """
 
 _ORACLE_ALL["q160_kaplan_meier"] = f"""
