@@ -121,6 +121,8 @@ AUDITED = (
     "q159_benford_digit_audit",
     "q160_kaplan_meier",
     "q161_ab_test_ztest",
+    "q162_revenue_gini",
+    "q163_supplier_hhi",
 )
 
 
