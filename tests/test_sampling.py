@@ -280,3 +280,51 @@ def test_negative_pairs_match_python_replay(spark):
     assert got == want
     for (k, _), (g, neg) in got.items():
         assert rows[neg][1] != g
+
+
+def test_quota_allocation_matches_python_replay(spark):
+    """q151's largest-remainder allocation must equal a driver-side
+    replay: floor quotas, leftover seats to largest (B*n_i) mod N
+    remainders (ties by source), fill by md5 rank — and the sample
+    total must be EXACTLY the budget."""
+    import hashlib
+
+    from batchprocessingetl_spark.workload.curation_queries import (
+        QUOTA_BUDGET,
+        QUOTA_SEED,
+        q151_quota_allocation_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["doc_id"], r["source"], r["quota"])
+        for r in q151_quota_allocation_sample(spark, SF_SMOKE).collect()
+    ]
+    assert len(got) == QUOTA_BUDGET
+
+    docs = [
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    ]
+    counts: dict[str, int] = {}
+    for _, src in docs:
+        counts[src] = counts.get(src, 0) + 1
+    n = sum(counts.values())
+    floor_q = {s: (QUOTA_BUDGET * c) // n for s, c in counts.items()}
+    rem = {s: (QUOTA_BUDGET * c) % n for s, c in counts.items()}
+    extras = QUOTA_BUDGET - sum(floor_q.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    quota = {
+        s: floor_q[s] + (1 if i < extras else 0) for i, s in enumerate(order)
+    }
+    want = []
+    by_src: dict[str, list] = {}
+    for did, src in docs:
+        h = hashlib.md5(f"{QUOTA_SEED}:{did}".encode()).hexdigest()
+        by_src.setdefault(src, []).append((h, did))
+    for src, rows in by_src.items():
+        for _, did in sorted(rows)[: quota[src]]:
+            want.append((did, src, quota[src]))
+    assert sorted(got) == sorted(want)
