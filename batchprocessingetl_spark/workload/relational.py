@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batchprocessingetl_spark.catalog import load_table
-from batchprocessingetl_spark.workload.parity import davg, dsum
+from batchprocessingetl_spark.workload.parity import davg, dsum, dsum_sql
 
 
 # --- Q1 analogue of reference dashboard.py:29-42 (and TPC-H Q1 shape) ---
@@ -1557,6 +1557,222 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+
+
+def q164_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part: the correlated
+    `cost = (SELECT MIN(cost) ... WHERE same part AND supplier in
+    region)` subquery, decorrelated into a part-grain MIN aggregate
+    joined back on (part, cost) equality. Cost is the cheapest line
+    ever quoted by that supplier for that part (exact DECIMAL MIN —
+    this schema has no partsupp.ps_supplycost), suppliers are
+    restricted to one region through a two-hop broadcast dim chain
+    (supplier -> nation -> region), and parts to one type. Both the
+    region-supplier frame and the part filter broadcast; the only fact
+    shuffle is the (part, supplier) grain aggregate — the join-back
+    probe runs on part-grain frames, never the fact table. Ties on
+    min cost keep ALL achieving suppliers, as in Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == Q2_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    parts_f = p.filter(F.col("p_type") == Q2_TYPE).select("p_partkey", "p_brand")
+    cost = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_ps = (
+        li.join(F.broadcast(parts_f.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cost).alias("cost"))
+    )
+    best = per_ps.groupBy("l_partkey").agg(F.min("cost").alias("__min_cost"))
+    winners = per_ps.join(best, "l_partkey").filter(
+        F.col("cost") == F.col("__min_cost")
+    )
+    return (
+        winners.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+Q4_START, Q4_END = "1998-01-01", "1998-04-01"
+Q4_LATE_DAYS = 60
+
+
+def q165_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority check: count orders in one
+    quarter where EXISTS a lineitem shipped more than 60 days after
+    the order date. The correlated EXISTS becomes one LEFT SEMI join
+    whose condition mixes both sides (l_shipdate > o_orderdate + 60d)
+    — Spark evaluates the extra predicate inside the hash semi-join,
+    so each order is emitted at most once without a distinct. The
+    quarter filter is pushed into the orders scan BEFORE the join, so
+    the semi-join probes only the quarter's orders against lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_q = o.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        o_q.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q9_TYPE = "ECONOMY"
+Q9_COST_FRAC = 0.2  # stand-in unit cost: 20% of part retail price
+
+
+def q166_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and year: profit
+    = discounted revenue minus cost, where cost is 20% of the part's
+    retail price per unit (this schema has no ps_supplycost). The
+    5-way join puts the two fact tables (lineitem, orders) in ONE
+    shuffle join on orderkey; part (type-filtered), supplier and
+    nation all broadcast. The profit term is computed per line in
+    IEEE double (identical in both engines), cast once to the exact
+    decimal accumulator, summed order-independently, and rounded in
+    the decimal domain — the q01/parity.py discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    parts_f = p.filter(F.col("p_type") == Q9_TYPE).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(Q9_COST_FRAC)
+    )
+    return (
+        li.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q10_START, Q10_END = "1998-01-01", "1998-04-01"
+Q10_TOPK = 20
+
+
+def q167_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the top 20 customers
+    by revenue lost to returned lines (l_returnflag = 'R') on orders
+    placed in one quarter. Orders are quarter-filtered and lineitem
+    return-filtered BEFORE the fact-fact join (both predicates push to
+    the scans); customer and nation broadcast onto the aggregate
+    output, not the fact stream. Top-k carries a unique c_custkey
+    tie-break so LIMIT is deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    o_q = o.filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o_q, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(rev).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(Q10_TOPK)
+    )
+
+
+Q20_MIN_PARTS = 30  # a supplier must dominate at least this many parts
+
+
+def q168_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers with outsized share of a part's
+    flow: suppliers who shipped MORE THAN TWICE THEIR FAIR SHARE of
+    the total quantity of at least 30 distinct parts (the nested
+    `qty > f * (SELECT SUM...)` correlated subquery, decorrelated to
+    part-grain totals; the threshold is 2/n_suppliers rather than
+    Q20's fixed 50% because this schema's supplier assignment is
+    near-uniform — a fixed majority threshold selects nothing at any
+    scale). The share compare clears the division — supplier_qty *
+    n_suppliers > 2 * part_total, decimal x int vs int x decimal, all
+    exact — so no float share can flip a boundary supplier. Two hash
+    aggregates at (part, supplier) and part grain, one join between
+    part-grain frames, a supplier-grain HAVING, then broadcast name
+    lookup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sq"))
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tot"), F.count(F.lit(1)).alias("nsupp")
+    )
+    dominated = per_ps.join(per_p, "l_partkey").filter(
+        F.col("sq") * F.col("nsupp") > F.col("tot") * 2
+    )
+    return (
+        dominated.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .filter(F.col("n_parts") >= Q20_MIN_PARTS)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "n_parts")
+        .orderBy(F.desc("n_parts"), "s_suppkey")
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -1611,6 +1827,11 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    "q164_min_cost_supplier": q164_min_cost_supplier,
+    "q165_late_shipment_priority": q165_late_shipment_priority,
+    "q166_nation_profit": q166_nation_profit,
+    "q167_returned_item_customers": q167_returned_item_customers,
+    "q168_dominant_suppliers": q168_dominant_suppliers,
     "q141_copurchase_rules": q141_copurchase_rules,
     "q142_cohort_ltv": q142_cohort_ltv,
     "q150_temporal_embargo_split": q150_temporal_embargo_split,
@@ -2516,6 +2737,108 @@ _ORACLE_ALL["q140_rfm_segments"] = f"""
                + {_rfm_score_sql("mon")} AS rfm
     FROM per_cust, cuts
     ORDER BY o_custkey
+"""
+
+_ORACLE_ALL["q164_min_cost_supplier"] = f"""
+    WITH eu_supp AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{Q2_REGION}'
+    ), parts_f AS (
+        SELECT p_partkey, p_brand FROM part WHERE p_type = '{Q2_TYPE}'
+    ), per_ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM parts_f)
+          AND l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, MIN(cost) AS min_cost FROM per_ps GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name,
+           CAST(ROUND(e.s_acctbal, 2) AS DOUBLE) AS s_acctbal,
+           CAST(ps.cost AS DOUBLE) AS cost
+    FROM per_ps ps
+    JOIN best b ON ps.l_partkey = b.l_partkey AND ps.cost = b.min_cost
+    JOIN parts_f p ON ps.l_partkey = p.p_partkey
+    JOIN eu_supp e ON ps.l_suppkey = e.s_suppkey
+    ORDER BY p.p_partkey, e.s_suppkey
+"""
+
+_ORACLE_ALL["q165_late_shipment_priority"] = f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q4_END} 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_ORACLE_ALL["q166_nation_profit"] = f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           {dsum_sql(f"l.l_extendedprice * (1 - l.l_discount)"
+                     f" - p.p_retailprice * l.l_quantity * {Q9_COST_FRAC}")}
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q9_TYPE}'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+_ORACLE_ALL["q167_returned_item_customers"] = f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{Q10_START} 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '{Q10_END} 00:00:00'
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(ROUND(c.c_acctbal, 2) AS DOUBLE) AS c_acctbal,
+           pc.revenue
+    FROM per_cust pc
+    JOIN customer c ON pc.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY pc.revenue DESC, c.c_custkey
+    LIMIT {Q10_TOPK}
+"""
+
+_ORACLE_ALL["q168_dominant_suppliers"] = f"""
+    WITH per_ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        FROM lineitem GROUP BY 1, 2
+    ), per_p AS (
+        SELECT l_partkey, SUM(sq) AS tot, COUNT(*) AS nsupp
+        FROM per_ps GROUP BY 1
+    ), dominated AS (
+        SELECT ps.l_suppkey
+        FROM per_ps ps JOIN per_p p USING (l_partkey)
+        WHERE ps.sq * p.nsupp > p.tot * 2
+    ), counted AS (
+        SELECT l_suppkey, COUNT(*) AS n_parts
+        FROM dominated GROUP BY 1 HAVING COUNT(*) >= {Q20_MIN_PARTS}
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, c.n_parts
+    FROM counted c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY c.n_parts DESC, s.s_suppkey
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

@@ -510,3 +510,94 @@ def test_clamped_balance_closed_form_equals_literal_fold(spark):
     assert len(got) == len(want) > 0
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_late_shipment_semi_join_counts_orders_once(spark):
+    """q165's EXISTS-as-LEFT-SEMI must count each qualifying order
+    exactly once even when SEVERAL of its lines are late — the bug an
+    inner-join + count formulation would introduce. Replay the
+    predicate per order in pandas and compare totals."""
+    import pandas as pd
+
+    from batchprocessingetl_spark.workload.relational import (
+        Q4_END,
+        Q4_LATE_DAYS,
+        Q4_START,
+        q165_late_shipment_priority,
+    )
+
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in q165_late_shipment_priority(spark, SF_SMOKE).collect()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = o[(o.o_orderdate >= Q4_START) & (o.o_orderdate < Q4_END)]
+    merged = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    late = merged[
+        merged.l_shipdate > merged.o_orderdate + pd.Timedelta(days=Q4_LATE_DAYS)
+    ]
+    want = (
+        late.drop_duplicates("o_orderkey")
+        .groupby("o_orderpriority")["o_orderkey"]
+        .count()
+        .to_dict()
+    )
+    assert got == want and sum(got.values()) > 0
+
+
+def test_min_cost_supplier_keeps_all_ties_and_region(spark):
+    """q164 must keep EVERY supplier achieving the part's min cost (Q2
+    tie semantics) and only suppliers from the configured region."""
+    from batchprocessingetl_spark.workload.relational import (
+        Q2_REGION,
+        q164_min_cost_supplier,
+    )
+
+    rows = q164_min_cost_supplier(spark, SF_SMOKE).collect()
+    assert rows
+    per_part: dict = {}
+    for r in rows:
+        per_part.setdefault(r["p_partkey"], set()).add(r["cost"])
+    # join-back on (part, min cost) means every surviving row carries
+    # the SAME cost within a part — the minimum
+    assert all(len(costs) == 1 for costs in per_part.values())
+    import pandas as pd
+
+    s = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    rg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    eu = set(
+        s.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(rg[rg.r_name == Q2_REGION], left_on="n_regionkey", right_on="r_regionkey")
+        .s_suppkey
+    )
+    assert {r["s_suppkey"] for r in rows} <= eu
+
+
+def test_dominant_suppliers_share_definition(spark):
+    """q168's exact-decimal cross-multiplication (sq*nsupp > 2*tot)
+    must select exactly the suppliers holding >2x fair share of >= K
+    parts, replayed in pandas with exact Decimal sums."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from batchprocessingetl_spark.workload.relational import (
+        Q20_MIN_PARTS,
+        q168_dominant_suppliers,
+    )
+
+    got = {
+        r["s_suppkey"]: r["n_parts"]
+        for r in q168_dominant_suppliers(spark, SF_SMOKE).collect()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li["q"] = li.l_quantity.map(lambda v: Decimal(str(v)))
+    ps = li.groupby(["l_partkey", "l_suppkey"])["q"].sum().reset_index()
+    tot = ps.groupby("l_partkey")["q"].agg(["sum", "count"]).reset_index()
+    m = ps.merge(tot, on="l_partkey")
+    dom = m[m.apply(lambda r: r["q"] * r["count"] > 2 * r["sum"], axis=1)]
+    want = dom.groupby("l_suppkey")["l_partkey"].count()
+    want = want[want >= Q20_MIN_PARTS].to_dict()
+    assert got == want

@@ -123,6 +123,11 @@ AUDITED = (
     "q161_ab_test_ztest",
     "q162_revenue_gini",
     "q163_supplier_hhi",
+    "q164_min_cost_supplier",
+    "q165_late_shipment_priority",
+    "q166_nation_profit",
+    "q167_returned_item_customers",
+    "q168_dominant_suppliers",
 )
 
 
