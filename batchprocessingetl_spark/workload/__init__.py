@@ -18,6 +18,7 @@ from batchprocessingetl_spark.workload import (
     mm_stream as _mm_stream,
     pipeline_queries as _pipeline,
     relational as _relational,
+    stats_queries as _stats,
     textops as _textops,
     vectors as _vectors,
 )
@@ -28,7 +29,16 @@ from batchprocessingetl_spark.workload import (
 # round 1 (vectors, multimodal, advanced text) register early so a
 # time-capped run still reaches them, followed by the round-2 curation
 # family (q67-q70).
-_MODULES = (_relational, _vectors, _mm_stream, _curation, _pipeline, _events, _textops)
+_MODULES = (
+    _relational,
+    _vectors,
+    _mm_stream,
+    _curation,
+    _pipeline,
+    _events,
+    _textops,
+    _stats,
+)
 
 
 def collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,393 @@
+"""Distributed statistical-test workload.
+
+Hypothesis tests and distribution-drift diagnostics formulated as
+pure aggregate/window plans — the monitoring layer a 100 TB training-
+data pipeline runs next to its ETL: does a score discriminate a label
+(AUC), are two categoricals independent (chi-square), did a feature
+distribution drift between periods (PSI), do two cohorts follow the
+same distribution (Kolmogorov–Smirnov)?
+
+Cross-engine discipline (see workload/parity.py and q162's Gini): each
+statistic is algebraically rearranged so everything up to the LAST
+operation is integer or exact-decimal arithmetic — rank sums become
+integer `2*cum + cnt + 1` doubles-free forms, KS distances compare
+integer cross-products `|cum_a*n_b - cum_b*n_a|` — and the single
+final division/log happens in IEEE double identically on both engines,
+then rounds for display. No statistic here needs a global sort of raw
+rows: every window runs over a distinct-value or group-grain frame
+that an upstream hash aggregate has already collapsed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batchprocessingetl_spark.catalog import load_table
+
+AUC_POS_PRIORITY = "1-URGENT"
+
+
+def q169_priority_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of order price as a classifier for urgent priority, per
+    market segment — the Mann–Whitney rank-sum identity AUC =
+    (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) with midrank tie correction, computed
+    WITHOUT sorting raw rows: scores collapse to a distinct-value
+    frame first (hash aggregate; ~|distinct scores| rows), then one
+    cumulative-count window per segment assigns midranks. The midrank
+    is carried as the INTEGER 2·rank (2·cum_below + cnt + 1), so the
+    rank sum stays exact and AUC = (2R⁺ − 2·n⁺(n⁺+1)/2) / (2n⁺n⁻)
+    is a single double division at the end — bit-identical across
+    engines. This is the scalable AUC: the only per-row work is one
+    map + hash agg; windows never see the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderpriority") == AUC_POS_PRIORITY).cast("long").alias("pos"),
+    )
+    per_score = labeled.groupBy("c_mktsegment", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_score.withColumn(
+        "rank2",  # 2x the midrank of this score's tie group: exact int
+        2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1,
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("n_neg"),
+        F.sum(F.col("pos_cnt") * F.col("rank2")).alias("__r2"),
+    )
+    auc = (
+        (F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.select(
+        "c_mktsegment", "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    ).orderBy("c_mktsegment")
+
+
+def q170_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for market segment x
+    order priority: X² = Σ (O−E)²/E with E = row_total·col_total/N.
+    The contingency table is ONE hash aggregate over the joined fact —
+    the ONLY pass that touches fact rows. Row/column marginals and the
+    grand total come from windows over the tiny R·C cell frame (a
+    separate groupBy-per-marginal would make Catalyst recompute the
+    fact join three more times; the window form keeps the plan at one
+    fact scan). O and the marginals are exact integers; E and each
+    cell's contribution are formed with the identical double
+    expression on both engines, summed over a fixed 25-cell frame via
+    decimal accumulation of 9dp-rounded terms."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    framed = cells.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("c_mktsegment")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("o_orderpriority")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = (
+        (F.col("row_tot") * F.col("col_tot")).cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("obs").cast("double") - e) * (F.col("obs").cast("double") - e) / e,
+        9,
+    )
+    return framed.agg(
+        F.first("n").alias("n"),
+        (
+            (F.countDistinct("c_mktsegment") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        ).alias("dof"),
+        F.round(F.sum(term.cast("decimal(28,9)")), 4).cast("double").alias("chi2"),
+    )
+
+
+PSI_BASE_YEAR = 1997
+PSI_TARGET_YEAR = 1998
+PSI_BIN_WIDTH = 50_000
+PSI_MAX_BIN = 9
+PSI_EPS = 1e-6
+
+
+def q171_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two years of the order-price
+    distribution — the standard drift gate in front of a model retrain:
+    PSI = Σ_bins (p−q)·ln(p/q) over FIXED bins (floor(price/50k),
+    capped), epsilon-floored so empty bins contribute finitely. Fixed
+    edges (not quantile edges) keep the statistic mergeable and
+    history-stable: each period is one filter + hash agg over its scan,
+    the bin spine is a 10-row generated frame (so bins empty in BOTH
+    periods still appear at PSI term 0), and the output is per-bin
+    terms plus exact counts — the total is their sum, but per-bin
+    terms are what a drift dashboard plots. Proportions divide exact
+    integers in double; ln runs on the identical quotient in both
+    engines, rounded 9dp."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(year: int, alias: str) -> DataFrame:
+        bin_ = F.least(
+            F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH), F.lit(PSI_MAX_BIN)
+        ).cast("int")
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+    spine = spark.range(0, PSI_MAX_BIN + 1).select(F.col("id").cast("int").alias("bin"))
+    base = year_counts(PSI_BASE_YEAR, "n_base")
+    targ = year_counts(PSI_TARGET_YEAR, "n_target")
+    joined = (
+        spine.join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(targ), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    tots = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
+    )
+    p = F.greatest(
+        F.col("n_base").cast("double") / F.col("__tb").cast("double"),
+        F.lit(PSI_EPS),
+    )
+    q = F.greatest(
+        F.col("n_target").cast("double") / F.col("__tt").cast("double"),
+        F.lit(PSI_EPS),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            "n_base",
+            "n_target",
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+KS_GROUP_A = "BUILDING"
+KS_GROUP_B = "AUTOMOBILE"
+
+
+def q172_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the order-price
+    distributions of two customer segments: D = sup_x |F_a(x)−F_b(x)|.
+    Scalable formulation: collapse to per-distinct-score counts per
+    group (hash agg), one cumulative window over the MERGED distinct-
+    score frame (both groups' step functions advance on the union of
+    jump points — required for correctness when a group's ECDF jumps
+    where the other is flat), then D as the max of the INTEGER
+    cross-product |cum_a·n_b − cum_b·n_a| divided once by n_a·n_b.
+    Integer max is order-independent and exact; the argmax score is
+    reported as the MIN score achieving the max (deterministic under
+    ties). The window runs over distinct scores, never raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = (
+        o.join(
+            F.broadcast(
+                c.filter(F.col("c_mktsegment").isin(KS_GROUP_A, KS_GROUP_B)).select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_totalprice").alias("score"),
+            (F.col("c_mktsegment") == KS_GROUP_A).cast("long").alias("is_a"),
+        )
+    )
+    per_score = labeled.groupBy("score").agg(
+        F.sum("is_a").alias("ca"), (F.count(F.lit(1)) - F.sum("is_a")).alias("cb")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = per_score.select(
+        "score",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_score.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    gaps = stepped.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("__gap"),
+    )
+    best = gaps.agg(F.max("__gap").alias("__best"))
+    return (
+        gaps.crossJoin(F.broadcast(best))
+        .filter(F.col("__gap") == F.col("__best"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.min("score").alias("ks_at"),
+            F.round(
+                F.first(F.col("__best")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+        .select("n_a", "n_b", "ks_at", "ks_stat")
+    )
+
+
+QUERIES: dict = {}
+
+EXTRA_QUERIES = {
+    "q169_priority_auc": q169_priority_auc,
+    "q170_chisq_independence": q170_chisq_independence,
+    "q171_psi_price_drift": q171_psi_price_drift,
+    "q172_ks_two_sample": q172_ks_two_sample,
+}
+
+_ORACLE_ALL: dict[str, str] = {}
+
+_ORACLE_ALL["q169_priority_auc"] = f"""
+    WITH labeled AS (
+        SELECT c.c_mktsegment, o.o_totalprice AS score,
+               CASE WHEN o.o_orderpriority = '{AUC_POS_PRIORITY}'
+                    THEN 1 ELSE 0 END AS pos
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_score AS (
+        SELECT c_mktsegment, score, COUNT(*) AS cnt, SUM(pos) AS pos_cnt
+        FROM labeled GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c_mktsegment, cnt, pos_cnt,
+               2 * (SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY score
+                                   ROWS UNBOUNDED PRECEDING) - cnt)
+                   + cnt + 1 AS rank2
+        FROM per_score
+    ), agg AS (
+        SELECT c_mktsegment, CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt) - SUM(pos_cnt) AS BIGINT) AS n_neg,
+               SUM(pos_cnt * rank2) AS r2
+        FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n_pos, n_neg,
+           ROUND((r2 - n_pos * (n_pos + 1))::DOUBLE
+                 / (2.0 * n_pos * n_neg)::DOUBLE, 6) AS auc
+    FROM agg ORDER BY c_mktsegment
+"""
+
+_ORACLE_ALL["q170_chisq_independence"] = """
+    WITH cells AS (
+        SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT c_mktsegment, SUM(obs) AS row_tot FROM cells GROUP BY 1
+    ), cols_ AS (
+        SELECT o_orderpriority, SUM(obs) AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT SUM(obs) AS n,
+               COUNT(DISTINCT c_mktsegment) AS r,
+               COUNT(DISTINCT o_orderpriority) AS c
+        FROM cells
+    )
+    SELECT CAST(MAX(tot.n) AS BIGINT) AS n,
+           CAST(MAX((tot.r - 1) * (tot.c - 1)) AS BIGINT) AS dof,
+           CAST(ROUND(SUM(CAST(ROUND(
+               (cells.obs::DOUBLE - (rows_.row_tot * cols_.col_tot)::DOUBLE / tot.n::DOUBLE)
+               * (cells.obs::DOUBLE - (rows_.row_tot * cols_.col_tot)::DOUBLE / tot.n::DOUBLE)
+               / ((rows_.row_tot * cols_.col_tot)::DOUBLE / tot.n::DOUBLE), 9)
+               AS DECIMAL(28,9))), 4) AS DOUBLE) AS chi2
+    FROM cells
+    JOIN rows_ USING (c_mktsegment)
+    JOIN cols_ USING (o_orderpriority)
+    CROSS JOIN tot
+"""
+
+_ORACLE_ALL["q171_psi_price_drift"] = f"""
+    WITH spine AS (
+        SELECT UNNEST(RANGE(0, {PSI_MAX_BIN + 1}))::INT AS bin
+    ), base AS (
+        SELECT LEAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}), {PSI_MAX_BIN})::INT
+                   AS bin,
+               COUNT(*) AS n_base
+        FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = {PSI_BASE_YEAR}
+        GROUP BY 1
+    ), targ AS (
+        SELECT LEAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}), {PSI_MAX_BIN})::INT
+                   AS bin,
+               COUNT(*) AS n_target
+        FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = {PSI_TARGET_YEAR}
+        GROUP BY 1
+    ), joined AS (
+        SELECT s.bin, COALESCE(b.n_base, 0) AS n_base,
+               COALESCE(t.n_target, 0) AS n_target
+        FROM spine s LEFT JOIN base b USING (bin) LEFT JOIN targ t USING (bin)
+    ), tots AS (
+        SELECT SUM(n_base) AS tb, SUM(n_target) AS tt FROM joined
+    )
+    SELECT bin, n_base, n_target,
+           ROUND((GREATEST(n_base::DOUBLE / tb::DOUBLE, {PSI_EPS})
+                  - GREATEST(n_target::DOUBLE / tt::DOUBLE, {PSI_EPS}))
+                 * LN(GREATEST(n_base::DOUBLE / tb::DOUBLE, {PSI_EPS})
+                      / GREATEST(n_target::DOUBLE / tt::DOUBLE, {PSI_EPS})), 9)
+               AS psi_term
+    FROM joined CROSS JOIN tots
+    ORDER BY bin
+"""
+
+_ORACLE_ALL["q172_ks_two_sample"] = f"""
+    WITH labeled AS (
+        SELECT o.o_totalprice AS score,
+               CASE WHEN c.c_mktsegment = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+    ), per_score AS (
+        SELECT score, SUM(is_a) AS ca, COUNT(*) - SUM(is_a) AS cb
+        FROM labeled GROUP BY 1
+    ), stepped AS (
+        SELECT score,
+               SUM(ca) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM per_score
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM per_score
+    ), gaps AS (
+        SELECT score, n_a, n_b,
+               ABS(cum_a * n_b - cum_b * n_a) AS gap
+        FROM stepped CROSS JOIN tot
+    ), best AS (
+        SELECT MAX(gap) AS best FROM gaps
+    )
+    SELECT n_a, n_b, MIN(score) AS ks_at,
+           ROUND(MAX(gap)::DOUBLE / (n_a * n_b)::DOUBLE, 6) AS ks_stat
+    FROM gaps CROSS JOIN best
+    WHERE gap = best
+    GROUP BY n_a, n_b
+"""
+
+ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
+EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

@@ -1,0 +1,105 @@
+"""Property tests for the distributed statistical-test workload
+(workload/stats_queries.py): each statistic's window/aggregate
+formulation must equal a direct pandas replay of the textbook formula
+on the smoke fixture."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from batchprocessingetl_spark.workload.stats_queries import (
+    AUC_POS_PRIORITY,
+    KS_GROUP_A,
+    KS_GROUP_B,
+    PSI_BASE_YEAR,
+    PSI_BIN_WIDTH,
+    PSI_EPS,
+    PSI_MAX_BIN,
+    PSI_TARGET_YEAR,
+    q169_priority_auc,
+    q170_chisq_independence,
+    q171_psi_price_drift,
+    q172_ks_two_sample,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def joined_pdf():
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    return o.merge(c, left_on="o_custkey", right_on="c_custkey")
+
+
+def test_auc_equals_average_rank_replay(spark, joined_pdf):
+    """The distinct-score midrank construction (integer 2·rank) must
+    reproduce pandas' rank(method='average') Mann-Whitney AUC."""
+    got = {r["c_mktsegment"]: r for r in q169_priority_auc(spark, SF_SMOKE).collect()}
+    for seg, grp in joined_pdf.groupby("c_mktsegment"):
+        pos = (grp.o_orderpriority == AUC_POS_PRIORITY).to_numpy()
+        ranks = pd.Series(grp.o_totalprice.to_numpy()).rank(method="average")
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        r = got[seg]
+        assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+        assert abs(r["auc"] - auc) < 1e-6, seg
+
+
+def test_auc_is_half_for_uninformative_score(spark, joined_pdf):
+    """Sanity: AUC on this synthetic data (price independent of
+    priority) must sit near 0.5 — a formulation bug (e.g. min-rank
+    instead of midrank) shifts it systematically."""
+    for r in q169_priority_auc(spark, SF_SMOKE).collect():
+        assert 0.4 < r["auc"] < 0.6
+
+
+def test_chisq_equals_contingency_replay(spark, joined_pdf):
+    row = q170_chisq_independence(spark, SF_SMOKE).collect()[0]
+    tab = pd.crosstab(joined_pdf.c_mktsegment, joined_pdf.o_orderpriority)
+    obs = tab.to_numpy().astype(float)
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - e) ** 2 / e).sum()
+    assert row["n"] == int(obs.sum())
+    assert row["dof"] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert abs(row["chi2"] - chi2) < 1e-3
+
+
+def test_psi_terms_replay_and_spine_completeness(spark):
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    rows = q171_psi_price_drift(spark, SF_SMOKE).collect()
+    assert [r["bin"] for r in rows] == list(range(PSI_MAX_BIN + 1))
+
+    def counts(year):
+        sel = o[o.o_orderdate.dt.year == year]
+        b = np.minimum(sel.o_totalprice // PSI_BIN_WIDTH, PSI_MAX_BIN).astype(int)
+        return b.value_counts().reindex(range(PSI_MAX_BIN + 1), fill_value=0)
+
+    nb, nt = counts(PSI_BASE_YEAR), counts(PSI_TARGET_YEAR)
+    p = np.maximum(nb / nb.sum(), PSI_EPS)
+    q = np.maximum(nt / nt.sum(), PSI_EPS)
+    want = (p - q) * np.log(p / q)
+    for r in rows:
+        assert r["n_base"] == nb[r["bin"]] and r["n_target"] == nt[r["bin"]]
+        assert abs(r["psi_term"] - want[r["bin"]]) < 1e-8
+
+
+def test_ks_equals_ecdf_sweep(spark, joined_pdf):
+    row = q172_ks_two_sample(spark, SF_SMOKE).collect()[0]
+    a = np.sort(
+        joined_pdf[joined_pdf.c_mktsegment == KS_GROUP_A].o_totalprice.to_numpy()
+    )
+    b = np.sort(
+        joined_pdf[joined_pdf.c_mktsegment == KS_GROUP_B].o_totalprice.to_numpy()
+    )
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb)
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert abs(row["ks_stat"] - d.max()) < 1e-6
+    # reported location: the smallest jump point achieving the max
+    assert math.isclose(row["ks_at"], grid[np.argmax(d == d.max())])

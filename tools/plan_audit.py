@@ -128,6 +128,10 @@ AUDITED = (
     "q166_nation_profit",
     "q167_returned_item_customers",
     "q168_dominant_suppliers",
+    "q169_priority_auc",
+    "q170_chisq_independence",
+    "q171_psi_price_drift",
+    "q172_ks_two_sample",
 )
 
 
