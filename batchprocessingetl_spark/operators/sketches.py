@@ -93,3 +93,21 @@ def cms_sql_duckdb(
         )
         GROUP BY 1, 2
     """
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2): |A join_k B| = sum_k f_A(k)*f_B(k) is
+    estimated by min over rows of sum_b cA[row,b]*cB[row,b]. Always an
+    OVERestimate (colliding keys add non-negative cross terms); within
+    eps*N_A*N_B of truth with probability 1-delta. Both operands are
+    <= d*w counter tables, so the equi-join broadcasts — this is the
+    shuffle-free way to cost a join before running it: sketches merge
+    by addition across shards, and the estimate reads two sketch
+    tables instead of rescanning either input. Returns 1 row (est)."""
+    prod = sketch_a.alias("a").join(
+        F.broadcast(sketch_b.alias("b")), ["row", "bucket"]
+    )
+    per_row = prod.groupBy("row").agg(
+        F.sum(F.col("a.c") * F.col("b.c")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").alias("est"))

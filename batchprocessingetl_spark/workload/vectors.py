@@ -210,6 +210,62 @@ def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q173_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns — the
+    sufficient-statistics pass behind distributed PCA / whitening:
+    cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1), where every Σ is computed as
+    a hash aggregate over exploded (index, value) frames and the d²/2
+    cross-moment groups collapse map-side — the shuffle carries at
+    most d(d+1)/2 partial sums per partition REGARDLESS of row count
+    (tree-aggregate shape). The pair frame is built JVM-side with
+    nested array transforms (no join, no UDF): each row explodes to
+    its own upper-triangle product list. Products are cast to
+    DECIMAL(28,18) before summing, so the cross-engine totals are
+    exact (order-independent); the final covariance blend is one
+    double expression on identical decimal inputs. The eigen-step of
+    PCA then runs driver-side on the d x d result (tests pin it
+    against numpy) — at 64 dims the matrix is 2 080 rows from ANY
+    corpus size. A block-GEMM Pandas-UDF twin (operators/similarity.py
+    machinery) would trade this exactness for raw speed; the exact
+    decimal form is the oracle-able one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                    transform(slice(embedding, i + 1, size(embedding) - i),
+                              (y, k) ->
+                        struct(i AS i, i + k AS j,
+                               CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))
+                """
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    moments = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(28,18)")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dims = (
+        emb.select(F.posexplode(F.col("embedding")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double").cast("decimal(28,18)")).alias("sx"))
+    )
+    di = dims.select(F.col("i").alias("__i"), F.col("sx").alias("sx_i"))
+    dj = dims.select(F.col("i").alias("__j"), F.col("sx").alias("sx_j"))
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("sxx").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / n
+    ) / (n - 1.0)
+    return (
+        moments.join(F.broadcast(di), F.col("i") == F.col("__i"))
+        .join(F.broadcast(dj), F.col("j") == F.col("__j"))
+        .select("i", "j", "n", F.round(cov, 9).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
 QUERIES = {
     # Round 5 rotation (VERDICT r4 #1): q50 (exact brute-force kNN),
     # q65 (batch kNN join) and q66 (SemDeDup) move to EXTRA to fund
@@ -371,6 +427,7 @@ ORACLE = {
 # (exact baseline) registered, and q52's retrieval quality is pinned
 # by the measured recall floor in tools/ann_recall.py's pytest.
 EXTRA_QUERIES = {
+    "q173_embedding_covariance": q173_embedding_covariance,
     "q125_knn_ivf_int8": q125_knn_ivf_int8,
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q65_knn_join": q65_knn_join,
@@ -381,6 +438,36 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE = {
+    # generate_subscripts/unnest replay the same upper-triangle
+    # product frame (this DuckDB lacks WITH ORDINALITY); subscripts
+    # are 1-based, so indices shift by 1 to match Spark's 0-based
+    # transform index
+    "q173_embedding_covariance": """
+        WITH vals AS (
+            SELECT e.vec_id,
+                   generate_subscripts(e.embedding, 1) - 1 AS i,
+                   CAST(unnest(e.embedding) AS DOUBLE) AS x
+            FROM embeddings e
+        ), pairs AS (
+            SELECT a.i, b.i AS j,
+                   CAST(a.x * b.x AS DECIMAL(28,18)) AS p
+            FROM vals a JOIN vals b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+        ), moments AS (
+            SELECT i, j, SUM(p) AS sxx, COUNT(*) AS n
+            FROM pairs GROUP BY 1, 2
+        ), dims AS (
+            SELECT i, SUM(CAST(x AS DECIMAL(28,18))) AS sx
+            FROM vals GROUP BY 1
+        )
+        SELECT m.i, m.j, m.n,
+               ROUND((m.sxx::DOUBLE - di.sx::DOUBLE * dj.sx::DOUBLE / m.n::DOUBLE)
+                     / (m.n::DOUBLE - 1.0), 9) AS cov
+        FROM moments m
+        JOIN dims di ON m.i = di.i
+        JOIN dims dj ON m.j = dj.i
+        ORDER BY m.i, m.j
+    """,
     "q56_knn_int8": _Q50_SQL,
     "q125_knn_ivf_int8": _Q50_SQL,
     "q51_label_centroid_similarity": f"""
