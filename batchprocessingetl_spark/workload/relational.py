@@ -1773,6 +1773,220 @@ def q168_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_YEAR = 1997
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_MAX_QTY = 24
+
+
+def q174_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecasting revenue change: the revenue that
+    would be gained by eliminating small discounts on low-quantity
+    lines in one year. Zero joins, one row out: the whole query is a
+    scan with THREE pushed predicates (ship year, discount band,
+    quantity cap) and a single decimal-exact SUM — the canonical
+    pushdown showcase. At 100 TB this reads only the `l_shipdate`
+    min/max-pruned row groups and two value columns; the aggregate is
+    map-side partial, so the exchange carries one partial sum per
+    partition. Discount literals compare double-to-double identically
+    in both engines (same parquet bits, same IEEE literals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q12_YEAR = 1997
+Q12_FAST_DAYS, Q12_MEDIUM_DAYS = 30, 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q175_shipping_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping modes and order priority: per
+    shipping-speed band (this schema has no l_shipmode, so the band
+    derives from order-to-ship latency: FAST <30d, MEDIUM <90d), count
+    lines from high-priority vs other orders via the two CASE-sum
+    branches of Q12. The derived-column IN-filter (FAST/MEDIUM only,
+    Q12's `l_shipmode IN (...)`) is evaluated pre-aggregate on the
+    joined stream. One fact-fact shuffle join on orderkey — orders
+    carries only (orderkey, priority, orderdate) through it — then a
+    2-group hash aggregate. The ship-year filter pushes to the
+    lineitem scan, shrinking the join's build side a year at a time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_y = li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q12_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q12_YEAR + 1}-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay < Q12_FAST_DAYS, "FAST")
+        .when(delay < Q12_MEDIUM_DAYS, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li_y.join(
+            o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(band.alias("ship_speed"), high.alias("__high"))
+        .filter(F.col("ship_speed") != "SLOW")
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("__high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("__high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+Q14_YEAR, Q14_MONTHS = 1997, 12
+
+
+def q176_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the percentage of monthly
+    revenue from PROMO-type parts. The part side broadcasts (only
+    partkey + the PROMO flag survive pruning); lineitem streams
+    through it with the ship-year filter pushed to the scan, then one
+    12-group aggregate computes BOTH the conditional numerator and the
+    total in a single pass (no second scan, no join of two aggregates
+    — Q14's `SUM(CASE)/SUM` fused form). Both sums accumulate in exact
+    DECIMAL; the percentage is one double division of two identical
+    decimal totals, rounded once — so the ratio is bit-identical
+    cross-engine despite being a float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type") == "PROMO"
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q14_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q14_YEAR + 1}-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(promo, rev).otherwise(0.0).cast("decimal(28,6)")).alias(
+                "__promo"
+            ),
+            F.sum(rev.cast("decimal(28,6)")).alias("__total"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                F.col("__promo").cast("double") * 100.0
+                / F.col("__total").cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.col("__total"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#1", "PROMO"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22, 25)
+
+
+def q177_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    distinct suppliers ship parts of each (brand, type, size), for a
+    filtered part population, EXCLUDING a supplier denylist (Q16's
+    `NOT IN (SELECT s_suppkey ...)` — complaint suppliers there,
+    negative-balance suppliers here, decorrelated to a broadcast
+    LEFT ANTI join, never a per-row subquery). Part filters (brand
+    <>, type <>, size IN) prune the broadcast build side; the only
+    shuffle is the COUNT(DISTINCT) aggregate, which Spark plans as
+    two-phase partial-distinct — the exchange carries distinct
+    (group, suppkey) pairs, not raw lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    parts_f = p.filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    denylist = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+JS_DEPTH, JS_WIDTH = 4, 4096
+JS_EPS = 2.718281828459045 / JS_WIDTH  # e / w — CM inner-product bound
+
+
+def q178_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches
+    (operators/sketches.py::cms_inner_product) — the optimizer-style
+    cardinality estimate |orders JOIN lineitem| computed WITHOUT
+    running the join: min over sketch rows of the bucket-wise counter
+    dot product. Each side's sketch is one narrow scan + hash
+    aggregate into d*w counters (mergeable by addition across shards,
+    so at 100 TB the estimate reads two sketch TABLES, not the
+    inputs); the dot product joins two <=16k-row frames. The output
+    carries the exact join size alongside, with the CM inner-product
+    guarantee CHECKED as flags (true <= est <= true + (e/w)*|A|*|B| —
+    the q121 pattern of oracle-pinning the sketch's contract): the
+    md5 bucketing is engine-independent, so DuckDB replays the
+    identical counters and the identical estimate."""
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sk_a = cms_build(o, F.col("o_orderkey"), JS_DEPTH, JS_WIDTH)
+    sk_b = cms_build(li, F.col("l_orderkey"), JS_DEPTH, JS_WIDTH)
+    est = cms_inner_product(sk_a, sk_b)
+    true_size = (
+        o.select("o_orderkey")
+        .join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("true_size"))
+    )
+    ns = o.agg(F.count(F.lit(1)).alias("__na")).crossJoin(
+        li.agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    return (
+        est.crossJoin(F.broadcast(true_size))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.lit("cms_inner_product").alias("method"),
+            F.col("est").cast("long").alias("est"),
+            F.col("true_size").cast("long").alias("true_size"),
+            (F.col("est") >= F.col("true_size")).alias("overestimates"),
+            (
+                F.col("est")
+                <= F.col("true_size") + F.lit(JS_EPS) * F.col("__na") * F.col("__nb")
+            ).alias("within_bound"),
+        )
+    )
+
+
 QUERIES = {
     "q03_product_sales_in_year": q03_product_sales_in_year,
     "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
@@ -1832,6 +2046,11 @@ EXTRA_QUERIES = {
     "q166_nation_profit": q166_nation_profit,
     "q167_returned_item_customers": q167_returned_item_customers,
     "q168_dominant_suppliers": q168_dominant_suppliers,
+    "q174_forecast_revenue_delta": q174_forecast_revenue_delta,
+    "q175_shipping_speed_priority": q175_shipping_speed_priority,
+    "q176_promo_revenue_share": q176_promo_revenue_share,
+    "q177_part_supplier_counts": q177_part_supplier_counts,
+    "q178_join_size_estimate": q178_join_size_estimate,
     "q141_copurchase_rules": q141_copurchase_rules,
     "q142_cohort_ltv": q142_cohort_ltv,
     "q150_temporal_embargo_split": q150_temporal_embargo_split,
@@ -2840,6 +3059,103 @@ _ORACLE_ALL["q168_dominant_suppliers"] = f"""
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     ORDER BY c.n_parts DESC, s.s_suppkey
 """
+
+_ORACLE_ALL["q174_forecast_revenue_delta"] = f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01 00:00:00'
+      AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+      AND l_quantity < {Q6_MAX_QTY}
+"""
+
+_ORACLE_ALL["q175_shipping_speed_priority"] = f"""
+    WITH joined AS (
+        SELECT CASE
+                   WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                        < {Q12_FAST_DAYS} THEN 'FAST'
+                   WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                        < {Q12_MEDIUM_DAYS} THEN 'MEDIUM'
+                   ELSE 'SLOW'
+               END AS ship_speed,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS high
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '{Q12_YEAR + 1}-01-01 00:00:00'
+    )
+    SELECT ship_speed,
+           CAST(SUM(CASE WHEN high THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(SUM(CASE WHEN high THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+    FROM joined
+    WHERE ship_speed <> 'SLOW'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+_ORACLE_ALL["q176_promo_revenue_share"] = f"""
+    SELECT EXTRACT(MONTH FROM l.l_shipdate) AS ship_month,
+           ROUND(CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) * 100.0
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_pct,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")}
+               AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_YEAR}-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '{Q14_YEAR + 1}-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+_ORACLE_ALL["q177_part_supplier_counts"] = f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type <> '{Q16_EXCL_TYPE}'
+      AND p.p_size IN {Q16_SIZES}
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def _q178_oracle() -> str:
+    from batchprocessingetl_spark.operators.sketches import cms_sql_duckdb
+
+    sk_a = cms_sql_duckdb("orders", "o_orderkey", JS_DEPTH, JS_WIDTH)
+    sk_b = cms_sql_duckdb("lineitem", "l_orderkey", JS_DEPTH, JS_WIDTH)
+    return f"""
+    WITH sk_a AS ({sk_a}), sk_b AS ({sk_b}),
+    ip AS (
+        SELECT a.row, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+        FROM sk_a a JOIN sk_b b USING (row, bucket)
+        GROUP BY 1
+    ), est AS (SELECT MIN(ip) AS est FROM ip),
+    tru AS (
+        SELECT COUNT(*) AS true_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), ns AS (
+        SELECT (SELECT COUNT(*) FROM orders) AS na,
+               (SELECT COUNT(*) FROM lineitem) AS nb
+    )
+    SELECT 'cms_inner_product' AS method, est, true_size,
+           est >= true_size AS overestimates,
+           est <= true_size + {JS_EPS} * na * nb AS within_bound
+    FROM est, tru, ns
+"""
+
+
+_ORACLE_ALL["q178_join_size_estimate"] = _q178_oracle()
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}

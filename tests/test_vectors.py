@@ -352,3 +352,21 @@ def test_ivf_int8_composite_recall_floor(spark):
 
     assert recall(IVF_K) == 1.0  # full probe: exact, deterministically
     assert recall(IVF_K // 2) >= 0.5  # half probe at ~1/16 the bytes
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from batchprocessingetl_spark.workload.vectors import (
+        q173_embedding_covariance,
+    )
+
+    out = q173_embedding_covariance(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    ref = np.cov(x, rowvar=False, ddof=1)
+    d = x.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    for r in out:
+        assert r["n"] == x.shape[0]
+        assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-6, (r["i"], r["j"])

@@ -459,6 +459,50 @@ def test_cms_sketch_guarantee_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
 
+def test_cms_inner_product_join_size_guarantee_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    # A: key k appears k times (k=1..20); B: key k appears 21-k times.
+    # true |A join B| = sum k*(21-k) = 1540
+    a = spark.createDataFrame(
+        [(k,) for k in range(1, 21) for _ in range(k)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(1, 21) for _ in range(21 - k)], "k long"
+    )
+    true_size = 1540
+    na = nb = 210
+    for width in (64, 4096):
+        sa = cms_build(a, F.col("k"), depth=4, width=width)
+        sb = cms_build(b, F.col("k"), depth=4, width=width)
+        est = cms_inner_product(sa, sb).collect()[0]["est"]
+        assert est >= true_size  # inner product never under-estimates
+        assert est <= true_size + (2.718281828459045 / width) * na * nb
+
+    # mergeability: per-shard sketches re-aggregated by addition give
+    # the SAME estimate as one whole-input sketch
+    a1 = a.filter(F.col("k") <= 10)
+    a2 = a.filter(F.col("k") > 10)
+    merged = (
+        cms_build(a1, F.col("k"), 4, 64)
+        .unionByName(cms_build(a2, F.col("k"), 4, 64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole_est = cms_inner_product(
+        cms_build(a, F.col("k"), 4, 64), cms_build(b, F.col("k"), 4, 64)
+    ).collect()[0]["est"]
+    merged_est = cms_inner_product(
+        merged, cms_build(b, F.col("k"), 4, 64)
+    ).collect()[0]["est"]
+    assert merged_est == whole_est
+
+
 def test_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
     from pyspark.sql import functions as F
 
