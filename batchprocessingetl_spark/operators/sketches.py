@@ -29,26 +29,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HEX15 = float(16**15)
+MAX_DEPTH = 4  # md5 yields 32 hex chars = 4 independent 8-hex chunks
 
 
-def _bucket(key: Column, row: Column, width: int) -> Column:
-    h = F.md5(F.concat(F.lit("cms"), row.cast("string"), F.lit(":"), key))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width
+def _bucket(h: Column, row: Column, width: int) -> Column:
+    """Row ``i``'s bucket is the i-th 8-hex (32-bit) chunk of ONE md5
+    of the key, mod width — one hash evaluation serves all d rows
+    (4x cheaper than hashing per row; the chunks of a cryptographic
+    digest are as pairwise-independent as separate hashes for CM
+    purposes). Caps depth at 4."""
+    return F.conv(F.substring(h, row * 8 + 1, F.lit(8)), 16, 10).cast("long") % width
+
+
+def _check_depth(depth: int) -> None:
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}], got {depth}")
 
 
 def cms_build(
     df: DataFrame, key: Column, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Count-Min sketch of ``key``'s frequency distribution: returns
-    the (row, bucket, c) counter table, d*w rows max. One narrow
-    explode (factor d) + one hash aggregate; map-side combine shrinks
-    every partition to <= d*w counters before the shuffle."""
+    the (row, bucket, c) counter table, d*w rows max. One md5 per
+    input row (computed BELOW the generate, so the explode replicates
+    the 32-hex digest, not the hash work), a narrow explode (factor
+    d), then one hash aggregate; map-side combine shrinks every
+    partition to <= d*w counters before the shuffle."""
+    _check_depth(depth)
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
         df.select(key.cast("string").alias("__k"))
         .filter(F.col("__k").isNotNull())
-        .select(rows, F.col("__k"))
-        .select("row", _bucket(F.col("__k"), F.col("row"), width).alias("bucket"))
+        .select(F.md5(F.concat(F.lit("cms:"), F.col("__k"))).alias("__h"))
+        .select(rows, F.col("__h"))
+        .select("row", _bucket(F.col("__h"), F.col("row"), width).alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -60,13 +74,19 @@ def cms_point_estimates(
     """Point-query a CM sketch for every row of ``keys``: joins each
     key's d (row, bucket) probes against the counter table and takes
     the min — returns (key_col, est). Missing counters read as 0."""
+    _check_depth(depth)
     probes = (
         keys.select(F.col(key_col).cast("string").alias("__k"))
         .distinct()
         .select(
-            "__k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+            "__k", F.md5(F.concat(F.lit("cms:"), F.col("__k"))).alias("__h")
         )
-        .select("__k", "row", _bucket(F.col("__k"), F.col("row"), width).alias("bucket"))
+        .select(
+            "__k",
+            "__h",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        )
+        .select("__k", "row", _bucket(F.col("__h"), F.col("row"), width).alias("bucket"))
     )
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
@@ -81,12 +101,13 @@ def cms_sql_duckdb(
 ) -> str:
     """DuckDB CTE fragment computing the identical sketch counters as
     :func:`cms_build` (name it in a WITH clause)."""
+    _check_depth(depth)
     return f"""
-        SELECT row, ('0x' || substr(md5('cms' || row::VARCHAR || ':' || k), 1, 15))::BIGINT
+        SELECT row, ('0x' || substr(h, row * 8 + 1, 8))::BIGINT
                    % {width} AS bucket,
                COUNT(*) AS c
         FROM (
-            SELECT CAST({key_sql} AS VARCHAR) AS k,
+            SELECT md5('cms:' || CAST({key_sql} AS VARCHAR)) AS h,
                    unnest(range(0, {depth}))::INT AS row
             FROM {source_sql}
             WHERE {key_sql} IS NOT NULL

@@ -1503,8 +1503,8 @@ _ORACLE_ALL["q121_heavy_hitters"] = f"""
         ORDER BY true_n DESC, user_id LIMIT 20
     ), probes AS (
         SELECT user_id, true_n, r.row,
-               ('0x' || substr(md5('cms' || r.row::VARCHAR || ':'
-                                   || user_id::VARCHAR), 1, 15))::BIGINT
+               ('0x' || substr(md5('cms:' || user_id::VARCHAR),
+                               r.row * 8 + 1, 8))::BIGINT
                    % {CMS_WIDTH} AS bucket
         FROM top, (SELECT unnest(range(0, {CMS_DEPTH}))::INT AS row) r
     ), ests AS (
