@@ -447,9 +447,69 @@ def q136_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3
+NOVELTY_MOD, NOVELTY_TRAIN_LT = 10, 8  # doc_id % 10 < 8 -> train
+
+
+def q181_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty audit — for each held-out document, the fraction
+    of its distinct word trigrams never seen in the training split
+    (the memorization/novelty counterpart of q67's decontamination:
+    that query asks "did eval text leak INTO training", this one asks
+    "how much of this text is NOT already in training"). Split is
+    hash-free and deterministic (doc_id mod); both sides reduce to
+    distinct-gram frames (train corpus-wide, test per-doc) via the
+    same positional_ngrams generate, then one LEFT ANTI shuffle join
+    on the raw gram marks novel grams exactly. The anti-join keys are
+    gram strings; at extreme scale the production variant joins on an
+    8-byte gram hash (the boilerplate_spans trade-off —
+    operators/curation.py:335) at the cost of hash-collision false
+    negatives. Docs with fewer than 3 tokens emit n_grams = 0 and a
+    NULL novelty_pct."""
+    from batchprocessingetl_spark.operators.curation import positional_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = F.col("doc_id") % NOVELTY_MOD < NOVELTY_TRAIN_LT
+    train, test = docs.filter(is_train), docs.filter(~is_train)
+    test_g = (
+        positional_ngrams(test, "doc_id", "text", NOVELTY_N)
+        .select(F.col("id").alias("doc_id"), "gram")
+        .distinct()
+    )
+    train_g = positional_ngrams(train, "doc_id", "text", NOVELTY_N).select(
+        "gram"
+    ).distinct()
+    per_doc = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        test_g.join(train_g, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        test.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            ).alias("novelty_pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # EXTRA (out of the ~50-entry driver budget): value-pinned locally by
 # tools/check_oracle.py --extra.
 EXTRA_QUERIES = {
+    "q181_ngram_novelty": q181_ngram_novelty,
     "q136_negative_pairs": q136_negative_pairs,
     "q148_token_dropout_augment": q148_token_dropout_augment,
     "q149_winsorize_by_source": q149_winsorize_by_source,
@@ -467,6 +527,42 @@ EXTRA_QUERIES = {
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 EXTRA_ORACLE = {
+    "q181_ngram_novelty": f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % {NOVELTY_MOD} < {NOVELTY_TRAIN_LT} AS is_train,
+                   {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, is_train,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+            FROM toks
+        ), train_g AS (
+            SELECT DISTINCT gram FROM grams WHERE is_train
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_grams
+            FROM grams WHERE NOT is_train GROUP BY 1
+        ), novel AS (
+            SELECT doc_id, COUNT(*) AS n_novel
+            FROM grams
+            WHERE NOT is_train
+              AND gram NOT IN (SELECT gram FROM train_g)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN COALESCE(p.n_grams, 0) > 0
+                    THEN ROUND(CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
+                               / p.n_grams, 6)
+               END AS novelty_pct
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {NOVELTY_MOD} >= {NOVELTY_TRAIN_LT}) d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN novel v USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "q151_quota_allocation_sample": f"""
         WITH counts AS (
             SELECT source, COUNT(*) AS n_i FROM documents GROUP BY 1

@@ -258,9 +258,73 @@ def q172_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAL_BINS = 10
+
+
+def q180_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram + Expected Calibration Error
+    for a probability-like score: normalized order price (price /
+    global max, a [0,1] "predicted probability") as a predictor of
+    urgent priority. Rows land in 10 equal-width probability bins;
+    each bin reports its size, mean predicted probability
+    (confidence) and observed positive rate (accuracy); ECE =
+    Σ n_b/N · |acc_b − conf_b| rides along on every row. The global
+    max comes from an AGGREGATE broadcast onto the scan (never a
+    global window over raw rows); confidences accumulate as
+    9dp-rounded DECIMALs (order-independent); the ECE sum runs as a
+    window over the collapsed <=10-bin frame, so nothing after the
+    first hash aggregate sees fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("__mx"))
+    scored = o.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice") / F.col("__mx")).alias("p"),
+        (F.col("o_orderpriority") == AUC_POS_PRIORITY).cast("long").alias("y"),
+    )
+    per_bin = (
+        scored.withColumn(
+            "bin",
+            F.least(F.floor(F.col("p") * CAL_BINS), F.lit(CAL_BINS - 1)).cast(
+                "int"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("p"), 9).cast("decimal(28,12)")).alias("__sp"),
+            F.sum("y").alias("__ny"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("__sp").cast("double") / F.col("n"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.col("__ny").cast("double") / F.col("n"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()  # <=10 bin rows — collapsed frame
+    contrib = F.round(
+        F.abs(F.col("accuracy") - F.col("confidence")) * F.col("n"), 9
+    ).cast("decimal(28,12)")
+    return (
+        per_bin.withColumn(
+            "ece",
+            F.round(
+                F.sum(contrib).over(w_all).cast("double")
+                / F.sum("n").over(w_all).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES: dict = {}
 
 EXTRA_QUERIES = {
+    "q180_score_calibration": q180_score_calibration,
     "q169_priority_auc": q169_priority_auc,
     "q170_chisq_independence": q170_chisq_independence,
     "q171_psi_price_drift": q171_psi_price_drift,
@@ -387,6 +451,31 @@ _ORACLE_ALL["q172_ks_two_sample"] = f"""
     FROM gaps CROSS JOIN best
     WHERE gap = best
     GROUP BY n_a, n_b
+"""
+
+_ORACLE_ALL["q180_score_calibration"] = f"""
+    WITH scored AS (
+        SELECT o.o_totalprice / mx.m AS p,
+               CASE WHEN o.o_orderpriority = '{AUC_POS_PRIORITY}'
+                    THEN 1 ELSE 0 END AS y
+        FROM orders o
+        CROSS JOIN (SELECT MAX(o_totalprice) AS m FROM orders) mx
+    ), per_bin AS (
+        SELECT CAST(LEAST(FLOOR(p * {CAL_BINS}), {CAL_BINS - 1}) AS INT) AS bin,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS confidence,
+               ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS accuracy
+        FROM scored
+        GROUP BY 1
+    )
+    SELECT bin, n, confidence, accuracy,
+           ROUND(
+               CAST(SUM(CAST(ROUND(ABS(accuracy - confidence) * n, 9)
+                             AS DECIMAL(28,12))) OVER () AS DOUBLE)
+               / CAST(SUM(n) OVER () AS DOUBLE), 6) AS ece
+    FROM per_bin
+    ORDER BY bin
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}

@@ -799,7 +799,90 @@ QUERIES = {
 # the same operators/retrieval.py machinery generalized to a query
 # batch) and q64 (curation composite — every component stays
 # registered: q31 quality, q33 exact dedup, q63 clusters, q67-q70).
+NDCG_K = 10
+LN2 = 0.6931471805599453
+
+
+def q179_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — nDCG@10 of the BM25 ranker
+    against graded relevance, per query. Relevance is the number of
+    distinct query terms present in the document (0..|terms| — a label
+    the ranker does NOT optimize directly, since BM25 weights idf and
+    length), so the metric genuinely measures ranking quality. DCG =
+    sum (2^rel - 1)/log2(rank+1) over the retrieved list; IDCG comes
+    from the corpus-wide ideal ordering (top-10 by relevance,
+    deterministic doc_id tie-break — zero-relevance docs contribute
+    zero gain, so only the matched-doc frame feeds it). Each DCG term
+    is rounded to 9dp and accumulated in DECIMAL (order-independent,
+    the BM25-oracle discipline); log2 is expressed as ln/ln2 with the
+    ln(2) constant folded into a multiply, since ln is the
+    cross-engine-proven transcendental here. One corpus scan serves
+    the ranker (bm25_topk_join) and one the relevance frame; both
+    collapse to per-(qid, doc) grains before any window."""
+    from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+    from batchprocessingetl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_QUERY_SET],
+        "qid int, terms array<string>",
+    )
+    q_terms = queries.select("qid", F.explode("terms").alias("term"))
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    rel = (
+        doc_terms.join(F.broadcast(q_terms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+
+    def dcg_term(rel_col, rank_col):
+        return F.round(
+            (F.pow(F.lit(2.0), rel_col) - 1.0)
+            * F.lit(LN2)
+            / F.log(rank_col + F.lit(1.0)),
+            9,
+        ).cast("decimal(28,10)")
+
+    retrieved = bm25_topk_join(docs, queries, NDCG_K).select(
+        "qid", "doc_id", "rank"
+    )
+    got = retrieved.join(rel, ["qid", "doc_id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0))
+    )
+    from pyspark.sql.window import Window
+
+    dcg = got.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.round(F.sum(dcg_term(F.col("rel"), F.col("rank"))), 6)
+        .cast("double")
+        .alias("dcg"),
+    )
+    w_ideal = Window.partitionBy("qid").orderBy(F.desc("rel"), "doc_id")
+    ideal = rel.withColumn("irank", F.row_number().over(w_ideal)).filter(
+        F.col("irank") <= NDCG_K
+    )
+    idcg = ideal.groupBy("qid").agg(
+        F.round(F.sum(dcg_term(F.col("rel"), F.col("irank"))), 6)
+        .cast("double")
+        .alias("idcg")
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            "qid",
+            "n_retrieved",
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("qid")
+    )
+
+
 EXTRA_QUERIES = {
+    "q179_retrieval_ndcg": q179_retrieval_ndcg,
     "q135_containment_near_dups": q135_containment_near_dups,
     "q137_vocab_growth": q137_vocab_growth,
     "q138_keyness_by_source": q138_keyness_by_source,
@@ -1580,6 +1663,75 @@ _ORACLE_ALL["q147_hybrid_retrieval_rrf"] = f"""
                AS hybrid_rank
     FROM f
     ORDER BY qid, hybrid_rank
+"""
+
+# q179 replays q80's full BM25 ranking chain, then grades it: the DCG
+# term rounds to 9dp before DECIMAL accumulation, and the log2
+# discount is ln(rank+1) with the 1/ln(2) constant folded into a
+# multiply (ln is the cross-engine-proven transcendental).
+_NDCG_TERM = (
+    "CAST(ROUND((POW(2.0, {rel}) - 1.0) * {ln2} / LN({rank} + 1.0), 9)"
+    " AS DECIMAL(28,10))"
+)
+_ORACLE_ALL["q179_retrieval_ndcg"] = f"""
+    WITH q(qid, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    base AS (
+        SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl FROM base
+    ), tf AS (
+        SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2, 3
+    ), dft AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+    ), sc AS (
+        SELECT t.doc_id, t.term,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / (s.sum_dl / s.n_docs)))
+                   AS score
+        FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+    ), pp AS (
+        SELECT q.qid, sc.doc_id,
+               CAST(ROUND(SUM(CAST(ROUND(sc.score, 7) AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        FROM sc JOIN q USING (term)
+        GROUP BY 1, 2
+    ), retr AS (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+        FROM pp
+        QUALIFY rank <= {NDCG_K}
+    ), docterms AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term
+        FROM documents
+    ), rel AS (
+        SELECT q.qid, dt.doc_id, COUNT(*) AS rel
+        FROM docterms dt JOIN q USING (term)
+        GROUP BY 1, 2
+    ), dcg AS (
+        SELECT r.qid, COUNT(*)::BIGINT AS n_retrieved,
+               CAST(ROUND(SUM({_NDCG_TERM.format(rel="COALESCE(rel.rel, 0)", rank="r.rank", ln2=LN2)}), 6) AS DOUBLE) AS dcg
+        FROM retr r
+        LEFT JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+        GROUP BY 1
+    ), ideal AS (
+        SELECT qid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+        FROM rel
+        QUALIFY irank <= {NDCG_K}
+    ), idcg AS (
+        SELECT qid,
+               CAST(ROUND(SUM({_NDCG_TERM.format(rel="rel", rank="irank", ln2=LN2)}), 6) AS DOUBLE) AS idcg
+        FROM ideal
+        GROUP BY 1
+    )
+    SELECT d.qid, d.n_retrieved, d.dcg, i.idcg,
+           ROUND(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i USING (qid)
+    ORDER BY d.qid
 """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
