@@ -191,11 +191,14 @@ def setsim_join_prefix(
     vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # Filter on the UNROUNDED ratio (round only for display): rounding
+    # before the compare would admit pairs with true Jaccard in
+    # [t - 5e-7, t), diverging from an oracle that filters unrounded.
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
+        .filter((inter / union) >= threshold)
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

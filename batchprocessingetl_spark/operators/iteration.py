@@ -31,6 +31,16 @@ def barrier(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
+    # Spark never deletes reliable checkpoint data by default, so a
+    # long iterative run accumulates one full state snapshot per round
+    # in the fault-tolerant store unless
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true is set AT
+    # CONTEXT START (the ContextCleaner captures it then — a runtime
+    # set is a no-op). session.py::get_spark sets it; sessions built
+    # elsewhere must either set it too or remove checkpoint_dir after
+    # the iterative run. The final round's snapshot always outlives
+    # the run (its RDD stays referenced), so deleting checkpoint_dir
+    # when the results have been consumed is good hygiene either way.
     # setCheckpointDir mints a fresh UUID subdir per call; re-point only
     # when the requested dir actually changes (tracked Python-side).
     if getattr(sc, "_bpetl_checkpoint_dir", None) != checkpoint_dir:

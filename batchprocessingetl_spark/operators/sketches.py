@@ -115,7 +115,9 @@ def cms_sql_duckdb(
         GROUP BY 1, 2
     """
 
-def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
     """Join-size estimation from two Count-Min sketches (Cormode &
     Muthukrishnan 2005 §4.2): |A join_k B| = sum_k f_A(k)*f_B(k) is
     estimated by min over rows of sum_b cA[row,b]*cB[row,b]. Always an
@@ -124,11 +126,23 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     <= d*w counter tables, so the equi-join broadcasts — this is the
     shuffle-free way to cost a join before running it: sketches merge
     by addition across shards, and the estimate reads two sketch
-    tables instead of rescanning either input. Returns 1 row (est)."""
+    tables instead of rescanning either input. Returns 1 row (est).
+
+    The min runs over an explicit 0..depth-1 row spine (left join +
+    COALESCE 0), not over the inner-join survivors: a depth-row where
+    the two sketches share no populated buckets means that row's true
+    inner product is 0, so dropping it would inflate the min — and two
+    fully disjoint sketches must estimate 0, not NULL."""
+    _check_depth(depth)
+    spark = sketch_a.sparkSession
     prod = sketch_a.alias("a").join(
         F.broadcast(sketch_b.alias("b")), ["row", "bucket"]
     )
     per_row = prod.groupBy("row").agg(
         F.sum(F.col("a.c") * F.col("b.c")).alias("ip")
     )
-    return per_row.agg(F.min("ip").alias("est"))
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    filled = spine.join(F.broadcast(per_row), "row", "left").select(
+        F.coalesce("ip", F.lit(0)).alias("ip")
+    )
+    return filled.agg(F.min("ip").alias("est"))

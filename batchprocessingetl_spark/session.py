@@ -49,6 +49,11 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as epoch-nanos long, converted in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reliable checkpoints (operators/iteration.py barriers) are
+        # never deleted by default; let the ContextCleaner GC a
+        # round's snapshot once its RDD is unreferenced. Must be set
+        # BEFORE context start — the cleaner captures it at startup.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -321,6 +321,28 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, jdst))
 
 
+def fs_delete_strict(spark: SparkSession, path: str) -> None:
+    """``fs_delete`` that RAISES on failure. Hadoop FileSystem.delete
+    reports failure by returning False rather than raising (unlike the
+    shutil.rmtree it replaces), so a staged-swap promote that silently
+    failed to clear the live dir would otherwise surface later as an
+    unrelated path error. Callers guard with an existence probe first,
+    so False here always means a real failure, not a missing path."""
+    if not fs_delete(spark, path):
+        raise IOError(f"Hadoop FileSystem.delete({path!r}) returned False")
+
+
+def fs_rename_strict(spark: SparkSession, src: str, dst: str) -> None:
+    """``fs_rename`` that RAISES on failure (Hadoop rename reports
+    failure by returning False — e.g. missing parent, existing
+    destination). The staged-swap protocol must abort the fold at the
+    point of failure, not strand a deleted live dir."""
+    if not fs_rename(spark, src, dst):
+        raise IOError(
+            f"Hadoop FileSystem.rename({src!r} -> {dst!r}) returned False"
+        )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

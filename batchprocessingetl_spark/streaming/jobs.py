@@ -417,13 +417,13 @@ def recover_staged_swap(spark: SparkSession, target_dir: str) -> bool:
     All state moves go through the Hadoop FileSystem API, so the
     protocol works unchanged on hdfs:// and s3a:// dirs, not just the
     local filesystem."""
-    from batchprocessingetl_spark.sources.readers import fs_exists, fs_rename
+    from batchprocessingetl_spark.sources.readers import fs_exists, fs_rename_strict
 
     staging = target_dir.rstrip("/") + ".staging"
     if not fs_exists(spark, target_dir) and fs_exists(
         spark, staging + "/_SUCCESS"
     ):
-        fs_rename(spark, staging, target_dir)
+        fs_rename_strict(spark, staging, target_dir)
         return True
     return False
 
@@ -498,13 +498,16 @@ def scd2_maintenance_stream(
         # mistake the batch for an initial load (history loss). Writing
         # aside and swapping shrinks the unsafe window to a dir rename.
         # Delete + rename go through the Hadoop FS API (URI-agnostic).
-        from batchprocessingetl_spark.sources.readers import fs_delete, fs_rename
+        from batchprocessingetl_spark.sources.readers import (
+            fs_delete_strict,
+            fs_rename_strict,
+        )
 
         tmp = dim_dir.rstrip("/") + ".staging"
         merged.write.mode("overwrite").parquet(tmp)
         if path_exists(spark, dim_dir):
-            fs_delete(spark, dim_dir)
-        fs_rename(spark, tmp, dim_dir)
+            fs_delete_strict(spark, dim_dir)
+        fs_rename_strict(spark, tmp, dim_dir)
 
     q = (
         snaps.writeStream.foreachBatch(fold)
@@ -609,8 +612,8 @@ def cdc_changelog_stream(
     """
     from batchprocessingetl_spark.operators.cdc import compact_changelog
     from batchprocessingetl_spark.sources.readers import (
-        fs_delete,
-        fs_rename,
+        fs_delete_strict,
+        fs_rename_strict,
         path_exists,
     )
 
@@ -633,8 +636,8 @@ def cdc_changelog_stream(
         tmp = state_dir.rstrip("/") + ".staging"
         state.write.mode("overwrite").parquet(tmp)
         if path_exists(spark, state_dir):
-            fs_delete(spark, state_dir)
-        fs_rename(spark, tmp, state_dir)
+            fs_delete_strict(spark, state_dir)
+        fs_rename_strict(spark, tmp, state_dir)
 
     q = (
         log.writeStream.foreachBatch(fold)
@@ -701,8 +704,8 @@ def near_dup_dedup_stream(
         shingle_frame,
     )
     from batchprocessingetl_spark.sources.readers import (
-        fs_delete,
-        fs_rename,
+        fs_delete_strict,
+        fs_rename_strict,
         path_exists,
     )
 
@@ -716,8 +719,8 @@ def near_dup_dedup_stream(
         tmp = target.rstrip("/") + ".staging"
         df.write.mode("overwrite").parquet(tmp)
         if path_exists(spark, target):
-            fs_delete(spark, target)
-        fs_rename(spark, tmp, target)
+            fs_delete_strict(spark, target)
+        fs_rename_strict(spark, tmp, target)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         recover_staged_swap(spark, kept_dir)

@@ -1064,8 +1064,11 @@ MTA_WINDOW_S = 3600  # attribution lookback, seconds
 def q146_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-based (U-shaped) multi-touch attribution: every click
     by the purchase's user within the lookback window earns credit —
-    sole click 1.0; otherwise first and last 0.4 each and the middles
-    split 0.2 evenly. The single-touch as-of pick (q24) is the
+    sole click 1.0; exactly two clicks 0.5 each (the standard
+    position-based renormalization when there are no middles, so
+    credit mass is conserved at 1.0); otherwise first and last 0.4
+    each and the middles split 0.2 evenly. The single-touch as-of
+    pick (q24) is the
     degenerate case; this is the marketing-standard generalization.
     Shape: one user-keyed interval join (pair count bounded by clicks
     within the window per purchase, never corpus²), then position /
@@ -1098,6 +1101,7 @@ def q146_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.count(F.lit(1)).over(wk)
     credit = (
         F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
         .when((pos == 1) | (pos == k), F.lit(0.4))
         .otherwise(F.lit(0.2) / (k - 2).cast("double"))
     )
@@ -1847,6 +1851,7 @@ _ORACLE_ALL["q146_multitouch_attribution"] = f"""
     )
     SELECT purchase_id, click_id, touch_pos, n_touches,
            ROUND(CASE WHEN n_touches = 1 THEN 1.0
+                      WHEN n_touches = 2 THEN 0.5
                       WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
                       ELSE 0.2 / (n_touches - 2)::DOUBLE END, 6) AS credit
     FROM j

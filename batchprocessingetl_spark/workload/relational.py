@@ -1962,7 +1962,7 @@ def q178_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sk_a = cms_build(o, F.col("o_orderkey"), JS_DEPTH, JS_WIDTH)
     sk_b = cms_build(li, F.col("l_orderkey"), JS_DEPTH, JS_WIDTH)
-    est = cms_inner_product(sk_a, sk_b)
+    est = cms_inner_product(sk_a, sk_b, JS_DEPTH)
     true_size = (
         o.select("o_orderkey")
         .join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
@@ -3140,7 +3140,11 @@ def _q178_oracle() -> str:
         SELECT a.row, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
         FROM sk_a a JOIN sk_b b USING (row, bucket)
         GROUP BY 1
-    ), est AS (SELECT MIN(ip) AS est FROM ip),
+    ), spine AS (SELECT unnest(range(0, {JS_DEPTH}))::INT AS row),
+    est AS (
+        SELECT MIN(COALESCE(ip.ip, 0)) AS est
+        FROM spine LEFT JOIN ip USING (row)
+    ),
     tru AS (
         SELECT COUNT(*) AS true_size
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
