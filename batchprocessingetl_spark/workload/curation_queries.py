@@ -345,6 +345,84 @@ def q152_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 6
+
+
+def q182_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training (VERDICT r5 #4): run 6 full greedy
+    merge→re-segment rounds over the corpus vocabulary and return the
+    learned merge table — what q152's single candidate round feeds.
+    The corpus is touched ONCE (the word-count aggregate); every round
+    after that is a narrow map + one hash aggregate over the
+    vocabulary frame with a localCheckpoint barrier truncating the
+    re-segmentation lineage (operators/text.py::bpe_train_merges has
+    the seg-string semantics all three engines share). The oracle is
+    the same recurrence unrolled as 6 DuckDB CTE rounds; a property
+    test replays it in pure Python (the q151 pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return T_ops.bpe_train_merges(words, BPE_ROUNDS)
+
+
+def _q182_oracle_sql(k: int) -> str:
+    """Unrolled k-round DuckDB twin of bpe_train_merges: each round is
+    a (tokenize, pair-count, argmax, replace) CTE quartet chained on
+    the previous round's segmentation strings."""
+    b1, b2 = T_ops.BPE_B, T_ops.BPE_B2
+    parts = [
+        f"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS wc
+            FROM (SELECT unnest({T_ops.TOKENS_SQL_DUCKDB.format(col="text")}) AS w
+                  FROM documents)
+            GROUP BY 1
+        ), seg_0 AS (
+            SELECT wc, {T_ops.BPE_SEG_SQL_DUCKDB.format(b2=b2, col="w")} AS seg
+            FROM words WHERE length(w) >= 2
+        )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", segt_{r} AS (
+            SELECT wc, list_filter(string_split(seg, '{b2}'), x -> x <> '') AS t,
+                   seg
+            FROM seg_{r - 1}
+        ), pairs_{r} AS (
+            SELECT string_split(pr, '{b1}')[1] AS lft,
+                   string_split(pr, '{b1}')[2] AS rgt,
+                   SUM(wc) AS n_occ
+            FROM (SELECT wc,
+                         unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || '{b1}' || t[i + 1])) AS pr
+                  FROM segt_{r} WHERE len(t) >= 2)
+            GROUP BY 1, 2
+        ), best_{r} AS (
+            SELECT {r} AS merge_round, lft, rgt, n_occ
+            FROM pairs_{r} ORDER BY n_occ DESC, lft, rgt LIMIT 1
+        ), seg_{r} AS (
+            SELECT s.wc,
+                   replace(s.seg, '{b1}' || b.lft || '{b2}' || b.rgt || '{b1}',
+                           '{b1}' || b.lft || b.rgt || '{b1}') AS seg
+            FROM segt_{r} s, best_{r} b
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM best_{r}" for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT CAST(merge_round AS INTEGER) AS merge_round, lft, rgt,
+               lft || rgt AS merged, CAST(n_occ AS BIGINT) AS n_occ
+        FROM ({union})
+        ORDER BY merge_round"""
+    )
+    return "".join(parts)
+
+
 AUG_SEED = "aug"
 AUG_MOD = 10  # drop ~1/10 of tokens
 
@@ -947,3 +1025,42 @@ ORACLE["q116_source_quality_gate"] = EXTRA_ORACLE.pop("q116_source_quality_gate"
 for _name in ("q67_decontamination", "q83_temperature_resample"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLE[_name] = ORACLE.pop(_name)
+
+# Round 6 rotation (VERDICT r5 #1): the round-5 sampling/augmentation
+# family gains driver rows — q136 negative-pair sampling, q148 token
+# dropout, q149 winsorization, q151 quota allocation, q152 BPE merge
+# candidates. Displaced, each with retained registered evidence
+# (docs/COVERAGE.md "Round 6 rotation"): q70 bloom incremental dedup
+# (the incremental-dedup family's registered row moves to q124's
+# LSH-band-store protocol; the bloom bit_or/popcount path stays pinned
+# by tests/test_curation.py and check_oracle --extra), q82/q84
+# boilerplate detect+strip (no registered sibling uses the positional
+# n-gram machinery, but both stay value-pinned by check_oracle --extra
+# at two scale factors and tests/test_curation.py pins span mining +
+# ordered reassembly), and q116 per-group quantile gate (q149
+# registers the SAME quantile-gate shape as a winsorize instead of a
+# filter). q71 sequence packing keeps the assembly family's registered
+# row — no incoming sibling.
+for _name in (
+    "q136_negative_pairs",
+    "q148_token_dropout_augment",
+    "q149_winsorize_by_source",
+    "q151_quota_allocation_sample",
+    "q152_bpe_merge_candidates",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLE[_name] = EXTRA_ORACLE.pop(_name)
+for _name in (
+    "q70_bloom_incremental_dedup",
+    "q82_boilerplate_spans",
+    "q84_strip_boilerplate",
+    "q116_source_quality_gate",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLE[_name] = ORACLE.pop(_name)
+
+# Round 6 net-new (VERDICT r5 #4): iterated BPE merge training. EXTRA
+# until a future rotation; value-pinned by check_oracle --extra and
+# property-tested against the pure-Python replay.
+EXTRA_QUERIES["q182_bpe_train_merges"] = q182_bpe_train_merges
+EXTRA_ORACLE["q182_bpe_train_merges"] = _q182_oracle_sql(BPE_ROUNDS)

@@ -1117,9 +1117,42 @@ def q146_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 6 rotation (VERDICT r5 #1): the round-5 event-analytics
+# backlog gains driver rows — q123 HLL DAU/WAU/MAU twin, q139
+# audience overlap, q143 inter-arrival percentiles, q144 event-mix
+# entropy, q145 exact bitmap-word distinct rollup, q146 U-shaped
+# attribution, q153 session path mining, q154 closed-form clamped
+# running balance, q155 linear-interp gapfill, q157 max drawdown.
+# Displaced, each with retained registered evidence (docs/COVERAGE.md
+# "Round 6 rotation"): q28 session windows (q153 registers the
+# sessionization machinery; session_window streaming twin stays
+# pytest-pinned), q75 interval join (q146's attribution IS a
+# user-keyed interval join), q94 AQE skew rollup (stays benched — the
+# bake-off line needs it — and pinned by tests/test_skew.py), q98
+# EWMA / q103 z-score anomalies (time-series family's registered rows
+# move to q155 gapfill-interp + q157 drawdown windows), q102 cohort
+# retention (q142 cohort LTV registers the same cohort x age grain),
+# q106 transitions (q153 registers the strictly-richer 3-step path
+# mining), q114 exact rolling DAU/WAU/MAU (q123 registers the same
+# trailing windows AND oracle-pins the exact metrics alongside the
+# HLL flags), q121 CM heavy hitters (sketch family's registered row
+# moves to q123 HLL; CM guarantee stays pytest-pinned and q178 adds
+# the inner-product read), q122 bootstrap CI (statistics family keeps
+# q156/q159-q163 registered), q99 funnel (q153's strict-sequence path
+# mining covers ordered-event analytics), q109 DP release (draw-key
+# injectivity + replay stay pytest-pinned). All stay value-checked by
+# check_oracle --extra.
 QUERIES = {
-    "q28_session_window_stats": q28_session_window_stats,
-    "q75_interval_join_concurrency": q75_interval_join_concurrency,
+    "q123_active_users_hll": q123_active_users_hll,
+    "q139_audience_overlap": q139_audience_overlap,
+    "q143_interarrival_stats": q143_interarrival_stats,
+    "q144_user_mix_entropy": q144_user_mix_entropy,
+    "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
+    "q146_multitouch_attribution": q146_multitouch_attribution,
+    "q153_top_event_paths": q153_top_event_paths,
+    "q154_clamped_running_balance": q154_clamped_running_balance,
+    "q155_gapfill_interpolate": q155_gapfill_interpolate,
+    "q157_max_drawdown": q157_max_drawdown,
     # Round 5 rotation (VERDICT r4 #1): the round-4 net-new event
     # analytics gain driver-side rows. Displaced: q24 (as-of join —
     # the range family keeps q75's big-big interval join registered;
@@ -1129,14 +1162,6 @@ QUERIES = {
     # (gapfill+LOCF — the time-series family keeps q98 EWMA + q103
     # z-score registered) and q91 (incremental rollup refresh — q111
     # registers the strictly more general join-aggregate IVM).
-    "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
-    "q98_ewma_smoothing": q98_ewma_smoothing,
-    "q102_cohort_retention": q102_cohort_retention,
-    "q103_rate_anomalies": q103_rate_anomalies,
-    "q106_event_transitions": q106_event_transitions,
-    "q114_active_users": q114_active_users,
-    "q121_heavy_hitters": q121_heavy_hitters,
-    "q122_bootstrap_mean_ci": q122_bootstrap_mean_ci,
     # Round 4 mid-round rotation: funnel analysis and the DP release
     # gain driver-side rows. Displaced: q20 (tumbling window — §2.9's
     # window family keeps q28's session_window registered row and q20
@@ -1144,8 +1169,6 @@ QUERIES = {
     # rollup — the family keeps q88 gapfill + q91 incremental refresh
     # registered; the hierarchy algebra itself is also pinned by
     # tests/test_rangejoin.py's rollup suite).
-    "q99_funnel_conversion": q99_funnel_conversion,
-    "q109_dp_daily_counts": q109_dp_daily_counts,
 }
 
 # Out of the ~50-entry driver registry budget; daily date_format rollup
@@ -1159,15 +1182,18 @@ QUERIES = {
 # (broadcast range join — the range family keeps q75 big-big interval
 # + q24 as-of registered) to make room for q80-q92 per VERDICT r3 #1.
 EXTRA_QUERIES = {
-    "q139_audience_overlap": q139_audience_overlap,
-    "q143_interarrival_stats": q143_interarrival_stats,
-    "q146_multitouch_attribution": q146_multitouch_attribution,
-    "q153_top_event_paths": q153_top_event_paths,
-    "q154_clamped_running_balance": q154_clamped_running_balance,
-    "q155_gapfill_interpolate": q155_gapfill_interpolate,
-    "q157_max_drawdown": q157_max_drawdown,
-    "q144_user_mix_entropy": q144_user_mix_entropy,
-    "q145_bitmap_distinct_rollup": q145_bitmap_distinct_rollup,
+    "q28_session_window_stats": q28_session_window_stats,
+    "q75_interval_join_concurrency": q75_interval_join_concurrency,
+    "q94_skewed_user_rollup_aqe": q94_skewed_user_rollup_aqe,
+    "q98_ewma_smoothing": q98_ewma_smoothing,
+    "q102_cohort_retention": q102_cohort_retention,
+    "q103_rate_anomalies": q103_rate_anomalies,
+    "q106_event_transitions": q106_event_transitions,
+    "q114_active_users": q114_active_users,
+    "q121_heavy_hitters": q121_heavy_hitters,
+    "q122_bootstrap_mean_ci": q122_bootstrap_mean_ci,
+    "q99_funnel_conversion": q99_funnel_conversion,
+    "q109_dp_daily_counts": q109_dp_daily_counts,
     "q20_hourly_event_rollup": q20_hourly_event_rollup,
     "q72_hypertable_rollup": q72_hypertable_rollup,
     "q21_sessionization": q21_sessionization,
@@ -1179,7 +1205,6 @@ EXTRA_QUERIES = {
     "q81_skewed_user_rollup": q81_skewed_user_rollup,
     "q88_gapfill_locf": q88_gapfill_locf,
     "q91_rollup_increment": q91_rollup_increment,
-    "q123_active_users_hll": q123_active_users_hll,
 }
 
 # EWMA oracle terms: the same left-associated chain the Spark side

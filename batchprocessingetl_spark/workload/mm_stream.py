@@ -107,11 +107,13 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # Round 6 rotation (VERDICT r5 #1): §2.10's registered row stays
+    # q60 (multi-format analytic decode oracle over the same
+    # mapInPandas Arrow path); q100's GIF-LZW decode moves to EXTRA to
+    # fund a q123-q163 slot — its byte-exact oracle stays checked by
+    # check_oracle --extra and tests/test_media_codecs.py pins the
+    # codec itself.
     "q60_multimodal_features": q60_multimodal_features,
-    # Round 5 rotation (VERDICT r4 #1): the GIF variable-width-LZW
-    # decode path gains a driver row alongside q60's multi-format
-    # analytic oracle.
-    "q100_gif_decode": q100_gif_decode,
 }
 
 # Out of the ~50-entry driver registry budget: the streaming run is
@@ -125,6 +127,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "q61_streaming_hourly": q61_streaming_hourly,
     "q62_frame_sampling": q62_frame_sampling,
+    "q100_gif_decode": q100_gif_decode,
 }
 
 ORACLE = {
@@ -198,9 +201,9 @@ ORACLE = {
 # oracle follows it so check_oracle --extra keeps value-pinning it.
 EXTRA_ORACLE = {"q62_frame_sampling": ORACLE.pop("q62_frame_sampling")}
 
-# q100 (registered in r5): the q60 analytic raster oracle, with every
+# q100 (registered r5, EXTRA since r6): the q60 analytic raster oracle, with every
 # document an image (no wav split) and the wire format pinned to GIF.
-ORACLE["q100_gif_decode"] = """
+EXTRA_ORACLE["q100_gif_decode"] = """
     WITH img AS (
         SELECT doc_id, (4 + doc_id % 13) AS w, (4 + doc_id % 7) AS h
         FROM documents

@@ -471,27 +471,25 @@ def q108_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # Round 6 rotation (VERDICT r5 #1): pipeline keeps its three §2
+    # anchors — q40 (staging: P1-P10, F3/F5/F6, A3-A5, U1), q41 (§2.11
+    # SCD2 composite) and q93 (transactional MERGE — no registered
+    # sibling) — and cedes five slots to the q123-q163 backlog.
+    # Displaced (docs/COVERAGE.md "Round 6 rotation" has the map):
+    # q79 medallion e2e (§2.12 keeps q03 registered; the composite
+    # stays pinned by tests/test_e2e.py running CSV→star→Q1-Q4
+    # verbatim), q101 CDC compaction (struct-max compaction machinery
+    # pinned by tests/test_streaming_state.py stream==batch parity;
+    # change-detection family keeps the registered q111 IVM
+    # delta-merge in relational), q108 profiler / q112 histogram
+    # (single-pass aggregate shapes; q140 RFM registers the same
+    # broadcast percentile-cut machinery as q112), q115 time-travel
+    # (operators/scd2.py::as_of stays pinned by tests/test_scd2.py and
+    # §2.11 keeps q41). All five stay value-checked by
+    # check_oracle --extra.
     "q40_staging_clean": q40_staging_clean,
     "q41_scd2_demo": q41_scd2_demo,
-    "q79_medallion_e2e": q79_medallion_e2e,
-    # Round 4 mid-round rotation: the transactional MERGE surface, CDC
-    # changelog compaction and the single-pass profiler gain
-    # driver-side rows.
     "q93_merge_upsert": q93_merge_upsert,
-    "q101_cdc_snapshot": q101_cdc_snapshot,
-    "q108_table_profile": q108_table_profile,
-    # Round 5 rotation (VERDICT r4 #1): equi-depth histogram binning
-    # and SCD2 time-travel reads gain driver rows. Displaced: q74 (GK
-    # quantile sketch — the sketch family's registered row moves to
-    # q121's Count-Min heavy hitters; GK's exact-vs-sketch error bound
-    # stays pytest-pinned), q85 (SCD1 upsert — the upsert family keeps
-    # q93's transactional MERGE registered and §2.11 keeps q41), q90
-    # (constraint gate — the gating family's registered row moves to
-    # q116's per-group quantile gate) and q92 (snapshot diff — the
-    # change-detection family keeps q101 CDC compaction + the newly
-    # registered q111 IVM delta-merge).
-    "q112_price_histogram": q112_price_histogram,
-    "q115_dim_time_travel": q115_dim_time_travel,
 }
 
 # Out of the ~50-entry driver registry budget; skew-salting evidence is
@@ -501,6 +499,11 @@ QUERIES = {
 # q74, which pins the same quantile semantics plus the sketch) out to
 # make room for the q71-q79 families per VERDICT r2 #1.
 EXTRA_QUERIES = {
+    "q79_medallion_e2e": q79_medallion_e2e,
+    "q101_cdc_snapshot": q101_cdc_snapshot,
+    "q108_table_profile": q108_table_profile,
+    "q112_price_histogram": q112_price_histogram,
+    "q115_dim_time_travel": q115_dim_time_travel,
     "q74_approx_percentile_sketch": q74_approx_percentile_sketch,
     "q85_scd1_upsert": q85_scd1_upsert,
     "q90_constraint_report": q90_constraint_report,

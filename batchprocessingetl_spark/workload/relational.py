@@ -1988,21 +1988,38 @@ def q178_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # Round 6 rotation (VERDICT r5 #1): the round-5 EXTRA backlog
+    # q123-q163 gains driver-side CORRECTNESS rows. Relational keeps
+    # q03 (§2.12 dashboard + P11 param pushdown; benched), q78
+    # (Expand-reshape family — no incoming sibling), q97 (graph +
+    # reliable-checkpoint iteration — no incoming sibling) and q111
+    # (join-aggregate IVM — no incoming sibling) as family anchors;
+    # see docs/COVERAGE.md for the per-displacement evidence map.
     "q03_product_sales_in_year": q03_product_sales_in_year,
-    "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
     "q78_unpivot_metrics": q78_unpivot_metrics,
-    # Round 4 mid-round rotation (VERDICT r3 #1 playbook): the round-4
-    # net-new graph/stats/IVM families gain driver-side rows.
     "q97_nation_trade_pagerank": q97_nation_trade_pagerank,
-    "q104_triangle_counts": q104_triangle_counts,
-    "q107_price_trend_ols": q107_price_trend_ols,
-    # Round 5 rotation (VERDICT r4 #1): co-purchase mining, IVM, ABC
-    # classification and the TPC-H Q15/Q22 analogs gain driver rows.
-    "q110_copurchase_pairs": q110_copurchase_pairs,
     "q111_ivm_nation_revenue": q111_ivm_nation_revenue,
-    "q117_abc_analysis": q117_abc_analysis,
-    "q119_top_suppliers": q119_top_suppliers,
-    "q120_idle_customer_balances": q120_idle_customer_balances,
+    # TPC-H shape analogs Q18/Q21/Q11/Q17/Q19/Q8/Q7 + RANGE frame.
+    "q127_large_volume_orders": q127_large_volume_orders,
+    "q128_sole_blame_suppliers": q128_sole_blame_suppliers,
+    "q129_important_parts": q129_important_parts,
+    "q130_rolling_revenue_range": q130_rolling_revenue_range,
+    "q131_small_quantity_revenue": q131_small_quantity_revenue,
+    "q132_banded_promo_revenue": q132_banded_promo_revenue,
+    "q133_market_share": q133_market_share,
+    "q134_nation_pair_volume": q134_nation_pair_volume,
+    # Customer/market analytics + sampling splits.
+    "q140_rfm_segments": q140_rfm_segments,
+    "q141_copurchase_rules": q141_copurchase_rules,
+    "q142_cohort_ltv": q142_cohort_ltv,
+    "q150_temporal_embargo_split": q150_temporal_embargo_split,
+    # Statistics suite over the relational tables.
+    "q156_weighted_median_price": q156_weighted_median_price,
+    "q159_benford_digit_audit": q159_benford_digit_audit,
+    "q160_kaplan_meier": q160_kaplan_meier,
+    "q161_ab_test_ztest": q161_ab_test_ztest,
+    "q162_revenue_gini": q162_revenue_gini,
+    "q163_supplier_hhi": q163_supplier_hhi,
 }
 
 # Still first-class operators (pytest-covered via collect_extra_queries
@@ -2041,6 +2058,25 @@ QUERIES = {
 # q87's min-support HAVING thresholds), making room for the round-4
 # families q97/q104/q107.
 EXTRA_QUERIES = {
+    # Round 6 rotation displacements (each with retained registered
+    # evidence — docs/COVERAGE.md "Round 6 rotation" has the map):
+    # q11 top-k-per-group rank (integer-rank windows keep registered
+    # rows via q147's RRF ranks and q153's path ranking; q11 stays
+    # oracle-checked here), q104 triangles (graph family keeps q97's
+    # registered iteration machinery; α=0.13 10x probe stands), q107
+    # OLS (statistics family keeps q156/q159-q163 registered), q110
+    # co-purchase pairs (q141 registers the SAME operators/baskets.py
+    # A-priori machinery plus the rule layer on top), q117 ABC
+    # classification (q140 RFM registers the same percentile-cut
+    # segmentation shape), q119/q120 TPC-H Q15/Q22 (the TPC-H analog
+    # family now holds eight registered rows, q127-q134).
+    "q11_top3_orders_per_customer": q11_top3_orders_per_customer,
+    "q104_triangle_counts": q104_triangle_counts,
+    "q107_price_trend_ols": q107_price_trend_ols,
+    "q110_copurchase_pairs": q110_copurchase_pairs,
+    "q117_abc_analysis": q117_abc_analysis,
+    "q119_top_suppliers": q119_top_suppliers,
+    "q120_idle_customer_balances": q120_idle_customer_balances,
     "q164_min_cost_supplier": q164_min_cost_supplier,
     "q165_late_shipment_priority": q165_late_shipment_priority,
     "q166_nation_profit": q166_nation_profit,
@@ -2051,24 +2087,6 @@ EXTRA_QUERIES = {
     "q176_promo_revenue_share": q176_promo_revenue_share,
     "q177_part_supplier_counts": q177_part_supplier_counts,
     "q178_join_size_estimate": q178_join_size_estimate,
-    "q141_copurchase_rules": q141_copurchase_rules,
-    "q142_cohort_ltv": q142_cohort_ltv,
-    "q150_temporal_embargo_split": q150_temporal_embargo_split,
-    "q156_weighted_median_price": q156_weighted_median_price,
-    "q159_benford_digit_audit": q159_benford_digit_audit,
-    "q160_kaplan_meier": q160_kaplan_meier,
-    "q161_ab_test_ztest": q161_ab_test_ztest,
-    "q162_revenue_gini": q162_revenue_gini,
-    "q163_supplier_hhi": q163_supplier_hhi,
-    "q140_rfm_segments": q140_rfm_segments,
-    "q131_small_quantity_revenue": q131_small_quantity_revenue,
-    "q132_banded_promo_revenue": q132_banded_promo_revenue,
-    "q133_market_share": q133_market_share,
-    "q134_nation_pair_volume": q134_nation_pair_volume,
-    "q127_large_volume_orders": q127_large_volume_orders,
-    "q130_rolling_revenue_range": q130_rolling_revenue_range,
-    "q128_sole_blame_suppliers": q128_sole_blame_suppliers,
-    "q129_important_parts": q129_important_parts,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation_month": q02_revenue_by_nation_month,
     "q13_frequent_customers": q13_frequent_customers,

@@ -752,7 +752,36 @@ def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 6 rotation (VERDICT r5 #1): the round-5 text/dedup/retrieval
+# backlog gains driver rows — q124 incremental LSH vs the persisted
+# band store, q126 prefix-filtered set-similarity join, q135
+# directional containment join, q137 Heaps vocab growth, q138
+# Dirichlet log-odds keyness, q147 hybrid BM25+vector RRF, q158
+# lang x source mutual information. Displaced, each with retained
+# registered evidence (docs/COVERAGE.md "Round 6 rotation"): q37
+# MinHash LSH (q124 registers the SAME band_signatures machinery PLUS
+# the incremental protocol; its oracle is the identical exact-Jaccard
+# pair set; q37 stays benched), q45 winnowing (fingerprint guarantees
+# stay property-tested in tests/test_dedup_text.py; near-dup family
+# holds q124/q126/q135 registered rows), q46 TF-IDF (term-weighting
+# family's registered row moves to q147, whose BM25 leg computes the
+# same DF/IDF statistics; vocab analytics keep q137/q138), q80 BM25
+# (q147 registers the SAME bm25_topk_join machinery fused with the
+# vector leg), q89 fuzzy pairs / q113 entity clusters (the
+# connected-components machinery keeps q97's registered
+# iteration-barrier row; pair+cluster results stay value-checked by
+# check_oracle --extra), q95 LM quality / q96 shard overlap / q105
+# phrase search / q118 leakage-free split (each stays value-checked
+# by check_oracle --extra; q118's sampling family keeps registered
+# rows via q136/q150/q151).
 QUERIES = {
+    "q124_incremental_near_dups": q124_incremental_near_dups,
+    "q126_setsim_prefix_join": q126_setsim_prefix_join,
+    "q135_containment_near_dups": q135_containment_near_dups,
+    "q137_vocab_growth": q137_vocab_growth,
+    "q138_keyness_by_source": q138_keyness_by_source,
+    "q147_hybrid_retrieval_rrf": q147_hybrid_retrieval_rrf,
+    "q158_lang_source_mi": q158_lang_source_mi,
     # Round 5 rotation (VERDICT r4 #1): the end-to-end entity
     # resolution pipeline and the near-dup-aware leakage-free split
     # gain driver-side rows. Displaced: q47 (SimHash — the near-dup
@@ -764,11 +793,6 @@ QUERIES = {
     # registered), q86/q87 (vocab / co-occurrence — family keeps q46 +
     # q95 + q105 registered; q87's min-support HAVING shape is also
     # pinned by q82).
-    "q113_entity_clusters": q113_entity_clusters,
-    "q118_leakage_free_split": q118_leakage_free_split,
-    "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
-    "q46_tfidf": q46_tfidf,
-    "q37_minhash_near_dups": q37_minhash_near_dups,
     # Round 4 mid-round rotation: LM quality scoring, shard-overlap
     # estimation and batch phrase matching gain driver-side rows.
     # Displaced: q30 (token stats — the family keeps q31 quality +
@@ -777,14 +801,9 @@ QUERIES = {
     # (exact n-gram Jaccard pairs — that exact pair set IS q37's
     # oracle, so the registered q37 pins it every round by
     # construction).
-    "q95_lm_quality_score": q95_lm_quality_score,
-    "q96_shard_overlap": q96_shard_overlap,
-    "q105_phrase_search": q105_phrase_search,
     # Round 4 rotation (VERDICT r3 #1): multi-query BM25 retrieval
     # join, vocab table, skip-gram co-occurrence and blocked fuzzy
     # matching gain driver-side CORRECTNESS rows.
-    "q80_bm25_query_join": q80_bm25_query_join,
-    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
 }
 
 # Out of the ~50-entry driver registry budget (engine-defined-hash,
@@ -882,14 +901,17 @@ def q179_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "q113_entity_clusters": q113_entity_clusters,
+    "q118_leakage_free_split": q118_leakage_free_split,
+    "q45_winnowing_fingerprints": q45_winnowing_fingerprints,
+    "q46_tfidf": q46_tfidf,
+    "q37_minhash_near_dups": q37_minhash_near_dups,
+    "q95_lm_quality_score": q95_lm_quality_score,
+    "q96_shard_overlap": q96_shard_overlap,
+    "q105_phrase_search": q105_phrase_search,
+    "q80_bm25_query_join": q80_bm25_query_join,
+    "q89_fuzzy_name_pairs": q89_fuzzy_name_pairs,
     "q179_retrieval_ndcg": q179_retrieval_ndcg,
-    "q135_containment_near_dups": q135_containment_near_dups,
-    "q137_vocab_growth": q137_vocab_growth,
-    "q138_keyness_by_source": q138_keyness_by_source,
-    "q147_hybrid_retrieval_rrf": q147_hybrid_retrieval_rrf,
-    "q158_lang_source_mi": q158_lang_source_mi,
-    "q124_incremental_near_dups": q124_incremental_near_dups,
-    "q126_setsim_prefix_join": q126_setsim_prefix_join,
     "q47_simhash_near_dups": q47_simhash_near_dups,
     "q63_dedup_clusters": q63_dedup_clusters,
     "q31_quality_score": q31_quality_score,

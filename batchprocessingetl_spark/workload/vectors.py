@@ -267,14 +267,14 @@ def q173_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    # Round 5 rotation (VERDICT r4 #1): q50 (exact brute-force kNN),
-    # q65 (batch kNN join) and q66 (SemDeDup) move to EXTRA to fund
-    # driver rows for the round-4 net-new families; the similarity
-    # family keeps q53 (exact pair mining) + q54 (IVF ANN) registered,
-    # and q50's exact top-k remains pinned every round as the recall
-    # ground truth in tools/ann_recall.py's pytest floor.
-    "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
-    "q54_knn_ivf": q54_knn_ivf,
+    # Round 6 rotation (VERDICT r5 #1): the ANN family's registered
+    # row moves to q125 — the multiprobe-IVF + int8-re-rank composite
+    # whose oracle IS the exact full-probe answer, so it pins q54's
+    # IVF machinery AND the exact-scoring path (q50/q53's tiled GEMM
+    # semantics) by construction. q53/q54 move to EXTRA (both stay
+    # benched / oracle-checked; q50's exact top-k remains the recall
+    # ground truth in tools/ann_recall.py's pytest floor).
+    "q125_knn_ivf_int8": q125_knn_ivf_int8,
 }
 
 _COS = """
@@ -427,8 +427,9 @@ ORACLE = {
 # (exact baseline) registered, and q52's retrieval quality is pinned
 # by the measured recall floor in tools/ann_recall.py's pytest.
 EXTRA_QUERIES = {
+    "q53_embedding_similar_pairs": q53_embedding_similar_pairs,
+    "q54_knn_ivf": q54_knn_ivf,
     "q173_embedding_covariance": q173_embedding_covariance,
-    "q125_knn_ivf_int8": q125_knn_ivf_int8,
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q65_knn_join": q65_knn_join,
     "q66_semantic_dedup": q66_semantic_dedup,
@@ -490,8 +491,14 @@ EXTRA_ORACLE = {
 }
 
 # Rotation bookkeeping: align the oracle dicts with the
-# QUERIES/EXTRA_QUERIES split above (r4: q52; r5: q50/q65/q66).
+# QUERIES/EXTRA_QUERIES split above (r4: q52; r5: q50/q65/q66;
+# r6: q53/q54 out, q125 in).
 EXTRA_ORACLE["q52_knn_lsh"] = ORACLE.pop("q52_knn_lsh")
 EXTRA_ORACLE["q50_knn_bruteforce"] = ORACLE.pop("q50_knn_bruteforce")
 EXTRA_ORACLE["q65_knn_join"] = ORACLE.pop("q65_knn_join")
 EXTRA_ORACLE["q66_semantic_dedup"] = ORACLE.pop("q66_semantic_dedup")
+EXTRA_ORACLE["q53_embedding_similar_pairs"] = ORACLE.pop(
+    "q53_embedding_similar_pairs"
+)
+EXTRA_ORACLE["q54_knn_ivf"] = ORACLE.pop("q54_knn_ivf")
+ORACLE["q125_knn_ivf_int8"] = EXTRA_ORACLE.pop("q125_knn_ivf_int8")

@@ -534,10 +534,9 @@ def test_clamped_balance_closed_form_equals_literal_fold(spark):
 
     got = {
         (r["user_id"], r["event_id"]): r["balance"]
-        for r in QUERIES.get(
-            "q154_clamped_running_balance",
-            EXTRA["q154_clamped_running_balance"],
-        )(spark, SF_SMOKE).collect()
+        for r in {**EXTRA, **QUERIES}["q154_clamped_running_balance"](
+            spark, SF_SMOKE
+        ).collect()
     }
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     rows = sorted(
