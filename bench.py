@@ -71,6 +71,40 @@ def calibrate() -> float:
     return round(best, 4)
 
 
+def _latest_prev_bench() -> tuple[str, dict[str, float], float] | None:
+    """(filename, per-query secs, calibration) from the newest
+    BENCH_r{N}.json in the repo root that carries a calibration
+    constant (r5 was the first). Lets each round's bench emit
+    host-drift-corrected per-query deltas vs the last judged round —
+    the signal that separates a plan regression (normalized ratio
+    moves) from VM placement (raw secs move, ratio ~1)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed", doc)
+        cal = parsed.get("calibration")
+        qs = parsed.get("queries")
+        if not cal or not qs:
+            return None
+        return os.path.basename(best[1]), qs, float(cal)
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -100,21 +134,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     calibration = calibrate()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # host-speed yardstick: compare value/calibration (and
-                # per-query t/calibration) across rounds, not raw secs
-                "calibration": calibration,
-                "value_normalized": round(total / calibration, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # host-speed yardstick: compare value/calibration (and
+        # per-query t/calibration) across rounds, not raw secs
+        "calibration": calibration,
+        "value_normalized": round(total / calibration, 2),
+        "queries_normalized": {
+            k: round(v / calibration, 2) for k, v in timings.items()
+        },
+    }
+    prev = _latest_prev_bench()
+    if prev is not None:
+        fname, pq, pcal = prev
+        out["normalized_delta_vs"] = fname
+        # ratio of host-normalized per-query times: ~1.0 = flat after
+        # removing host drift; >1 = genuinely slower plan/execution
+        out["normalized_delta"] = {
+            k: round((v / calibration) / (pq[k] / pcal), 2)
+            for k, v in timings.items()
+            if k in pq and pq[k] > 0
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
