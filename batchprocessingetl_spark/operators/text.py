@@ -483,3 +483,134 @@ def keyness_by_group(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# --- Iterated BPE merge training (VERDICT r5 #4) -------------------
+#
+# Real tokenizer training iterates merge -> re-segment; q152 emits only
+# the first round's candidate table. ``bpe_train_merges`` runs k full
+# greedy rounds. Semantics are defined over a SEGMENTATION STRING so
+# Spark, DuckDB, and a pure-Python replay agree bit-for-bit:
+#
+#   seg(w)   = B2 + c1 + B2 + c2 + ... + B2      (B2 = "\x01\x01")
+#   tokens   = split(seg, B2) minus empty strings
+#   merge(a,b): replace(seg, B+a+B2+b+B, B+a+b+B)  (B = "\x01")
+#
+# The single-\x01 pattern margins make the replace boundary-safe (a
+# token "xa" never matches pair-left "a") while still letting
+# consecutive occurrences share their B2 boundary (".. a b a b .."
+# merges BOTH pairs in one pass: each match consumes only the inner
+# \x01 of each boundary, leaving the outer one to start the next
+# match). All three engines' literal replace() scans left-to-right,
+# non-overlapping, never rescanning replacement text — exactly greedy
+# BPE application ("aaa" + merge(a,a) -> [aa, a]). Assumes tokens never
+# contain \x01 (whitespace tokenization of text; control chars absent),
+# which also makes pair-string sort order equal (left, right) tuple
+# order since \x01 < every token character.
+BPE_B = "\x01"
+BPE_B2 = BPE_B * 2
+
+# DuckDB twin of seg(w): interleave B2 before every char + trailing B2.
+BPE_SEG_SQL_DUCKDB = (
+    "('{b2}' || regexp_replace({col}, '(.)', '{b2}\\1', 'g') || '{b2}')"
+)
+
+
+def bpe_seg(col: Column) -> Column:
+    """Initial character segmentation of a word as a \\x01\\x01-joined
+    string with leading/trailing separators (see module comment)."""
+    return F.concat(
+        F.lit(BPE_B2),
+        F.regexp_replace(col, "(.)", BPE_B2 + "$1"),
+        F.lit(BPE_B2),
+    )
+
+
+def bpe_train_merges(
+    words: DataFrame, k: int, w_col: str = "w", wc_col: str = "wc"
+) -> DataFrame:
+    """Train ``k`` BPE merges over a (word, count) vocabulary frame and
+    return the merge table (merge_round, lft, rgt, merged, n_occ).
+
+    Plan shape per round: one narrow map (split seg -> adjacent pairs)
+    over the VOCABULARY (rows = |distinct words|, not corpus size —
+    frequency weighting rides in ``wc``), one hash aggregate, one
+    2-row-bounded TakeOrdered to the driver (the argmax merge is a
+    scalar model parameter — the same materialization PageRank does for
+    its dangling-mass term), then a narrow ``replace`` re-segmentation.
+    The corpus itself is touched only by the caller's word-count
+    aggregate. A ``barrier`` (localCheckpoint) truncates the growing
+    replace-lineage each round; at 100 TB the vocab frame is still
+    ~millions of rows, so every round stays a small shuffle-free-scan +
+    one aggregate regardless of corpus size."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    spark = words.sparkSession
+    cur = barrier(
+        words.filter(F.length(w_col) >= 2).select(
+            F.col(wc_col).alias("wc"), bpe_seg(F.col(w_col)).alias("seg")
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, k + 1):
+        toks = F.filter(F.split("seg", BPE_B2), lambda t: t != F.lit(""))
+        with_t = cur.select("wc", toks.alias("t")).filter(F.size("t") >= 2)
+        pair = F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("lft"),
+                F.element_at("t", i + F.lit(1)).alias("rgt"),
+            ),
+        )
+        best = (
+            with_t.select("wc", F.explode(pair).alias("p"))
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("wc").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), "lft", "rgt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lft, rgt, n_occ = best[0]["lft"], best[0]["rgt"], int(best[0]["n_occ"])
+        merges.append((r, lft, rgt, lft + rgt, n_occ))
+        cur = barrier(
+            cur.select(
+                "wc",
+                F.replace(
+                    F.col("seg"),
+                    F.lit(BPE_B + lft + BPE_B2 + rgt + BPE_B),
+                    F.lit(BPE_B + lft + rgt + BPE_B),
+                ).alias("seg"),
+            )
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lft string, rgt string, merged string, n_occ bigint",
+    )
+
+
+def bpe_train_merges_python(words: list[tuple[str, int]], k: int):
+    """Pure-Python replay of ``bpe_train_merges`` on the SAME
+    seg-string representation (property-test oracle, the q151
+    pattern). Returns [(round, lft, rgt, merged, n_occ), ...]."""
+    segs = [
+        (BPE_B2 + BPE_B2.join(w) + BPE_B2, wc) for w, wc in words if len(w) >= 2
+    ]
+    out = []
+    for r in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seg, wc in segs:
+            t = [x for x in seg.split(BPE_B2) if x]
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        (lft, rgt), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, lft, rgt, lft + rgt, n))
+        pat = BPE_B + lft + BPE_B2 + rgt + BPE_B
+        rep = BPE_B + lft + rgt + BPE_B
+        segs = [(seg.replace(pat, rep), wc) for seg, wc in segs]
+    return out

@@ -589,3 +589,55 @@ def test_setsim_prefix_join_lossless_and_prunes(spark):
 
     with pytest.raises(ValueError):
         setsim_join_prefix(docs, "doc_id", "text", threshold=0.0)
+
+
+# --- Iterated BPE merge training (q182, VERDICT r5 #4) ---------------
+
+
+def test_bpe_train_merges_matches_python_replay(spark):
+    """The k-round Spark loop must reproduce the pure-Python greedy
+    replay on the same seg-string semantics — including self-merge
+    chains ('aaaa' merges pairwise, never overlapping) and count ties
+    broken by (left, right)."""
+    from batchprocessingetl_spark.operators.text import (
+        bpe_train_merges,
+        bpe_train_merges_python,
+    )
+
+    words = [
+        ("low", 5),
+        ("lower", 2),
+        ("newest", 6),
+        ("widest", 3),
+        ("aaaa", 4),  # overlapping self-pair: greedy yields [aa, aa]
+        ("banana", 2),  # 'an' twice per word, non-overlapping
+        ("a", 9),  # length-1 words contribute no pairs
+    ]
+    df = spark.createDataFrame(words, "w string, wc long")
+    got = [tuple(r) for r in bpe_train_merges(df, 8).collect()]
+    want = bpe_train_merges_python(words, 8)
+    assert got == want
+    # the candidate COUNT is overlapping-adjacent (standard BPE
+    # get_stats): 'aaaa' contributes 3 (a,a) pairs * wc 4 = 12 — while
+    # the REPLACE application is non-overlapping greedy ([aa, aa])
+    aa = [m for m in want if m[1] == "a" and m[2] == "a"]
+    assert aa and aa[0][4] == 12
+
+
+def test_bpe_merge_consumes_shared_boundary_pairs(spark):
+    """Consecutive occurrences of the merge pair share a boundary in
+    the seg string; both must merge in one pass ('abab' -> [ab, ab])."""
+    from batchprocessingetl_spark.operators.text import (
+        bpe_train_merges,
+        bpe_train_merges_python,
+    )
+
+    words = [("abab", 3), ("ab", 5)]
+    df = spark.createDataFrame(words, "w string, wc long")
+    got = [tuple(r) for r in bpe_train_merges(df, 3).collect()]
+    want = bpe_train_merges_python(words, 3)
+    assert got == want
+    # round 1 merges (a,b) with 3*2 + 5*1 = 11 occurrences; round 2
+    # then merges the two adjacent 'ab' tokens inside 'abab'
+    assert got[0][1:] == ("a", "b", "ab", 11)
+    assert got[1][1:] == ("ab", "ab", "abab", 3)
