@@ -952,3 +952,115 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def hll_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 14,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous sketch-state rollup — the streaming twin of q123's
+    HLL DAU/WAU/MAU (VERDICT r5 #6): event files land in
+    ``source_dir``; each micro-batch folds ONE DataSketches-HLL sketch
+    per day into the persisted state table at ``state_dir``
+    (``day, sk binary``) via ``foreachBatch`` + ``hll_union_agg``.
+
+    Correctness under the streaming contract:
+
+    - HLL union is register-wise max — associative, commutative, AND
+      idempotent — so no batch slicing or at-least-once epoch replay
+      can ever DOUBLE-COUNT a user (re-unioning absorbed registers is
+      a no-op in the register algebra). Estimates are not bit-frozen
+      across slicings, though: DataSketches promotes coupon-list
+      sketches to dense HLL under union, so a day folded in two
+      micro-batches can estimate a few counts off the one-shot sketch.
+      The test therefore pins every stream-state estimate inside the
+      sketch's error envelope of the EXACT distinct count (the q123
+      flag pattern), across an initial run AND a checkpoint-resume;
+    - the state advances by staged swap (write aside, swap,
+      ``recover_staged_swap`` at fold start) — same data-before-
+      metadata ordering as scd2/cdc maintenance.
+
+    100 TB posture: the state is days x ~KB sketch rows — independent
+    of user cardinality; each fold shuffles only (day, sketch) partial
+    aggregates (map-side combined), never user-grain rows. Trailing
+    DAU/WAU/MAU reads are :func:`hll_rolling_estimates` over the state
+    — 1/7/28 sketch merges per day, no re-scan of events."""
+    from batchprocessingetl_spark.sources.readers import (
+        fs_delete_strict,
+        fs_rename_strict,
+        path_exists,
+    )
+
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(spark, state_dir)
+        if batch.isEmpty():
+            return
+        day_sk = (
+            batch.select(
+                F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+                F.col(user_col),
+            )
+            .groupBy("day")
+            .agg(F.hll_sketch_agg(user_col, F.lit(lg_k)).alias("sk"))
+        )
+        if path_exists(spark, state_dir):
+            day_sk = (
+                spark.read.parquet(state_dir)
+                .unionByName(day_sk)
+                .groupBy("day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        state = day_sk.localCheckpoint(eager=True)
+        tmp = state_dir.rstrip("/") + ".staging"
+        state.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, state_dir):
+            fs_delete_strict(spark, state_dir)
+        fs_rename_strict(spark, tmp, state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hll_rolling_estimates(
+    spark: SparkSession, state_dir: str, windows: dict[str, int] | None = None
+) -> DataFrame:
+    """Trailing distinct-user estimates off the persisted sketch state:
+    for each window name -> n days, merge the covered per-day sketches
+    (explode day -> day+k, union, estimate) — the q123 read shape, but
+    over the STREAM-maintained state, touching only days x |windows|
+    sketch rows."""
+    windows = windows or {"dau_est": 1, "wau_est": 7, "mau_est": 28}
+    state = spark.read.parquet(state_dir)
+    bounds = state.agg(F.max("day").alias("max_day"))
+    out: DataFrame | None = None
+    for name, n in windows.items():
+        est = (
+            state.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"), "day", "sk"
+            )
+            .select(F.date_add(F.col("day"), F.col("k")).alias("day"), "sk")
+            .join(F.broadcast(bounds))
+            .filter(F.col("day") <= F.col("max_day"))
+            .groupBy("day")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(name))
+        )
+        out = est if out is None else out.join(est, "day", "full")
+    return out.orderBy("day")

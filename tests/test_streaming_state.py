@@ -677,3 +677,82 @@ def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert any(cid is None for _, cid in got)  # unmatched purchases flushed
+
+
+def test_hll_rollup_stream_estimates_within_error_of_exact(spark, tmp_path):
+    """Streaming per-day HLL sketch state (q123's twin, VERDICT r5 #6):
+    the register algebra makes micro-batch slicing and epoch replay
+    double-count-free, but DataSketches list->dense promotions under
+    union mean estimates are not bit-frozen across slicings — so the
+    pin is the q123 flag pattern: every trailing-window estimate off
+    the stream-folded state lands within 5% of the EXACT distinct
+    count (lg_k=12 -> ~1.6% rsd; 5% is a deterministic-pass margin),
+    across the first run AND a checkpoint-resume that folds only the
+    new file."""
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        hll_rollup_stream,
+        hll_rolling_estimates,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
+    from datetime import datetime, timedelta
+
+    def rows(day: int, users: range):
+        return [(u, datetime(2024, 3, day, u % 24)) for u in users]
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1), with
+    # heavy cross-file user overlap (idempotent-union territory: day 2
+    # and day 3 are each split across batches, day 3 partly REPLAYED)
+    f1 = rows(1, range(0, 400)) + rows(2, range(100, 300))
+    f2 = rows(2, range(200, 500)) + rows(3, range(0, 250))
+    f3 = rows(3, range(0, 250)) + rows(4, range(50, 450))
+    for chunk in (f1, f2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+    hll_rollup_stream(spark, src, schema, state, ckpt, lg_k=12)
+
+    def exact(rows_all):
+        by_day: dict = {}
+        for u, ts in rows_all:
+            by_day.setdefault(ts.date(), set()).add(u)
+        days = sorted(by_day)
+        out = {}
+        for d in days:
+            def trail(n):
+                return len(
+                    set().union(
+                        *(by_day.get(d - timedelta(days=k), set()) for k in range(n))
+                    )
+                )
+            out[d] = (trail(1), trail(7), trail(28))
+        return out
+
+    def check(state_rows, want):
+        assert set(state_rows) == set(want)
+        for d, (dau, wau, mau) in want.items():
+            got = state_rows[d]
+            for g, x in zip(got, (dau, wau, mau)):
+                assert abs(g - x) <= 0.05 * x, (d, got, (dau, wau, mau))
+
+    got = {
+        r["day"]: (r["dau_est"], r["wau_est"], r["mau_est"])
+        for r in hll_rolling_estimates(spark, state).collect()
+    }
+    check(got, exact(f1 + f2))
+
+    # resume from the same checkpoint: only the new file folds in, and
+    # day 3's replayed rows must not inflate its estimate past the bound
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
+    hll_rollup_stream(spark, src, schema, state, ckpt, lg_k=12)
+    got = {
+        r["day"]: (r["dau_est"], r["wau_est"], r["mau_est"])
+        for r in hll_rolling_estimates(spark, state).collect()
+    }
+    check(got, exact(f1 + f2 + f3))
