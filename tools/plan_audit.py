@@ -132,6 +132,15 @@ AUDITED = (
     "q170_chisq_independence",
     "q171_psi_price_drift",
     "q172_ks_two_sample",
+    "q173_embedding_covariance",
+    "q174_forecast_revenue_delta",
+    "q175_shipping_speed_priority",
+    "q176_promo_revenue_share",
+    "q177_part_supplier_counts",
+    "q178_join_size_estimate",
+    "q179_retrieval_ndcg",
+    "q180_score_calibration",
+    "q181_ngram_novelty",
 )
 
 
