@@ -368,9 +368,47 @@ def q182_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T_ops.bpe_train_merges(words, BPE_ROUNDS)
 
 
-def _q182_oracle_sql(k: int) -> str:
-    """Unrolled k-round DuckDB twin of bpe_train_merges: each round is
-    a (tokenize, pair-count, argmax, replace) CTE quartet chained on
+def q183_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the consumer of q182's training: learn 6
+    merges, apply them to the full vocabulary (length-1 words ride
+    along as single tokens; the merge patterns can't touch them), and
+    report the corpus-level compression — total char-level tokens vs
+    total post-merge tokens, occurrence-weighted. Applying is 6 chained
+    literal replaces on the segmentation string — one narrow map over
+    the vocabulary, embarrassingly parallel at any corpus size; the
+    oracle replays training via the q182 unrolled rounds and then the
+    same 6 replaces in one expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = T_ops.bpe_train_merges(words, BPE_ROUNDS).collect()
+    b1, b2 = T_ops.BPE_B, T_ops.BPE_B2
+    seg = T_ops.bpe_seg(F.col("w"))
+    for m in merges:
+        seg = F.replace(
+            seg,
+            F.lit(b1 + m["lft"] + b2 + m["rgt"] + b1),
+            F.lit(b1 + m["lft"] + m["rgt"] + b1),
+        )
+    ntok = F.size(F.filter(F.split(seg, b2), lambda t: t != F.lit("")))
+    return words.agg(
+        F.lit(len(merges)).alias("n_merges"),
+        F.sum(F.col("wc") * F.length("w")).cast("long").alias("char_tokens"),
+        F.sum(F.col("wc") * ntok).cast("long").alias("merged_tokens"),
+        F.round(
+            F.sum(F.col("wc") * F.length("w")).cast("double")
+            / F.sum(F.col("wc") * ntok),
+            6,
+        ).alias("compression"),
+    )
+
+
+def _bpe_rounds_cte(k: int) -> str:
+    """Shared WITH-prefix for the q182/q183 oracles: words + seg_0 +
+    k (tokenize, pair-count, argmax, replace) CTE rounds chained on
     the previous round's segmentation strings."""
     b1, b2 = T_ops.BPE_B, T_ops.BPE_B2
     parts = [
@@ -410,17 +448,47 @@ def _q182_oracle_sql(k: int) -> str:
             FROM segt_{r} s, best_{r} b
         )"""
         )
+    return "".join(parts)
+
+
+def _q182_oracle_sql(k: int) -> str:
     union = "\n            UNION ALL ".join(
         f"SELECT * FROM best_{r}" for r in range(1, k + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_rounds_cte(k)
+        + f"""
         SELECT CAST(merge_round AS INTEGER) AS merge_round, lft, rgt,
                lft || rgt AS merged, CAST(n_occ AS BIGINT) AS n_occ
         FROM ({union})
         ORDER BY merge_round"""
     )
-    return "".join(parts)
+
+
+def _q183_oracle_sql(k: int) -> str:
+    """q183 twin: the k training rounds, then token counts off seg_k —
+    length-1 words (outside the seg pipeline) contribute one token per
+    occurrence on both sides of the stats."""
+    b2 = T_ops.BPE_B2
+    return (
+        _bpe_rounds_cte(k)
+        + f""", short AS (
+            SELECT COALESCE(SUM(wc), 0) AS toks
+            FROM words WHERE length(w) < 2
+        ), merged_cnt AS (
+            SELECT COALESCE(SUM(wc * len(list_filter(
+                       string_split(seg, '{b2}'), x -> x <> ''))), 0) AS toks
+            FROM seg_{k}
+        ), chars AS (
+            SELECT SUM(wc * length(w)) AS toks FROM words
+        )
+        SELECT CAST({k} AS INTEGER) AS n_merges,
+               CAST(chars.toks AS BIGINT) AS char_tokens,
+               CAST(merged_cnt.toks + short.toks AS BIGINT) AS merged_tokens,
+               ROUND(CAST(chars.toks AS DOUBLE)
+                     / (merged_cnt.toks + short.toks), 6) AS compression
+        FROM chars, merged_cnt, short"""
+    )
 
 
 AUG_SEED = "aug"
@@ -1064,3 +1132,5 @@ for _name in (
 # property-tested against the pure-Python replay.
 EXTRA_QUERIES["q182_bpe_train_merges"] = q182_bpe_train_merges
 EXTRA_ORACLE["q182_bpe_train_merges"] = _q182_oracle_sql(BPE_ROUNDS)
+EXTRA_QUERIES["q183_bpe_apply_compression"] = q183_bpe_apply_compression
+EXTRA_ORACLE["q183_bpe_apply_compression"] = _q183_oracle_sql(BPE_ROUNDS)
