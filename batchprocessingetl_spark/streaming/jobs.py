@@ -1064,3 +1064,92 @@ def hll_rolling_estimates(
         )
         out = est if out is None else out.join(est, "day", "full")
     return out.orderBy("day")
+
+
+def bitmap_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous EXACT distinct-user state — the streaming twin of
+    q145's bitmap-word rollup, complementing :func:`hll_rollup_stream`:
+    each micro-batch packs users into 64-bit words (word = id div 64,
+    bit = id mod 64) and bit_or-folds them into the persisted state at
+    ``state_dir`` (``day, word_idx, word``).
+
+    Unlike the HLL twin, the invariant here is EXACT EQUALITY: bit_or
+    is associative, commutative, and idempotent on the word level with
+    no representation drift, so the stream-folded state is
+    byte-identical to the one-shot batch rollup under ANY micro-batch
+    slicing and any at-least-once epoch replay — the test pins
+    stream == batch to the last bit, plus the weekly popcount rollup.
+
+    100 TB posture: state is days x occupied-word rows (linear in the
+    id space, the bitmap trade vs HLL's fixed KBs); each fold shuffles
+    only (day, word_idx) partials with map-side combine, and the
+    weekly/trailing reads touch state rows only — the fact stream is
+    never rescanned. For very large id spaces, partition ``state_dir``
+    by word_idx range and rewrite only touched partitions — the fold
+    algebra is unchanged."""
+    from batchprocessingetl_spark.sources.readers import (
+        fs_delete_strict,
+        fs_rename_strict,
+        path_exists,
+    )
+
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(spark, state_dir)
+        if batch.isEmpty():
+            return
+        words = (
+            batch.select(
+                F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+                (F.col(user_col) / 64).cast("long").alias("word_idx"),
+                F.expr(f"shiftleft(1L, cast({user_col} % 64 as int))").alias("bit"),
+            )
+            .groupBy("day", "word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+        if path_exists(spark, state_dir):
+            words = (
+                spark.read.parquet(state_dir)
+                .unionByName(words)
+                .groupBy("day", "word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        state = words.localCheckpoint(eager=True)
+        tmp = state_dir.rstrip("/") + ".staging"
+        state.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, state_dir):
+            fs_delete_strict(spark, state_dir)
+        fs_rename_strict(spark, tmp, state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def bitmap_distinct_daily(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Exact per-day distinct users off the bitmap state: popcount the
+    day's words — state rows only, never the event stream."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("word")).alias("n_users"))
+        .orderBy("day")
+    )

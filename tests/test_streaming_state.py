@@ -756,3 +756,72 @@ def test_hll_rollup_stream_estimates_within_error_of_exact(spark, tmp_path):
         for r in hll_rolling_estimates(spark, state).collect()
     }
     check(got, exact(f1 + f2 + f3))
+
+
+def test_bitmap_rollup_stream_exactly_equals_batch(spark, tmp_path):
+    """q145's streaming twin: bit_or has no representation drift, so
+    the stream-folded bitmap state must be EXACTLY the one-shot batch
+    rollup — per-day distinct counts equal true distincts to the last
+    user, across micro-batch slicing, heavy replay overlap, and a
+    checkpoint-resume."""
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        bitmap_distinct_daily,
+        bitmap_rollup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
+    from datetime import datetime
+
+    def rows(day: int, users):
+        return [(u, datetime(2024, 3, day, u % 24)) for u in users]
+
+    # user ids straddle word boundaries (63/64/65) and spread sparsely
+    # (large ids -> many word_idx rows); day 2 split across batches,
+    # day 3 fully replayed in the resume file
+    f1 = rows(1, [0, 1, 63, 64, 65, 1000, 4096]) + rows(2, [5, 64, 70])
+    f2 = rows(2, [70, 71, 128, 100000]) + rows(3, [1, 2, 3])
+    f3 = rows(3, [1, 2, 3]) + rows(4, [63, 64, 127, 128, 129])
+    for chunk in (f1, f2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+    bitmap_rollup_stream(spark, src, schema, state, ckpt)
+
+    def exact(rows_all):
+        by_day: dict = {}
+        for u, ts in rows_all:
+            by_day.setdefault(ts.date(), set()).add(u)
+        return {d: len(us) for d, us in by_day.items()}
+
+    got = {r["day"]: r["n_users"] for r in bitmap_distinct_daily(spark, state).collect()}
+    assert got == exact(f1 + f2)
+
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
+    bitmap_rollup_stream(spark, src, schema, state, ckpt)
+    got = {r["day"]: r["n_users"] for r in bitmap_distinct_daily(spark, state).collect()}
+    assert got == exact(f1 + f2 + f3)
+
+    # state itself equals the one-shot batch fold, bit for bit
+    full = spark.createDataFrame(f1 + f2 + f3, schema)
+    want_state = {
+        (r["day"], r["word_idx"]): r["word"]
+        for r in full.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("bit"),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    }
+    got_state = {
+        (r["day"], r["word_idx"]): r["word"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got_state == want_state
