@@ -103,6 +103,43 @@ def main() -> None:
             sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
             results.append(run("minhash_lsh_candidates", m, lsh_candidate_pairs(sigs, bands=16)))
 
+        if want("incremental_lsh_pairs"):
+            # q124 shape: new batch (every 10th id) joins the persisted
+            # band store; corpus band rows computed once, batch-only
+            # signatures per increment. Replica cliques still make TRUE
+            # pair counts ~m^2; cost model is candidates, not corpus^2.
+            from batchprocessingetl_spark.operators.dedup import (
+                band_signatures,
+                incremental_lsh_pairs,
+            )
+
+            batch = docs.filter(F.col("doc_id") % 10 == 0)
+            store = docs.filter(F.col("doc_id") % 10 != 0)
+            store_b = band_signatures(
+                minhash_signatures(store, "doc_id", "text", n_hashes=32), bands=16
+            )
+            batch_b = band_signatures(
+                minhash_signatures(batch, "doc_id", "text", n_hashes=32), bands=16
+            )
+            results.append(
+                run("incremental_lsh_pairs", m, incremental_lsh_pairs(batch_b, store_b))
+            )
+
+        if want("setsim_prefix_join"):
+            # q126 shape: exact AllPairs/PPJoin prefix-filtered set-
+            # similarity self-join at t=0.5 — output IS the exact
+            # qualifying pair set, so out_rows grows ~m^2 on the
+            # replica-clique corpus by construction.
+            from batchprocessingetl_spark.operators.dedup import setsim_join_prefix
+
+            results.append(
+                run(
+                    "setsim_prefix_join",
+                    m,
+                    setsim_join_prefix(docs, "doc_id", "text", n=3, threshold=0.5),
+                )
+            )
+
         if want("knn_join_top5"):
             q = emb.filter(F.col("vec_id") % 100 == 0).select(
                 F.col("vec_id").alias("qid"),
