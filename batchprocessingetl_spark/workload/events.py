@@ -1895,3 +1895,109 @@ _ORACLE_ALL["q145_bitmap_distinct_rollup"] = """
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}
+
+
+MARKOV_SCALE = 10**6  # fixed-point probability scale
+MARKOV_STEPS = 8
+
+
+def q185_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the q106 event-transition chain via
+    8 unrolled power-iteration steps — 'where does user attention
+    settle' as a first-class statistic. All arithmetic is FIXED-POINT
+    INTEGER (probabilities and the state vector scaled by 1e6, floor
+    division at every step), so both engines compute bit-identical
+    vectors with no float-summation order hazard and no decimal
+    promotion rules in play — the q151/q182 replayability discipline
+    applied to iterative linear algebra. Shape: ONE user-keyed window
+    pass collapses the fact table to a |types|^2 transition frame;
+    every iteration after that is a join+rollup on that tiny frame
+    (broadcast at any corpus size), so cost is the single fact scan
+    regardless of step count."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = Window.partitionBy("from_type")
+    p = pairs.select(
+        "from_type",
+        "to_type",
+        F.expr(f"n * {MARKOV_SCALE} div sum(n) over (partition by from_type)").alias(
+            "p_s"
+        ),
+    )
+    # p is |types|^2 rows; pin it so 8 joins don't re-run the fact scan
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    p = barrier(p)
+    states = p.select(F.col("from_type").alias("t")).distinct()
+    n_states = states.count()
+    v = states.select("t", F.lit(MARKOV_SCALE // n_states).alias("v_s"))
+    for _ in range(MARKOV_STEPS):
+        v = (
+            p.join(v, p["from_type"] == v["t"])
+            .groupBy(F.col("to_type").alias("t2"))
+            .agg(F.expr(f"sum(p_s * v_s) div {MARKOV_SCALE}").alias("v_s"))
+            .select(F.col("t2").alias("t"), "v_s")
+        )
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("v_s").alias("stationary_scaled"),
+        F.round(F.col("v_s") / F.lit(float(MARKOV_SCALE)), 6).alias("stationary"),
+    ).orderBy("event_type")
+
+
+def _q185_oracle_sql(k: int) -> str:
+    """Unrolled k-step fixed-point power iteration (DuckDB twin)."""
+    s = MARKOV_SCALE
+    parts = [
+        f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT from_type, to_type,
+               CAST(n * {s} // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                   AS p_s
+        FROM pairs
+    ), v_0 AS (
+        SELECT from_type AS t,
+               CAST({s} // (SELECT COUNT(DISTINCT from_type) FROM pairs)
+                    AS BIGINT) AS v_s
+        FROM (SELECT DISTINCT from_type FROM pairs)
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", v_{r} AS (
+        SELECT p.to_type AS t,
+               CAST(SUM(p.p_s * v.v_s) // {s} AS BIGINT) AS v_s
+        FROM p JOIN v_{r - 1} v ON p.from_type = v.t
+        GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t AS event_type, v_s AS stationary_scaled,
+           ROUND(v_s / CAST({s} AS DOUBLE), 6) AS stationary
+    FROM v_{k}
+    ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q185_markov_stationary"] = q185_markov_stationary
+EXTRA_ORACLE["q185_markov_stationary"] = _q185_oracle_sql(MARKOV_STEPS)

@@ -3181,3 +3181,53 @@ _ORACLE_ALL["q178_join_size_estimate"] = _q178_oracle()
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}
+
+
+def q186_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape analog — the customer order-count distribution:
+    LEFT join customers to their qualifying orders (urgent-class
+    orders excluded, standing in for Q13's comment anti-pattern),
+    count per customer INCLUDING zero-order customers, then histogram
+    the counts. The left outer join is the shape under test: an inner
+    join silently drops the c_count=0 bucket — the classic Q13
+    mistake. Two shuffles total (per-customer count, count-of-counts
+    rollup); customer keys are near-uniform so neither needs skew
+    handling, and the second aggregate's input is |customers| rows
+    collapsing to |distinct counts|."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_ALL["q186_customer_order_distribution"] = """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+EXTRA_QUERIES["q186_customer_order_distribution"] = q186_customer_order_distribution
+EXTRA_ORACLE["q186_customer_order_distribution"] = _ORACLE_ALL[
+    "q186_customer_order_distribution"
+]

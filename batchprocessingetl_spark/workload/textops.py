@@ -1758,3 +1758,97 @@ _ORACLE_ALL["q179_retrieval_ndcg"] = f"""
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}
+
+
+PMI_MIN_COUNT = 10
+PMI_TOP = 30
+
+
+def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 adjacent bigrams by pointwise mutual
+    information, PMI = ln p(a,b) − ln p(a) − ln p(b) with p() over
+    adjacent-position counts — the classic multiword-expression
+    detector ("new york"-style units a tokenizer or phrase table wants
+    as one symbol). Shape: one corpus scan feeds BOTH the bigram and
+    unigram hash aggregates (the bigram array is two slices + zip_with
+    of the token array — no positional self-join); totals ride in as
+    broadcast one-row frames; the top-k is one TakeOrdered under the
+    total order (pmi DESC rounded 6dp, t_a, t_b). PMI is a fixed
+    left-to-right sum of six ln() terms of exact integers — identical
+    IEEE doubles in both engines (the q179 discipline: ln is the
+    cross-engine-proven transcendental)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T_ops.tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    big = (
+        docs.select(F.explode(T_ops.bigram_structs(F.col("text"))).alias("bg"))
+        .select(F.col("bg.a").alias("t_a"), F.col("bg.b").alias("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    n_tok = uni.agg(F.sum("c_t").alias("n_tok"))
+    n_big = docs.select(
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("m")
+    ).agg(F.sum("m").alias("n_big"))
+    ua = uni.select(F.col("t").alias("t_a"), F.col("c_t").alias("c_a"))
+    ub = uni.select(F.col("t").alias("t_b"), F.col("c_t").alias("c_b"))
+    pmi = (
+        F.log(F.col("c_ab").cast("double"))
+        + F.log(F.col("n_tok").cast("double"))
+        + F.log(F.col("n_tok").cast("double"))
+        - F.log(F.col("n_big").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double"))
+    )
+    return (
+        big.join(ua, "t_a")
+        .join(ub, "t_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select("t_a", "t_b", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "t_a", "t_b")
+        .limit(PMI_TOP)
+    )
+
+
+_ORACLE_ALL["q184_pmi_collocations"] = f"""
+    WITH toks AS (
+        SELECT {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t FROM documents
+    ), uni AS (
+        SELECT u AS t, COUNT(*) AS c_t
+        FROM (SELECT unnest(t) AS u FROM toks)
+        GROUP BY 1
+    ), big AS (
+        SELECT t_a, t_b, COUNT(*) AS c_ab
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                      i -> {{'t_a': t[i], 't_b': t[i + 1]}}), recursive := true)
+              FROM toks)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ), n_tok AS (
+        SELECT SUM(c_t) AS n_tok FROM uni
+    ), n_big AS (
+        SELECT SUM(GREATEST(len(t) - 1, 0)) AS n_big FROM toks
+    )
+    SELECT b.t_a, b.t_b, b.c_ab,
+           ROUND(LN(CAST(b.c_ab AS DOUBLE))
+                 + LN(CAST(n_tok.n_tok AS DOUBLE))
+                 + LN(CAST(n_tok.n_tok AS DOUBLE))
+                 - LN(CAST(n_big.n_big AS DOUBLE))
+                 - LN(CAST(ua.c_t AS DOUBLE))
+                 - LN(CAST(ub.c_t AS DOUBLE)), 6) AS pmi
+    FROM big b
+    JOIN uni ua ON ua.t = b.t_a
+    JOIN uni ub ON ub.t = b.t_b
+    CROSS JOIN n_tok CROSS JOIN n_big
+    ORDER BY pmi DESC, b.t_a, b.t_b
+    LIMIT {PMI_TOP}
+"""
+
+EXTRA_QUERIES["q184_pmi_collocations"] = q184_pmi_collocations
+EXTRA_ORACLE["q184_pmi_collocations"] = _ORACLE_ALL["q184_pmi_collocations"]

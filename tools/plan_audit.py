@@ -141,6 +141,8 @@ AUDITED = (
     "q179_retrieval_ndcg",
     "q180_score_calibration",
     "q181_ngram_novelty",
+    "q184_pmi_collocations",
+    "q186_customer_order_distribution",
 )
 
 
