@@ -659,3 +659,99 @@ def semantic_dedup(
     return cells.join(
         dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
     ).withColumn("is_kept", F.col("__dropped").isNull()).drop("__dropped")
+
+
+def kmeans_fixedpoint(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 4,
+    seed: str = "km",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Lloyd's k-means with EXACT cross-engine semantics — the
+    oracle-pinnable twin of :func:`learn_ivf_centroids` (whose
+    pyspark.ml k-means|| centers are engine-defined model parameters).
+    Every quantity is fixed-point integer: vectors scale by
+    ``floor(x*scale + 0.5)`` (floor is exact in any engine, unlike
+    round-half ties on binary floats), distances are integer
+    sum-of-squares, argmin ties break on the lower centroid id, and
+    centroid updates are exact floor(sum/count) division — so a DuckDB
+    replay of the same recurrence produces bit-identical assignments,
+    no float-summation-order hazard anywhere. Init is the k
+    md5-smallest ids (deterministic, engine-replayable spread).
+
+    Shape per iteration: ONE scan of the (checkpointed) scaled-vector
+    frame with a k-way literal-centroid argmin — entirely narrow,
+    whole-stage-codegen arithmetic, no join — plus one k×d hash
+    aggregate whose result (the centroids) is a model parameter
+    materialized to the driver, PageRank-dangling-mass style. Cost is
+    iters × corpus scans on any cluster size; empty clusters carry
+    their previous centroid forward.
+
+    Returns the final assignment: (id, cluster int, dist long) — dist
+    is the squared scaled distance to the winning centroid."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    sv = barrier(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("__v"),
+        )
+    )
+    n_dim = len(sv.first()["__v"])
+    pick = (
+        sv.orderBy(
+            F.md5(F.concat(F.lit(seed + ":"), F.col("__id").cast("string"))),
+            "__id",
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["__v"]) for r in pick]
+
+    def best_expr(cs):
+        alts = []
+        for j, c in enumerate(cs):
+            arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            d = F.aggregate(
+                F.zip_with("__v", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            alts.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+        return F.array_min(F.array(*alts))
+
+    for t in range(iters):
+        if t == iters - 1:
+            break
+        stats = (
+            sv.select(best_expr(cents).alias("__b"), "__v")
+            .groupBy(F.col("__b.c").alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("__v", i + 1)).alias(f"s{i}")
+                    for i in range(n_dim)
+                ],
+            )
+            .collect()
+        )
+        # exact floor division (Python //), matching the oracle's
+        # floor(SUM/COUNT); empty clusters keep their centroid
+        new = {
+            r["c"]: [int(r[f"s{i}"]) // int(r["n"]) for i in range(n_dim)]
+            for r in stats
+        }
+        cents = [new.get(j, cents[j]) for j in range(k)]
+    return sv.select("__id", best_expr(cents).alias("__b")).select(
+        F.col("__id").alias(id_col),
+        F.col("__b.c").alias("cluster"),
+        F.col("__b.d").alias("dist"),
+    )

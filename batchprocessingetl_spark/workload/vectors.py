@@ -502,3 +502,119 @@ EXTRA_ORACLE["q53_embedding_similar_pairs"] = ORACLE.pop(
 )
 EXTRA_ORACLE["q54_knn_ivf"] = ORACLE.pop("q54_knn_ivf")
 ORACLE["q125_knn_ivf_int8"] = EXTRA_ORACLE.pop("q125_knn_ivf_int8")
+
+
+KM_K = 8
+KM_ITERS = 4
+KM_SEED = "km"
+KM_SCALE = 10**6
+
+
+def q187_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering via fixed-point Lloyd's k-means
+    (operators/similarity.py::kmeans_fixedpoint) — the exact,
+    oracle-pinnable counterpart of the pyspark.ml k-means|| used for
+    IVF (q54/q125, whose centers are engine-defined). 8 clusters, 4
+    iterations, md5-deterministic init; every step is integer
+    arithmetic so the DuckDB replay of the same recurrence (unrolled
+    CTE rounds in long dim format) reproduces assignments
+    bit-for-bit. Output is the cluster summary: member count and total
+    within-cluster squared distance (inertia) — the SemDeDup-style
+    curation grouping at corpus scale costs iters × one narrow scan +
+    one k×d aggregate, never a join."""
+    from batchprocessingetl_spark.operators.similarity import kmeans_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_fixedpoint(
+        emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS, seed=KM_SEED,
+        scale=KM_SCALE,
+    )
+    return (
+        asg.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia_scaled"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _q187_oracle_sql(k: int, iters: int, seed: str, scale: int) -> str:
+    """Unrolled Lloyd rounds in long dim format: dist_r/asg_r from
+    cent_{r-1}; upd_r/cent_r only for r < iters (the final assignment
+    is reported, its update never consumed). Floor division via
+    floor(SUM/COUNT) in double — exact here because |sum/count| is
+    far below 2^53 and at least 1/count from any integer when not
+    divisible."""
+    parts = [
+        f"""
+    WITH sv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+                   AS v
+        FROM embeddings
+    ), verts AS (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i, 'x': v[i]}}), recursive := true)
+        FROM sv
+    ), init AS (
+        SELECT v,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) - 1
+                   AS cid
+        FROM sv
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) <= {k}
+    ), cent_0 AS (
+        SELECT cid,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i, 'c': v[i]}}), recursive := true)
+        FROM init
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", dist_{r} AS (
+        SELECT t.vec_id, c.cid,
+               CAST(SUM((t.x - c.c) * (t.x - c.c)) AS BIGINT) AS d
+        FROM verts t JOIN cent_{r - 1} c ON t.dim = c.dim
+        GROUP BY 1, 2
+    ), asg_{r} AS (
+        -- (d, cid) packed into one BIGINT key: d*k+cid (d < 2^55/k)
+        SELECT vec_id,
+               CAST(MIN(d * {k} + cid) % {k} AS INTEGER) AS cid,
+               CAST(MIN(d * {k} + cid) // {k} AS BIGINT) AS d
+        FROM dist_{r}
+        GROUP BY 1
+    )"""
+        )
+        if r < iters:
+            parts.append(
+                f""", upd_{r} AS (
+        SELECT a.cid, t.dim,
+               CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM asg_{r} a JOIN verts t USING (vec_id)
+        GROUP BY 1, 2
+    ), cent_{r} AS (
+        SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+        FROM cent_{r - 1} p
+        LEFT JOIN upd_{r} u ON u.cid = p.cid AND u.dim = p.dim
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT cid AS cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(d) AS BIGINT) AS inertia_scaled
+    FROM asg_{iters}
+    GROUP BY 1
+    ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q187_kmeans_clusters"] = q187_kmeans_clusters
+EXTRA_ORACLE["q187_kmeans_clusters"] = _q187_oracle_sql(
+    KM_K, KM_ITERS, KM_SEED, KM_SCALE
+)

@@ -370,3 +370,54 @@ def test_embedding_covariance_matches_numpy(spark):
     for r in out:
         assert r["n"] == x.shape[0]
         assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-6, (r["i"], r["j"])
+
+
+def test_kmeans_fixedpoint_matches_python_replay(spark):
+    """The fixed-point Lloyd loop must equal an independent pure-Python
+    replay of the same recurrence (scale, md5 init, integer distances,
+    lower-id tie-break, floor-div centroid update, empty-cluster
+    carry-forward) — assignments AND distances, bit for bit."""
+    import hashlib
+    import math
+
+    from batchprocessingetl_spark.operators.similarity import kmeans_fixedpoint
+
+    vecs = [
+        (i, [math.sin(i * 7.3 + d) for d in range(6)]) for i in range(40)
+    ] + [(100 + i, [9.0 + 0.001 * i] * 6) for i in range(3)]  # tight far clump
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    k, iters, scale, seed = 4, 3, 10**6, "km"
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_fixedpoint(
+            df, "vec_id", "embedding", k=k, iters=iters, seed=seed, scale=scale
+        ).collect()
+    }
+
+    sv = {i: [math.floor(x * scale + 0.5) for x in v] for i, v in vecs}
+    order = sorted(sv, key=lambda i: (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i))
+    cents = [sv[i][:] for i in order[:k]]
+
+    def assign():
+        out = {}
+        for i, v in sv.items():
+            out[i] = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                for j, c in enumerate(cents)
+            )
+        return out
+
+    for t in range(iters):
+        if t == iters - 1:
+            break
+        asg = assign()
+        sums: dict = {}
+        for i, (_, j) in asg.items():
+            n, s = sums.get(j, (0, [0] * 6))
+            sums[j] = (n + 1, [a + b for a, b in zip(s, sv[i])])
+        for j in range(k):
+            if j in sums:
+                n, s = sums[j]
+                cents[j] = [x // n for x in s]
+    want = {i: (j, d) for i, (d, j) in assign().items()}
+    assert got == want
