@@ -1134,3 +1134,129 @@ EXTRA_QUERIES["q182_bpe_train_merges"] = q182_bpe_train_merges
 EXTRA_ORACLE["q182_bpe_train_merges"] = _q182_oracle_sql(BPE_ROUNDS)
 EXTRA_QUERIES["q183_bpe_apply_compression"] = q183_bpe_apply_compression
 EXTRA_ORACLE["q183_bpe_apply_compression"] = _q183_oracle_sql(BPE_ROUNDS)
+
+
+DSIR_BUCKETS = 256
+DSIR_TARGET = "src0"
+DSIR_TOP = 50
+
+
+def _md5_bucket(col, n: int):
+    """Deterministic engine-replayable hash bucket: md5 hex prefix →
+    long → mod n (the q148 idiom)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % n
+    )
+
+
+def q188_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., 2023 — hashed n-gram
+    importance resampling): score every RAW-pool document by how
+    target-like its hashed-bigram distribution is, and keep the top-50.
+    Target = the 'src0' slice; features = word bigrams md5-hashed into
+    256 buckets; bucket log-ratios come from add-1-smoothed bucket
+    multinomials of target vs raw; a doc's score is the sum of its
+    bigrams' log-ratios. Shape: one corpus scan builds the per-doc
+    bigram→bucket frame; the two 256-row bucket models broadcast back
+    onto it; per-doc summation accumulates 9dp-rounded DECIMAL terms
+    (order-independent — the q179 discipline), so both engines produce
+    the identical score to the last digit. At 100 TB the model is two
+    256-row aggregates and the scoring pass is scan-speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(T_ops.bigram_structs(F.col("text"))).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        _md5_bucket(
+            F.concat(F.col("g.a"), F.lit(" "), F.col("g.b")), DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    is_target = F.col("source") == DSIR_TARGET
+    tgt = bg.filter(is_target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    raw = bg.filter(~is_target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    model = (
+        spine.join(tgt, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    totals = model.agg(
+        F.sum("c_t").alias("tt"), F.sum("c_r").alias("tr")
+    )
+    lr = (
+        F.log((F.col("c_t") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS))
+        - F.log((F.col("c_r") + 1).cast("double") / (F.col("tr") + DSIR_BUCKETS))
+    )
+    ratios = (
+        model.crossJoin(F.broadcast(totals))
+        .select("bucket", F.round(lr, 9).cast("decimal(28,10)").alias("lr"))
+    )
+    return (
+        bg.filter(~is_target)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lr"), 6).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(DSIR_TOP)
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    "(('0x' || substr(md5({col}), 1, 15))::BIGINT % " + str(DSIR_BUCKETS) + ")"
+)
+
+EXTRA_QUERIES["q188_dsir_importance_select"] = q188_dsir_importance_select
+EXTRA_ORACLE["q188_dsir_importance_select"] = f"""
+    WITH bg AS (
+        SELECT doc_id, source,
+               {_DSIR_BUCKET_SQL.format(col="g")} AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM (SELECT doc_id, source,
+                         {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
+                  FROM documents)
+        )
+    ), spine AS (
+        SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket
+    ), model AS (
+        SELECT s.bucket,
+               COALESCE(t.c_t, 0) AS c_t, COALESCE(r.c_r, 0) AS c_r
+        FROM spine s
+        LEFT JOIN (SELECT bucket, COUNT(*) AS c_t FROM bg
+                   WHERE source = '{DSIR_TARGET}' GROUP BY 1) t USING (bucket)
+        LEFT JOIN (SELECT bucket, COUNT(*) AS c_r FROM bg
+                   WHERE source <> '{DSIR_TARGET}' GROUP BY 1) r USING (bucket)
+    ), totals AS (
+        SELECT SUM(c_t) AS tt, SUM(c_r) AS tr FROM model
+    ), ratios AS (
+        SELECT bucket,
+               CAST(ROUND(
+                   LN(CAST(c_t + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+                   - LN(CAST(c_r + 1 AS DOUBLE) / (tr + {DSIR_BUCKETS})),
+                   9) AS DECIMAL(28,10)) AS lr
+        FROM model, totals
+    )
+    SELECT b.doc_id, COUNT(*) AS n_grams,
+           CAST(ROUND(SUM(r.lr), 6) AS DOUBLE) AS score
+    FROM bg b JOIN ratios r USING (bucket)
+    WHERE b.source <> '{DSIR_TARGET}'
+    GROUP BY 1
+    ORDER BY score DESC, b.doc_id
+    LIMIT {DSIR_TOP}
+"""
