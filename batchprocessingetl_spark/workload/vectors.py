@@ -618,3 +618,104 @@ EXTRA_QUERIES["q187_kmeans_clusters"] = q187_kmeans_clusters
 EXTRA_ORACLE["q187_kmeans_clusters"] = _q187_oracle_sql(
     KM_K, KM_ITERS, KM_SEED, KM_SCALE
 )
+
+
+TRIPLET_MOD = 25
+
+
+def q189_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: for every anchor (vec_id %
+    25 == 0), the HARDEST POSITIVE (most-similar vector sharing its
+    label, itself excluded) and the HARDEST NEGATIVE (most-similar
+    vector with a different label) — the batch-mining step behind
+    triplet/InfoNCE embedding training. Shape: the anchor set
+    broadcasts onto ONE corpus scan (candidates = |corpus| × |anchors|,
+    never corpus²); each per-anchor argmax is a window over the
+    anchor's candidate slice under the total order (cosine rounded 6dp
+    DESC, vec_id) — ties impossible to diverge cross-engine after
+    rounding + id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.operators.similarity import as_double, cosine
+
+    anchors = emb.filter(F.col("vec_id") % TRIPLET_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        as_double(F.col("embedding")).alias("avec"),
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("avec")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
+    pos = (
+        cand.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        cand.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+_COS_AB = """
+    list_sum(list_transform(range(1, len(ee) + 1), i -> ee[i] * ae[i]))
+    / (sqrt(list_sum(list_transform(ee, x -> x * x)))
+       * sqrt(list_sum(list_transform(ae, x -> x * x))))
+"""
+
+EXTRA_QUERIES["q189_triplet_mining"] = q189_triplet_mining
+EXTRA_ORACLE["q189_triplet_mining"] = f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               list_transform(embedding, x -> x::DOUBLE) AS ae
+        FROM embeddings WHERE vec_id % {TRIPLET_MOD} = 0
+    ), cand AS (
+        SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+               ROUND({_COS_AB}, 6) AS sim
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding, x -> x::DOUBLE) AS ee
+              FROM embeddings) e, a
+        WHERE e.vec_id <> a.anchor_id
+    ), pos AS (
+        SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim
+        FROM cand WHERE label = anchor_label
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY sim DESC, vec_id) = 1
+    ), neg AS (
+        SELECT anchor_id, vec_id AS neg_id, sim AS neg_sim
+        FROM cand WHERE label <> anchor_label
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY sim DESC, vec_id) = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY p.anchor_id
+"""
