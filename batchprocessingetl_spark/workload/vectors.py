@@ -621,6 +621,7 @@ EXTRA_ORACLE["q187_kmeans_clusters"] = _q187_oracle_sql(
 
 
 TRIPLET_MOD = 25
+TRIPLET_MAX_ID = 500  # fixed anchor batch: ids {0,25,...,475}
 
 
 def q189_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +629,10 @@ def q189_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     25 == 0), the HARDEST POSITIVE (most-similar vector sharing its
     label, itself excluded) and the HARDEST NEGATIVE (most-similar
     vector with a different label) — the batch-mining step behind
-    triplet/InfoNCE embedding training. Shape: the anchor set
+    triplet/InfoNCE embedding training. The anchor set is a FIXED
+    20-id batch (ids {0,25,...,475}) — the production shape, where the
+    mining batch does not grow with the corpus, keeping candidates
+    linear in corpus size. Shape: the anchor set
     broadcasts onto ONE corpus scan (candidates = |corpus| × |anchors|,
     never corpus²); each per-anchor argmax is a window over the
     anchor's candidate slice under the total order (cosine rounded 6dp
@@ -639,7 +643,9 @@ def q189_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batchprocessingetl_spark.operators.similarity import as_double, cosine
 
-    anchors = emb.filter(F.col("vec_id") % TRIPLET_MOD == 0).select(
+    anchors = emb.filter(
+        (F.col("vec_id") % TRIPLET_MOD == 0) & (F.col("vec_id") < TRIPLET_MAX_ID)
+    ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         as_double(F.col("embedding")).alias("avec"),
@@ -695,7 +701,8 @@ EXTRA_ORACLE["q189_triplet_mining"] = f"""
     WITH a AS (
         SELECT vec_id AS anchor_id, label AS anchor_label,
                list_transform(embedding, x -> x::DOUBLE) AS ae
-        FROM embeddings WHERE vec_id % {TRIPLET_MOD} = 0
+        FROM embeddings
+        WHERE vec_id % {TRIPLET_MOD} = 0 AND vec_id < {TRIPLET_MAX_ID}
     ), cand AS (
         SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
                ROUND({_COS_AB}, 6) AS sim
