@@ -228,3 +228,36 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Multi-source BFS shortest-hop distances, k supersteps — the
+    iterative-graph primitive PageRank (float mass) and
+    connected-components (label min) don't cover: exact INTEGER
+    distances, so a SQL replay of the same recurrence matches
+    bit-for-bit. ``edges`` is (src, dst) and is treated as UNDIRECTED;
+    ``seeds`` is (node) at distance 0.
+
+    Superstep algebra: dist_r(n) = min(dist_{r-1}(n),
+    1 + min over neighbors m of dist_{r-1}(m)) — idempotent,
+    associative min-plus, so any execution order converges to the same
+    fixed point and each round is one join + one hash MIN rollup. A
+    reliable-checkpoint :func:`~batchprocessingetl_spark.operators.
+    iteration.barrier` truncates lineage per round (the q97/q113
+    machinery). At 100 TB: the frontier join shuffles on node id;
+    rounds are k sequential shuffles — the standard BSP trade."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    dist = barrier(seeds.select(F.col("node"), F.lit(0).alias("hops")))
+    for _ in range(k):
+        via = (
+            und.join(dist, und["a"] == dist["node"])
+            .select(F.col("b").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = barrier(
+            dist.unionByName(via).groupBy("node").agg(F.min("hops").alias("hops"))
+        )
+    return dist

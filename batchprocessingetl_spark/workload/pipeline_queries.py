@@ -850,3 +850,130 @@ _ORACLE_ALL = {
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}
+
+
+MERKLE_BUCKETS = 64
+
+
+def q191_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy diff — the network-efficient variant
+    of q92: rows hash into 64 buckets; each side publishes one
+    (sum-of-row-hashes, count) digest per bucket; ONLY buckets whose
+    digests diverge are re-read row-level and full-outer diffed. At
+    100 TB the digest exchange is KBs instead of shipping both tables,
+    and the row-level pass touches the divergent slice only — the
+    replica-reconciliation pattern (Dynamo/Cassandra repair) as a
+    batch operator. The oracle is the DIRECT keyed diff with no
+    bucketing at all, so a pruning bug (a divergent bucket wrongly
+    skipped) flips the value hash. Digest collisions (two edits whose
+    52-bit hash terms cancel in the sum AND preserve the count) are
+    the honest Merkle trade; the paired count makes them vanishingly
+    unlikely and the oracle run proves none occur on this data.
+    Same old/new construction as q92: changed segments (% 10), dropped
+    keys (% 13), added keys (% 17 + 1M), value->NULL (% 7)."""
+    from batchprocessingetl_spark.operators.diff import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    acct = F.round("c_acctbal", 2)
+    old = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        acct.alias("acctbal"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(acct)
+            .alias("acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+                acct.alias("acctbal"),
+            )
+        )
+    )
+
+    def h52(col):
+        return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+    key_s = F.col("c_custkey").cast("string")
+    bucket = (h52(F.concat(F.lit("b:"), key_s)) % MERKLE_BUCKETS).alias("bucket")
+    # decimal rendering pins the hashed string cross-engine (always
+    # 2 digits of scale); NULL -> '~'
+    acct_s = F.coalesce(
+        F.col("acctbal").cast("decimal(12,2)").cast("string"), F.lit("~")
+    )
+    rowh = h52(
+        F.concat(
+            F.lit("r:"), key_s, F.lit("|"),
+            F.coalesce(F.col("segment"), F.lit("~")), F.lit("|"), acct_s,
+        )
+    )
+
+    def digests(df):
+        return (
+            df.select(bucket, rowh.alias("rh"))
+            .groupBy("bucket")
+            .agg(F.sum("rh").alias("dig"), F.count(F.lit(1)).alias("n"))
+        )
+
+    do, dn = digests(old).alias("o"), digests(new).alias("n")
+    dirty = (
+        do.join(dn, F.col("o.bucket") == F.col("n.bucket"), "full_outer")
+        .filter(
+            ~(
+                F.col("o.dig").eqNullSafe(F.col("n.dig"))
+                & F.col("o.n").eqNullSafe(F.col("n.n"))
+            )
+        )
+        .select(F.coalesce(F.col("o.bucket"), F.col("n.bucket")).alias("bucket"))
+    )
+    old_d = old.withColumn("bucket", bucket).join(F.broadcast(dirty), "bucket", "left_semi")
+    new_d = new.withColumn("bucket", bucket).join(F.broadcast(dirty), "bucket", "left_semi")
+    return (
+        snapshot_diff(
+            old_d.drop("bucket"), new_d.drop("bucket"), ["c_custkey"],
+            ["segment", "acctbal"],
+        )
+        .filter(F.col("diff_kind") != "unchanged")
+        .orderBy("c_custkey")
+    )
+
+
+EXTRA_QUERIES["q191_merkle_diff"] = q191_merkle_diff
+EXTRA_ORACLE["q191_merkle_diff"] = """
+    WITH old AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                    ELSE c_mktsegment END AS segment,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE ROUND(c_acctbal, 2) END AS acctbal
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment, ROUND(c_acctbal, 2)
+        FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT * FROM (
+        SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.segment IS DISTINCT FROM n.segment
+                      OR o.acctbal IS DISTINCT FROM n.acctbal THEN 'changed'
+                    ELSE 'unchanged' END AS diff_kind,
+               o.segment AS segment_old, n.segment AS segment_new,
+               o.acctbal AS acctbal_old, n.acctbal AS acctbal_new
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    ) WHERE diff_kind <> 'unchanged'
+    ORDER BY c_custkey
+"""

@@ -3231,3 +3231,74 @@ EXTRA_QUERIES["q186_customer_order_distribution"] = q186_customer_order_distribu
 EXTRA_ORACLE["q186_customer_order_distribution"] = _ORACLE_ALL[
     "q186_customer_order_distribution"
 ]
+
+
+BFS_SEED_MOD = 500
+BFS_HOPS = 4
+
+
+def q190_trade_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer–supplier trade graph
+    (operators/graph.py::bfs_hops): how far does a seed cohort's
+    supply-chain influence reach in 4 hops? Nodes are 'c'+custkey /
+    's'+suppkey; an undirected edge exists where a customer's order
+    contains a supplier's line. Distances are exact integers under an
+    idempotent min-plus superstep, so the unrolled DuckDB recurrence
+    matches bit-for-bit — the oracle-pinnable iterative-graph
+    primitive next to q97's float PageRank (tolerance-checked) and
+    q113's label propagation. The fact join builds the edge list once;
+    each superstep is one frontier join + one MIN rollup behind a
+    reliable-checkpoint barrier."""
+    from batchprocessingetl_spark.operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = customer.filter(F.col("c_custkey") % BFS_SEED_MOD == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return bfs_hops(edges, seeds, BFS_HOPS).orderBy("node")
+
+
+def _q190_oracle_sql(k: int) -> str:
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS a,
+                        's' || l.l_suppkey::VARCHAR AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), und AS (
+        SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), d_0 AS (
+        SELECT 'c' || c_custkey::VARCHAR AS node, 0 AS hops
+        FROM customer WHERE c_custkey % {BFS_SEED_MOD} = 0
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", d_{r} AS (
+        SELECT node, MIN(hops) AS hops FROM (
+            SELECT node, hops FROM d_{r - 1}
+            UNION ALL
+            SELECT u.b AS node, d.hops + 1 AS hops
+            FROM und u JOIN d_{r - 1} d ON u.a = d.node
+        ) GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(hops AS INTEGER) AS hops FROM d_{k} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q190_trade_reach_bfs"] = q190_trade_reach_bfs
+EXTRA_ORACLE["q190_trade_reach_bfs"] = _q190_oracle_sql(BFS_HOPS)
