@@ -726,3 +726,141 @@ EXTRA_ORACLE["q189_triplet_mining"] = f"""
     FROM pos p JOIN neg n USING (anchor_id)
     ORDER BY p.anchor_id
 """
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def q192_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    1998) — the diversity-aware selection behind RAG context packing:
+    from the exact top-20 cosine pool for the q50 query vector,
+    greedily pick 5 documents maximizing λ·relevance − (1−λ)·max
+    similarity to the already-picked set (λ=0.7). All relevances and
+    pairwise similarities are rounded to 6dp BEFORE the greedy
+    arithmetic and every argmax breaks ties on vec_id, so the greedy
+    trajectory is engine-exact; the oracle unrolls the 5 rounds as
+    CTEs. Shape: the corpus-heavy work is one scan (top-20 pool) plus
+    a 20×20 in-plan similarity matrix; each greedy step is an argmax
+    over ≤20 rows materialized driver-side (model-parameter pattern) —
+    pool size, not corpus size, bounds the loop at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    q = _query_df(spark, sf_dir)
+    e = S.as_double(F.col("embedding"))
+    pool = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            e.alias("v"),
+            F.round(S.cosine(e, F.col("qvec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+    ).localCheckpoint(eager=True)
+    a = pool.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = pool.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a", "b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+    ).localCheckpoint(eager=True)
+    picked: list[int] = []
+    rows = []
+    for rank in range(1, MMR_K + 1):
+        sel_sims = sims.filter(F.col("b").isin(picked) if picked else F.lit(False))
+        sc = (
+            pool.filter(~F.col("vec_id").isin(picked) if picked else F.lit(True))
+            .join(sel_sims, pool["vec_id"] == sel_sims["a"], "left")
+            .groupBy("vec_id", "rel")
+            .agg(F.coalesce(F.max("sim"), F.lit(0.0)).alias("msim"))
+            .select(
+                "vec_id",
+                "rel",
+                "msim",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(1 - MMR_LAMBDA) * F.col("msim"),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        r = sc[0]
+        picked.append(int(r["vec_id"]))
+        rows.append((rank, int(r["vec_id"]), float(r["rel"]), float(r["msim"]),
+                     float(r["score"])))
+    return spark.createDataFrame(
+        rows, "sel_rank int, vec_id bigint, rel double, msim double, score double"
+    )
+
+
+def _q192_oracle_sql(k: int) -> str:
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    parts = [
+        f"""
+    WITH pool AS (
+        SELECT vec_id, e.ee AS v,
+               ROUND({_COS.replace("qe", "q.qe").replace("ee", "e.ee")}, 6) AS rel
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ee
+              FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}) e,
+             (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+              FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+    ), sims AS (
+        SELECT p1.vec_id AS a, p2.vec_id AS b,
+               ROUND(
+                   list_sum(list_transform(range(1, len(p1.v) + 1),
+                            i -> p1.v[i] * p2.v[i]))
+                   / (sqrt(list_sum(list_transform(p1.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(p2.v, x -> x * x)))),
+                   6) AS sim
+        FROM pool p1, pool p2 WHERE p1.vec_id <> p2.vec_id
+    ), sc_1 AS (
+        SELECT vec_id, rel, 0.0 AS msim,
+               ROUND({lam} * rel - {mu} * 0.0, 6) AS score
+        FROM pool
+    ), pick_1 AS (
+        SELECT 1 AS sel_rank, vec_id, rel, msim, score
+        FROM sc_1 ORDER BY score DESC, vec_id LIMIT 1
+    ), sel_1 AS (
+        SELECT vec_id FROM pick_1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""", sc_{r} AS (
+        SELECT p.vec_id, p.rel,
+               COALESCE(MAX(s.sim), 0.0) AS msim,
+               ROUND({lam} * p.rel - {mu} * COALESCE(MAX(s.sim), 0.0), 6)
+                   AS score
+        FROM pool p
+        LEFT JOIN (SELECT s.a, s.sim FROM sims s
+                   JOIN sel_{r - 1} t ON s.b = t.vec_id) s ON s.a = p.vec_id
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel_{r - 1})
+        GROUP BY 1, 2
+    ), pick_{r} AS (
+        SELECT {r} AS sel_rank, vec_id, rel, msim, score
+        FROM sc_{r} ORDER BY score DESC, vec_id LIMIT 1
+    ), sel_{r} AS (
+        SELECT vec_id FROM sel_{r - 1} UNION ALL SELECT vec_id FROM pick_{r}
+    )"""
+        )
+    union = "\n    UNION ALL ".join(f"SELECT * FROM pick_{r}" for r in range(1, k + 1))
+    parts.append(
+        f"""
+    SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, rel, msim, score
+    FROM ({union})
+    ORDER BY sel_rank"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q192_mmr_rerank"] = q192_mmr_rerank
+EXTRA_ORACLE["q192_mmr_rerank"] = _q192_oracle_sql(MMR_K)

@@ -143,6 +143,9 @@ AUDITED = (
     "q181_ngram_novelty",
     "q184_pmi_collocations",
     "q186_customer_order_distribution",
+    "q188_dsir_importance_select",
+    "q189_triplet_mining",
+    "q191_merkle_diff",
 )
 
 
