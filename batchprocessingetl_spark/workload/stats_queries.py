@@ -480,3 +480,87 @@ _ORACLE_ALL["q180_score_calibration"] = f"""
 
 ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k not in EXTRA_QUERIES}
 EXTRA_ORACLE = {k: v for k, v in _ORACLE_ALL.items() if k in EXTRA_QUERIES}
+
+
+TS_EPOCH = "1992-01-01"
+
+
+def q193_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the median of all
+    pairwise slopes (y_j−y_i)/(x_j−x_i) over the per-day revenue
+    series, plus the companion intercept median(y − m·x) — the
+    outlier-resistant alternative to q107's OLS (a single wild day
+    moves OLS, not the slope median). Shape discipline: the fact table
+    collapses to ONE row per day (decimal-exact revenue sums) before
+    the O(days²) pair join — days, not orders, bound the quadratic
+    term, and days don't grow with fact blow-up. Each slope rounds to
+    6dp; medians are interpolated percentiles of identical doubles, so
+    both engines agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            F.datediff("d", F.lit(TS_EPOCH).cast("date")).alias("x"), "y"
+        )
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            F.round(
+                (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 6
+            ).alias("m")
+        )
+    )
+    stats = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("m", F.lit(0.5)).alias("m_med"),
+    )
+    m = F.round(F.col("m_med"), 6)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "n_pairs",
+            m.alias("sen_slope"),
+            F.round(F.col("y") - m * F.col("x"), 6).alias("b0"),
+        )
+        .groupBy("n_pairs", "sen_slope")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.percentile("b0", F.lit(0.5)), 4).alias("sen_intercept"),
+        )
+        .select("n_days", "n_pairs", "sen_slope", "sen_intercept")
+    )
+
+
+_ORACLE_ALL["q193_theil_sen_trend"] = f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '{TS_EPOCH}',
+                        CAST(date_trunc('day', o_orderdate) AS DATE)) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM orders
+        GROUP BY 1
+    ), slopes AS (
+        SELECT ROUND((b.y - a.y) / (b.x - a.x), 6) AS m
+        FROM daily a JOIN daily b ON a.x < b.x
+    ), stats AS (
+        SELECT COUNT(*) AS n_pairs,
+               ROUND(quantile_cont(m, 0.5), 6) AS sen_slope
+        FROM slopes
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           s.n_pairs, s.sen_slope,
+           ROUND(quantile_cont(ROUND(d.y - s.sen_slope * d.x, 6), 0.5), 4)
+               AS sen_intercept
+    FROM daily d, stats s
+    GROUP BY s.n_pairs, s.sen_slope
+"""
+
+EXTRA_QUERIES["q193_theil_sen_trend"] = q193_theil_sen_trend
+EXTRA_ORACLE["q193_theil_sen_trend"] = _ORACLE_ALL["q193_theil_sen_trend"]
