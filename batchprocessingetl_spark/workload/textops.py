@@ -1852,3 +1852,57 @@ _ORACLE_ALL["q184_pmi_collocations"] = f"""
 
 EXTRA_QUERIES["q184_pmi_collocations"] = q184_pmi_collocations
 EXTRA_ORACLE["q184_pmi_collocations"] = _ORACLE_ALL["q184_pmi_collocations"]
+
+
+def q194_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subtokens per whitespace word
+    and per character, the budgeting statistic behind multilingual
+    token pricing and context-length planning (fertility >> 1 means a
+    language pays more tokens for the same text). One narrow scan
+    computes both counts per document; one hash rollup per lang;
+    ratios divide exact integer sums (identical doubles cross-engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(T_ops.tokens(F.col("text"))).cast("long").alias("n_words"),
+        T_ops.subtoken_count(F.col("text")).cast("long").alias("n_sub"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_sub").alias("n_subtokens"),
+            F.round(F.sum("n_sub") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("n_sub") / F.sum("n_chars"), 6).alias(
+                "subtokens_per_char"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_ALL["q194_tokenizer_fertility"] = f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len({T_ops.TOKENS_SQL_DUCKDB.format(col="text")})::BIGINT AS n_words,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_sub,
+               length(text)::BIGINT AS n_chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_words)::BIGINT AS n_words,
+           SUM(n_sub)::BIGINT AS n_subtokens,
+           ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+           ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_chars), 6)
+               AS subtokens_per_char
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+EXTRA_QUERIES["q194_tokenizer_fertility"] = q194_tokenizer_fertility
+EXTRA_ORACLE["q194_tokenizer_fertility"] = _ORACLE_ALL["q194_tokenizer_fertility"]
