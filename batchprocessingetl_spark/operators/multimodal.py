@@ -298,3 +298,73 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> 
             )
 
     return media.mapInPandas(fs, schema=FRAME_SCHEMA)
+
+
+DOMFREQ_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, dom_bin int, "
+    "roundtrip_exact boolean"
+)
+
+
+def dominant_frequency(
+    ids: DataFrame, id_col: str = "doc_id", n: int = 64, max_bin: int = 12
+) -> DataFrame:
+    """Real audio DSP through the full WAV pipeline: synthesize a pure
+    tone at DFT bin ``1 + id % max_bin`` (amplitude-1000 sine, ``n``
+    samples), ENCODE it as a real 16-bit PCM RIFF/WAV, parse it back
+    with the independent stdlib decoder, then find the dominant
+    frequency bin with a numpy rfft over the decoded samples — the
+    spectral-feature extraction step of an audio curation pipeline.
+
+    An integer-cycle sine concentrates all DFT energy in its own bin
+    (rounding the samples to ints adds ~0.05% sidelobes — argmax can't
+    flip), so the dominant bin is CLOSED-FORM in doc_id and the DuckDB
+    oracle pins the whole encode → decode → FFT chain analytically
+    (the q60/q69 synthesize-inside-the-query discipline).
+    ``roundtrip_exact`` asserts decoded PCM == synthesized PCM
+    sample-for-sample, pinning codec exactness separately from the
+    spectral read. Arrow-batched ``mapInPandas``; bytes never become
+    rows; scan-parallel at any corpus size."""
+    import math
+
+    from batchprocessingetl_spark.operators import media_codecs as codecs
+
+    rate = 8000
+
+    def df_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col].tolist():
+                bin_true = 1 + int(doc_id) % max_bin
+                samples = [
+                    int(round(1000.0 * math.sin(2.0 * math.pi * bin_true * i / n)))
+                    for i in range(n)
+                ]
+                payload = codecs.encode_wav(rate, samples)
+                got_rate, got_samples = codecs.decode_wav(payload)
+                spec = np.abs(np.fft.rfft(np.asarray(got_samples, dtype=np.float64)))
+                dom = int(np.argmax(spec[1:])) + 1  # skip DC
+                out.append(
+                    (
+                        int(doc_id),
+                        int(got_rate),
+                        len(got_samples),
+                        dom,
+                        got_samples == samples,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "dom_bin",
+                    "roundtrip_exact",
+                ],
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(df_batches, schema=DOMFREQ_SCHEMA)

@@ -221,3 +221,36 @@ EXTRA_ORACLE["q100_gif_decode"] = """
     FROM px GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+DOMFREQ_N = 64
+DOMFREQ_MAXBIN = 12
+
+
+def q195_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral feature extraction through the REAL WAV pipeline
+    (operators/multimodal.py::dominant_frequency): synthesize a pure
+    tone per document, encode/decode real RIFF PCM, numpy-rfft the
+    decoded samples inside Arrow-batched mapInPandas, report the
+    dominant DFT bin. Closed-form oracle: the tone sits at bin
+    1 + doc_id % 12 by construction, and the PCM round-trip must be
+    sample-exact."""
+    from batchprocessingetl_spark.operators.multimodal import dominant_frequency
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return dominant_frequency(
+        docs, "doc_id", n=DOMFREQ_N, max_bin=DOMFREQ_MAXBIN
+    ).orderBy("doc_id")
+
+
+EXTRA_QUERIES["q195_dominant_frequency"] = q195_dominant_frequency
+EXTRA_ORACLE["q195_dominant_frequency"] = f"""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           {DOMFREQ_N} AS n_samples,
+           CAST(1 + doc_id % {DOMFREQ_MAXBIN} AS INTEGER) AS dom_bin,
+           TRUE AS roundtrip_exact
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY doc_id
+"""
