@@ -1153,3 +1153,80 @@ def bitmap_distinct_daily(spark: SparkSession, state_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("word")).alias("n_users"))
         .orderBy("day")
     )
+
+
+def error_purchase_patterns(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window_s: int = 3600,
+) -> None:
+    """CEP-style stateful pattern detection via
+    ``applyInPandasWithState`` — the second custom stateful operator
+    next to :func:`running_user_totals`: emit every (error, purchase)
+    pair for a user where the purchase follows the error within
+    ``window_s`` seconds ('recovered checkout' analysis). Per-key
+    state is the list of pending error timestamps, SELF-EVICTED once
+    they fall more than ``window_s`` behind the newest event seen for
+    the key — O(errors-in-window) state, not O(history).
+
+    Determinism contract: events are processed in (ts, event_id)
+    order within each key and batch, and per-key event time is
+    assumed non-decreasing ACROSS batches (file-per-trigger ingestion
+    of time-ordered drops — the incremental-load shape); under it the
+    emitted pair set EXACTLY equals the batch interval self-join
+    (e.ts <= p.ts <= e.ts + W), which the test pins, resumable from
+    the checkpoint. Sink is foreachBatch idempotent-append parquet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, source_dir)
+    out_schema = "user_id long, err_us long, pur_us long, lag_s double"
+    state_schema = "pending array<long>, max_us long"
+    win_us = window_s * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        pending, max_us = state.get if state.exists else ([], 0)
+        pending = list(pending)
+        rows = []
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                t_us = int(ts.value // 1_000)  # pandas ns -> us
+                max_us = max(max_us, t_us)
+                pending = [e for e in pending if e + win_us >= max_us]
+                if etype == "error":
+                    pending.append(t_us)
+                elif etype == "purchase":
+                    for e_us in pending:
+                        if e_us <= t_us <= e_us + win_us:
+                            rows.append(
+                                (
+                                    int(key[0]),
+                                    e_us,
+                                    t_us,
+                                    round((t_us - e_us) / 1e6, 6),
+                                )
+                            )
+        state.update((pending, max_us))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "err_us", "pur_us", "lag_s"]
+        )
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

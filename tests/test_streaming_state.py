@@ -825,3 +825,82 @@ def test_bitmap_rollup_stream_exactly_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got_state == want_state
+
+
+def test_error_purchase_patterns_equal_batch_interval_join(spark, tmp_path):
+    """The stateful CEP operator's emitted pair set must EXACTLY equal
+    the batch interval self-join (e.ts <= p.ts <= e.ts + W) under
+    time-ordered file drops — including boundary pairs exactly W
+    apart, multiple pending errors matching one purchase, eviction of
+    aged-out errors, and checkpoint-resume across a later file."""
+    from datetime import datetime, timedelta
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        error_purchase_patterns,
+    )
+
+    W = 600  # seconds
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, mins_secs, uid, etype):
+        m, s = mins_secs
+        return (eid, t0 + timedelta(minutes=m, seconds=s), uid, etype, 1.0, "{}")
+
+    # user 1: two errors, one purchase inside both windows; a later
+    # purchase exactly W after the second error (inclusive boundary);
+    # a purchase far beyond both (evicted errors -> no match).
+    # user 2: purchase BEFORE any error (no match), then error+purchase.
+    f1 = [
+        ev(1, (0, 0), 1, "error"),
+        ev(2, (2, 0), 1, "error"),
+        ev(3, (5, 0), 1, "purchase"),
+        ev(4, (0, 30), 2, "purchase"),
+        ev(5, (1, 0), 2, "error"),
+    ]
+    f2 = [
+        ev(6, (12, 0), 1, "purchase"),  # 12m = W after err@2m (boundary)
+        ev(7, (3, 0), 2, "purchase"),
+        ev(8, (40, 0), 1, "purchase"),  # both errors evicted by now
+    ]
+    f3 = [
+        ev(9, (41, 0), 1, "error"),
+        ev(10, (45, 0), 1, "purchase"),
+    ]
+    src, ckpt, out = (str(tmp_path / d) for d in ("ev", "ckpt", "out"))
+
+    def drop(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def batch_pairs(rows):
+        errs = [(r[2], r[1]) for r in rows if r[3] == "error"]
+        purs = [(r[2], r[1]) for r in rows if r[3] == "purchase"]
+        return {
+            (u, e, p)
+            for u, e in errs
+            for u2, p in purs
+            if u == u2 and e <= p <= e + timedelta(seconds=W)
+        }
+
+    drop(f1)
+    drop(f2)
+    error_purchase_patterns(spark, src, ckpt, out, window_s=W)
+
+    def got_pairs():
+        from datetime import timezone
+
+        us = lambda x: datetime.fromtimestamp(x / 1e6, tz=timezone.utc).replace(  # noqa: E731
+            tzinfo=None
+        )
+        return {
+            (r["user_id"], us(r["err_us"]), us(r["pur_us"]))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert got_pairs() == batch_pairs(f1 + f2)
+
+    drop(f3)
+    error_purchase_patterns(spark, src, ckpt, out, window_s=W)
+    assert got_pairs() == batch_pairs(f1 + f2 + f3)
