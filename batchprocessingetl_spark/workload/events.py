@@ -2001,3 +2001,103 @@ def _q185_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q185_markov_stationary"] = q185_markov_stationary
 EXTRA_ORACLE["q185_markov_stationary"] = _q185_oracle_sql(MARKOV_STEPS)
+
+
+def q197_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra twin of q139's exact audience-overlap matrix:
+    one HLL sketch per event type, pairwise INTERSECTION estimated by
+    inclusion–exclusion (|A|+|B|−|A∪B|, the union merged from the two
+    sketches) — the segment-overlap answer without ever joining on
+    user_id. Like q123/q121, estimates are engine-defined, so the
+    output carries the EXACT q139 counts plus a 7% deterministic-pass
+    flag per pair (inclusion–exclusion differences roughly double the
+    per-sketch rsd; lgK=14 → ~0.8%); the oracle recomputes the exact
+    side and pins every flag TRUE. Shuffle is |types| sketch rows +
+    the |types|² broadcast pair frame — user cardinality never moves."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.hll_sketch_estimate(F.col("sk_a")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("sk_b")).alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+        )
+    )
+    ut = ev.select("event_type", "user_id").distinct()
+    xa = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    xb = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        xa.join(xb, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    tol = F.lit(0.07) * F.greatest(F.col("n_both").cast("double"), F.lit(1.0))
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.abs(F.col("est_overlap") - F.col("n_both")) <= tol).alias(
+                "overlap_ok"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ORACLE_ALL_Q197 = """
+    WITH ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           sa.n AS n_a, sb.n AS n_b, p.n_both,
+           TRUE AS overlap_ok
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+"""
+
+EXTRA_QUERIES["q197_audience_overlap_hll"] = q197_audience_overlap_hll
+EXTRA_ORACLE["q197_audience_overlap_hll"] = _ORACLE_ALL_Q197

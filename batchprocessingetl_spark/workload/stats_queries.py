@@ -564,3 +564,69 @@ _ORACLE_ALL["q193_theil_sen_trend"] = f"""
 
 EXTRA_QUERIES["q193_theil_sen_trend"] = q193_theil_sen_trend
 EXTRA_ORACLE["q193_theil_sen_trend"] = _ORACLE_ALL["q193_theil_sen_trend"]
+
+
+MAD_K = 1.4826  # consistency constant for normal data
+MAD_CUT = 3.5
+
+
+def q196_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation: an event is anomalous when |x − median| / (1.4826·MAD)
+    exceeds 3.5 (the Iglewicz–Hoaglin rule) — unlike z-scores, one
+    wild value cannot drag the threshold. Two grouped interpolated-
+    percentile aggregates (rows = |groups|) broadcast back; the robust
+    score is a narrow projection. Output is the per-group summary plus
+    flagged-event count, so the value hash pins median, MAD, and every
+    flag decision."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    med = ev.groupBy("event_type").agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(v - F.col("med")).alias("adev"), v.alias("x")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.abs(F.col("x") - F.col("med")) > F.lit(MAD_CUT * MAD_K) * F.col("mad"))
+        .alias("is_outlier"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_ALL["q196_mad_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS med
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value::DOUBLE - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(ANY_VALUE(m.med), 6) AS median,
+           ROUND(ANY_VALUE(d.mad), 6) AS mad,
+           SUM(CASE WHEN abs(e.value::DOUBLE - m.med)
+                        > {MAD_CUT * MAD_K} * d.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+EXTRA_QUERIES["q196_mad_outliers"] = q196_mad_outliers
+EXTRA_ORACLE["q196_mad_outliers"] = _ORACLE_ALL["q196_mad_outliers"]
