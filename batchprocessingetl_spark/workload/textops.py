@@ -1906,3 +1906,99 @@ _ORACLE_ALL["q194_tokenizer_fertility"] = f"""
 
 EXTRA_QUERIES["q194_tokenizer_fertility"] = q194_tokenizer_fertility
 EXTRA_ORACLE["q194_tokenizer_fertility"] = _ORACLE_ALL["q194_tokenizer_fertility"]
+
+
+WJ_THRESHOLD = 0.3
+WJ_MOD = 2
+
+
+def q198_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs: overlap on RARE shingles
+    counts more than overlap on boilerplate ones — sim = Σw(A∩B) /
+    (Σw(A) + Σw(B) − Σw(A∩B)) with w = ln(1 + N/df), the weighted-set
+    refinement of q36's exact Jaccard (a pair of docs sharing one rare
+    quote scores higher than a pair sharing three stock phrases).
+    Shape: the inverted-index join on shingles bounds candidates by
+    shared-shingle document frequency (never corpus²); weights round
+    to 9dp and accumulate in DECIMAL so per-pair sums are
+    order-independent and engine-exact; the final ratio is one double
+    division rounded 6dp."""
+    from batchprocessingetl_spark.operators.dedup import shingle_frame
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % WJ_MOD == 0
+    )
+    sh = shingle_frame(docs, "doc_id", "text").select(
+        "id", F.explode("sh").alias("s")
+    )
+    n_docs = docs.count()
+    w = F.round(
+        F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")), 9
+    ).cast("decimal(28,10)")
+    wt = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("s", w.alias("w"))
+    )
+    shw = sh.join(wt, "s")
+    tot = shw.groupBy("id").agg(F.sum("w").alias("tw"))
+    a = shw.select(F.col("id").alias("id_a"), "s", F.col("w").alias("wa"))
+    b = shw.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("wa").alias("iw"))
+    )
+    ta = tot.select(F.col("id").alias("id_a"), F.col("tw").alias("ta"))
+    tb = tot.select(F.col("id").alias("id_b"), F.col("tw").alias("tb"))
+    ratio = F.col("iw").cast("double") / (
+        F.col("ta") + F.col("tb") - F.col("iw")
+    ).cast("double")
+    return (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(ratio >= WJ_THRESHOLD)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("wjaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_ALL["q198_weighted_jaccard_pairs"] = f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {WJ_MOD} = 0
+    ), sh AS (
+        SELECT doc_id AS id,
+               unnest({_SHINGLES_SQL.format(toks=_TOKENS_SQL)}) AS s
+        FROM d
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM d
+    ), wt AS (
+        SELECT s, CAST(ROUND(LN(1.0 + (SELECT n_docs FROM n)::DOUBLE
+                                      / COUNT(*)), 9)
+                       AS DECIMAL(28,10)) AS w
+        FROM sh GROUP BY s
+    ), shw AS (
+        SELECT sh.id, sh.s, wt.w FROM sh JOIN wt USING (s)
+    ), tot AS (
+        SELECT id, SUM(w) AS tw FROM shw GROUP BY 1
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, SUM(a.w) AS iw
+        FROM shw a JOIN shw b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.iw AS DOUBLE)
+                 / CAST(ta.tw + tb.tw - i.iw AS DOUBLE), 6) AS wjaccard
+    FROM inter i
+    JOIN tot ta ON ta.id = i.id_a
+    JOIN tot tb ON tb.id = i.id_b
+    WHERE CAST(i.iw AS DOUBLE) / CAST(ta.tw + tb.tw - i.iw AS DOUBLE)
+          >= {WJ_THRESHOLD}
+    ORDER BY i.id_a, i.id_b
+"""
+
+EXTRA_QUERIES["q198_weighted_jaccard_pairs"] = q198_weighted_jaccard_pairs
+EXTRA_ORACLE["q198_weighted_jaccard_pairs"] = _ORACLE_ALL[
+    "q198_weighted_jaccard_pairs"
+]
