@@ -2002,3 +2002,99 @@ EXTRA_QUERIES["q198_weighted_jaccard_pairs"] = q198_weighted_jaccard_pairs
 EXTRA_ORACLE["q198_weighted_jaccard_pairs"] = _ORACLE_ALL[
     "q198_weighted_jaccard_pairs"
 ]
+
+
+def q199_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card — the summary block of a dataset
+    documentation page (Datasheets/Data Cards practice): volume
+    (docs, tokens, vocabulary), exact-duplicate rate (md5 content
+    groups), length distribution (interpolated p50/p95), and language
+    balance (Shannon entropy of the lang mix, bits). Everything is a
+    first-pass aggregate over one scan plus two tiny rollups
+    (vocab = distinct tokens; dup groups = distinct hashes); entropy
+    sums per-lang -p·log2(p) terms rounded 9dp in DECIMAL
+    (order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T_ops.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    vol = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("h").alias("n_unique_contents"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.95)).alias("p95"),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab_size"))
+    )
+    lang_n = base.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    lang_tot = lang_n.agg(F.sum("nl").alias("nt"))
+    p = F.col("nl") / F.col("nt")
+    ent = (
+        lang_n.crossJoin(F.broadcast(lang_tot))
+        .select(
+            F.round(-p * F.log2(p), 9).cast("decimal(28,10)").alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("lang_entropy_bits"))
+    )
+    return (
+        vol.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_contents"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(F.col("p50"), 4).alias("chars_p50"),
+            F.round(F.col("p95"), 4).alias("chars_p95"),
+            "lang_entropy_bits",
+        )
+    )
+
+
+_ORACLE_ALL["q199_corpus_datacard"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               len({_TOKENS_SQL})::BIGINT AS n_tok,
+               length(text)::BIGINT AS n_chars,
+               md5(text) AS h
+        FROM documents
+    ), vol AS (
+        SELECT COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+               COUNT(DISTINCT h) AS n_unique,
+               quantile_cont(n_chars::DOUBLE, 0.5) AS p50,
+               quantile_cont(n_chars::DOUBLE, 0.95) AS p95
+        FROM base
+    ), vocab AS (
+        SELECT COUNT(DISTINCT t) AS vocab_size
+        FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents)
+    ), lang_n AS (
+        SELECT lang, COUNT(*) AS nl FROM base GROUP BY 1
+    ), ent AS (
+        SELECT CAST(ROUND(SUM(CAST(ROUND(
+                   -(nl / nt::DOUBLE) * log2(nl / nt::DOUBLE), 9)
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS lang_entropy_bits
+        FROM lang_n, (SELECT SUM(nl) AS nt FROM lang_n)
+    )
+    SELECT v.n_docs, v.n_tokens, vb.vocab_size,
+           ROUND((v.n_docs - v.n_unique) / v.n_docs::DOUBLE, 6)
+               AS exact_dup_rate,
+           ROUND(v.p50, 4) AS chars_p50,
+           ROUND(v.p95, 4) AS chars_p95,
+           e.lang_entropy_bits
+    FROM vol v, vocab vb, ent e
+"""
+
+EXTRA_QUERIES["q199_corpus_datacard"] = q199_corpus_datacard
+EXTRA_ORACLE["q199_corpus_datacard"] = _ORACLE_ALL["q199_corpus_datacard"]
