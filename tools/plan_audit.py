@@ -146,6 +146,12 @@ AUDITED = (
     "q188_dsir_importance_select",
     "q189_triplet_mining",
     "q191_merkle_diff",
+    "q193_theil_sen_trend",
+    "q194_tokenizer_fertility",
+    "q196_mad_outliers",
+    "q197_audience_overlap_hll",
+    "q198_weighted_jaccard_pairs",
+    "q199_corpus_datacard",
 )
 
 
