@@ -1260,3 +1260,197 @@ EXTRA_ORACLE["q188_dsir_importance_select"] = f"""
     ORDER BY score DESC, b.doc_id
     LIMIT {DSIR_TOP}
 """
+
+
+FUNNEL_BUDGET = 100
+FUNNEL_SEED = "funnel"
+
+
+def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation FUNNEL report — per-source survivor
+    counts through the four standard training-data gates composed in
+    one query: (1) per-source length-quality gate (keep the top
+    quartile, the q116 rule), (2) exact content dedup (min-id per md5
+    group, q33), (3) eval-set decontamination (drop any doc sharing a
+    word 3-gram with the held-out split, q67), (4) largest-remainder
+    quota sampling to a fixed 100-doc budget (q151). The output is the
+    per-source funnel — the table a data lead reads before a training
+    run. Every stage is deterministic, so the whole composite is
+    value-pinned; shapes are the proven ones (broadcast cuts,
+    hash-group dedup, broadcast-gram anti-join, integer quota
+    arithmetic) — one corpus scan per stage, no corpus² anywhere."""
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.operators.sampling import rank_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+
+    cuts = train.groupBy("source").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(GATE_Q)).alias("cut")
+    )
+    quality = train.join(F.broadcast(cuts), "source").filter(
+        F.col("n_chars") >= F.col("cut")
+    )
+
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    unique = (
+        quality.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    def grams(df):
+        toks = T_ops.tokens(F.col("text"))
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + F.lit(1)),
+                F.element_at(toks, i + F.lit(2)),
+            ),
+        )
+        # size<3 would make sequence(1, <=0) run DESCENDING (the
+        # negative-step gotcha) — gate to an empty gram array instead
+        g = F.when(F.size(toks) >= 3, g).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", F.explode(F.array_distinct(g)).alias("gram"))
+
+    eval_grams = grams(ev).select("gram").distinct()
+    dirty = (
+        grams(unique)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = unique.join(dirty, "doc_id", "left_anti")
+
+    counts = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = counts.agg(F.sum("n_i").alias("n"))
+    base = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "floor_q", (F.lit(FUNNEL_BUDGET) * F.col("n_i") / F.col("n")).cast("long")
+        )
+        .withColumn("rem", (F.lit(FUNNEL_BUDGET) * F.col("n_i")) % F.col("n"))
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    wtot = Window.partitionBy()
+    quotas = base.select(
+        "source",
+        (
+            F.col("floor_q")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.lit(FUNNEL_BUDGET) - F.sum("floor_q").over(wtot),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        rank_hash(F.col("doc_id"), FUNNEL_SEED), F.col("doc_id")
+    )
+    sampled = (
+        clean.withColumn("__rk", F.row_number().over(wpick))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("__rk") <= F.col("quota"))
+    )
+
+    def stage(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        stage(train, "n_raw")
+        .join(stage(quality, "n_quality"), "source", "left")
+        .join(stage(unique, "n_unique"), "source", "left")
+        .join(stage(clean, "n_clean"), "source", "left")
+        .join(stage(sampled, "n_sampled"), "source", "left")
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_raw", "n_quality", "n_unique", "n_clean", "n_sampled")
+        ],
+    ).orderBy("source")
+
+
+_Q200_GRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)), "
+    "i -> {t}[i] || ' ' || {t}[i + 1] || ' ' || {t}[i + 2]))"
+)
+
+EXTRA_QUERIES["q200_curation_funnel"] = q200_curation_funnel
+EXTRA_ORACLE["q200_curation_funnel"] = f"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+    ), ev AS (
+        SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0
+    ), cuts AS (
+        SELECT source, quantile_cont(n_chars::DOUBLE, {GATE_Q}) AS cut
+        FROM train GROUP BY 1
+    ), quality AS (
+        SELECT t.* FROM train t JOIN cuts c USING (source)
+        WHERE t.n_chars >= c.cut
+    ), unique_d AS (
+        SELECT * FROM quality
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), eval_grams AS (
+        SELECT DISTINCT unnest({_Q200_GRAMS.format(t="t")}) AS gram
+        FROM (SELECT {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
+              FROM ev WHERE len({T_ops.TOKENS_SQL_DUCKDB.format(col="text")}) >= 3)
+    ), dirty AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_Q200_GRAMS.format(t="t")}) AS gram
+            FROM (SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
+                  FROM unique_d
+                  WHERE len({T_ops.TOKENS_SQL_DUCKDB.format(col="text")}) >= 3)
+        ) WHERE gram IN (SELECT gram FROM eval_grams)
+    ), clean AS (
+        SELECT * FROM unique_d WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ), counts AS (
+        SELECT source, COUNT(*) AS n_i FROM clean GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_i) AS n FROM counts
+    ), base AS (
+        SELECT source, n_i,
+               ({FUNNEL_BUDGET} * n_i) // n AS floor_q,
+               ({FUNNEL_BUDGET} * n_i) % n AS rem
+        FROM counts, tot
+    ), quotas AS (
+        SELECT source,
+               floor_q + CASE WHEN ROW_NUMBER() OVER (
+                       ORDER BY rem DESC, source)
+                   <= {FUNNEL_BUDGET} - (SELECT SUM(floor_q) FROM base)
+                   THEN 1 ELSE 0 END AS quota
+        FROM base
+    ), sampled AS (
+        SELECT c.source FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{FUNNEL_SEED}:' || doc_id::VARCHAR),
+                                doc_id) AS rk
+            FROM clean
+        ) c JOIN quotas q USING (source)
+        WHERE c.rk <= q.quota
+    )
+    SELECT t.source,
+           COUNT(*) AS n_raw,
+           COALESCE(qq.n, 0) AS n_quality,
+           COALESCE(uu.n, 0) AS n_unique,
+           COALESCE(cc.n, 0) AS n_clean,
+           COALESCE(ss.n, 0) AS n_sampled
+    FROM train t
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY 1) qq
+        ON qq.source = t.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM unique_d GROUP BY 1) uu
+        ON uu.source = t.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY 1) cc
+        ON cc.source = t.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM sampled GROUP BY 1) ss
+        ON ss.source = t.source
+    GROUP BY 1, qq.n, uu.n, cc.n, ss.n
+    ORDER BY 1
+"""
