@@ -125,3 +125,25 @@ def test_pagerank_reliable_checkpoint_parity(spark, tmp_path):
     release_pagerank(plain)
     release_pagerank(reliable)
     assert any((tmp_path / "ckpt").rglob("*")), "no reliable checkpoint written"
+
+
+def test_bfs_hops_distances_and_truncation(spark):
+    """Known line-graph distances: seeds at 0; chain 0-1-2-3-4 plus an
+    isolated edge 10-11 (unreachable). k=2 must truncate the frontier
+    at 2 hops; k=4 reaches the chain end. Undirectedness: edges are
+    given in one direction only."""
+    from batchprocessingetl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n10", "n11")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got2 == {"n0": 0, "n1": 1, "n2": 2}
+    got4 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 4).collect()}
+    assert got4 == {"n0": 0, "n1": 1, "n2": 2, "n3": 3, "n4": 4}
+    # multi-source: nearer seed wins; revisiting never increases hops
+    seeds2 = spark.createDataFrame([("n0",), ("n4",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds2, 4).collect()}
+    assert got["n2"] == 2 and got["n3"] == 1 and got["n1"] == 1

@@ -421,3 +421,39 @@ def test_kmeans_fixedpoint_matches_python_replay(spark):
                 cents[j] = [x // n for x in s]
     want = {i: (j, d) for i, (d, j) in assign().items()}
     assert got == want
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path, monkeypatch):
+    """MMR sanity on a crafted pool: three equally-relevant vectors
+    where two are near-identical and one is their mirror about the
+    query axis. Plain top-k is indifferent; MMR's diversity term must
+    pick the mirror before the redundant twin. Exercised through the
+    q192 driver loop on a tiny parquet table."""
+    from batchprocessingetl_spark.workload import vectors as V
+
+    def emb(x, y):
+        return [float(x), float(y), 0.0, 0.0]
+
+    rows = [
+        (0, emb(1.0, 0.0)),       # the query vector
+        (1, emb(0.9, 0.436)),     # relevant
+        (2, emb(0.9, 0.4361)),    # near-identical twin of 1
+        (3, emb(0.9, -0.436)),    # mirror: same relevance, sim~0.62 to 1
+        (4, emb(0.3, 0.954)),     # low relevance
+        (5, emb(0.1, 0.995)),     # lower still
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    monkeypatch.setattr(V, "MMR_POOL", 5)
+    monkeypatch.setattr(V, "MMR_K", 3)
+    picked = [r["vec_id"] for r in V.q192_mmr_rerank(spark, sf).collect()]
+    # first pick: highest relevance (1 wins the id tie-break over 2);
+    # second: the mirror 3 (score .7*.9 - .3*.62) beats the twin 2
+    # (score .7*.9 - .3*~1.0)
+    assert picked[0] == 1
+    assert picked[1] == 3
+    assert 2 not in picked[:2]
