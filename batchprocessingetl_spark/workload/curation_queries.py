@@ -1454,3 +1454,85 @@ EXTRA_ORACLE["q200_curation_funnel"] = f"""
     GROUP BY 1, qq.n, uu.n, cc.n, ss.n
     ORDER BY 1
 """
+
+
+SPAN_SEED = "span"
+SPAN_FRAC = 5  # mask ~1/5 of the tokens as one contiguous span
+
+
+def q201_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption augmentation: mask ONE contiguous span
+    of ~20% of each document's tokens (md5-deterministic start), emit
+    the corrupted input (span replaced by a sentinel) and the
+    denoising target — the seq2seq pretraining objective's data prep,
+    companion to q148's token dropout. Pure higher-order array ops
+    (slice + concat) over one narrow scan — no shuffle; the md5 draw
+    makes every example replayable cross-engine, and the oracle
+    re-derives the exact corrupted/target strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T_ops.tokens(F.col("text"))
+    n = F.size(toks)
+    span_len = F.greatest(n / F.lit(SPAN_FRAC), F.lit(1)).cast("int")
+    max_start = F.greatest(n - span_len + 1, F.lit(1))
+    start = (
+        F.lit(1)
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPAN_SEED + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % max_start.cast("long")
+    ).cast("int")
+    corrupted = F.concat(
+        F.slice(toks, 1, start - 1),
+        F.array(F.lit("<extra_id_0>")),
+        F.slice(toks, start + span_len, F.greatest(n - (start + span_len) + 1, F.lit(0))),
+    )
+    target = F.slice(toks, start, span_len)
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tok"),
+        start.alias("span_start"),
+        span_len.alias("span_len"),
+        F.array_join(corrupted, " ").alias("corrupted_text"),
+        F.array_join(target, " ").alias("target_text"),
+    ).filter(F.col("n_tok") >= 2).orderBy("doc_id")
+
+
+EXTRA_QUERIES["q201_span_corruption"] = q201_span_corruption
+EXTRA_ORACLE["q201_span_corruption"] = f"""
+    WITH t AS (
+        SELECT doc_id, {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS toks
+        FROM documents
+    ), p AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               GREATEST(len(toks) // {SPAN_FRAC}, 1) AS sl
+        FROM t
+    ), s AS (
+        SELECT doc_id, toks, n, sl,
+               CAST(1 + ('0x' || substr(md5('{SPAN_SEED}:' || doc_id::VARCHAR),
+                                        1, 15))::BIGINT
+                        % GREATEST(n - sl + 1, 1) AS INTEGER) AS st
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_tok,
+           st AS span_start,
+           CAST(sl AS INTEGER) AS span_len,
+           array_to_string(
+               list_concat(
+                   list_concat(toks[1:st - 1], ['<extra_id_0>']),
+                   toks[st + sl:n]), ' ') AS corrupted_text,
+           array_to_string(toks[st:st + sl - 1], ' ') AS target_text
+    FROM s
+    WHERE n >= 2
+    ORDER BY doc_id
+"""
