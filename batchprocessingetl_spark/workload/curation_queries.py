@@ -1536,3 +1536,109 @@ EXTRA_ORACLE["q201_span_corruption"] = f"""
     WHERE n >= 2
     ORDER BY doc_id
 """
+
+
+BATCH_B = 16
+BATCH_SHARDS = 8
+
+
+def q202_batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching efficiency audit: padding waste of
+    arrival-order batches vs length-sorted batches (the trick every
+    training loader uses — batch similar lengths together so the
+    per-batch max pads less). Batches of 16, formed WITHIN 8 md5
+    loader shards (the q71 discipline: production loaders batch per
+    worker, and it keeps every window hash-partitioned — no global
+    sort of doc-grain rows at any scale); waste of a batch =
+    16·max(len) − Σlen, all exact integers. Two sharded window passes
+    over the SAME per-doc length frame (one per ordering), each a
+    row_number + integer-div batch id and a per-batch max/sum rollup;
+    the output is the one-row savings summary a data-loader design
+    review wants."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bshard:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BATCH_SHARDS
+    )
+    lens = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(T_ops.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+
+    def waste(order_cols, name):
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        batched = lens.withColumn(
+            "b", ((F.row_number().over(w) - 1) / BATCH_B).cast("long")
+        )
+        per_batch = batched.groupBy("shard", "b").agg(
+            (F.lit(BATCH_B) * F.max("n_tok") - F.sum("n_tok")).alias("w")
+        )
+        return per_batch.agg(F.sum("w").alias(name))
+
+    arrival = waste([F.col("doc_id")], "waste_arrival")
+    by_len = waste([F.col("n_tok"), F.col("doc_id")], "waste_sorted")
+    tot = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return (
+        tot.crossJoin(F.broadcast(arrival))
+        .crossJoin(F.broadcast(by_len))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "waste_arrival",
+            "waste_sorted",
+            F.round(
+                (F.col("waste_arrival") - F.col("waste_sorted"))
+                / F.col("waste_arrival").cast("double"),
+                6,
+            ).alias("savings_pct"),
+        )
+    )
+
+
+EXTRA_QUERIES["q202_batch_padding_efficiency"] = q202_batch_padding_efficiency
+EXTRA_ORACLE["q202_batch_padding_efficiency"] = f"""
+    WITH lens AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('bshard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % {BATCH_SHARDS} AS shard,
+               len({T_ops.TOKENS_SQL_DUCKDB.format(col="text")})::BIGINT AS n_tok
+        FROM documents
+    ), arrival AS (
+        SELECT SUM(w)::BIGINT AS waste_arrival FROM (
+            SELECT {BATCH_B} * MAX(n_tok) - SUM(n_tok) AS w
+            FROM (SELECT shard, n_tok,
+                         (ROW_NUMBER() OVER (
+                              PARTITION BY shard ORDER BY doc_id) - 1)
+                             // {BATCH_B} AS b
+                  FROM lens)
+            GROUP BY shard, b)
+    ), by_len AS (
+        SELECT SUM(w)::BIGINT AS waste_sorted FROM (
+            SELECT {BATCH_B} * MAX(n_tok) - SUM(n_tok) AS w
+            FROM (SELECT shard, n_tok,
+                         (ROW_NUMBER() OVER (
+                              PARTITION BY shard ORDER BY n_tok, doc_id) - 1)
+                             // {BATCH_B} AS b
+                  FROM lens)
+            GROUP BY shard, b)
+    )
+    SELECT (SELECT COUNT(*) FROM lens) AS n_docs,
+           (SELECT SUM(n_tok)::BIGINT FROM lens) AS n_tokens,
+           a.waste_arrival, s.waste_sorted,
+           ROUND((a.waste_arrival - s.waste_sorted)
+                 / a.waste_arrival::DOUBLE, 6) AS savings_pct
+    FROM arrival a, by_len s
+"""
