@@ -2101,3 +2101,88 @@ _ORACLE_ALL_Q197 = """
 
 EXTRA_QUERIES["q197_audience_overlap_hll"] = q197_audience_overlap_hll
 EXTRA_ORACLE["q197_audience_overlap_hll"] = _ORACLE_ALL_Q197
+
+
+KMV_K = 64
+KMV_SCALE = float(1 << 60)
+
+
+def q203_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type —
+    the third mergeable cardinality estimator next to HLL (q123,
+    engine-defined estimates) and exact bitmaps (q145): keep the k=64
+    smallest md5 hash values of the distinct users; est = (k−1)/u_(k)
+    with u_(k) the k-th minimum normalized to (0,1). Because the hash
+    is md5 (not an engine-internal sketch), the ESTIMATE ITSELF is
+    bit-replayable in DuckDB — full value parity with no tolerance
+    flags, which neither DataSketches HLL nor approx_count_distinct
+    can offer. Mergeable at scale: union the k-min sets, re-take the k
+    smallest. One distinct aggregate + a per-type rank window on the
+    (distinct users × type) frame; groups with ≤ k members report the
+    exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    ranked = du.select("event_type", "user_id", h).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.round(F.lit(KMV_K - 1) / (F.col("hk") / F.lit(KMV_SCALE)), 4),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        est.alias("kmv_est"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    ).orderBy("event_type")
+
+
+EXTRA_QUERIES["q203_kmv_distinct"] = q203_kmv_distinct
+EXTRA_ORACLE["q203_kmv_distinct"] = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), ranked AS (
+        SELECT event_type, user_id,
+               ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   AS h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ('0x' || substr(md5('kmv:' || user_id::VARCHAR),
+                                            1, 15))::BIGINT, user_id) AS rk
+        FROM du
+    ), per_type AS (
+        SELECT event_type, COUNT(*) AS n_exact,
+               MAX(CASE WHEN rk = {KMV_K} THEN h END) AS hk
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_exact,
+           CASE WHEN hk IS NOT NULL
+                THEN ROUND(({KMV_K} - 1) / (hk / {KMV_SCALE}), 4)
+                ELSE n_exact::DOUBLE END AS kmv_est,
+           ROUND(ABS(CASE WHEN hk IS NOT NULL
+                          THEN ROUND(({KMV_K} - 1) / (hk / {KMV_SCALE}), 4)
+                          ELSE n_exact::DOUBLE END - n_exact)
+                 / n_exact, 6) AS rel_err
+    FROM per_type
+    ORDER BY event_type
+"""
