@@ -2119,7 +2119,9 @@ def q203_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     can offer. Mergeable at scale: union the k-min sets, re-take the k
     smallest. One distinct aggregate + a per-type rank window on the
     (distinct users × type) frame; groups with ≤ k members report the
-    exact count."""
+    exact count. At extreme per-type cardinality, prefilter h below a
+    coarse hash threshold (any t with ≥ k survivors is lossless for
+    the k-min set) before the rank window — the standard KMV pruning."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
     h = (
