@@ -2188,3 +2188,130 @@ EXTRA_ORACLE["q203_kmv_distinct"] = f"""
     FROM per_type
     ORDER BY event_type
 """
+
+
+def q204_kmv_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users via KMV MERGE — the mergeability
+    demo q203 promises: each day keeps its k=64 smallest distinct-user
+    hashes; a trailing window UNIONS the covered days' k-min sets and
+    re-takes the k smallest (exactly how KMV merges), then estimates
+    (k−1)/u_(k). Every step is md5 arithmetic, so unlike the HLL twin
+    (q123, tolerance flags) the WHOLE rolling sketch — per-day sets,
+    merge, estimate — value-matches the DuckDB replay bit-for-bit,
+    alongside the exact trailing count for reference. Shuffle is
+    days × k hash rows (the day→day+offset explode of q114/q123), not
+    user-days."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    wd = Window.partitionBy("day").orderBy("h", "user_id")
+    daily = (
+        du.select("day", "user_id", h)
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= KMV_K)
+        .select("day", "user_id", "h")
+    )
+    bounds = du.agg(F.max("day").alias("max_day"))
+    covered = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k0"),
+            "day",
+            "user_id",
+            "h",
+        )
+        .select(F.date_add(F.col("day"), F.col("k0")).alias("day"), "user_id", "h")
+        .join(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", "user_id", "h")
+        .distinct()
+    )
+    wm = Window.partitionBy("day").orderBy("h", "user_id")
+    merged = covered.withColumn("rk", F.row_number().over(wm))
+    per_day = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_in_union"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.round(F.lit(KMV_K - 1) / (F.col("hk") / F.lit(KMV_SCALE)), 4),
+    )
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k0"), "day", "user_id"
+        )
+        .select(F.date_add(F.col("day"), F.col("k0")).alias("day"), "user_id")
+        .join(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("max_day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau_exact"))
+    )
+    return (
+        per_day.join(exact, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "wau_exact",
+            F.coalesce(est, F.col("wau_exact").cast("double")).alias("wau_kmv"),
+        )
+        .orderBy("day")
+    )
+
+
+EXTRA_QUERIES["q204_kmv_rolling_wau"] = q204_kmv_rolling_wau
+EXTRA_ORACLE["q204_kmv_rolling_wau"] = f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), hashed AS (
+        SELECT day, user_id,
+               ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+        FROM du
+    ), daily AS (
+        SELECT day, user_id, h FROM (
+            SELECT day, user_id, h,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                                      ORDER BY h, user_id) AS rk
+            FROM hashed
+        ) WHERE rk <= {KMV_K}
+    ), bounds AS (
+        SELECT MAX(day) AS max_day FROM du
+    ), covered AS (
+        SELECT DISTINCT day + k0::INTEGER AS day, user_id, h
+        FROM daily, unnest(range(0, 7)) AS u(k0), bounds
+        WHERE day + k0::INTEGER <= max_day
+    ), merged AS (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, user_id) AS rk
+        FROM covered
+    ), per_day AS (
+        SELECT day, MAX(CASE WHEN rk = {KMV_K} THEN h END) AS hk
+        FROM merged GROUP BY 1
+    ), exact AS (
+        SELECT day, COUNT(*) AS wau_exact FROM (
+            SELECT DISTINCT day + k0::INTEGER AS day, user_id
+            FROM du, unnest(range(0, 7)) AS u(k0), bounds
+            WHERE day + k0::INTEGER <= max_day
+        ) GROUP BY 1
+    )
+    SELECT CAST(e.day AS TIMESTAMP) AS day, e.wau_exact,
+           COALESCE(CASE WHEN p.hk IS NOT NULL
+                    THEN ROUND(({KMV_K} - 1) / (p.hk / {KMV_SCALE}), 4) END,
+                    e.wau_exact::DOUBLE) AS wau_kmv
+    FROM exact e JOIN per_day p USING (day)
+    ORDER BY day
+"""
