@@ -644,3 +644,49 @@ def test_dominant_suppliers_share_definition(spark):
     want = dom.groupby("l_suppkey")["l_partkey"].count()
     want = want[want >= Q20_MIN_PARTS].to_dict()
     assert got == want
+
+
+def test_markov_stationary_matches_python_replay(spark):
+    """q185's fixed-point power iteration must equal a pure-Python
+    replay of the same recurrence (scaled-integer probabilities, floor
+    division each step) on the sf0.001 fixture."""
+    from batchprocessingetl_spark.workload.events import (
+        MARKOV_SCALE,
+        MARKOV_STEPS,
+        q185_markov_stationary,
+    )
+
+    got = {
+        r["event_type"]: r["stationary_scaled"]
+        for r in q185_markov_stationary(spark, SF_SMOKE).collect()
+    }
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from batchprocessingetl_spark.catalog import load_table
+
+    rows = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    pairs: dict = {}
+    by_user: dict = {}
+    for uid, ts, eid, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    tot: dict = {}
+    for (a, _), n in pairs.items():
+        tot[a] = tot.get(a, 0) + n
+    p = {(a, b): n * MARKOV_SCALE // tot[a] for (a, b), n in pairs.items()}
+    states = sorted(tot)
+    v = {t: MARKOV_SCALE // len(states) for t in states}
+    for _ in range(MARKOV_STEPS):
+        nv: dict = {}
+        for (a, b), ps in p.items():
+            nv[b] = nv.get(b, 0) + ps * v.get(a, 0)
+        v = {t: x // MARKOV_SCALE for t, x in nv.items()}
+    assert got == v
