@@ -2098,3 +2098,105 @@ _ORACLE_ALL["q199_corpus_datacard"] = f"""
 
 EXTRA_QUERIES["q199_corpus_datacard"] = q199_corpus_datacard
 EXTRA_ORACLE["q199_corpus_datacard"] = _ORACLE_ALL["q199_corpus_datacard"]
+
+
+def _langpred_cte() -> str:
+    """(doc_id, lang, predicted_lang) CTE body — the q39 prediction
+    replica, reusable by agreement-metric oracles."""
+    profiles = T_ops.LANG_PROFILES
+    scored_cols = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"]))::INT AS n_{lang}"
+        for lang, words in profiles.items()
+    )
+    pred_whens = " ".join(
+        "WHEN "
+        + " AND ".join(f"n_{lang} >= n_{o}" for o in profiles if o != lang)
+        + f" AND n_{lang} > 0 THEN '{lang}'"
+        for lang in profiles
+    )
+    return f"""t AS (
+        SELECT doc_id, lang, text,
+               list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, {scored_cols} FROM t
+    ), pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(regexp_replace(text,
+                        '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) < length(text)
+                    THEN 'zh'
+                    {pred_whens}
+                    ELSE 'und' END AS predicted_lang
+        FROM scored
+    )"""
+
+
+def q205_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement of the language-ID heuristic against the
+    corpus labels — Cohen's kappa over the (lang, predicted_lang)
+    confusion matrix: kappa = (p_o − p_e)/(1 − p_e) with chance
+    agreement from the marginals. The eval-metric family member for
+    categorical predictions, next to AUC (q169), ECE (q180), and
+    nDCG (q179). One scan builds per-doc predictions (q39's exact
+    operator); everything after is arithmetic on the |labels|²
+    confusion frame, engine-exact from integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T_ops.with_language_id(docs, "text").select("lang", "predicted_lang")
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_tot = cm.agg(F.sum("n").alias("nt"))
+    diag = cm.filter(F.col("lang") == F.col("predicted_lang")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("agree")
+    )
+    rows = cm.groupBy("lang").agg(F.sum("n").alias("r"))
+    cols = cm.groupBy("predicted_lang").agg(F.sum("n").alias("c"))
+    chance = (
+        rows.join(cols, rows["lang"] == cols["predicted_lang"])
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("rc"))
+    )
+    po = F.col("agree") / F.col("nt")
+    pe = F.col("rc") / (F.col("nt").cast("double") * F.col("nt"))
+    return (
+        diag.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(chance))
+        .select(
+            F.col("nt").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pe, 6).alias("p_chance"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+_ORACLE_ALL["q205_cohens_kappa"] = f"""
+    WITH {_langpred_cte()}, cm AS (
+        SELECT lang, predicted_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(n) AS nt FROM cm
+    ), diag AS (
+        SELECT COALESCE(SUM(n), 0) AS agree
+        FROM cm WHERE lang = predicted_lang
+    ), marg AS (
+        SELECT COALESCE(SUM(r.r * c.c), 0) AS rc
+        FROM (SELECT lang, SUM(n) AS r FROM cm GROUP BY 1) r
+        JOIN (SELECT predicted_lang, SUM(n) AS c FROM cm GROUP BY 1) c
+          ON r.lang = c.predicted_lang
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n_docs,
+           CAST(d.agree AS BIGINT) AS n_agree,
+           ROUND(d.agree / t.nt::DOUBLE, 6) AS p_observed,
+           ROUND(m.rc / (t.nt::DOUBLE * t.nt), 6) AS p_chance,
+           ROUND((d.agree / t.nt::DOUBLE - m.rc / (t.nt::DOUBLE * t.nt))
+                 / (1.0 - m.rc / (t.nt::DOUBLE * t.nt)), 6) AS kappa
+    FROM diag d, tot t, marg m
+"""
+
+EXTRA_QUERIES["q205_cohens_kappa"] = q205_cohens_kappa
+EXTRA_ORACLE["q205_cohens_kappa"] = _ORACLE_ALL["q205_cohens_kappa"]
