@@ -1230,3 +1230,105 @@ def error_purchase_patterns(
         .start()
     )
     q.awaitTermination()
+
+
+def histogram_quantile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 200,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming quantile maintenance via a fixed-bin histogram state —
+    the quantile companion to the HLL (q123) and bitmap (q145)
+    streaming twins, and a THIRD state-management pattern: per-bin
+    counts are summable but NOT idempotent (unlike register-max and
+    bit_or), so at-least-once epoch replay would double-count a naive
+    fold. The fold therefore writes each epoch's partial counts to its
+    OWN partition (``state_dir/epoch=N``, overwrite) — replaying an
+    epoch rewrites the same partition byte-identically instead of
+    re-adding it — and readers sum across epoch partitions.
+
+    Quantile reads (:func:`histogram_quantiles`) walk the cumulative
+    bins; the answer is exact to within one bin width, a deterministic
+    guarantee the test pins against exact percentiles. State is
+    n_bins × epochs rows (KBs); the value stream is never rescanned.
+    At 100 TB the same fold runs per key group with bins as a column."""
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    width = (hi - lo) / n_bins
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bins = (
+            batch.select(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col(value_col) - lo) / width).cast("int"),
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bins.write.mode("overwrite").parquet(
+            state_dir.rstrip("/") + f"/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def histogram_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 200,
+) -> DataFrame:
+    """Quantiles off the epoch-partitioned histogram state: sum bins
+    across epochs, walk the cumulative distribution, report each
+    requested quantile as the UPPER EDGE of the first bin whose
+    cumulative count reaches q·N — within one bin width of exact by
+    construction."""
+    width = (hi - lo) / n_bins
+    merged = (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = merged.withColumn(
+        "cn", F.sum("n").over(Window.orderBy("bin"))
+    ).crossJoin(F.broadcast(merged.agg(F.sum("n").alias("nt"))))
+    out = None
+    for q in qs:
+        pick = (
+            cum.filter(F.col("cn") >= F.lit(q) * F.col("nt"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("value_ub"),
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out

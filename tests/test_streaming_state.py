@@ -904,3 +904,85 @@ def test_error_purchase_patterns_equal_batch_interval_join(spark, tmp_path):
     drop(f3)
     error_purchase_patterns(spark, src, ckpt, out, window_s=W)
     assert got_pairs() == batch_pairs(f1 + f2 + f3)
+
+
+def test_histogram_quantile_stream_bounds_and_idempotence(spark, tmp_path):
+    """Epoch-partitioned histogram state: merged bins equal the
+    one-shot batch histogram EXACTLY; every quantile read is within
+    one bin width above the exact nearest-rank percentile; re-running
+    with no new files (and resuming with one) never double-counts."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        histogram_quantile_stream,
+        histogram_quantiles,
+    )
+
+    LO, HI, BINS = 0.0, 100.0, 200
+    width = (HI - LO) / BINS
+
+    def rows(vals, base):
+        return [
+            (base + i, datetime(2024, 6, 1, 8), 1, "view", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    f1 = rows([1.2, 5.5, 5.5, 17.0, 44.4, 99.9, 63.1], 0)
+    f2 = rows([2.2, 5.5, 88.8, 12.0, 150.0, -3.0], 100)  # out-of-range clamps
+    f3 = rows([33.3, 33.3, 71.5], 200)
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
+
+    def drop(chunk):
+        spark.createDataFrame(chunk, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    drop(f1)
+    drop(f2)
+    histogram_quantile_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt,
+                              lo=LO, hi=HI, n_bins=BINS)
+
+    def merged_hist():
+        return {
+            r["bin"]: r["n"]
+            for r in spark.read.parquet(state).groupBy("bin").agg(
+                F.sum("n").alias("n")
+            ).collect()
+        }
+
+    def batch_hist(all_rows):
+        from collections import Counter
+
+        c = Counter()
+        for _, _, _, _, v, _ in all_rows:
+            b = int((v - LO) // width)
+            c[max(0, min(BINS - 1, b))] += 1
+        return dict(c)
+
+    assert merged_hist() == batch_hist(f1 + f2)
+
+    # rerun with NO new files: state must not change (no double count)
+    histogram_quantile_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt,
+                              lo=LO, hi=HI, n_bins=BINS)
+    assert merged_hist() == batch_hist(f1 + f2)
+
+    drop(f3)
+    histogram_quantile_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt,
+                              lo=LO, hi=HI, n_bins=BINS)
+    assert merged_hist() == batch_hist(f1 + f2 + f3)
+
+    # quantile reads: within one bin width above the exact nearest-rank
+    import math
+
+    vals = sorted(
+        max(LO, min(HI, v)) for _, _, _, _, v, _ in f1 + f2 + f3
+    )
+    got = {r["q"]: r["value_ub"] for r in histogram_quantiles(
+        spark, state, qs=(0.5, 0.9), lo=LO, hi=HI, n_bins=BINS
+    ).collect()}
+    for q, ub in got.items():
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert exact <= ub + 1e-9 and ub - exact <= width + 1e-9, (q, ub, exact)
