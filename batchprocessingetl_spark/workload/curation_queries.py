@@ -1642,3 +1642,59 @@ EXTRA_ORACLE["q202_batch_padding_efficiency"] = f"""
                  / a.waste_arrival::DOUBLE, 6) AS savings_pct
     FROM arrival a, by_len s
 """
+
+
+KFOLD_K = 5
+KFOLD_SEED = "fold"
+
+
+def q207_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment: within every (lang, source)
+    stratum, documents are md5-rank-ordered and dealt round-robin into
+    5 folds — so each fold's label mix matches the corpus mix to
+    within one document per stratum (the per-stratum fold counts the
+    output pins), while the md5 deal keeps assignments deterministic,
+    engine-replayable, and stable under corpus growth ONLY within a
+    stratum's own rank order. One rank window per stratum (hash-
+    partitioned, never global), then a count rollup; the leakage-safe
+    sibling for grouped data is q118/q150's cluster-keyed split."""
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.operators.sampling import rank_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        rank_hash(F.col("doc_id"), KFOLD_SEED), F.col("doc_id")
+    )
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        ((F.row_number().over(w) - 1) % KFOLD_K).cast("int").alias("fold"),
+    )
+    return (
+        assigned.groupBy("lang", "source", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang", "source", "fold")
+    )
+
+
+EXTRA_QUERIES["q207_stratified_kfold"] = q207_stratified_kfold
+EXTRA_ORACLE["q207_stratified_kfold"] = f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, source,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('{KFOLD_SEED}:' || doc_id::VARCHAR), doc_id)
+                   - 1) % {KFOLD_K} AS INTEGER) AS fold
+        FROM documents
+    )
+    SELECT lang, source, fold, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM assigned
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""

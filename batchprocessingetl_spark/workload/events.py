@@ -2315,3 +2315,145 @@ EXTRA_ORACLE["q204_kmv_rolling_wau"] = f"""
     FROM exact e JOIN per_day p USING (day)
     ORDER BY day
 """
+
+
+PERM_R = 32
+PERM_SEED = "perm"
+
+
+def q206_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B mean difference — the
+    nonparametric companion to q161's z-test and q122's bootstrap:
+    the metric is each user's total purchase value; 32 md5-derived
+    label permutations reassign arms and the p-value is the fraction
+    of permuted |mean differences| at least as extreme as observed
+    (+1/R+1 smoothing). Every draw is md5 arithmetic and every mean
+    derives from DECIMAL-exact sums, so the whole null distribution —
+    not just the verdict — replays bit-for-bit in the oracle. Shape:
+    one fact collapse to per-user totals, then a users×32 explode into
+    one hash aggregate — no resampling shuffle, the q122 discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast("decimal(18,2)")
+        ).alias("s")
+    )
+
+    def arm_means(df, arm_col):
+        return (
+            df.groupBy(arm_col.alias("arm"))
+            .agg(
+                F.sum("s").alias("t"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("arm", (F.col("t").cast("double") / F.col("n")).alias("m"))
+        )
+
+    obs = arm_means(per_user, (F.col("user_id") % 2).cast("int"))
+    obs_diff = (
+        obs.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(F.first("m"))
+        .select((F.col("1") - F.col("0")).alias("obs_diff"))
+    )
+    perms = per_user.select(
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
+        "user_id",
+    ).select(
+        "s",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(PERM_SEED + ":"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("arm"),
+    )
+    perm_means = (
+        perms.groupBy("r", "arm")
+        .agg(F.sum("s").alias("t"), F.count(F.lit(1)).alias("n"))
+        .select("r", "arm", (F.col("t").cast("double") / F.col("n")).alias("m"))
+    )
+    perm_diff = (
+        perm_means.groupBy("r")
+        .pivot("arm", [0, 1])
+        .agg(F.first("m"))
+        .select("r", (F.col("1") - F.col("0")).alias("d"))
+    )
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    extreme = (
+        perm_diff.crossJoin(F.broadcast(obs_diff))
+        .agg(
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast("long")
+            ).alias("n_extreme")
+        )
+    )
+    return (
+        n_users.crossJoin(F.broadcast(obs_diff))
+        .crossJoin(F.broadcast(extreme))
+        .select(
+            "n_users",
+            F.round("obs_diff", 6).alias("obs_diff"),
+            F.lit(PERM_R).alias("n_perms"),
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1) / F.lit(float(PERM_R + 1)), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+EXTRA_QUERIES["q206_permutation_test"] = q206_permutation_test
+EXTRA_ORACLE["q206_permutation_test"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                             ELSE 0.0 END AS DECIMAL(18,2))) AS s
+        FROM events GROUP BY 1
+    ), obs AS (
+        SELECT MAX(CASE WHEN arm = 1 THEN m END)
+               - MAX(CASE WHEN arm = 0 THEN m END) AS obs_diff
+        FROM (SELECT user_id % 2 AS arm,
+                     CAST(SUM(s) AS DOUBLE) / COUNT(*) AS m
+              FROM per_user GROUP BY 1)
+    ), perm AS (
+        SELECT r,
+               MAX(CASE WHEN arm = 1 THEN m END)
+               - MAX(CASE WHEN arm = 0 THEN m END) AS d
+        FROM (
+            SELECT r,
+                   ('0x' || substr(md5('{PERM_SEED}:' || r::VARCHAR || ':'
+                                       || user_id::VARCHAR), 1, 15))::BIGINT
+                       % 2 AS arm,
+                   CAST(SUM(s) AS DOUBLE) / COUNT(*) AS m
+            FROM per_user, unnest(range(0, {PERM_R})) AS u(r)
+            GROUP BY 1, 2
+        ) GROUP BY r
+    )
+    SELECT (SELECT COUNT(*) FROM per_user) AS n_users,
+           ROUND(o.obs_diff, 6) AS obs_diff,
+           {PERM_R} AS n_perms,
+           (SELECT SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff)
+                            THEN 1 ELSE 0 END)::BIGINT FROM perm) AS n_extreme,
+           ROUND(((SELECT SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff)
+                                   THEN 1 ELSE 0 END) FROM perm) + 1)
+                 / {float(PERM_R + 1)}, 6) AS p_value
+    FROM obs o
+"""
