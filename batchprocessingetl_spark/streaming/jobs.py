@@ -1332,3 +1332,69 @@ def histogram_quantiles(
         )
         out = pick if out is None else out.unionByName(pick)
     return out
+
+
+def ivm_revenue_stream(
+    spark: SparkSession,
+    source_dir: str,
+    line_schema: T.StructType,
+    dim_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming JOIN-AGGREGATE incremental view maintenance — q111's
+    algebra under the streaming contract: lineitem delta files stream
+    in, each micro-batch broadcast-joins the STATIC dimension frame
+    (``dim_df``: l_orderkey -> nation grain, prepared once by the
+    caller) and writes its per-nation revenue partials — UNROUNDED
+    fixed-scale DECIMAL, the q111 sum-of-rounds discipline — to an
+    epoch-owned partition (``state_dir/epoch=N``, overwrite), so
+    at-least-once replay rewrites rather than double-adds (the
+    histogram-stream pattern). The VIEW is the epoch-partition sum
+    (:func:`ivm_revenue_read`): delta-maintained revenue equals the
+    one-shot batch join-aggregate EXACTLY, which the test pins across
+    drops and a checkpoint-resume. History is never rescanned; each
+    fold touches its delta plus the broadcast dim."""
+    lines = (
+        spark.readStream.schema(line_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    acc = "decimal(28,6)"
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(acc)
+        partial = (
+            batch.select("l_orderkey", rev.alias("__r"))
+            .join(F.broadcast(dim_df), "l_orderkey")
+            .groupBy("n_name")
+            .agg(F.sum("__r").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        )
+        partial.write.mode("overwrite").parquet(
+            state_dir.rstrip("/") + f"/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        lines.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ivm_revenue_read(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained view: per-nation revenue summed across epoch
+    partitions, rounded only for display (after the merge)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )

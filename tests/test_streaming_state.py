@@ -986,3 +986,81 @@ def test_histogram_quantile_stream_bounds_and_idempotence(spark, tmp_path):
     for q, ub in got.items():
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert exact <= ub + 1e-9 and ub - exact <= width + 1e-9, (q, ub, exact)
+
+
+def test_ivm_revenue_stream_equals_batch_join_aggregate(spark, tmp_path):
+    """Streaming join-aggregate IVM (q111's algebra): the epoch-summed
+    view must EXACTLY equal the one-shot batch join-aggregate over all
+    delta files — decimal accumulation, broadcast static dim — across
+    two drops, a no-new-file rerun, and a checkpoint-resume."""
+    from pyspark.sql import types as T
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        ivm_revenue_read,
+        ivm_revenue_stream,
+    )
+
+    line_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [(1, "FRANCE"), (2, "FRANCE"), (3, "KENYA"), (4, "PERU")],
+        "l_orderkey long, n_name string",
+    )
+    f1 = [(1, 100.0, 0.1), (2, 50.0, 0.0), (3, 10.0, 0.05)]
+    f2 = [(1, 30.0, 0.2), (4, 99.99, 0.0)]
+    f3 = [(3, 7.77, 0.5), (2, 0.01, 0.0)]
+    src, state, ckpt = (str(tmp_path / d) for d in ("li", "state", "ckpt"))
+
+    def drop(rows):
+        spark.createDataFrame(rows, line_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def batch_view(rows):
+        from collections import defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+
+        nation = {k: n for k, n in [(1, "FRANCE"), (2, "FRANCE"), (3, "KENYA"), (4, "PERU")]}
+        rev = defaultdict(Decimal)
+        cnt = defaultdict(int)
+        for k, p, d in rows:
+            r = (Decimal(str(p)) * (1 - Decimal(str(d)))).quantize(Decimal("0.000001"))
+            rev[nation[k]] += r
+            cnt[nation[k]] += 1
+        return {
+            n: (
+                float(rev[n].quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)),
+                cnt[n],
+            )
+            for n in rev
+        }
+
+    drop(f1)
+    drop(f2)
+    ivm_revenue_stream(spark, src, line_schema, dim, state, ckpt)
+    got = {
+        r["n_name"]: (float(r["revenue"]), r["n_lines"])
+        for r in ivm_revenue_read(spark, state).collect()
+    }
+    assert got == batch_view(f1 + f2)
+
+    # no new files: rerun must not double-count
+    ivm_revenue_stream(spark, src, line_schema, dim, state, ckpt)
+    got = {
+        r["n_name"]: (float(r["revenue"]), r["n_lines"])
+        for r in ivm_revenue_read(spark, state).collect()
+    }
+    assert got == batch_view(f1 + f2)
+
+    drop(f3)
+    ivm_revenue_stream(spark, src, line_schema, dim, state, ckpt)
+    got = {
+        r["n_name"]: (float(r["revenue"]), r["n_lines"])
+        for r in ivm_revenue_read(spark, state).collect()
+    }
+    assert got == batch_view(f1 + f2 + f3)
