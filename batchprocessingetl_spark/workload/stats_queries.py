@@ -630,3 +630,359 @@ _ORACLE_ALL["q196_mad_outliers"] = f"""
 
 EXTRA_QUERIES["q196_mad_outliers"] = q196_mad_outliers
 EXTRA_ORACLE["q196_mad_outliers"] = _ORACLE_ALL["q196_mad_outliers"]
+
+
+ACF_MAX_LAG = 7
+
+
+def q208_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the seasonality probe a pipeline runs before picking a
+    forecasting window: acf(k) = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)².
+    Shape discipline: the fact table collapses to ONE row per day
+    (decimal-exact sums) before any window or join, so the lag join is
+    days × 7, never orders × 7, and stays flat under fact blow-up.
+    Cross-engine: μ comes from the EXACT decimal total (never a
+    re-sum of doubles, which is order-dependent); every centered
+    product rounds to 9dp and accumulates in DECIMAL(38,9), so both
+    numerator and denominator are order-independent and the single
+    final division is IEEE-identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("xd")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.col("xd").cast("double").alias("x"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    den = (
+        idx.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")), 9)
+                .cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("den")
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = idx.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(den))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("xa") - F.col("mu")) * (F.col("xb") - F.col("mu")), 9
+                    ).cast("decimal(38,9)")
+                ).cast("double")
+                / F.first("den"),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ORACLE_ALL["q208_acf_daily_revenue"] = f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS xd
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, CAST(xd AS DOUBLE) AS x
+        FROM daily
+    ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS mu
+        FROM daily
+    ), den AS (
+        SELECT CAST(SUM(CAST(ROUND((i.x - s.mu) * (i.x - s.mu), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS den
+        FROM idx i CROSS JOIN stats s
+    ), lags AS (
+        SELECT UNNEST(RANGE(1, {ACF_MAX_LAG + 1}))::INT AS lag
+    )
+    SELECT l.lag, COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND((a.x - s.mu) * (b.x - s.mu), 9)
+                                AS DECIMAL(38,9))) AS DOUBLE) / MAX(d.den), 6)
+               AS acf
+    FROM lags l
+    JOIN idx a ON TRUE
+    JOIN idx b ON b.t = a.t + l.lag
+    CROSS JOIN stats s CROSS JOIN den d
+    GROUP BY l.lag
+    ORDER BY l.lag
+"""
+
+EXTRA_QUERIES["q208_acf_daily_revenue"] = q208_acf_daily_revenue
+EXTRA_ORACLE["q208_acf_daily_revenue"] = _ORACLE_ALL["q208_acf_daily_revenue"]
+
+
+def q209_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series: the
+    level-shift statistic g_t = n·C_t − t·S (C_t = cumulative count,
+    S = total, n = #days) is the cumulative deviation from the global
+    mean SCALED BY n so it stays pure-integer — the classic CUSUM
+    argmax |Σ(x_i − μ)| changepoint estimator with zero float drift.
+    The day spine is generated min..max so silent zero-activity days
+    can't shift t (driver-spine rule), and every window runs on the
+    day-grain frame, never the fact table. Output pins the whole
+    integer CUSUM path, the normalized magnitude, and the argmax
+    flag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    full = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.orderBy("day")
+    c = full.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("t"),
+    )
+    tot = c.agg(
+        F.max("t").cast("long").alias("n"), F.sum("cnt").cast("long").alias("s")
+    )
+    g = c.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        "n",
+        "s",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("s")).alias("gstat"),
+    )
+    mx = g.agg(F.max(F.abs(F.col("gstat"))).alias("gmax"))
+    return (
+        g.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            "cnt",
+            F.col("gstat").alias("cusum_scaled"),
+            F.round(
+                F.col("gstat").cast("double")
+                / (F.col("n") * F.col("s")).cast("double"),
+                6,
+            ).alias("rel"),
+            (F.abs(F.col("gstat")) == F.col("gmax")).alias("is_peak"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_ALL["q209_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(generate_series(
+            (SELECT MIN(day) FROM daily),
+            (SELECT MAX(day) FROM daily),
+            INTERVAL 1 DAY)) AS day
+    ), full_ AS (
+        SELECT s.day, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+        FROM spine s LEFT JOIN daily d USING (day)
+    ), c AS (
+        SELECT day, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM full_
+    ), tot AS (
+        SELECT CAST(MAX(t) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s
+        FROM c
+    ), g AS (
+        SELECT c.day, c.cnt, tot.n, tot.s,
+               tot.n * c.cum - c.t * tot.s AS gstat
+        FROM c CROSS JOIN tot
+    ), mx AS (
+        SELECT MAX(ABS(gstat)) AS gmax FROM g
+    )
+    SELECT day, cnt, CAST(gstat AS BIGINT) AS cusum_scaled,
+           ROUND(gstat::DOUBLE / (n * s)::DOUBLE, 6) AS rel,
+           ABS(gstat) = mx.gmax AS is_peak
+    FROM g CROSS JOIN mx
+    ORDER BY day
+"""
+
+EXTRA_QUERIES["q209_cusum_changepoint"] = q209_cusum_changepoint
+EXTRA_ORACLE["q209_cusum_changepoint"] = _ORACLE_ALL["q209_cusum_changepoint"]
+
+
+TE_SMOOTH_M = 50  # m-estimate pseudo-observations
+
+
+def q210_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of part brand against the return-rate
+    label — the m-estimate encoder enc = (Σy + m·prior)/(n + m) every
+    feature pipeline ships before a GBM: rare brands shrink toward the
+    global return rate, frequent brands keep their own. Computed as
+    ONE cross-multiplied integer form enc = (Σy·N + m·Sy)/(N·(n+m)) so
+    the only float op is the final division (identical IEEE on both
+    engines). One fact-scan hash aggregate after a broadcast dim join;
+    the encoder table is |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    labeled = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("p_brand", (F.col("l_returnflag") == "R").cast("long").alias("y"))
+    cells = labeled.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("big_n"), F.sum("pos").cast("long").alias("sy")
+    )
+    enc = (
+        (F.col("pos") * F.col("big_n") + F.lit(TE_SMOOTH_M) * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("big_n") * (F.col("n") + F.lit(TE_SMOOTH_M))).cast("double")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select("p_brand", "n", "pos", F.round(enc, 6).alias("enc"))
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_ALL["q210_target_encoding"] = f"""
+    WITH labeled AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), cells AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM labeled GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(SUM(pos) AS BIGINT) AS sy
+        FROM cells
+    )
+    SELECT p_brand, n, pos,
+           ROUND((pos * big_n + {TE_SMOOTH_M} * sy)::DOUBLE
+                 / (big_n * (n + {TE_SMOOTH_M}))::DOUBLE, 6) AS enc
+    FROM cells CROSS JOIN tot
+    ORDER BY p_brand
+"""
+
+EXTRA_QUERIES["q210_target_encoding"] = q210_target_encoding
+EXTRA_ORACLE["q210_target_encoding"] = _ORACLE_ALL["q210_target_encoding"]
+
+
+WOE_BIN_WIDTH = 50_000
+WOE_MAX_BIN = 9
+WOE_PC = 0.5  # Laplace pseudo-count per bin
+
+
+def q211_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of binned order
+    price against urgent priority — the classic credit-scoring feature
+    filter: WOE_b = ln(p_good/p_bad) with 0.5 Laplace pseudo-counts
+    (so empty bins stay finite AND proportions still sum to 1), IV =
+    Σ(p_good − p_bad)·WOE. Fixed-width bins (PSI rule: mergeable,
+    drift-free edges) driven from a generated 0..9 spine so empty bins
+    appear. One fact-scan hash aggregate; windows run over the 10-row
+    bin frame; each IV term rounds to 9dp and accumulates in DECIMAL
+    so the sum is order-independent cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / WOE_BIN_WIDTH), F.lit(WOE_MAX_BIN)
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("o_orderpriority") == AUC_POS_PRIORITY).cast("long").alias("g"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("g").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("g")).alias("n_bad"),
+    )
+    spine = spark.range(0, WOE_MAX_BIN + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    full = spine.join(cells, "bin", "left").select(
+        "bin",
+        F.coalesce("n_good", F.lit(0)).alias("n_good"),
+        F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
+    )
+    wall = Window.partitionBy()
+    n_bins = F.lit(WOE_MAX_BIN + 1)
+    pg = (F.col("n_good") + F.lit(WOE_PC)).cast("double") / (
+        F.sum("n_good").over(wall) + F.lit(WOE_PC) * n_bins
+    ).cast("double")
+    pb = (F.col("n_bad") + F.lit(WOE_PC)).cast("double") / (
+        F.sum("n_bad").over(wall) + F.lit(WOE_PC) * n_bins
+    ).cast("double")
+    woe = F.log(pg / pb)
+    term = F.round((pg - pb) * woe, 9).cast("decimal(28,9)")
+    return (
+        full.select(
+            "bin",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round(F.sum(term).over(wall).cast("double"), 6).alias("iv"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLE_ALL["q211_woe_iv"] = f"""
+    WITH binned AS (
+        SELECT LEAST(FLOOR(o_totalprice / {WOE_BIN_WIDTH}), {WOE_MAX_BIN})::INT
+                   AS bin,
+               CASE WHEN o_orderpriority = '{AUC_POS_PRIORITY}'
+                    THEN 1 ELSE 0 END AS g
+        FROM orders
+    ), cells AS (
+        SELECT bin, CAST(SUM(g) AS BIGINT) AS n_good,
+               CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_bad
+        FROM binned GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(RANGE(0, {WOE_MAX_BIN + 1}))::INT AS bin
+    ), full_ AS (
+        SELECT s.bin, CAST(COALESCE(c.n_good, 0) AS BIGINT) AS n_good,
+               CAST(COALESCE(c.n_bad, 0) AS BIGINT) AS n_bad
+        FROM spine s LEFT JOIN cells c USING (bin)
+    ), scored AS (
+        SELECT bin, n_good, n_bad,
+               (n_good + {WOE_PC})::DOUBLE
+                   / (SUM(n_good) OVER () + {WOE_PC} * {WOE_MAX_BIN + 1})::DOUBLE
+                   AS pg,
+               (n_bad + {WOE_PC})::DOUBLE
+                   / (SUM(n_bad) OVER () + {WOE_PC} * {WOE_MAX_BIN + 1})::DOUBLE
+                   AS pb
+        FROM full_
+    )
+    SELECT bin, n_good, n_bad,
+           ROUND(LN(pg / pb), 6) AS woe,
+           ROUND(CAST(SUM(CAST(ROUND((pg - pb) * LN(pg / pb), 9)
+                               AS DECIMAL(28,9))) OVER () AS DOUBLE), 6) AS iv
+    FROM scored
+    ORDER BY bin
+"""
+
+EXTRA_QUERIES["q211_woe_iv"] = q211_woe_iv
+EXTRA_ORACLE["q211_woe_iv"] = _ORACLE_ALL["q211_woe_iv"]
