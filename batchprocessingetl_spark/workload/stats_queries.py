@@ -986,3 +986,195 @@ _ORACLE_ALL["q211_woe_iv"] = f"""
 
 EXTRA_QUERIES["q211_woe_iv"] = q211_woe_iv
 EXTRA_ORACLE["q211_woe_iv"] = _ORACLE_ALL["q211_woe_iv"]
+
+
+def q212_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision–recall curve, the
+    step-interpolation estimator) of order price as a ranker for
+    urgent priority, per market segment — the companion to q169's AUC
+    for imbalanced labels: AP = Σ_k ΔR_k·P_k over score-descending
+    steps, with tied scores collapsed to one step whose precision is
+    taken at the END of the tie group (the standard merged-ties form).
+    Same scale shape as the AUC: one fact map + hash aggregate to the
+    distinct-score grain, one cumulative window per segment; each step
+    term is the integer cross-product (pos_k·cumpos_k)/(cumtot_k·P)
+    rounded to 12dp and DECIMAL-accumulated, so the sum is
+    order-independent and cross-engine exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderpriority") == AUC_POS_PRIORITY).cast("long").alias("pos"),
+    )
+    per_score = labeled.groupBy("c_mktsegment", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = per_score.select(
+        "c_mktsegment",
+        "pos_cnt",
+        F.sum("pos_cnt").over(w).alias("cum_pos"),
+        F.sum("cnt").over(w).alias("cum_tot"),
+        F.sum("pos_cnt")
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("p_tot"),
+        F.sum("cnt").over(Window.partitionBy("c_mktsegment")).alias("n_tot"),
+    )
+    term = F.round(
+        (F.col("pos_cnt") * F.col("cum_pos")).cast("double")
+        / (F.col("cum_tot") * F.col("p_tot")).cast("double"),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        stepped.groupBy("c_mktsegment")
+        .agg(
+            F.first("p_tot").alias("n_pos"),
+            F.first("n_tot").alias("n"),
+            F.round(F.sum(term).cast("double"), 6).alias("ap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_ALL["q212_average_precision"] = f"""
+    WITH labeled AS (
+        SELECT c.c_mktsegment, o.o_totalprice AS score,
+               CASE WHEN o.o_orderpriority = '{AUC_POS_PRIORITY}'
+                    THEN 1 ELSE 0 END AS pos
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_score AS (
+        SELECT c_mktsegment, score, COUNT(*) AS cnt, SUM(pos) AS pos_cnt
+        FROM labeled GROUP BY 1, 2
+    ), stepped AS (
+        SELECT c_mktsegment, pos_cnt,
+               SUM(pos_cnt) OVER (PARTITION BY c_mktsegment ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_tot,
+               SUM(pos_cnt) OVER (PARTITION BY c_mktsegment) AS p_tot,
+               SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n_tot
+        FROM per_score
+    )
+    SELECT c_mktsegment,
+           CAST(ANY_VALUE(p_tot) AS BIGINT) AS n_pos,
+           CAST(ANY_VALUE(n_tot) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(
+               (pos_cnt * cum_pos)::DOUBLE / (cum_tot * p_tot)::DOUBLE, 12)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS ap
+    FROM stepped
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+EXTRA_QUERIES["q212_average_precision"] = q212_average_precision
+EXTRA_ORACLE["q212_average_precision"] = _ORACLE_ALL["q212_average_precision"]
+
+
+STUMP_BIN = 1_000  # candidate thresholds at $1000 granularity
+
+
+def q213_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump on order price for the urgent-
+    priority label: the exact greedy first node a distributed GBM/CART
+    builds — candidate thresholds at fixed $1000 granularity, split
+    quality = weighted Gini impurity N·G = 2·(posL·negL/nL +
+    posR·negR/nR) scanned via ONE cumulative window over the bin-grain
+    frame. All counts are exact integers; every candidate's score is
+    the same IEEE expression on both engines, so the argmin (ties →
+    lowest threshold) is deterministic. One fact-scan hash aggregate;
+    the candidate scan touches |bins| rows, never facts."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.floor(F.col("o_totalprice") / STUMP_BIN).cast("long").alias("bin"),
+            (F.col("o_orderpriority") == AUC_POS_PRIORITY)
+            .cast("long")
+            .alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("posc"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    scanned = cells.select(
+        "bin",
+        F.sum("cnt").over(w).alias("n_l"),
+        F.sum("posc").over(w).alias("pos_l"),
+        F.sum("cnt").over(wall).alias("n_tot"),
+        F.sum("posc").over(wall).alias("pos_tot"),
+        F.max("bin").over(wall).alias("max_bin"),
+    ).filter(F.col("bin") < F.col("max_bin"))
+    n_r = F.col("n_tot") - F.col("n_l")
+    pos_r = F.col("pos_tot") - F.col("pos_l")
+    neg_l = F.col("n_l") - F.col("pos_l")
+    neg_r = n_r - pos_r
+    score = 2.0 * (
+        (F.col("pos_l") * neg_l).cast("double") / F.col("n_l").cast("double")
+        + (pos_r * neg_r).cast("double") / n_r.cast("double")
+    ) / F.col("n_tot").cast("double")
+    ranked = scanned.select(
+        ((F.col("bin") + 1) * STUMP_BIN).alias("threshold"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        n_r.alias("n_right"),
+        pos_r.alias("pos_right"),
+        score.alias("g"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("g").asc(), F.col("threshold").asc())),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(F.col("g"), 6).alias("gini"),
+    )
+
+
+_ORACLE_ALL["q213_decision_stump"] = f"""
+    WITH cells AS (
+        SELECT FLOOR(o_totalprice / {STUMP_BIN})::BIGINT AS bin,
+               COUNT(*) AS cnt,
+               SUM(CASE WHEN o_orderpriority = '{AUC_POS_PRIORITY}'
+                        THEN 1 ELSE 0 END) AS posc
+        FROM orders GROUP BY 1
+    ), scanned AS (
+        SELECT bin,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS n_l,
+               SUM(posc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pos_l,
+               SUM(cnt) OVER () AS n_tot,
+               SUM(posc) OVER () AS pos_tot,
+               MAX(bin) OVER () AS max_bin
+        FROM cells
+    ), cand AS (
+        SELECT (bin + 1) * {STUMP_BIN} AS threshold,
+               CAST(n_l AS BIGINT) AS n_left,
+               CAST(pos_l AS BIGINT) AS pos_left,
+               CAST(n_tot - n_l AS BIGINT) AS n_right,
+               CAST(pos_tot - pos_l AS BIGINT) AS pos_right,
+               2.0 * ((pos_l * (n_l - pos_l))::DOUBLE / n_l::DOUBLE
+                      + ((pos_tot - pos_l) * ((n_tot - n_l) - (pos_tot - pos_l)))::DOUBLE
+                        / (n_tot - n_l)::DOUBLE) / n_tot::DOUBLE AS g
+        FROM scanned
+        WHERE bin < max_bin
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           n_left, pos_left, n_right, pos_right,
+           ROUND(g, 6) AS gini
+    FROM cand
+    ORDER BY g ASC, threshold ASC
+    LIMIT 1
+"""
+
+EXTRA_QUERIES["q213_decision_stump"] = q213_decision_stump
+EXTRA_ORACLE["q213_decision_stump"] = _ORACLE_ALL["q213_decision_stump"]
