@@ -1698,3 +1698,204 @@ EXTRA_ORACLE["q207_stratified_kfold"] = f"""
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
+
+
+JSD_BIN_WIDTH = 50
+JSD_MAX_BIN = 11
+JSD_PC = 0.5  # Laplace pseudo-count per bin
+
+
+def q214_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the document-length
+    distributions of even- and odd-numbered source shards — the
+    symmetric, always-finite drift gate a corpus pipeline runs when
+    two crawl waves must be interchangeable: JS(p,q) = ½KL(p‖m) +
+    ½KL(q‖m), m = (p+q)/2, over FIXED 50-char bins with 0.5 Laplace
+    pseudo-counts (finite on empty bins, proportions still sum to 1).
+    One fact-scan hash aggregate to the 12-row bin frame (driven from
+    a generated spine so empty bins appear); every JS term rounds to
+    9dp and accumulates in DECIMAL so the total is order-independent
+    cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.least(
+            F.floor(F.col("n_chars") / JSD_BIN_WIDTH), F.lit(JSD_MAX_BIN)
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("long")
+        .alias("is_a"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).alias("n_b"),
+    )
+    spine = spark.range(0, JSD_MAX_BIN + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    full = spine.join(cells, "bin", "left").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    wall = Window.partitionBy()
+    n_bins = F.lit(JSD_MAX_BIN + 1)
+    p = (F.col("n_a") + F.lit(JSD_PC)).cast("double") / (
+        F.sum("n_a").over(wall) + F.lit(JSD_PC) * n_bins
+    ).cast("double")
+    q = (F.col("n_b") + F.lit(JSD_PC)).cast("double") / (
+        F.sum("n_b").over(wall) + F.lit(JSD_PC) * n_bins
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.round(
+        F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m), 9
+    ).cast("decimal(28,9)")
+    return (
+        full.select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(F.sum(term).over(wall).cast("double"), 6).alias("jsd"),
+        )
+        .orderBy("bin")
+    )
+
+
+EXTRA_QUERIES["q214_js_divergence"] = q214_js_divergence
+EXTRA_ORACLE["q214_js_divergence"] = f"""
+    WITH binned AS (
+        SELECT LEAST(FLOOR(n_chars / {JSD_BIN_WIDTH}), {JSD_MAX_BIN})::INT AS bin,
+               CASE WHEN CAST(SUBSTR(source, 4, 10) AS INT) % 2 = 0
+                    THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ), cells AS (
+        SELECT bin, CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b
+        FROM binned GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(RANGE(0, {JSD_MAX_BIN + 1}))::INT AS bin
+    ), full_ AS (
+        SELECT s.bin, CAST(COALESCE(c.n_a, 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(c.n_b, 0) AS BIGINT) AS n_b
+        FROM spine s LEFT JOIN cells c USING (bin)
+    ), scored AS (
+        SELECT bin, n_a, n_b,
+               (n_a + {JSD_PC})::DOUBLE
+                   / (SUM(n_a) OVER () + {JSD_PC} * {JSD_MAX_BIN + 1})::DOUBLE AS p,
+               (n_b + {JSD_PC})::DOUBLE
+                   / (SUM(n_b) OVER () + {JSD_PC} * {JSD_MAX_BIN + 1})::DOUBLE AS q
+        FROM full_
+    )
+    SELECT bin, n_a, n_b,
+           ROUND(CAST(SUM(CAST(ROUND(
+               0.5 * p * LN(p / ((p + q) / 2.0))
+               + 0.5 * q * LN(q / ((p + q) / 2.0)), 9)
+               AS DECIMAL(28,9))) OVER () AS DOUBLE), 6) AS jsd
+    FROM scored
+    ORDER BY bin
+"""
+
+
+QN_BUCKET = 32  # value-range bucket width for the distributed rank
+
+
+def q215_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    GLOBAL length distribution (the cross-source feature-alignment
+    step before mixing corpora): each doc maps to the global value at
+    the same relative rank, x → global[ceil(r·N/n_s)] (nearest-rank
+    definition, all-integer ceil math so both engines floor-div
+    identically). The global order statistic is computed WITHOUT a
+    single-partition sort: values bucket by fixed range (n_chars/32),
+    per-bucket counts prefix-sum on the tiny bucket-grain frame, and
+    row_number runs PARTITIONED by bucket plus the bucket offset —
+    the standard distributed exact-rank decomposition, so no window
+    ever sees the whole corpus in one task. Output is the per-source
+    summary (exact integer sums; one final division), pinning every
+    mapped rank through the means."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    bucketed = docs.withColumn(
+        "b", F.floor(F.col("n_chars") / QN_BUCKET).cast("long")
+    )
+    bcnt = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.select(
+        "b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off")
+    )
+    tot = bcnt.agg(F.sum("bn").cast("long").alias("n_tot"))
+    wr = Window.partitionBy("b").orderBy("n_chars", "doc_id")
+    glob = (
+        bucketed.join(offs, "b")
+        .select(
+            F.col("n_chars").alias("g_val"),
+            (F.row_number().over(wr) + F.col("off")).cast("long").alias("grank"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(ws).cast("long").alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "gi",
+            F.expr("(r * n_tot + n_s - 1) div n_s"),
+        )
+    )
+    mapped = ranked.join(glob, F.col("gi") == F.col("grank"))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("g_val").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTRA_QUERIES["q215_quantile_normalization"] = q215_quantile_normalization
+EXTRA_ORACLE["q215_quantile_normalization"] = """
+    WITH gl AS (
+        SELECT n_chars AS g_val,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS grank
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        FROM documents
+    ), mapped AS (
+        SELECT r.source, r.n_chars, g.g_val
+        FROM ranked r
+        CROSS JOIN tot t
+        JOIN gl g ON g.grank = (r.r * t.n_tot + r.n_s - 1) // r.n_s
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS BIGINT)::DOUBLE / COUNT(*), 6)
+               AS mean_raw,
+           ROUND(CAST(SUM(g_val) AS BIGINT)::DOUBLE / COUNT(*), 6)
+               AS mean_norm
+    FROM mapped
+    GROUP BY source
+    ORDER BY source
+"""
