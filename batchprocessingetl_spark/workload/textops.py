@@ -2200,3 +2200,89 @@ _ORACLE_ALL["q205_cohens_kappa"] = f"""
 
 EXTRA_QUERIES["q205_cohens_kappa"] = q205_cohens_kappa
 EXTRA_ORACLE["q205_cohens_kappa"] = _ORACLE_ALL["q205_cohens_kappa"]
+
+
+ZIPF_TOP = 500
+
+
+def q216_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS
+    of ln(freq) on ln(rank) over the top-500 terms — the sanity probe
+    that a crawl slice is natural language (slope ≈ −1) rather than
+    boilerplate spam (flat head) or key-value noise (cliff). The
+    explode/hash-agg word count is the only fact pass; the rank window
+    runs on the vocab-grain frame with a deterministic (freq DESC,
+    term ASC) order. ln() points round to 9dp, every sufficient
+    statistic (Sx, Sy, Sxx, Sxy, Syy) accumulates in DECIMAL from
+    9dp-rounded terms, and slope/intercept/r² are closed-form doubles
+    of those exact sums — order-independent, cross-engine identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    top = tf.select("cnt", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9)
+    y = F.round(F.log(F.col("cnt").cast("double")), 9)
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    sums = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.sum(dec(y * y)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return sums.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+_ORACLE_ALL["q216_zipf_slope"] = f"""
+    WITH tf AS (
+        SELECT t.term, COUNT(*) AS cnt
+        FROM documents d,
+             UNNEST({T_ops.TOKENS_SQL_DUCKDB.format(col='d.text')}) AS t(term)
+        GROUP BY 1
+    ), top AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        FROM tf
+        QUALIFY rank <= {ZIPF_TOP}
+    ), pts AS (
+        SELECT ROUND(LN(rank::DOUBLE), 9) AS x, ROUND(LN(cnt::DOUBLE), 9) AS y
+        FROM top
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n::DOUBLE, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+"""
+
+EXTRA_QUERIES["q216_zipf_slope"] = q216_zipf_slope
+EXTRA_ORACLE["q216_zipf_slope"] = _ORACLE_ALL["q216_zipf_slope"]
