@@ -3302,3 +3302,69 @@ def _q190_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q190_trade_reach_bfs"] = q190_trade_reach_bfs
 EXTRA_ORACLE["q190_trade_reach_bfs"] = _q190_oracle_sql(BFS_HOPS)
+
+
+AA_TOP = 20
+
+
+def q217_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the order–part bipartite
+    graph: score a candidate part pair by Σ 1/ln(deg(order)) over the
+    orders they share — rare shared baskets (small orders) count more
+    than promiscuous ones, the classic common-neighbor refinement used
+    to predict the NEXT co-purchase edge. Same shape discipline as
+    q110's basket mining: the within-order self-join is keyed on the
+    basket id, so pair fan-out is Σ C(width,2), bounded by basket
+    width, never corpus²; single-part orders are pruned BEFORE the
+    join (they cannot form pairs and would divide by ln 1). Each
+    1/ln(deg) term rounds to 9dp and accumulates in DECIMAL; the final
+    top-20 is a total order (score DESC, part_a, part_b) so LIMIT is
+    deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    deg = baskets.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("deg"))
+    wide = baskets.join(deg.filter(F.col("deg") >= 2), "l_orderkey")
+    a = wide.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a"), "deg"
+    )
+    b = wide.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9).cast(
+        "decimal(28,9)"
+    )
+    return (
+        pairs.withColumn("term", term)
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("term").cast("double"), 6).alias("aa"),
+        )
+        .orderBy(F.desc("aa"), "part_a", "part_b")
+        .limit(AA_TOP)
+    )
+
+
+_ORACLE_ALL["q217_adamic_adar"] = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+        SELECT l_orderkey, COUNT(*) AS deg FROM baskets GROUP BY 1
+        HAVING COUNT(*) >= 2
+    ), wide AS (
+        SELECT b.l_orderkey, b.l_partkey, d.deg
+        FROM baskets b JOIN deg d USING (l_orderkey)
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(a.deg::DOUBLE), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE), 6) AS aa
+    FROM wide a
+    JOIN wide b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY aa DESC, part_a, part_b
+    LIMIT {AA_TOP}
+"""
+
+EXTRA_QUERIES["q217_adamic_adar"] = q217_adamic_adar
+EXTRA_ORACLE["q217_adamic_adar"] = _ORACLE_ALL["q217_adamic_adar"]

@@ -1178,3 +1178,193 @@ _ORACLE_ALL["q213_decision_stump"] = f"""
 
 EXTRA_QUERIES["q213_decision_stump"] = q213_decision_stump
 EXTRA_ORACLE["q213_decision_stump"] = _ORACLE_ALL["q213_decision_stump"]
+
+
+OOF_FOLDS = 5
+OOF_SEED = "oofenc"
+
+
+def q218_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — q210's m-estimate encoder made
+    leakage-safe for training: rows are dealt into 5 folds by an
+    md5 hash of the ORDER key (whole orders stay in one fold, the
+    group-consistent deal), and the encoding a fold sees is computed
+    from the OTHER folds only: enc(b,f) = ((pos_b − pos_bf)·N_¬f +
+    m·(Sy − y_f)) / (N_¬f·((n_b − n_bf) + m)). One fact-scan hash
+    aggregate to the |brands|×|folds| cell frame; brand, fold, and
+    global totals are windows over that tiny frame; the encoder is a
+    single cross-multiplied integer division per cell."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(OOF_SEED + ":"),
+                        F.col("l_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % OOF_FOLDS
+    ).cast("int")
+    labeled = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        fold.alias("fold"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    cells = labeled.groupBy("p_brand", "fold").agg(
+        F.count(F.lit(1)).alias("n_bf"), F.sum("y").alias("pos_bf")
+    )
+    wb = Window.partitionBy("p_brand")
+    wf = Window.partitionBy("fold")
+    wall = Window.partitionBy()
+    framed = cells.select(
+        "p_brand",
+        "fold",
+        "n_bf",
+        F.sum("n_bf").over(wb).alias("n_b"),
+        F.sum("pos_bf").over(wb).alias("pos_b"),
+        F.col("pos_bf").alias("pos_bf_"),
+        F.sum("n_bf").over(wf).alias("n_f"),
+        F.sum("pos_bf").over(wf).alias("y_f"),
+        F.sum("n_bf").over(wall).alias("big_n"),
+        F.sum("pos_bf").over(wall).alias("sy"),
+    )
+    n_nf = F.col("big_n") - F.col("n_f")
+    enc = (
+        (
+            (F.col("pos_b") - F.col("pos_bf_")) * n_nf
+            + F.lit(TE_SMOOTH_M) * (F.col("sy") - F.col("y_f"))
+        ).cast("double")
+        / (n_nf * ((F.col("n_b") - F.col("n_bf")) + F.lit(TE_SMOOTH_M))).cast(
+            "double"
+        )
+    )
+    return framed.select(
+        "p_brand",
+        "fold",
+        F.col("n_bf").alias("n"),
+        F.round(enc, 6).alias("enc_oof"),
+    ).orderBy("p_brand", "fold")
+
+
+_ORACLE_ALL["q218_oof_target_encoding"] = f"""
+    WITH labeled AS (
+        SELECT p.p_brand,
+               CAST(('0x' || substr(md5('{OOF_SEED}:' || l.l_orderkey::VARCHAR),
+                                    1, 15))::BIGINT % {OOF_FOLDS} AS INT) AS fold,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), cells AS (
+        SELECT p_brand, fold, CAST(COUNT(*) AS BIGINT) AS n_bf,
+               CAST(SUM(y) AS BIGINT) AS pos_bf
+        FROM labeled GROUP BY 1, 2
+    ), framed AS (
+        SELECT p_brand, fold, n_bf, pos_bf,
+               SUM(n_bf) OVER (PARTITION BY p_brand) AS n_b,
+               SUM(pos_bf) OVER (PARTITION BY p_brand) AS pos_b,
+               SUM(n_bf) OVER (PARTITION BY fold) AS n_f,
+               SUM(pos_bf) OVER (PARTITION BY fold) AS y_f,
+               SUM(n_bf) OVER () AS big_n,
+               SUM(pos_bf) OVER () AS sy
+        FROM cells
+    )
+    SELECT p_brand, fold, n_bf AS n,
+           ROUND(((pos_b - pos_bf) * (big_n - n_f)
+                  + {TE_SMOOTH_M} * (sy - y_f))::DOUBLE
+                 / ((big_n - n_f) * ((n_b - n_bf) + {TE_SMOOTH_M}))::DOUBLE,
+                 6) AS enc_oof
+    FROM framed
+    ORDER BY p_brand, fold
+"""
+
+EXTRA_QUERIES["q218_oof_target_encoding"] = q218_oof_target_encoding
+EXTRA_ORACLE["q218_oof_target_encoding"] = _ORACLE_ALL["q218_oof_target_encoding"]
+
+
+MOM_SCALE = 1_000_000  # price scaled to ~[0, 0.6] before power sums
+
+
+def q219_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment skewness and excess kurtosis of order price
+    from raw power sums — the one-pass mergeable moment pipeline
+    (Σz, Σz², Σz³, Σz⁴ with z = price/1e6 so z⁴ stays O(0.1) and the
+    12dp-rounded terms accumulate exactly in DECIMAL): central moments
+    come from the standard raw→central identities, and m2^1.5 is
+    written m2·sqrt(m2) because IEEE sqrt is correctly rounded on both
+    engines (pow(x,1.5) is not). One fact-scan hash aggregate; no
+    windows, no second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    z = (F.col("o_totalprice").cast("double") / F.lit(float(MOM_SCALE))).alias(
+        "z"
+    )
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", z)
+    dec = lambda col: F.round(col, 12).cast("decimal(28,12)")  # noqa: E731
+    zc = F.col("z")
+    sums = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(zc)).cast("double").alias("s1"),
+        F.sum(dec(zc * zc)).cast("double").alias("s2"),
+        F.sum(dec(zc * zc * zc)).cast("double").alias("s3"),
+        F.sum(dec(zc * zc * zc * zc)).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * F.col("s2") / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * F.col("s3") / n
+        + F.lit(6.0) * mu * mu * F.col("s2") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        F.round(mu * F.lit(float(MOM_SCALE)), 4).alias("mean_price"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
+    ).orderBy("c_mktsegment")
+
+
+_ORACLE_ALL["q219_group_moments"] = f"""
+    WITH base AS (
+        SELECT c.c_mktsegment,
+               o.o_totalprice::DOUBLE / {MOM_SCALE} AS z
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sums AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(z, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(ROUND(z*z, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(ROUND(z*z*z, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(ROUND(z*z*z*z, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s4
+        FROM base GROUP BY 1
+    )
+    SELECT c_mktsegment, n,
+           ROUND((s1 / n) * {MOM_SCALE}, 4) AS mean_price,
+           ROUND((s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n))
+                    * SQRT(s2/n - (s1/n)*(s1/n))), 6) AS skewness,
+           ROUND((s4/n - 4.0*(s1/n)*s3/n + 6.0*(s1/n)*(s1/n)*s2/n
+                  - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0,
+                 6) AS kurtosis
+    FROM sums
+    ORDER BY c_mktsegment
+"""
+
+EXTRA_QUERIES["q219_group_moments"] = q219_group_moments
+EXTRA_ORACLE["q219_group_moments"] = _ORACLE_ALL["q219_group_moments"]
