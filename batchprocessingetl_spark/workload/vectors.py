@@ -284,7 +284,7 @@ _COS = """
 """
 
 _Q50_SQL = f"""
-        WITH q AS (
+        WITH q AS MATERIALIZED (
             SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
             FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
         ), e AS (
@@ -368,7 +368,7 @@ ORACLE = {
         WITH p AS (
             SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pv
             FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
-        ), q AS (
+        ), q AS MATERIALIZED (
             SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
             FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
         ), e AS (
@@ -864,3 +864,133 @@ def _q192_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q192_mmr_rerank"] = q192_mmr_rerank
 EXTRA_ORACLE["q192_mmr_rerank"] = _q192_oracle_sql(MMR_K)
+
+
+PCA_QS = 10_000  # float -> fixed-point quantization of embedding entries
+PCA_GS = 100_000  # max-norm scale of the normalized Gram
+PCA_VS = 1_000_000  # max-norm scale of the iterated eigenvector
+PCA_STEPS = 8
+
+
+def q220_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration on the Gram matrix — the dimensionality probe an ANN
+    pipeline runs to pick projection/IVF axes. All arithmetic is
+    FIXED-POINT INTEGER (the q185/q187 replayability discipline):
+    entries quantize to round-half-up ints, the d×d Gram accumulates
+    EXACT integer products in one hash aggregate (the only pass that
+    touches vectors; the d² fan-out per vector is the standard Gram
+    shuffle), the Gram max-normalizes once, and 8 matvec steps run on
+    the 4096-row frame with sign-split non-negative floor divisions
+    (Spark `div` truncates / DuckDB `//` floors — identical only when
+    operands are non-negative, so |w| and the max-norm divide, the
+    sign multiplies back). Overflow is bounded by construction:
+    |G'|≤1e5, |v|≤1e6, d=64 → |Σ g'·v|·VS ≤ 6.4e18 < 2^63."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * PCA_QS + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    a = q.select("vec_id", F.col("i").alias("gi"), F.col("q").alias("qa"))
+    b = q.select("vec_id", F.col("i").alias("gj"), F.col("q").alias("qb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("gi", "gj")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("g"))
+    )
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("m"))
+    gn = barrier(
+        gram.crossJoin(F.broadcast(gmax)).select(
+            "gi",
+            "gj",
+            (
+                F.when(F.col("g") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(f"(abs(g) * {PCA_GS}) div m")
+            ).alias("g_s"),
+        )
+    )
+    v = gn.select(F.col("gi").alias("t")).distinct().select(
+        "t", F.lit(PCA_VS).cast("long").alias("v_s")
+    )
+    for _ in range(PCA_STEPS):
+        w = (
+            gn.join(v, gn["gj"] == v["t"])
+            .groupBy(F.col("gi").alias("t2"))
+            .agg(F.sum(F.col("g_s") * F.col("v_s")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            F.col("t2").alias("t"),
+            (
+                F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(f"(abs(w) * {PCA_VS}) div m")
+            ).alias("v_s"),
+        )
+    return v.select(
+        F.col("t").alias("dim"),
+        F.col("v_s").alias("loading_scaled"),
+        F.round(F.col("v_s") / F.lit(float(PCA_VS)), 6).alias("loading"),
+    ).orderBy("dim")
+
+
+def _q220_oracle_sql(k: int) -> str:
+    """Unrolled k-step fixed-point power iteration on the normalized
+    Gram (DuckDB twin of q220; generate_subscripts replays posexplode
+    since this DuckDB lacks WITH ORDINALITY)."""
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(FLOOR(unnest(embedding)::DOUBLE * {PCA_QS} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), gram AS MATERIALIZED (
+        SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM q a JOIN q b USING (vec_id)
+        GROUP BY 1, 2
+    ), gmax AS MATERIALIZED (
+        SELECT MAX(ABS(g)) AS m FROM gram
+    ), gn AS MATERIALIZED (
+        SELECT gi, gj,
+               CAST((CASE WHEN g < 0 THEN -1 ELSE 1 END)
+                    * ((ABS(g) * {PCA_GS}) // m) AS BIGINT) AS g_s
+        FROM gram, gmax
+    ), v_0 AS MATERIALIZED (
+        SELECT DISTINCT gi AS t, CAST({PCA_VS} AS BIGINT) AS v_s FROM gn
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", w_{r} AS MATERIALIZED (
+        SELECT gn.gi AS t, CAST(SUM(gn.g_s * v.v_s) AS BIGINT) AS w
+        FROM gn JOIN v_{r - 1} v ON gn.gj = v.t
+        GROUP BY 1
+    ), m_{r} AS MATERIALIZED (
+        SELECT MAX(ABS(w)) AS m FROM w_{r}
+    ), v_{r} AS MATERIALIZED (
+        SELECT t,
+               CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                    * ((ABS(w) * {PCA_VS}) // m) AS BIGINT) AS v_s
+        FROM w_{r}, m_{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t AS dim, v_s AS loading_scaled,
+           ROUND(v_s / CAST({PCA_VS} AS DOUBLE), 6) AS loading
+    FROM v_{k}
+    ORDER BY dim"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q220_pca_power_iteration"] = q220_pca_power_iteration
+EXTRA_ORACLE["q220_pca_power_iteration"] = _q220_oracle_sql(PCA_STEPS)

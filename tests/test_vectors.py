@@ -457,3 +457,42 @@ def test_mmr_prefers_diverse_over_redundant(spark, tmp_path, monkeypatch):
     assert picked[0] == 1
     assert picked[1] == 3
     assert 2 not in picked[:2]
+
+
+def test_pca_power_iteration_matches_integer_replay(spark):
+    """q220's fixed-point power iteration must equal an independent
+    numpy integer replay of the same recurrence (quantize, exact Gram,
+    max-norm scale with sign-split floor division, 8 matvec steps) —
+    bit for bit. The sf0.001 corpus is isotropic (no eigengap), so the
+    pin is recurrence replayability, not eigenvector convergence; the
+    overflow bound |sum g_s*v_s|*1 <= 64*1e5*1e6 < 2^63 holds by
+    construction."""
+    import numpy as np
+
+    from batchprocessingetl_spark.workload.vectors import (
+        PCA_QS,
+        PCA_GS,
+        PCA_VS,
+        PCA_STEPS,
+        q220_pca_power_iteration,
+    )
+
+    out = q220_pca_power_iteration(spark, SF_SMOKE).collect()
+    v = np.array(
+        [r["loading_scaled"] for r in sorted(out, key=lambda r: r["dim"])],
+        dtype=np.int64,
+    )
+    assert np.max(np.abs(v)) == PCA_VS
+
+    x = np.array(
+        [r["embedding"] for r in load_table(spark, SF_SMOKE, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(x * PCA_QS + 0.5).astype(np.int64)
+    g = q.T @ q
+    gs = np.sign(g) * (np.abs(g) * PCA_GS // np.max(np.abs(g)))
+    ref = np.full(gs.shape[0], PCA_VS, dtype=np.int64)
+    for _ in range(PCA_STEPS):
+        w = gs @ ref
+        ref = np.sign(w) * (np.abs(w) * PCA_VS // np.max(np.abs(w)))
+    assert np.array_equal(v, ref)
