@@ -1899,3 +1899,82 @@ EXTRA_ORACLE["q215_quantile_normalization"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+KANON_K = 5  # re-identification threshold
+KANON_BAND = 50_000  # acctbal band width in cents ($500)
+KANON_SHIFT = 100_000_000  # +$1M in cents keeps banded balances non-negative
+
+
+def q224_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier (nation, $500 account-balance band) with market
+    segment as the sensitive attribute — the disclosure-risk check run
+    before releasing a "pseudonymized" extract (companion to q109's DP
+    release: q109 perturbs, this measures whether suppression is even
+    needed). Banding shifts balances into the non-negative range
+    before the integer floor-div so Spark `div` (truncating) and
+    DuckDB `//` (flooring) agree. The whole audit is two hash
+    aggregates (QI-class stats, then the one-row rollup): k_min, how
+    many classes/rows fall below k=5, and the l-diversity floor —
+    classes with l=1 leak the sensitive value exactly even when k
+    holds."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            f"(cast(c_acctbal * 100 as bigint) + {KANON_SHIFT}) div {KANON_BAND}"
+        ).alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    classes = cust.groupBy("nation", "bal_band").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("sensitive").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("k") < KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("k") < KANON_K, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.round(
+            F.sum(F.when(F.col("k") < KANON_K, F.col("k")).otherwise(F.lit(0)))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("rows_below_k_frac"),
+        F.min("l").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_leaking_sensitive"),
+    )
+
+
+EXTRA_ORACLE["q224_k_anonymity_audit"] = f"""
+    WITH cust AS (
+        SELECT c_nationkey AS nation,
+               (CAST(c_acctbal * 100 AS BIGINT) + {KANON_SHIFT}) // {KANON_BAND}
+                   AS bal_band,
+               c_mktsegment AS sensitive
+        FROM customer
+    ), classes AS (
+        SELECT nation, bal_band, COUNT(*) AS k,
+               COUNT(DISTINCT sensitive) AS l
+        FROM cust GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN k < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(SUM(CASE WHEN k < {KANON_K} THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           ROUND(SUM(CASE WHEN k < {KANON_K} THEN k ELSE 0 END)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS rows_below_k_frac,
+           CAST(MIN(l) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_leaking_sensitive
+    FROM classes
+"""
+
+EXTRA_QUERIES["q224_k_anonymity_audit"] = q224_k_anonymity_audit

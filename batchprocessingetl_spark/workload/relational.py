@@ -3368,3 +3368,116 @@ _ORACLE_ALL["q217_adamic_adar"] = f"""
 
 EXTRA_QUERIES["q217_adamic_adar"] = q217_adamic_adar
 EXTRA_ORACLE["q217_adamic_adar"] = _ORACLE_ALL["q217_adamic_adar"]
+
+
+CF_MIN_CO = 3
+CF_TOP_PER_ITEM = 3
+
+
+def q221_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts over the customer-incidence matrix (the classic "customers
+    who bought X also bought Y" recommender precompute). Incidence is
+    the DISTINCT (custkey, partkey) set, so repeat purchases don't
+    inflate similarity; co-occurrence comes from the within-customer
+    self-join keyed on custkey — pair fan-out is Σ C(width,2) bounded
+    by per-customer catalog breadth (a data constant in TPC-H-shaped
+    data), never items². An a-priori support floor (co >= CF_MIN_CO)
+    prunes the long tail before normalization, and cosine =
+    co/sqrt(n_a·n_b) reads item degrees from a broadcastable per-item
+    frame. Per-item top-3 is a row_number over (rounded cosine DESC,
+    neighbor ASC) — a total order, so results are deterministic
+    cross-engine. Reference analog: the reference's dashboard joins
+    stop at one-hop sales rollups; this is the two-hop co-engagement
+    the same star schema supports."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    deg = inc.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
+    a = inc.select("cust", F.col("item").alias("item_a"))
+    b = inc.select("cust", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= CF_MIN_CO)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "co",
+        )
+    )
+    da = deg.select(F.col("item").alias("item_a"), F.col("n_u").alias("n_a"))
+    db = deg.select(F.col("item").alias("item_b"), F.col("n_u").alias("n_b"))
+    scored = (
+        sym.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            F.round(
+                F.col("co")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("cosine"), F.col("item_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CF_TOP_PER_ITEM)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("rk").alias("rank"),
+            F.col("item_b").alias("neighbor"),
+            F.col("co").alias("n_common"),
+            "cosine",
+        )
+        .orderBy("item", "rank")
+    )
+
+
+_ORACLE_ALL["q221_itemitem_cf"] = f"""
+    WITH inc AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT item, COUNT(*) AS n_u FROM inc GROUP BY 1
+    ), co AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+        FROM inc a JOIN inc b ON a.cust = b.cust AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {CF_MIN_CO}
+    ), sym AS (
+        SELECT item_a, item_b, co FROM co
+        UNION ALL
+        SELECT item_b, item_a, co FROM co
+    ), scored AS (
+        SELECT s.item_a, s.item_b, s.co,
+               ROUND(s.co / SQRT(da.n_u::DOUBLE * db.n_u), 6) AS cosine
+        FROM sym s
+        JOIN deg da ON da.item = s.item_a
+        JOIN deg db ON db.item = s.item_b
+    ), ranked AS (
+        SELECT item_a, item_b, co, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item_a ORDER BY cosine DESC, item_b
+               ) AS rk
+        FROM scored
+    )
+    SELECT item_a AS item, CAST(rk AS INTEGER) AS rank,
+           item_b AS neighbor, CAST(co AS BIGINT) AS n_common, cosine
+    FROM ranked WHERE rk <= {CF_TOP_PER_ITEM}
+    ORDER BY item, rank
+"""
+
+EXTRA_QUERIES["q221_itemitem_cf"] = q221_itemitem_cf
+EXTRA_ORACLE["q221_itemitem_cf"] = _ORACLE_ALL["q221_itemitem_cf"]

@@ -1368,3 +1368,138 @@ _ORACLE_ALL["q219_group_moments"] = f"""
 
 EXTRA_QUERIES["q219_group_moments"] = q219_group_moments
 EXTRA_ORACLE["q219_group_moments"] = _ORACLE_ALL["q219_group_moments"]
+
+
+CONF_FOLDS = 5  # fold 0 calibrates, folds 1..4 are the held-out test
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 target coverage
+CONF_BUCKET = 100_000  # $1000 score buckets for the distributed exact rank
+
+
+def q223_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit: calibrate a nonconformity
+    threshold on a deterministic 20% split and measure empirical
+    coverage of the resulting prediction band on the other 80% — the
+    distribution-free guarantee check a model-serving pipeline runs
+    before shipping score bands. Everything stays in INTEGER CENTS so
+    both engines agree bit-for-bit: the per-priority "model" is the
+    floor-div mean of calibration totalprice, nonconformity is
+    |price - pred|, the threshold is the exact k-th smallest
+    calibration score with k = ceil((n+1)·9/10) (the finite-sample
+    conformal rank), and the k-th order statistic is found with the
+    q215 decomposition — fixed-range buckets, prefix-summed offsets on
+    the bucket-grain frame, and a row_number PARTITIONED by the one
+    target bucket — so no task ever sorts more than one value-range
+    bucket of the fact table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("conf:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CONF_FOLDS
+        ).alias("fold"),
+    )
+    calib = orders.filter(F.col("fold") == 0)
+    test = orders.filter(F.col("fold") != 0)
+    model = calib.groupBy("o_orderpriority").agg(
+        F.expr("sum(cents) div count(1)").cast("long").alias("pred")
+    )
+    c_sc = calib.join(F.broadcast(model), "o_orderpriority").select(
+        F.abs(F.col("cents") - F.col("pred")).alias("score")
+    )
+    t_sc = test.join(F.broadcast(model), "o_orderpriority").select(
+        F.abs(F.col("cents") - F.col("pred")).alias("score")
+    )
+    n_calib = c_sc.agg(F.count(F.lit(1)).cast("long").alias("n_calib"))
+    kk = n_calib.select(
+        "n_calib",
+        F.expr(
+            f"(( (n_calib + 1) * {CONF_ALPHA_NUM} ) + {CONF_ALPHA_DEN} - 1)"
+            f" div {CONF_ALPHA_DEN}"
+        ).alias("k"),
+    )
+    bucketed = c_sc.withColumn("b", F.expr(f"score div {CONF_BUCKET}"))
+    bcnt = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.select("b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"))
+    target = (
+        offs.crossJoin(F.broadcast(kk))
+        .filter((F.col("off") < F.col("k")))
+        .join(bcnt, "b")
+        .filter(F.col("k") <= F.col("off") + F.col("bn"))
+        .select("b", "off", "k", "n_calib")
+    )
+    wr = Window.partitionBy("b").orderBy("score")
+    qhat = (
+        bucketed.join(F.broadcast(target.select("b", "off", "k")), "b")
+        .withColumn("rk", F.row_number().over(wr) + F.col("off"))
+        .filter(F.col("rk") == F.col("k"))
+        .select(F.col("score").alias("qhat"))
+    )
+    cov = t_sc.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("covered"),
+        F.max("qhat").alias("qhat_cents"),
+    )
+    return cov.crossJoin(F.broadcast(kk)).select(
+        "n_calib",
+        F.col("k").alias("conformal_rank"),
+        "qhat_cents",
+        "n_test",
+        "covered",
+        F.round(F.col("covered") / F.col("n_test").cast("double"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+_ORACLE_ALL["q223_conformal_coverage"] = f"""
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice * 100 AS BIGINT) AS cents,
+               ('0x' || substr(md5('conf:' || o_orderkey::VARCHAR), 1, 15))::BIGINT
+                   % {CONF_FOLDS} AS fold
+        FROM orders
+    ), model AS (
+        SELECT o_orderpriority, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+        FROM o WHERE fold = 0 GROUP BY 1
+    ), c_sc AS (
+        SELECT ABS(o.cents - m.pred) AS score
+        FROM o JOIN model m USING (o_orderpriority) WHERE o.fold = 0
+    ), t_sc AS (
+        SELECT ABS(o.cents - m.pred) AS score
+        FROM o JOIN model m USING (o_orderpriority) WHERE o.fold <> 0
+    ), kk AS (
+        SELECT COUNT(*) AS n_calib,
+               ((COUNT(*) + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN} - 1)
+                   // {CONF_ALPHA_DEN} AS k
+        FROM c_sc
+    ), ranked AS (
+        SELECT score, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM c_sc
+    ), qhat AS (
+        SELECT r.score AS qhat FROM ranked r JOIN kk ON r.rn = kk.k
+    )
+    SELECT CAST(kk.n_calib AS BIGINT) AS n_calib,
+           CAST(kk.k AS BIGINT) AS conformal_rank,
+           CAST(q.qhat AS BIGINT) AS qhat_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS covered,
+           ROUND(SUM(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+    FROM t_sc t, qhat q, kk
+    GROUP BY kk.n_calib, kk.k, q.qhat
+"""
+
+EXTRA_QUERIES["q223_conformal_coverage"] = q223_conformal_coverage
+EXTRA_ORACLE["q223_conformal_coverage"] = _ORACLE_ALL["q223_conformal_coverage"]

@@ -2286,3 +2286,84 @@ _ORACLE_ALL["q216_zipf_slope"] = f"""
 
 EXTRA_QUERIES["q216_zipf_slope"] = q216_zipf_slope
 EXTRA_ORACLE["q216_zipf_slope"] = _ORACLE_ALL["q216_zipf_slope"]
+
+
+FH_BITS = 12  # 2^12 = 4096 hash buckets
+
+
+def q222_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: map every
+    distinct corpus term to one of 2^FH_BITS buckets with an
+    engine-independent md5 hash and report what the trick costs — how
+    many terms collide, how much document-frequency mass lands in
+    shared buckets, and the heaviest bucket's term count. This is the
+    audit run before fixing a hashed-feature width for a linear model
+    over a 100 TB corpus: everything is two hash aggregates (term df,
+    then bucket rollup), no windows, no sort beyond the one-row
+    output. The vocabulary frame the buckets aggregate is already
+    sublinear in the corpus (Heaps' law), so the audit's cost is the
+    tokenize scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode(T_ops.tokens(F.col("text"))).alias("tok"), "doc_id"
+        )
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    bucketed = terms.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        % (2**FH_BITS),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("df_mass"),
+    )
+    return per_bucket.agg(
+        F.sum("n_terms").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        (F.sum("n_terms") - F.count(F.lit(1))).cast("long").alias("colliding_terms"),
+        F.max("n_terms").cast("long").alias("max_bucket_terms"),
+        F.sum("df_mass").cast("long").alias("df_mass_total"),
+        F.sum(F.when(F.col("n_terms") >= 2, F.col("df_mass")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("df_mass_shared"),
+        F.round(
+            F.sum(F.when(F.col("n_terms") >= 2, F.col("df_mass")).otherwise(F.lit(0)))
+            / F.sum("df_mass").cast("double"),
+            6,
+        ).alias("shared_mass_frac"),
+    )
+
+
+_ORACLE_ALL["q222_feature_hash_audit"] = f"""
+    WITH terms AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        )
+        GROUP BY 1
+    ), bucketed AS (
+        SELECT tok, df,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {2**FH_BITS} AS bucket
+        FROM terms
+    ), per_bucket AS (
+        SELECT bucket, COUNT(*) AS n_terms, SUM(df) AS df_mass
+        FROM bucketed GROUP BY 1
+    )
+    SELECT CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           CAST(SUM(n_terms) - COUNT(*) AS BIGINT) AS colliding_terms,
+           CAST(MAX(n_terms) AS BIGINT) AS max_bucket_terms,
+           CAST(SUM(df_mass) AS BIGINT) AS df_mass_total,
+           CAST(SUM(CASE WHEN n_terms >= 2 THEN df_mass ELSE 0 END) AS BIGINT)
+               AS df_mass_shared,
+           ROUND(SUM(CASE WHEN n_terms >= 2 THEN df_mass ELSE 0 END)
+                 / CAST(SUM(df_mass) AS DOUBLE), 6) AS shared_mass_frac
+    FROM per_bucket
+"""
+
+EXTRA_QUERIES["q222_feature_hash_audit"] = q222_feature_hash_audit
+EXTRA_ORACLE["q222_feature_hash_audit"] = _ORACLE_ALL["q222_feature_hash_audit"]
