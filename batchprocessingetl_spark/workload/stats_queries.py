@@ -1503,3 +1503,106 @@ _ORACLE_ALL["q223_conformal_coverage"] = f"""
 
 EXTRA_QUERIES["q223_conformal_coverage"] = q223_conformal_coverage
 EXTRA_ORACLE["q223_conformal_coverage"] = _ORACLE_ALL["q223_conformal_coverage"]
+
+
+BENFORD_SCALE = 10**9  # fixed-point scale for the expected-frequency table
+
+
+def q226_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totalprice — the
+    data-quality / fraud screen run over financial fact columns:
+    compare the observed leading-digit distribution against
+    log10(1 + 1/d) and report the chi-square distance. The leading
+    digit comes from string math (first char of the integer cents
+    magnitude) so both engines agree exactly; expected frequencies are
+    fixed-point constants computed once in Python (identical literals
+    in both plans, no cross-engine log divergence). One hash aggregate
+    over the facts, then a 9-row join against the broadcast constant
+    table."""
+    import math
+
+    exp_rows = [
+        (d, int(round(math.log10(1.0 + 1.0 / d) * BENFORD_SCALE)))
+        for d in range(1, 10)
+    ]
+    exp_df = spark.createDataFrame(exp_rows, "digit int, exp_s long").select(
+        "digit", (F.col("exp_s") / BENFORD_SCALE).alias("expected")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.abs((F.col("o_totalprice") * 100).cast("long")).cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("n_tot"))
+    scored = (
+        exp_df.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "expected",
+            "n_tot",
+        )
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_tot").cast("double"), 6).alias("observed"),
+            F.round("expected", 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("expected") * F.col("n_tot"), 2)
+                / (F.col("expected") * F.col("n_tot")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+    return scored.orderBy("digit")
+
+
+_ORACLE_ALL["q226_benford_audit"] = None  # set below with Python-computed constants
+
+
+def _q226_oracle_sql() -> str:
+    import math
+
+    vals = ", ".join(
+        f"({d}, {int(round(math.log10(1.0 + 1.0 / d) * BENFORD_SCALE))})"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH expct (digit, exp_s) AS (VALUES {vals}),
+    obs AS (
+        SELECT CAST(substr(CAST(ABS(CAST(o_totalprice * 100 AS BIGINT)) AS VARCHAR),
+                           1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1
+        HAVING CAST(substr(CAST(ABS(CAST(o_totalprice * 100 AS BIGINT)) AS VARCHAR),
+                           1, 1) AS INTEGER) >= 1
+    ), tot AS (
+        SELECT SUM(n) AS n_tot FROM obs
+    )
+    SELECT e.digit AS digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+           ROUND(COALESCE(o.n, 0) / CAST(t.n_tot AS DOUBLE), 6) AS observed,
+           ROUND(e.exp_s / CAST({BENFORD_SCALE} AS DOUBLE), 6) AS expected,
+           ROUND(POW(COALESCE(o.n, 0)
+                     - (e.exp_s / CAST({BENFORD_SCALE} AS DOUBLE)) * t.n_tot, 2)
+                 / ((e.exp_s / CAST({BENFORD_SCALE} AS DOUBLE)) * t.n_tot), 6)
+               AS chi2_term
+    FROM expct e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY digit
+"""
+
+
+_ORACLE_ALL["q226_benford_audit"] = _q226_oracle_sql()
+
+EXTRA_QUERIES["q226_benford_audit"] = q226_benford_audit
+EXTRA_ORACLE["q226_benford_audit"] = _ORACLE_ALL["q226_benford_audit"]

@@ -2367,3 +2367,318 @@ _ORACLE_ALL["q222_feature_hash_audit"] = f"""
 
 EXTRA_QUERIES["q222_feature_hash_audit"] = q222_feature_hash_audit
 EXTRA_ORACLE["q222_feature_hash_audit"] = _ORACLE_ALL["q222_feature_hash_audit"]
+
+
+BQ_BANDS, BQ_WIDTH = 4, 15  # 60-bit SimHash split into 4 x 15-bit blocking keys
+BQ_JACCARD_T = 0.2  # ground-truth near-dup threshold (q37's)
+
+
+def q225_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit: before trusting a banded-LSH dedup at
+    100 TB, measure what the BLOCKING step alone buys and loses —
+    pairs completeness (share of true near-duplicates whose members
+    share at least one SimHash band bucket) and reduction ratio (share
+    of the O(n²) pair space the blocker never generates). This is the
+    standard entity-resolution evaluation (candidates from the 4×15-bit
+    band join BEFORE any verify step; ground truth from the exact
+    n-gram Jaccard pair set at q37's threshold). Only the one-row
+    metric survives to the driver; the candidate set itself stays a
+    band equi-join, never a cross join. The O(n²) ground truth is
+    oracle-affordable only at test scale — at production scale the
+    audit runs on a fixed-size sampled slice, same plan."""
+    from batchprocessingetl_spark.operators.dedup import (
+        jaccard_pairs,
+        simhash60_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    mask = (1 << BQ_WIDTH) - 1
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * BQ_WIDTH)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(BQ_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_val")
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=BQ_JACCARD_T
+    ).select("id_a", "id_b")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    counts = (
+        cand.withColumn("is_cand", F.lit(1))
+        .join(truth.withColumn("is_true", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum("is_cand").cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_truth"),
+            F.sum(F.col("is_cand") * F.col("is_true")).cast("long").alias("n_hits"),
+        )
+    )
+    return counts.crossJoin(F.broadcast(n_docs)).select(
+        "n_docs",
+        F.expr("n_docs * (n_docs - 1) div 2").cast("long").alias("n_possible"),
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6))
+        .alias("completeness"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidates")
+            / F.expr("n_docs * (n_docs - 1) div 2").cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
+_ORACLE_ALL["q225_blocking_quality"] = f"""
+    WITH {_SIMHASH_SIG_CTES},
+    bands AS (
+        SELECT s.doc_id, i.i AS band_idx,
+               (s.simhash >> (i.i * {BQ_WIDTH})) & {(1 << BQ_WIDTH) - 1} AS band_val
+        FROM sig s CROSS JOIN (SELECT unnest(range(0, {BQ_BANDS})) AS i) i
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    ), sh AS (
+        SELECT doc_id AS id, {{shingles}} AS sh FROM documents
+    ), truth AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sh a, sh b
+        WHERE a.id < b.id
+          AND len(list_intersect(a.sh, b.sh)) > 0
+          AND len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+              >= {BQ_JACCARD_T}
+    ), joined AS (
+        SELECT COALESCE(c.ic, 0) AS is_cand, COALESCE(t.it, 0) AS is_true
+        FROM (SELECT id_a, id_b, 1 AS ic FROM cand) c
+        FULL OUTER JOIN (SELECT id_a, id_b, 1 AS it FROM truth) t
+          USING (id_a, id_b)
+    ), counts AS (
+        SELECT SUM(is_cand) AS n_candidates, SUM(is_true) AS n_truth,
+               SUM(is_cand * is_true) AS n_hits
+        FROM joined
+    ), nd AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(nd.n_docs * (nd.n_docs - 1) // 2 AS BIGINT) AS n_possible,
+           CAST(counts.n_candidates AS BIGINT) AS n_candidates,
+           CAST(counts.n_truth AS BIGINT) AS n_truth,
+           CAST(counts.n_hits AS BIGINT) AS n_hits,
+           CASE WHEN counts.n_truth = 0 THEN 1.0
+                ELSE ROUND(counts.n_hits / CAST(counts.n_truth AS DOUBLE), 6)
+           END AS completeness,
+           ROUND(1.0 - counts.n_candidates
+                 / CAST(nd.n_docs * (nd.n_docs - 1) // 2 AS DOUBLE), 6)
+               AS reduction_ratio
+    FROM counts, nd
+"""
+_ORACLE_ALL["q225_blocking_quality"] = _ORACLE_ALL["q225_blocking_quality"].replace(
+    "{shingles}", _SHINGLES_SQL.format(toks=_TOKENS_SQL)
+)
+
+EXTRA_QUERIES["q225_blocking_quality"] = q225_blocking_quality
+EXTRA_ORACLE["q225_blocking_quality"] = _ORACLE_ALL["q225_blocking_quality"]
+
+
+NB_FOLDS = 5  # md5 fold 0 is the held-out test split
+
+
+def q227_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND scored
+    entirely in-plan — the supervised twin of the heuristic lang-id:
+    token likelihoods with Laplace smoothing from the 80% train split,
+    log-scores for the held-out 20%, argmax prediction, and the
+    confusion matrix as output. Every log term is rounded to 9dp and
+    accumulated in DECIMAL(28,9) (the q217 discipline), so class
+    scores are exact integers-of-1e-9 on both engines and the argmax
+    (score DESC, class ASC — a total order) is deterministic
+    cross-engine. Shapes: the likelihood table is (class × vocab) —
+    vocab grows sublinearly (Heaps), classes are fixed — and scoring
+    is one posting-grain join against it; no window ever sees more
+    than one test document's five class rows. Test tokens outside the
+    train vocabulary are dropped (standard NB practice), so a test doc
+    with no in-vocab tokens is absent from the matrix on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % NB_FOLDS
+        ).alias("fold"),
+    )
+    posting = docs.select(
+        "doc_id", "lang", "fold", F.explode(T_ops.tokens(F.col("text"))).alias("tok")
+    ).groupBy("doc_id", "lang", "fold", "tok").agg(F.count(F.lit(1)).alias("c"))
+    train = posting.filter(F.col("fold") != 0)
+    test = posting.filter(F.col("fold") == 0)
+
+    tr_docs = docs.filter(F.col("fold") != 0)
+    n_tot = tr_docs.agg(F.count(F.lit(1)).alias("n_all"))
+    priors = (
+        tr_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("lang").alias("cls"),
+            F.round(F.log(F.col("n_c") / F.col("n_all").cast("double")), 9)
+            .cast("decimal(28,9)")
+            .alias("prior"),
+        )
+    )
+    tokc = train.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.sum("c").alias("cnt")
+    )
+    totc = tokc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    vocab = train.select("tok").distinct()
+    vv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ll = (
+        tokc.join(totc, "cls")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "cls",
+            "tok",
+            F.round(
+                F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("v")).cast("double")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("ll"),
+        )
+    )
+    ll0 = (
+        totc.crossJoin(F.broadcast(vv))
+        .select(
+            "cls",
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("ll0"),
+        )
+    )
+    t_iv = test.join(vocab, "tok").select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok", "c"
+    )
+    scored = (
+        t_iv.crossJoin(F.broadcast(priors.select("cls")))
+        .join(ll, ["cls", "tok"], "left")
+        .join(F.broadcast(ll0), "cls")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (F.col("c") * F.coalesce(F.col("ll"), F.col("ll0"))).alias("term"),
+        )
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(F.sum("term").alias("s"))
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "doc_id", "true_lang", "cls", (F.col("s") + F.col("prior")).alias("score")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wd = W.partitionBy("doc_id").orderBy(F.desc("score"), F.col("cls"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_ORACLE_ALL["q227_naive_bayes_langid"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               ('0x' || substr(md5('nb:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % {NB_FOLDS} AS fold
+        FROM documents
+    ), posting AS (
+        SELECT doc_id, lang, fold, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, lang, fold, unnest({_TOKENS_SQL}) AS tok FROM d)
+        GROUP BY 1, 2, 3, 4
+    ), train AS (SELECT * FROM posting WHERE fold <> 0),
+    test AS (SELECT * FROM posting WHERE fold = 0),
+    n_tot AS (SELECT COUNT(*) AS n_all FROM d WHERE fold <> 0),
+    priors AS (
+        SELECT lang AS cls,
+               ROUND(LN(COUNT(*) / (SELECT n_all FROM n_tot)::DOUBLE), 9)
+                   ::DECIMAL(28,9) AS prior
+        FROM d WHERE fold <> 0 GROUP BY 1
+    ), tokc AS (
+        SELECT lang AS cls, tok, SUM(c) AS cnt FROM train GROUP BY 1, 2
+    ), totc AS (
+        SELECT cls, SUM(cnt) AS tot FROM tokc GROUP BY 1
+    ), vocab AS (SELECT DISTINCT tok FROM train),
+    vv AS (SELECT COUNT(*) AS v FROM vocab),
+    ll AS (
+        SELECT t.cls, t.tok,
+               ROUND(LN((t.cnt + 1) / (tc.tot + vv.v)::DOUBLE), 9)
+                   ::DECIMAL(28,9) AS ll
+        FROM tokc t JOIN totc tc USING (cls), vv
+    ), ll0 AS (
+        SELECT tc.cls,
+               ROUND(LN(1.0 / (tc.tot + vv.v)::DOUBLE), 9)::DECIMAL(28,9) AS ll0
+        FROM totc tc, vv
+    ), t_iv AS (
+        SELECT t.doc_id, t.lang AS true_lang, t.tok, t.c
+        FROM test t JOIN vocab v USING (tok)
+    ), scored AS (
+        SELECT s.doc_id, s.true_lang, s.cls,
+               SUM(s.c * COALESCE(l.ll, z.ll0)) + ANY_VALUE(p.prior) AS score
+        FROM (SELECT ti.*, c2.cls FROM t_iv ti CROSS JOIN (SELECT cls FROM priors) c2) s
+        LEFT JOIN ll l ON l.cls = s.cls AND l.tok = s.tok
+        JOIN ll0 z ON z.cls = s.cls
+        JOIN priors p ON p.cls = s.cls
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT doc_id, true_lang, cls AS pred_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cls
+               ) AS rk
+        FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+EXTRA_QUERIES["q227_naive_bayes_langid"] = q227_naive_bayes_langid
+EXTRA_ORACLE["q227_naive_bayes_langid"] = _ORACLE_ALL["q227_naive_bayes_langid"]

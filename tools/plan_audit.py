@@ -152,6 +152,21 @@ AUDITED = (
     "q197_audience_overlap_hll",
     "q198_weighted_jaccard_pairs",
     "q199_corpus_datacard",
+    "q203_kmv_distinct",
+    "q204_kmv_rolling_wau",
+    "q208_acf_daily_revenue",
+    "q210_target_encoding",
+    "q213_decision_stump",
+    "q215_quantile_normalization",
+    "q217_adamic_adar",
+    "q218_oof_target_encoding",
+    "q220_pca_power_iteration",
+    "q221_itemitem_cf",
+    "q222_feature_hash_audit",
+    "q223_conformal_coverage",
+    "q224_k_anonymity_audit",
+    "q225_blocking_quality",
+    "q226_benford_audit",
 )
 
 
