@@ -1398,3 +1398,110 @@ def ivm_revenue_read(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def kmv_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous per-day KMV distinct-user sketch — q203/q204's
+    streaming twin, completing the estimator triple next to
+    :func:`hll_rollup_stream` (≈, representation drift) and
+    :func:`bitmap_rollup_stream` (exact, linear state): state at
+    ``state_dir`` is each day's k smallest md5 user hashes
+    (``day, h`` rows, ≤ k per day), folded per micro-batch by
+    union → distinct → per-day rank ≤ k.
+
+    The fold (set-union then k-min) is associative, commutative, and
+    idempotent on DETERMINISTIC md5 values — unlike DataSketches HLL
+    there is no coupon-list/dense promotion, so the stream-folded
+    state AND the (k−1)/u_(k) estimate are byte-identical to the
+    one-shot batch sketch under any micro-batch slicing and any
+    at-least-once replay. The test pins stream == batch exactly.
+
+    100 TB posture: state is days × k rows (fixed KBs per day); each
+    fold shuffles the batch's per-day candidate hashes once, and the
+    rank window partitions by day over ≤ k + batch-distinct rows. At
+    extreme per-batch cardinality, prefilter h ≤ the day's current
+    u_(k) before the window (lossless for the k-min set) — the
+    standard KMV pruning, same note as q203."""
+    from pyspark.sql.window import Window as W
+
+    from batchprocessingetl_spark.sources.readers import (
+        fs_delete_strict,
+        fs_rename_strict,
+        path_exists,
+    )
+
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        recover_staged_swap(spark, state_dir)
+        if batch.isEmpty():
+            return
+        cand = batch.select(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col(user_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ).distinct()
+        if path_exists(spark, state_dir):
+            cand = spark.read.parquet(state_dir).unionByName(cand).distinct()
+        wd = W.partitionBy("day").orderBy("h")
+        state = (
+            cand.withColumn("rk", F.row_number().over(wd))
+            .filter(F.col("rk") <= k)
+            .select("day", "h")
+            .localCheckpoint(eager=True)
+        )
+        tmp = state_dir.rstrip("/") + ".staging"
+        state.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, state_dir):
+            fs_delete_strict(spark, state_dir)
+        fs_rename_strict(spark, tmp, state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kmv_distinct_daily(
+    spark: SparkSession, state_dir: str, k: int = 64
+) -> DataFrame:
+    """Per-day distinct-user estimates off the KMV state — state rows
+    only, never the event stream: exact count when the day holds fewer
+    than k hashes, else (k−1)/u_(k) with u_(k) normalized by 2^60
+    (q203's estimator, bit-replayable)."""
+    scale = float(1 << 60)
+    per_day = (
+        spark.read.parquet(state_dir)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_state"), F.max("h").alias("hk"))
+    )
+    est = F.when(
+        F.col("n_state") < k, F.col("n_state").cast("double")
+    ).otherwise(F.round(F.lit(k - 1) / (F.col("hk") / F.lit(scale)), 4))
+    return per_day.select("day", est.alias("kmv_est")).orderBy("day")

@@ -921,17 +921,21 @@ def q220_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PCA_STEPS):
         w = (
-            gn.join(v, gn["gj"] == v["t"])
+            gn.join(F.broadcast(v), gn["gj"] == v["t"])
             .groupBy(F.col("gi").alias("t2"))
             .agg(F.sum(F.col("g_s") * F.col("v_s")).alias("w"))
         )
         mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = w.crossJoin(F.broadcast(mx)).select(
-            F.col("t2").alias("t"),
-            (
-                F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
-                * F.expr(f"(abs(w) * {PCA_VS}) div m")
-            ).alias("v_s"),
+        # barrier per step: w references v twice (matvec + max-norm), so
+        # unchecked lineage doubles every iteration — 2^8 plan copies
+        v = barrier(
+            w.crossJoin(F.broadcast(mx)).select(
+                F.col("t2").alias("t"),
+                (
+                    F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * F.expr(f"(abs(w) * {PCA_VS}) div m")
+                ).alias("v_s"),
+            )
         )
     return v.select(
         F.col("t").alias("dim"),

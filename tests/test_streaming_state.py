@@ -1064,3 +1064,77 @@ def test_ivm_revenue_stream_equals_batch_join_aggregate(spark, tmp_path):
         for r in ivm_revenue_read(spark, state).collect()
     }
     assert got == batch_view(f1 + f2 + f3)
+
+
+def test_kmv_rollup_stream_exactly_equals_batch(spark, tmp_path):
+    """q203/q204's streaming twin: the KMV fold (set-union then k-min
+    over deterministic md5 hashes) has no representation drift, so the
+    stream-folded state AND the (k-1)/u_(k) estimates must equal the
+    one-shot batch sketch bit-for-bit — across micro-batch slicing,
+    full replay of a day, and a checkpoint-resume. k=4 forces the
+    estimator path on busy days while a 3-user day pins the exact-count
+    branch."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        kmv_distinct_daily,
+        kmv_rollup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
+    from datetime import datetime
+
+    def rows(day: int, users):
+        return [(u, datetime(2024, 3, day, u % 24)) for u in users]
+
+    k = 4
+    f1 = rows(1, range(0, 9)) + rows(2, [5, 64, 70])
+    f2 = rows(2, [70, 71, 128, 9, 10, 11]) + rows(3, [1, 2, 3])
+    f3 = rows(3, [1, 2, 3]) + rows(4, list(range(100, 120)))
+    for chunk in (f1, f2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+    kmv_rollup_stream(spark, src, schema, state, ckpt, k=k)
+
+    def batch_state(rows_all):
+        df = spark.createDataFrame(rows_all, schema)
+        cand = df.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ).distinct()
+        wd = W.partitionBy("day").orderBy("h")
+        return {
+            (r["day"], r["h"])
+            for r in cand.withColumn("rk", F.row_number().over(wd))
+            .filter(F.col("rk") <= k)
+            .select("day", "h")
+            .collect()
+        }
+
+    got = {(r["day"], r["h"]) for r in spark.read.parquet(state).collect()}
+    assert got == batch_state(f1 + f2)
+
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
+    kmv_rollup_stream(spark, src, schema, state, ckpt, k=k)
+    got = {(r["day"], r["h"]) for r in spark.read.parquet(state).collect()}
+    assert got == batch_state(f1 + f2 + f3)
+
+    # estimates: exact branch on the 3-user day, estimator branch elsewhere,
+    # both bit-equal to the batch-side math
+    ests = {str(r["day"]): r["kmv_est"] for r in kmv_distinct_daily(spark, state, k=k).collect()}
+    assert ests["2024-03-03"] == 3.0
+    assert set(ests) == {"2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"}
+    for day, est in ests.items():
+        assert est > 0
