@@ -2457,3 +2457,118 @@ EXTRA_ORACLE["q206_permutation_test"] = f"""
                  / {float(PERM_R + 1)}, 6) AS p_value
     FROM obs o
 """
+
+
+MKV_FOLDS = 5  # md5 user fold 0 is the held-out eval population
+
+
+def q228_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model evaluation: train q106's first-order Markov
+    next-event predictor on 80% of USERS (md5 fold split at the user
+    grain, so no sequence straddles train and test) and score argmax
+    next-event accuracy on the held-out users — the eval-harness step
+    between fitting a transition matrix and trusting it for
+    simulation. The model is |types|² rows; prediction is one
+    broadcast join of the test transitions against the argmax table
+    (ties broken lexicographically — count DESC, to_type ASC, a total
+    order). Test transitions whose source state never occurs in
+    training are excluded (no defined argmax), identically in both
+    engines. Output is the per-state accuracy plus test support."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fold",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mkv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MKV_FOLDS,
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            "fold",
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+    )
+    train = (
+        pairs.filter(F.col("fold") != 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(F.desc("n"), F.col("to_type"))
+    model = (
+        train.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("pred_type"))
+    )
+    test = pairs.filter(F.col("fold") == 0)
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("to_type") == F.col("pred_type"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("to_type") == F.col("pred_type"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+_ORACLE_ALL["q228_next_event_accuracy"] = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               ('0x' || substr(md5('mkv:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % {MKV_FOLDS} AS fold
+        FROM events
+    ), pairs AS (
+        SELECT fold, event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM ev
+    ), pp AS (
+        SELECT * FROM pairs WHERE to_type IS NOT NULL
+    ), train AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pp WHERE fold <> 0 GROUP BY 1, 2
+    ), model AS (
+        SELECT from_type, to_type AS pred_type
+        FROM (
+            SELECT from_type, to_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY from_type ORDER BY n DESC, to_type
+                   ) AS rk
+            FROM train
+        ) WHERE rk = 1
+    )
+    SELECT t.from_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.to_type = m.pred_type THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(SUM(CASE WHEN t.to_type = m.pred_type THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pp t JOIN model m USING (from_type)
+    WHERE t.fold = 0
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+EXTRA_QUERIES["q228_next_event_accuracy"] = q228_next_event_accuracy
+EXTRA_ORACLE["q228_next_event_accuracy"] = _ORACLE_ALL["q228_next_event_accuracy"]

@@ -1606,3 +1606,119 @@ _ORACLE_ALL["q226_benford_audit"] = _q226_oracle_sql()
 
 EXTRA_QUERIES["q226_benford_audit"] = q226_benford_audit
 EXTRA_ORACLE["q226_benford_audit"] = _ORACLE_ALL["q226_benford_audit"]
+
+
+MI_PRICE_BAND = 50_000  # totalprice band width (dollars) for the banded feature
+
+
+def q229_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the order-status
+    label — the model-agnostic feature-selection sweep next to q211's
+    WOE/IV (binary, per-band) and q184's PMI (token pairs): for each
+    candidate categorical feature, MI = Σ_xy (n_xy/N)·ln(N·n_xy /
+    (n_x·n_y)), each term rounded to 9dp and summed in DECIMAL(28,9)
+    in one fixed grouping (the q184 discipline), so the ranking is
+    deterministic cross-engine. Features unpivot into (feature, value)
+    rows — a narrow 4× Expand of the order scan, no joins beyond the
+    customer dimension broadcast — and every count is a hash
+    aggregate; the joint frame is (feature × values × 3 labels),
+    bounded by cardinality, never by facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("o_orderstatus").alias("label"),
+            F.col("o_orderpriority").alias("f_priority"),
+            F.col("c_mktsegment").alias("f_segment"),
+            F.col("n_name").alias("f_nation"),
+            F.concat(
+                F.lit("band_"),
+                F.expr(f"cast(o_totalprice as bigint) div {MI_PRICE_BAND}").cast(
+                    "string"
+                ),
+            ).alias("f_priceband"),
+        )
+    )
+    long = base.select(
+        "label",
+        F.expr(
+            "stack(4, 'priority', f_priority, 'segment', f_segment,"
+            " 'nation', f_nation, 'priceband', f_priceband)"
+        ).alias("feature", "val"),
+    )
+    joint = long.groupBy("feature", "val", "label").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    margx = joint.groupBy("feature", "val").agg(F.sum("n_xy").alias("n_x"))
+    margy = joint.groupBy("feature", "label").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.groupBy("feature").agg(F.sum("n_xy").alias("n_all"))
+    term = F.round(
+        (F.col("n_xy") / F.col("n_all").cast("double"))
+        * F.log(
+            (F.col("n_all") * F.col("n_xy"))
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        joint.join(margx, ["feature", "val"])
+        .join(margy, ["feature", "label"])
+        .join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 6).alias("mi"),
+        )
+        .orderBy(F.desc("mi"), "feature")
+    )
+
+
+_ORACLE_ALL["q229_mutual_information"] = f"""
+    WITH base AS (
+        SELECT o.o_orderstatus AS label,
+               o.o_orderpriority AS f_priority,
+               c.c_mktsegment AS f_segment,
+               n.n_name AS f_nation,
+               'band_' || (CAST(o.o_totalprice AS BIGINT) // {MI_PRICE_BAND})::VARCHAR
+                   AS f_priceband
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), long AS (
+        SELECT label, 'priority' AS feature, f_priority AS val FROM base
+        UNION ALL
+        SELECT label, 'segment', f_segment FROM base
+        UNION ALL
+        SELECT label, 'nation', f_nation FROM base
+        UNION ALL
+        SELECT label, 'priceband', f_priceband FROM base
+    ), joint AS (
+        SELECT feature, val, label, COUNT(*) AS n_xy
+        FROM long GROUP BY 1, 2, 3
+    ), margx AS (
+        SELECT feature, val, SUM(n_xy) AS n_x FROM joint GROUP BY 1, 2
+    ), margy AS (
+        SELECT feature, label, SUM(n_xy) AS n_y FROM joint GROUP BY 1, 2
+    ), tot AS (
+        SELECT feature, SUM(n_xy) AS n_all FROM joint GROUP BY 1
+    )
+    SELECT j.feature AS feature,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(
+               ROUND((j.n_xy / t.n_all::DOUBLE)
+                     * LN((t.n_all * j.n_xy)
+                          / (x.n_x::DOUBLE * y.n_y)), 9)::DECIMAL(28,9)
+           ) AS DOUBLE), 6) AS mi
+    FROM joint j
+    JOIN margx x ON x.feature = j.feature AND x.val = j.val
+    JOIN margy y ON y.feature = j.feature AND y.label = j.label
+    JOIN tot t ON t.feature = j.feature
+    GROUP BY j.feature
+    ORDER BY mi DESC, j.feature
+"""
+
+EXTRA_QUERIES["q229_mutual_information"] = q229_mutual_information
+EXTRA_ORACLE["q229_mutual_information"] = _ORACLE_ALL["q229_mutual_information"]
