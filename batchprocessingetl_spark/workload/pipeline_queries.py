@@ -977,3 +977,76 @@ EXTRA_ORACLE["q191_merkle_diff"] = """
     ) WHERE diff_kind <> 'unchanged'
     ORDER BY c_custkey
 """
+
+
+FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q230_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit over every FK edge of
+    the star schema — the multi-table companion to q90's single-table
+    constraint gate, and the first validation a warehouse load runs
+    after ingest: per edge, the distinct child keys, how many have no
+    parent (orphans), and the orphan fraction. Each edge collapses the
+    child to its DISTINCT key frame before the left-anti probe, so the
+    join carries keys, not fact rows — at 100 TB the orphan check on
+    lineitem→orders shuffles |distinct orderkeys|, never 6 B line
+    items, and dimension parents broadcast. Output is one row per
+    edge, a fixed 6-row report."""
+    parts = []
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        ck = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        pk = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphan = ck.join(pk, "k", "left_anti")
+        parts.append(
+            ck.agg(F.count(F.lit(1)).alias("n_keys"))
+            .crossJoin(orphan.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_keys").cast("long").alias("n_child_keys"),
+                F.col("n_orphans").cast("long").alias("n_orphan_keys"),
+                F.round(F.col("n_orphans") / F.col("n_keys").cast("double"), 6).alias(
+                    "orphan_frac"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("edge")
+
+
+def _q230_oracle_sql() -> str:
+    selects = []
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        selects.append(
+            f"""
+    SELECT '{label}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_keys,
+           ROUND(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_frac
+    FROM (SELECT DISTINCT {ckey} AS k FROM {child} WHERE {ckey} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p USING (k)"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY edge"
+
+
+_ORACLE_ALL["q230_fk_integrity"] = _q230_oracle_sql()
+
+EXTRA_QUERIES["q230_fk_integrity"] = q230_fk_integrity
+EXTRA_ORACLE["q230_fk_integrity"] = _ORACLE_ALL["q230_fk_integrity"]

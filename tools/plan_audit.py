@@ -167,6 +167,10 @@ AUDITED = (
     "q224_k_anonymity_audit",
     "q225_blocking_quality",
     "q226_benford_audit",
+    "q227_naive_bayes_langid",
+    "q228_next_event_accuracy",
+    "q229_mutual_information",
+    "q230_fk_integrity",
 )
 
 
