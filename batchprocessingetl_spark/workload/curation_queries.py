@@ -1978,3 +1978,68 @@ EXTRA_ORACLE["q224_k_anonymity_audit"] = f"""
 """
 
 EXTRA_QUERIES["q224_k_anonymity_audit"] = q224_k_anonymity_audit
+
+
+XS_NGRAM = 5  # shared-shingle width for the cross-source overlap
+
+
+def q231_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source verbatim-overlap matrix: for every source pair,
+    how many distinct 5-gram shingles they share — the datacard table
+    that decides which crawl snapshots are redundant before mixing,
+    and the source-grain companion to q84\'s cross-document boilerplate
+    mining (q84 finds the spans; this scores source pairs by shared
+    mass). Shape: per-source DISTINCT shingle hashes (md5, fixed-width
+    shuffle keys), then a within-shingle self-join — fan-out per
+    shingle is C(|sources containing it|, 2), bounded by the source
+    count, never the corpus; a shingle repeated a million times in two
+    crawls still counts once. Exact-duplicate GROUP sharing is the
+    degenerate case (it is zero on this corpus — exact dups never span
+    sources — which is itself the fact this report surfaces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T_ops.tokens(F.col("text"))
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - XS_NGRAM, F.lit(-1)),
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice(toks, i + 1, XS_NGRAM), " ")
+                ),
+            )
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull()).distinct()
+    a = sh.select("h", F.col("source").alias("source_a"))
+    b = sh.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+EXTRA_ORACLE["q231_cross_source_overlap"] = f"""
+    WITH tok AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), \'\\s+\'),
+                           t -> t <> \'\') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(toks[i:i + {XS_NGRAM} - 1], \' \')) AS h
+        FROM tok, (SELECT unnest(range(1, 100000)) AS i) ix
+        WHERE len(toks) - {XS_NGRAM} + 1 >= i
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+EXTRA_QUERIES["q231_cross_source_overlap"] = q231_cross_source_overlap
