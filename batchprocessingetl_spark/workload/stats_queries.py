@@ -1722,3 +1722,99 @@ _ORACLE_ALL["q229_mutual_information"] = f"""
 
 EXTRA_QUERIES["q229_mutual_information"] = q229_mutual_information
 EXTRA_ORACLE["q229_mutual_information"] = _ORACLE_ALL["q229_mutual_information"]
+
+
+def q232_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a user's activity volume and
+    monetary mass — the monotone-association screen next to Pearson
+    OLS (q107) and Theil–Sen (q193), robust to the heavy-tailed value
+    distribution. Ties are handled exactly: average ranks come from
+    the DISTINCT-VALUE frame (cum-count-before + (cnt+1)/2), doubled
+    into integers so every moment accumulates in DECIMAL(38,0) with no
+    float-sum-order hazard; rho is Pearson on the doubled ranks, one
+    double division at the end. The global windows run on the two
+    collapsed distinct-value frames (the q169 discipline), never on
+    per-user rows; per-event values quantize to cents with
+    floor(x·100+0.5) (Spark cast truncates, DuckDB rounds — floor+0.5
+    agrees everywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("y"),
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        dv = users.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return dv.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    ranked = users.join(F.broadcast(doubled_ranks("x")), "x").join(
+        F.broadcast(doubled_ranks("y")), "y"
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("r2_x").cast(d38)).alias("sx"),
+        F.sum(F.col("r2_y").cast(d38)).alias("sy"),
+        F.sum((F.col("r2_x") * F.col("r2_y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("r2_x") * F.col("r2_x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("r2_y") * F.col("r2_y")).cast(d38)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho"),
+    )
+
+
+_ORACLE_ALL["q232_spearman_corr"] = """
+    WITH users AS (
+        SELECT user_id, COUNT(*) AS x,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+        FROM events GROUP BY 1
+    ), dx AS (
+        SELECT x, COUNT(*) AS cnt FROM users GROUP BY 1
+    ), rx AS (
+        SELECT x,
+               2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2_x
+        FROM dx
+    ), dy AS (
+        SELECT y, COUNT(*) AS cnt FROM users GROUP BY 1
+    ), ry AS (
+        SELECT y,
+               2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2_y
+        FROM dy
+    ), ranked AS (
+        SELECT u.user_id, rx.r2_x, ry.r2_y
+        FROM users u JOIN rx ON u.x = rx.x JOIN ry ON u.y = ry.y
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(r2_x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(r2_y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(r2_x AS DECIMAL(38,0)) * r2_y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(r2_x AS DECIMAL(38,0)) * r2_x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(r2_y AS DECIMAL(38,0)) * r2_y) AS DECIMAL(38,0)) AS syy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+    FROM sums
+"""
+
+EXTRA_QUERIES["q232_spearman_corr"] = q232_spearman_corr
+EXTRA_ORACLE["q232_spearman_corr"] = _ORACLE_ALL["q232_spearman_corr"]

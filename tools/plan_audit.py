@@ -171,6 +171,8 @@ AUDITED = (
     "q228_next_event_accuracy",
     "q229_mutual_information",
     "q230_fk_integrity",
+    "q231_cross_source_overlap",
+    "q232_spearman_corr",
 )
 
 
