@@ -103,3 +103,63 @@ def test_ks_equals_ecdf_sweep(spark, joined_pdf):
     assert abs(row["ks_stat"] - d.max()) < 1e-6
     # reported location: the smallest jump point achieving the max
     assert math.isclose(row["ks_at"], grid[np.argmax(d == d.max())])
+
+
+def test_conformal_coverage_replay_and_guarantee(spark):
+    """q223: the qhat threshold must equal a pure-Python replay of the
+    exact k-th order statistic on the same integer-cent scores, and
+    empirical coverage must sit near the 0.9 target (exchangeability
+    makes E[coverage] >= 0.9; the tolerance band allows finite-sample
+    noise at smoke scale)."""
+    import hashlib
+
+    from batchprocessingetl_spark.workload.stats_queries import (
+        CONF_FOLDS,
+        q223_conformal_coverage,
+    )
+
+    row = q223_conformal_coverage(spark, SF_SMOKE).collect()[0]
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+
+    def fold(k):
+        return int(hashlib.md5(f"conf:{k}".encode()).hexdigest()[:15], 16) % CONF_FOLDS
+
+    o = o.assign(
+        cents=(o.o_totalprice * 100).astype("int64"),
+        fold=o.o_orderkey.map(fold),
+    )
+    calib = o[o.fold == 0]
+    pred = calib.groupby("o_orderpriority").cents.sum() // calib.groupby(
+        "o_orderpriority"
+    ).cents.count()
+    c_scores = sorted(
+        abs(r.cents - int(pred[r.o_orderpriority])) for r in calib.itertuples()
+    )
+    n = len(c_scores)
+    k = -(-((n + 1) * 9) // 10)  # ceil
+    assert row["n_calib"] == n and row["conformal_rank"] == k
+    assert row["qhat_cents"] == c_scores[k - 1]
+    test = o[o.fold != 0]
+    t_scores = [abs(r.cents - int(pred[r.o_orderpriority])) for r in test.itertuples()]
+    want_cov = sum(s <= c_scores[k - 1] for s in t_scores) / len(t_scores)
+    assert abs(row["coverage"] - round(want_cov, 6)) < 1e-9
+    assert 0.80 <= row["coverage"] <= 1.0
+
+
+def test_spearman_matches_scipy_style_replay(spark):
+    """q232 equals Pearson-on-average-ranks computed independently in
+    numpy (ties included)."""
+    from batchprocessingetl_spark.workload.stats_queries import q232_spearman_corr
+
+    row = q232_spearman_corr(spark, SF_SMOKE).collect()[0]
+    import math as m
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev.assign(cents=np.floor(ev.value * 100 + 0.5).astype("int64"))
+    g = ev.groupby("user_id").agg(x=("cents", "size"), y=("cents", "sum"))
+    rx = g.x.rank(method="average").to_numpy()
+    ry = g.y.rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert row["n_users"] == len(g)
+    assert m.isclose(row["spearman_rho"], round(rho, 6), abs_tol=2e-6)
