@@ -1818,3 +1818,282 @@ _ORACLE_ALL["q232_spearman_corr"] = """
 
 EXTRA_QUERIES["q232_spearman_corr"] = q232_spearman_corr
 EXTRA_ORACLE["q232_spearman_corr"] = _ORACLE_ALL["q232_spearman_corr"]
+
+
+def q233_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test: does order totalprice differ across
+    market segments? — the k-group nonparametric ANOVA completing the
+    rank-test shelf (AUC/Mann-Whitney q169, KS q172, Spearman q232).
+    Reuses q232's ties discipline: average ranks come from the
+    DISTINCT-VALUE frame, doubled into integers, so the per-group rank
+    sums R2_g, the tie-correction Σ(t³−t), and every other moment
+    accumulate exactly in DECIMAL(38,0); H (tie-corrected) is
+    assembled from those integers in one final double expression.
+    Shapes: one cents hash-agg per (group, value), a prefix-sum window
+    on the collapsed value frame only, and a 5-row group rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("grp"),
+        (F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    dv = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = dv.select(
+        "v",
+        "cnt",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    d38 = "decimal(38,0)"
+    per_grp = (
+        base.join(F.broadcast(ranks.select("v", "r2")), "v")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n_g"),
+            F.sum(F.col("r2").cast(d38)).alias("r2_g"),
+        )
+    )
+    ties = ranks.agg(
+        F.sum(
+            (F.col("cnt").cast(d38) * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        ).alias("tie_sum")
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    # H = [ 12 * Σ (R_g²/n_g) / (N(N+1)) − 3(N+1) ] / (1 − Σ(t³−t)/(N³−N));
+    # R_g = R2_g/2 → R_g² = R2_g²/4, all numerators exact until the end
+    sums = (
+        per_grp.select(
+            (F.col("r2_g") * F.col("r2_g")).cast("double").alias("r2sq"),
+            F.col("n_g").cast("double").alias("ng"),
+        )
+        .agg(F.sum(F.col("r2sq") / F.col("ng")).alias("sum_rsq_over_n"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    n = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) * (F.col("sum_rsq_over_n") / F.lit(4.0)) / (n * (n + 1))
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (n * n * n - n)
+    return sums.select(
+        F.col("n").cast("long").alias("n_orders"),
+        "k_groups",
+        F.round(h_raw / corr, 6).alias("h_statistic"),
+    )
+
+
+_ORACLE_ALL["q233_kruskal_wallis"] = """
+    WITH base AS (
+        SELECT c.c_mktsegment AS grp,
+               CAST(o.o_totalprice * 100 AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dv AS (
+        SELECT v, COUNT(*) AS cnt FROM base GROUP BY 1
+    ), ranks AS (
+        SELECT v, cnt,
+               2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+        FROM dv
+    ), per_grp AS (
+        SELECT b.grp,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n_g,
+               CAST(SUM(CAST(r.r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2_g
+        FROM base b JOIN ranks r ON b.v = r.v
+        GROUP BY 1
+    ), ties AS (
+        SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+                    AS DECIMAL(38,0)) AS tie_sum
+        FROM ranks
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_groups
+        FROM per_grp
+    ), sums AS (
+        SELECT SUM(CAST(r2_g * r2_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                   AS sum_rsq_over_n
+        FROM per_grp
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_orders,
+           tot.k_groups,
+           ROUND(
+             (12.0 * (sums.sum_rsq_over_n / 4.0)
+                / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 1))
+              - 3.0 * (CAST(tot.n AS DOUBLE) + 1))
+             / (1.0 - CAST(ties.tie_sum AS DOUBLE)
+                / (POW(CAST(tot.n AS DOUBLE), 3) - CAST(tot.n AS DOUBLE))),
+             6) AS h_statistic
+    FROM sums, tot, ties
+"""
+
+EXTRA_QUERIES["q233_kruskal_wallis"] = q233_kruskal_wallis
+EXTRA_ORACLE["q233_kruskal_wallis"] = _ORACLE_ALL["q233_kruskal_wallis"]
+
+
+CUPED_SPLIT_DAY = 16  # days 1-15 pre-period, 16+ experiment period
+
+
+def q234_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout — the experiment-
+    platform operator next to the z-test (q172-family) and uplift
+    composition: per user, pre-period spend X (days 1-15) and
+    experiment-period spend Y (day 16+) in exact cents, a deterministic
+    md5 coin for treatment, θ = cov(X,Y)/var(X) from pooled moments,
+    and the adjusted effect (Ȳt−Ȳc) − θ(X̄t−X̄c) assembled ENTIRELY
+    from group moments — no per-row adjusted column, no second scan.
+    All power sums accumulate in DECIMAL(38,0); θ, ρ² (the variance-
+    reduction fraction), and the two effect estimates take one double
+    step at the end. Shape: one user-grain hash-agg, one 2-row group
+    rollup, one 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.select(
+            "user_id",
+            F.when(
+                F.dayofmonth("ts") < CUPED_SPLIT_DAY,
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("x_c"),
+            F.when(
+                F.dayofmonth("ts") >= CUPED_SPLIT_DAY,
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("y_c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("x_c").alias("x"), F.sum("y_c").alias("y"))
+        .select(
+            "x",
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("t"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    pooled = users.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    grp = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_g"),
+        F.sum(F.col("x").cast(d38)).alias("sx_g"),
+        F.sum(F.col("y").cast(d38)).alias("sy_g"),
+    )
+    wide = (
+        grp.groupBy()
+        .pivot("t", [0, 1])
+        .agg(
+            F.first("n_g").alias("n"),
+            F.first("sx_g").alias("sx"),
+            F.first("sy_g").alias("sy"),
+        )
+        .crossJoin(F.broadcast(pooled))
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov / varx
+    ybar_t = F.col("1_sy").cast("double") / F.col("1_n").cast("double")
+    ybar_c = F.col("0_sy").cast("double") / F.col("0_n").cast("double")
+    xbar_t = F.col("1_sx").cast("double") / F.col("1_n").cast("double")
+    xbar_c = F.col("0_sx").cast("double") / F.col("0_n").cast("double")
+    return wide.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("1_n").cast("long").alias("n_treat"),
+        F.col("0_n").cast("long").alias("n_control"),
+        F.round(theta, 6).alias("theta"),
+        F.round((cov * cov) / (varx * vary), 6).alias("rho_sq"),
+        F.round((ybar_t - ybar_c) / 100, 6).alias("raw_effect_dollars"),
+        F.round(
+            ((ybar_t - ybar_c) - theta * (xbar_t - xbar_c)) / 100, 6
+        ).alias("cuped_effect_dollars"),
+    )
+
+
+_ORACLE_ALL["q234_cuped_adjustment"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               SUM(CASE WHEN EXTRACT(day FROM ts) < {CUPED_SPLIT_DAY}
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN EXTRACT(day FROM ts) >= {CUPED_SPLIT_DAY}
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS y,
+               ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % 2 AS t
+        FROM events GROUP BY user_id
+    ), pooled AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+        FROM users
+    ), grp AS (
+        SELECT t, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_g,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx_g,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy_g
+        FROM users GROUP BY t
+    ), wide AS (
+        SELECT MAX(CASE WHEN t = 1 THEN n_g END) AS n1,
+               MAX(CASE WHEN t = 1 THEN sx_g END) AS sx1,
+               MAX(CASE WHEN t = 1 THEN sy_g END) AS sy1,
+               MAX(CASE WHEN t = 0 THEN n_g END) AS n0,
+               MAX(CASE WHEN t = 0 THEN sx_g END) AS sx0,
+               MAX(CASE WHEN t = 0 THEN sy_g END) AS sy0
+        FROM grp
+    )
+    SELECT CAST(p.n AS BIGINT) AS n_users,
+           CAST(w.n1 AS BIGINT) AS n_treat,
+           CAST(w.n0 AS BIGINT) AS n_control,
+           ROUND(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                 / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE), 6) AS theta,
+           ROUND(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                 * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                 / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+                    * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)), 6) AS rho_sq,
+           ROUND((CAST(w.sy1 AS DOUBLE) / CAST(w.n1 AS DOUBLE)
+                  - CAST(w.sy0 AS DOUBLE) / CAST(w.n0 AS DOUBLE)) / 100, 6)
+               AS raw_effect_dollars,
+           ROUND(((CAST(w.sy1 AS DOUBLE) / CAST(w.n1 AS DOUBLE)
+                   - CAST(w.sy0 AS DOUBLE) / CAST(w.n0 AS DOUBLE))
+                  - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                     / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                    * (CAST(w.sx1 AS DOUBLE) / CAST(w.n1 AS DOUBLE)
+                       - CAST(w.sx0 AS DOUBLE) / CAST(w.n0 AS DOUBLE))) / 100,
+                 6) AS cuped_effect_dollars
+    FROM pooled p, wide w
+"""
+
+EXTRA_QUERIES["q234_cuped_adjustment"] = q234_cuped_adjustment
+EXTRA_ORACLE["q234_cuped_adjustment"] = _ORACLE_ALL["q234_cuped_adjustment"]

@@ -173,6 +173,8 @@ AUDITED = (
     "q230_fk_integrity",
     "q231_cross_source_overlap",
     "q232_spearman_corr",
+    "q233_kruskal_wallis",
+    "q234_cuped_adjustment",
 )
 
 
