@@ -1922,7 +1922,7 @@ def q224_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation"),
         F.expr(
-            f"(cast(c_acctbal * 100 as bigint) + {KANON_SHIFT}) div {KANON_BAND}"
+            f"(cast(floor(c_acctbal * 100 + 0.5) as bigint) + {KANON_SHIFT}) div {KANON_BAND}"
         ).alias("bal_band"),
         F.col("c_mktsegment").alias("sensitive"),
     )
@@ -1954,7 +1954,7 @@ def q224_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_ORACLE["q224_k_anonymity_audit"] = f"""
     WITH cust AS (
         SELECT c_nationkey AS nation,
-               (CAST(c_acctbal * 100 AS BIGINT) + {KANON_SHIFT}) // {KANON_BAND}
+               (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + {KANON_SHIFT}) // {KANON_BAND}
                    AS bal_band,
                c_mktsegment AS sensitive
         FROM customer

@@ -1393,7 +1393,7 @@ def q223_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         (
             F.conv(
                 F.substring(
@@ -1466,7 +1466,7 @@ def q223_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ALL["q223_conformal_coverage"] = f"""
     WITH o AS (
         SELECT o_orderpriority,
-               CAST(o_totalprice * 100 AS BIGINT) AS cents,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                ('0x' || substr(md5('conf:' || o_orderkey::VARCHAR), 1, 15))::BIGINT
                    % {CONF_FOLDS} AS fold
         FROM orders
@@ -1532,7 +1532,7 @@ def q226_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         orders.select(
             F.substring(
-                F.abs((F.col("o_totalprice") * 100).cast("long")).cast("string"), 1, 1
+                F.abs(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).cast("string"), 1, 1
             )
             .cast("int")
             .alias("digit")
@@ -1579,12 +1579,12 @@ def _q226_oracle_sql() -> str:
     return f"""
     WITH expct (digit, exp_s) AS (VALUES {vals}),
     obs AS (
-        SELECT CAST(substr(CAST(ABS(CAST(o_totalprice * 100 AS BIGINT)) AS VARCHAR),
+        SELECT CAST(substr(CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR),
                            1, 1) AS INTEGER) AS digit,
                COUNT(*) AS n
         FROM orders
         GROUP BY 1
-        HAVING CAST(substr(CAST(ABS(CAST(o_totalprice * 100 AS BIGINT)) AS VARCHAR),
+        HAVING CAST(substr(CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR),
                            1, 1) AS INTEGER) >= 1
     ), tot AS (
         SELECT SUM(n) AS n_tot FROM obs
@@ -1636,7 +1636,7 @@ def q229_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("f_nation"),
             F.concat(
                 F.lit("band_"),
-                F.expr(f"cast(o_totalprice as bigint) div {MI_PRICE_BAND}").cast(
+                F.expr(f"cast(floor(o_totalprice + 0.5) as bigint) div {MI_PRICE_BAND}").cast(
                     "string"
                 ),
             ).alias("f_priceband"),
@@ -1682,7 +1682,7 @@ _ORACLE_ALL["q229_mutual_information"] = f"""
                o.o_orderpriority AS f_priority,
                c.c_mktsegment AS f_segment,
                n.n_name AS f_nation,
-               'band_' || (CAST(o.o_totalprice AS BIGINT) // {MI_PRICE_BAND})::VARCHAR
+               'band_' || (CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) // {MI_PRICE_BAND})::VARCHAR
                    AS f_priceband
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1837,7 +1837,7 @@ def q233_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     ).select(
         F.col("c_mktsegment").alias("grp"),
-        (F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
     )
     dv = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
@@ -1895,7 +1895,7 @@ def q233_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ALL["q233_kruskal_wallis"] = """
     WITH base AS (
         SELECT c.c_mktsegment AS grp,
-               CAST(o.o_totalprice * 100 AS BIGINT) AS v
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), dv AS (
         SELECT v, COUNT(*) AS cnt FROM base GROUP BY 1
@@ -2097,3 +2097,220 @@ _ORACLE_ALL["q234_cuped_adjustment"] = f"""
 
 EXTRA_QUERIES["q234_cuped_adjustment"] = q234_cuped_adjustment
 EXTRA_ORACLE["q234_cuped_adjustment"] = _ORACLE_ALL["q234_cuped_adjustment"]
+
+
+def q235_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: the 2×2 (treatment ×
+    pre/post) mean-outcome table and the interaction effect — the
+    parallel-trends causal estimate next to q234's CUPED (same md5
+    coin, same day-16 split, so the two reports reconcile). Outcomes
+    stay in integer cents until the four means; the whole query is one
+    hash aggregate to the 4-cell frame plus a 1-row assembly."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("t"),
+            F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("t", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    wide = cells.groupBy().pivot("t", [0, 1]).agg(
+        F.max(F.when(F.col("post") == 0, F.col("s"))).alias("s_pre"),
+        F.max(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("s"))).alias("s_post"),
+        F.max(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double") / 100
+
+    m_c_pre, m_c_post = mean("0_s_pre", "0_n_pre"), mean("0_s_post", "0_n_post")
+    m_t_pre, m_t_post = mean("1_s_pre", "1_n_pre"), mean("1_s_post", "1_n_post")
+    return wide.select(
+        F.round(m_c_pre, 6).alias("control_pre"),
+        F.round(m_c_post, 6).alias("control_post"),
+        F.round(m_t_pre, 6).alias("treat_pre"),
+        F.round(m_t_post, 6).alias("treat_post"),
+        F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6).alias("did_effect"),
+    )
+
+
+_ORACLE_ALL["q235_diff_in_diff"] = f"""
+    WITH cells AS (
+        SELECT ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % 2 AS t,
+               CASE WHEN EXTRACT(day FROM ts) >= {CUPED_SPLIT_DAY}
+                    THEN 1 ELSE 0 END AS post,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s
+        FROM events GROUP BY 1, 2
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN t=0 AND post=0 THEN CAST(s AS DOUBLE)/n/100 END) AS m_c_pre,
+          MAX(CASE WHEN t=0 AND post=1 THEN CAST(s AS DOUBLE)/n/100 END) AS m_c_post,
+          MAX(CASE WHEN t=1 AND post=0 THEN CAST(s AS DOUBLE)/n/100 END) AS m_t_pre,
+          MAX(CASE WHEN t=1 AND post=1 THEN CAST(s AS DOUBLE)/n/100 END) AS m_t_post
+        FROM cells
+    )
+    SELECT ROUND(m_c_pre, 6) AS control_pre,
+           ROUND(m_c_post, 6) AS control_post,
+           ROUND(m_t_pre, 6) AS treat_pre,
+           ROUND(m_t_post, 6) AS treat_post,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_effect
+    FROM wide
+"""
+
+EXTRA_QUERIES["q235_diff_in_diff"] = q235_diff_in_diff
+EXTRA_ORACLE["q235_diff_in_diff"] = _ORACLE_ALL["q235_diff_in_diff"]
+
+
+TRIM_DEN = 10  # 10% trimmed from each tail
+TRIM_BUCKET = 100_000  # $1000 value-range buckets for the rank decomposition
+
+
+def q236_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT 10% trimmed and winsorized means of order
+    totalprice — the robust-location estimators next to the MAD
+    outlier gate (q196), computed WITHOUT a global sort: cents bucket
+    by fixed $1000 ranges, the bucket-grain frame prefix-sums counts
+    AND sums, buckets strictly inside the trim ranks contribute their
+    precomputed sums wholesale, and only the (at most two) boundary
+    buckets get a row_number — each PARTITIONED by its bucket, so no
+    task ever sorts more than one value range (the q215/q223
+    decomposition, extended from rank LOOKUP to rank-range
+    AGGREGATION). Everything stays in integer cents / DECIMAL(38,0)
+    until the two final divisions; sums over rank ranges are
+    tie-invariant, so the arbitrary order among equal values cannot
+    change the answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    d38 = "decimal(38,0)"
+    bucketed = vals.withColumn("b", F.expr(f"v div {TRIM_BUCKET}"))
+    bstat = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("v").cast(d38)).alias("bsum"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bstat.select(
+        "b",
+        "cnt",
+        "bsum",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off"),
+    )
+    kk = vals.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.expr(f"n div {TRIM_DEN}").alias("trim"),
+        (F.expr(f"n div {TRIM_DEN}") + 1).alias("k_lo"),
+        (F.col("n") - F.expr(f"n div {TRIM_DEN}")).alias("k_hi"),
+    )
+    marked = offs.crossJoin(F.broadcast(kk)).withColumn(
+        "kind",
+        F.when(
+            (F.col("off") + 1 >= F.col("k_lo"))
+            & (F.col("off") + F.col("cnt") <= F.col("k_hi")),
+            F.lit("full"),
+        )
+        .when(
+            (F.col("off") + F.col("cnt") >= F.col("k_lo"))
+            & (F.col("off") + 1 <= F.col("k_hi")),
+            F.lit("partial"),
+        )
+        .otherwise(F.lit("outside")),
+    )
+    full_sum = marked.filter(F.col("kind") == "full").agg(
+        F.coalesce(F.sum("bsum"), F.lit(0).cast(d38)).alias("s_full")
+    )
+    part = marked.filter(F.col("kind") == "partial").select(
+        "b", "off", "k_lo", "k_hi"
+    )
+    wr = Window.partitionBy("b").orderBy("v")
+    pranked = (
+        bucketed.join(F.broadcast(part), "b")
+        .withColumn("rk", F.row_number().over(wr) + F.col("off"))
+    )
+    part_agg = pranked.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("rk") >= F.col("k_lo")) & (F.col("rk") <= F.col("k_hi")),
+                    F.col("v").cast(d38),
+                )
+            ),
+            F.lit(0).cast(d38),
+        ).alias("s_part"),
+        F.max(F.when(F.col("rk") == F.col("k_lo"), F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("rk") == F.col("k_hi"), F.col("v"))).alias("v_hi"),
+    )
+    out = full_sum.crossJoin(F.broadcast(part_agg)).crossJoin(F.broadcast(kk))
+    core = (F.col("s_full") + F.col("s_part")).cast("double")
+    n_core = (F.col("k_hi") - F.col("k_lo") + 1).cast("double")
+    wins = (
+        F.col("s_full").cast("double")
+        + F.col("s_part").cast("double")
+        + F.col("trim").cast("double") * (F.col("v_lo") + F.col("v_hi"))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("v_lo").cast("long").alias("lo_cut_cents"),
+        F.col("v_hi").cast("long").alias("hi_cut_cents"),
+        F.round(core / n_core / 100, 6).alias("trimmed_mean_dollars"),
+        F.round(wins / F.col("n").cast("double") / 100, 6).alias(
+            "winsorized_mean_dollars"
+        ),
+    )
+
+
+_ORACLE_ALL["q236_trimmed_mean"] = f"""
+    WITH vals AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+    ), kk AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) // {TRIM_DEN} AS trim,
+               COUNT(*) // {TRIM_DEN} + 1 AS k_lo,
+               COUNT(*) - COUNT(*) // {TRIM_DEN} AS k_hi
+        FROM vals
+    ), ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM vals
+    ), core AS (
+        SELECT CAST(SUM(CAST(r.v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_core,
+               MIN(CASE WHEN r.rk = kk.k_lo THEN r.v END) AS v_lo,
+               MAX(CASE WHEN r.rk = kk.k_hi THEN r.v END) AS v_hi
+        FROM ranked r, kk
+        WHERE r.rk BETWEEN kk.k_lo AND kk.k_hi
+    )
+    SELECT CAST(kk.n AS BIGINT) AS n_orders,
+           CAST(core.v_lo AS BIGINT) AS lo_cut_cents,
+           CAST(core.v_hi AS BIGINT) AS hi_cut_cents,
+           ROUND(CAST(core.s_core AS DOUBLE)
+                 / (kk.k_hi - kk.k_lo + 1) / 100, 6) AS trimmed_mean_dollars,
+           ROUND((CAST(core.s_core AS DOUBLE)
+                  + kk.trim * (core.v_lo + core.v_hi))
+                 / kk.n / 100, 6) AS winsorized_mean_dollars
+    FROM core, kk
+"""
+
+EXTRA_QUERIES["q236_trimmed_mean"] = q236_trimmed_mean
+EXTRA_ORACLE["q236_trimmed_mean"] = _ORACLE_ALL["q236_trimmed_mean"]

@@ -126,7 +126,7 @@ def test_conformal_coverage_replay_and_guarantee(spark):
         return int(hashlib.md5(f"conf:{k}".encode()).hexdigest()[:15], 16) % CONF_FOLDS
 
     o = o.assign(
-        cents=(o.o_totalprice * 100).astype("int64"),
+        cents=np.floor(o.o_totalprice * 100 + 0.5).astype("int64"),
         fold=o.o_orderkey.map(fold),
     )
     calib = o[o.fold == 0]

@@ -175,6 +175,8 @@ AUDITED = (
     "q232_spearman_corr",
     "q233_kruskal_wallis",
     "q234_cuped_adjustment",
+    "q235_diff_in_diff",
+    "q236_trimmed_mean",
 )
 
 
