@@ -2314,3 +2314,122 @@ _ORACLE_ALL["q236_trimmed_mean"] = f"""
 
 EXTRA_QUERIES["q236_trimmed_mean"] = q236_trimmed_mean
 EXTRA_ORACLE["q236_trimmed_mean"] = _ORACLE_ALL["q236_trimmed_mean"]
+
+
+MDE_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+MDE_Z_POWER = 0.841621  # power = 0.80
+MDE_SCALE = 10**6  # fixed-point scale of the z constants
+
+
+def q237_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis: the minimum detectable effect of the q234
+    experiment design at alpha=0.05 / power=0.80 — the planning
+    readout an experimentation platform prints NEXT TO the measured
+    effect (q234) and the realized significance (the z-test family):
+    MDE = (z_a + z_b)·sqrt(s²·(1/n_t + 1/n_c)) with s² the pooled
+    user-level variance of experiment-period spend. The z constants
+    are fixed-point literals (identical in both plans — no cross-
+    engine erf/quantile call), all power sums accumulate in
+    DECIMAL(38,0) off ONE user-grain hash aggregate, and the output
+    reports absolute-dollar and relative-to-control-mean MDE."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.dayofmonth("ts") >= CUPED_SPLIT_DAY)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("t"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    pooled = users.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast(d38).alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast(d38).alias("n_c"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(F.lit(0)).cast(d38)).alias(
+            "sy_c"
+        ),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / (
+        n * (n - 1)
+    )
+    z_sum = F.lit((MDE_Z_ALPHA + MDE_Z_POWER))
+    mde_cents = z_sum * F.sqrt(
+        var
+        * (
+            F.lit(1.0) / F.col("n_t").cast("double")
+            + F.lit(1.0) / F.col("n_c").cast("double")
+        )
+    )
+    mean_c = F.col("sy_c").cast("double") / F.col("n_c").cast("double")
+    return pooled.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.round(F.sqrt(var) / 100, 6).alias("sd_dollars"),
+        F.round(mde_cents / 100, 6).alias("mde_dollars"),
+        F.round(mde_cents / mean_c, 6).alias("mde_relative"),
+    )
+
+
+_ORACLE_ALL["q237_ab_power_mde"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y,
+               ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % 2 AS t
+        FROM events
+        WHERE EXTRACT(day FROM ts) >= {CUPED_SPLIT_DAY}
+        GROUP BY user_id
+    ), pooled AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n_t,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n_c,
+               CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,0))
+                             ELSE 0 END) AS DECIMAL(38,0)) AS sy_c
+        FROM users
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n_t AS BIGINT) AS n_treat,
+           CAST(n_c AS BIGINT) AS n_control,
+           ROUND(SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 6)
+               AS sd_dollars,
+           ROUND({MDE_Z_ALPHA + MDE_Z_POWER}
+                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                        * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+                 / 100, 6) AS mde_dollars,
+           ROUND({MDE_Z_ALPHA + MDE_Z_POWER}
+                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                        * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+                 / (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)), 6) AS mde_relative
+    FROM pooled
+"""
+
+EXTRA_QUERIES["q237_ab_power_mde"] = q237_ab_power_mde
+EXTRA_ORACLE["q237_ab_power_mde"] = _ORACLE_ALL["q237_ab_power_mde"]

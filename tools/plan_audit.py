@@ -177,6 +177,7 @@ AUDITED = (
     "q234_cuped_adjustment",
     "q235_diff_in_diff",
     "q236_trimmed_mean",
+    "q237_ab_power_mde",
 )
 
 
