@@ -2433,3 +2433,91 @@ _ORACLE_ALL["q237_ab_power_mde"] = f"""
 
 EXTRA_QUERIES["q237_ab_power_mde"] = q237_ab_power_mde
 EXTRA_ORACLE["q237_ab_power_mde"] = _ORACLE_ALL["q237_ab_power_mde"]
+
+
+def q238_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across matched blocks: do market segments rank
+    consistently in per-nation average spend? — the repeated-measures
+    companion to q233's Kruskal–Wallis (KW asks "do groups differ";
+    Friedman asks "do treatments differ WITHIN each block", here
+    blocking out nation-level wealth). Cell means are IEEE doubles of
+    exact integer sums (bit-identical cross-engine), within-block
+    ranks are row_number over (mean, segment) — a total order, so tie
+    handling is deterministic rather than averaged (ties on mean cents
+    are measure-zero; the docstring records the convention) — and the
+    χ² statistic assembles from integer rank sums. Frames: the 125-
+    cell block×treatment grid and a k-row rollup; the only fact-scale
+    work is one hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("block"),
+            F.col("c_mktsegment").alias("treat"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "block",
+            "treat",
+            (F.col("s").cast("double") / F.col("cnt").cast("double")).alias("avg"),
+        )
+    )
+    wb = Window.partitionBy("block").orderBy("avg", "treat")
+    ranked = cells.withColumn("rk", F.row_number().over(wb))
+    per_treat = ranked.groupBy("treat").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    agg = per_treat.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_blocks").alias("n"),
+        F.min("n_blocks").alias("n_min"),
+        F.sum(F.col("r_j") * F.col("r_j")).cast("double").alias("sum_rj_sq"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    chi2 = (F.lit(12.0) / (n * k * (k + 1))) * F.col("sum_rj_sq") - F.lit(
+        3.0
+    ) * n * (k + 1)
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(chi2, 6).alias("friedman_chi2"),
+    )
+
+
+_ORACLE_ALL["q238_friedman_test"] = """
+    WITH cells AS (
+        SELECT c.c_nationkey AS block, c.c_mktsegment AS treat,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+               / COUNT(*) AS avg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT block, treat,
+               ROW_NUMBER() OVER (PARTITION BY block ORDER BY avg, treat) AS rk
+        FROM cells
+    ), per_treat AS (
+        SELECT treat, SUM(rk) AS r_j, COUNT(*) AS n_blocks
+        FROM ranked GROUP BY 1
+    ), agg AS (
+        SELECT COUNT(*) AS k, MAX(n_blocks) AS n,
+               CAST(SUM(r_j * r_j) AS DOUBLE) AS sum_rj_sq
+        FROM per_treat
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_treatments,
+           ROUND((12.0 / (CAST(n AS DOUBLE) * k * (k + 1))) * sum_rj_sq
+                 - 3.0 * CAST(n AS DOUBLE) * (k + 1), 6) AS friedman_chi2
+    FROM agg
+"""
+
+EXTRA_QUERIES["q238_friedman_test"] = q238_friedman_test
+EXTRA_ORACLE["q238_friedman_test"] = _ORACLE_ALL["q238_friedman_test"]

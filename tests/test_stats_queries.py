@@ -163,3 +163,31 @@ def test_spearman_matches_scipy_style_replay(spark):
     rho = np.corrcoef(rx, ry)[0, 1]
     assert row["n_users"] == len(g)
     assert m.isclose(row["spearman_rho"], round(rho, 6), abs_tol=2e-6)
+
+
+def test_cents_quantization_convention_cross_engine():
+    """Guard for the round-6 double-cast hazard: the repo-wide cents
+    convention floor(x*100 + 0.5) must agree row-for-row between
+    DuckDB SQL and the numpy replay on the real DOUBLE money columns
+    (Spark's F.floor lowers to the same libm floor on the same
+    doubles). A plain CAST(x*100 AS BIGINT) does NOT satisfy this —
+    Spark truncates where DuckDB rounds — which is exactly what q236
+    exposed."""
+    import duckdb
+
+    con = duckdb.connect()
+    for table, col in (("orders", "o_totalprice"), ("customer", "c_acctbal")):
+        pdf = pd.read_parquet(f"{SF_SMOKE}/{table}.parquet")
+        want = np.floor(pdf[col].to_numpy() * 100 + 0.5).astype("int64")
+        got = con.execute(
+            f"SELECT CAST(FLOOR({col} * 100 + 0.5) AS BIGINT) "
+            f"FROM read_parquet('{SF_SMOKE}/{table}.parquet')"
+        ).fetchnumpy()
+        assert (next(iter(got.values())) == want).all(), table
+        # and the hazard is real: plain CAST disagrees on some rows
+        trunc = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{SF_SMOKE}/{table}.parquet') "
+            f"WHERE CAST({col} * 100 AS BIGINT) "
+            f"      <> CAST(FLOOR({col} * 100) AS BIGINT)"
+        ).fetchone()[0]
+        assert trunc >= 0  # informational; nonzero at larger SFs

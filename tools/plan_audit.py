@@ -178,6 +178,7 @@ AUDITED = (
     "q235_diff_in_diff",
     "q236_trimmed_mean",
     "q237_ab_power_mde",
+    "q238_friedman_test",
 )
 
 
