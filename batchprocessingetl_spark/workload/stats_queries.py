@@ -2521,3 +2521,77 @@ _ORACLE_ALL["q238_friedman_test"] = """
 
 EXTRA_QUERIES["q238_friedman_test"] = q238_friedman_test
 EXTRA_ORACLE["q238_friedman_test"] = _ORACLE_ALL["q238_friedman_test"]
+
+
+def q239_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the fraction of fulfilled
+    orders trend MONOTONICALLY across the ordered priority levels? —
+    the ordered-exposure categorical test the chi-square independence
+    check (q170) cannot express (chi-square ignores the ordering).
+    Scores are the priority's leading digit (1-URGENT … 5-LOW), the
+    binary outcome is o_orderstatus = 'F', and the Z² statistic
+    assembles from SIX integer sums (n, R, Σw·n_i, Σw·r_i, Σw²·n_i)
+    off one 5-row contingency frame — everything exact until the one
+    double division, so both engines agree to the rounded digit. One
+    fact hash-agg; the trend algebra runs on 5 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("r_i"))
+    )
+    d38 = "decimal(38,0)"
+    sums = cells.agg(
+        F.sum(F.col("n_i").cast(d38)).alias("n"),
+        F.sum(F.col("r_i").cast(d38)).alias("r"),
+        F.sum((F.col("w") * F.col("n_i")).cast(d38)).alias("swn"),
+        F.sum((F.col("w") * F.col("r_i")).cast(d38)).alias("swr"),
+        F.sum((F.col("w") * F.col("w") * F.col("n_i")).cast(d38)).alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+    )
+    num = (F.col("n") * F.col("swr") - F.col("r") * F.col("swn")).cast("double")
+    den = (
+        F.col("r").cast("double")
+        * (F.col("n") - F.col("r")).cast("double")
+        * (F.col("n") * F.col("swwn") - F.col("swn") * F.col("swn")).cast("double")
+        / F.col("n").cast("double")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("r").cast("long").alias("n_fulfilled"),
+        "k_levels",
+        F.round((num * num) / den, 6).alias("trend_z_sq"),
+    )
+
+
+_ORACLE_ALL["q239_cochran_armitage"] = """
+    WITH cells AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               COUNT(*) AS n_i,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r_i
+        FROM orders GROUP BY 1
+    ), sums AS (
+        SELECT CAST(SUM(CAST(n_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(r_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r,
+               CAST(SUM(CAST(w * n_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swn,
+               CAST(SUM(CAST(w * r_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swr,
+               CAST(SUM(CAST(w * w * n_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swwn,
+               CAST(COUNT(*) AS BIGINT) AS k_levels
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(r AS BIGINT) AS n_fulfilled,
+           k_levels,
+           ROUND(CAST(n * swr - r * swn AS DOUBLE)
+                 * CAST(n * swr - r * swn AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+                    * CAST(n * swwn - swn * swn AS DOUBLE)
+                    / CAST(n AS DOUBLE)), 6) AS trend_z_sq
+    FROM sums
+"""
+
+EXTRA_QUERIES["q239_cochran_armitage"] = q239_cochran_armitage
+EXTRA_ORACLE["q239_cochran_armitage"] = _ORACLE_ALL["q239_cochran_armitage"]

@@ -179,6 +179,7 @@ AUDITED = (
     "q236_trimmed_mean",
     "q237_ab_power_mde",
     "q238_friedman_test",
+    "q239_cochran_armitage",
 )
 
 
