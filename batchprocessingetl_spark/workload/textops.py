@@ -2506,7 +2506,7 @@ EXTRA_ORACLE["q225_blocking_quality"] = _ORACLE_ALL["q225_blocking_quality"]
 NB_FOLDS = 5  # md5 fold 0 is the held-out test split
 
 
-def q227_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND scored
     entirely in-plan — the supervised twin of the heuristic lang-id:
     token likelihoods with Laplace smoothing from the 80% train split,
@@ -2611,19 +2611,26 @@ def q227_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     wd = W.partitionBy("doc_id").orderBy(F.desc("score"), F.col("cls"))
-    pred = (
+    return (
         scored.withColumn("rk", F.row_number().over(wd))
         .filter(F.col("rk") == 1)
         .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"))
     )
+
+
+def q227_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        pred.groupBy("true_lang", "pred_lang")
+        _nb_predictions(spark, sf_dir)
+        .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
 
 
-_ORACLE_ALL["q227_naive_bayes_langid"] = f"""
+q227_naive_bayes_langid.__doc__ = _nb_predictions.__doc__
+
+
+_NB_PRED_CTES = f"""
     WITH d AS (
         SELECT doc_id, lang, text,
                ('0x' || substr(md5('nb:' || doc_id::VARCHAR), 1, 15))::BIGINT
@@ -2659,7 +2666,7 @@ _ORACLE_ALL["q227_naive_bayes_langid"] = f"""
     ), t_iv AS (
         SELECT t.doc_id, t.lang AS true_lang, t.tok, t.c
         FROM test t JOIN vocab v USING (tok)
-    ), scored AS (
+    ), nb_scored AS (
         SELECT s.doc_id, s.true_lang, s.cls,
                SUM(s.c * COALESCE(l.ll, z.ll0)) + ANY_VALUE(p.prior) AS score
         FROM (SELECT ti.*, c2.cls FROM t_iv ti CROSS JOIN (SELECT cls FROM priors) c2) s
@@ -2667,18 +2674,106 @@ _ORACLE_ALL["q227_naive_bayes_langid"] = f"""
         JOIN ll0 z ON z.cls = s.cls
         JOIN priors p ON p.cls = s.cls
         GROUP BY 1, 2, 3
-    ), pred AS (
+    ), nb_pred AS (
         SELECT doc_id, true_lang, cls AS pred_lang,
                ROW_NUMBER() OVER (
                    PARTITION BY doc_id ORDER BY score DESC, cls
                ) AS rk
-        FROM scored
-    )
+        FROM nb_scored
+    )"""
+
+_ORACLE_ALL["q227_naive_bayes_langid"] = (
+    _NB_PRED_CTES
+    + """
     SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred WHERE rk = 1
+    FROM nb_pred WHERE rk = 1
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+)
 
 EXTRA_QUERIES["q227_naive_bayes_langid"] = q227_naive_bayes_langid
 EXTRA_ORACLE["q227_naive_bayes_langid"] = _ORACLE_ALL["q227_naive_bayes_langid"]
+
+
+def q240_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing the two language classifiers the
+    repo ships — the stopword-profile heuristic (q34/q39) vs the
+    trained Naive Bayes (q227) — on the SAME held-out documents: the
+    χ² = (b−c)²/(b+c) statistic lives entirely on the discordant pairs
+    (b = heuristic right / NB wrong, c = the reverse), which is the
+    correct test when both models score identical items (the unpaired
+    q170 chi-square would ignore the pairing). Spark side is the
+    q227 prediction frame joined doc-for-doc with the with_language_id
+    pass; the oracle composes the SAME two CTE blocks the q227 and
+    q205 oracles use. One row out: the 2×2 agreement cells and the
+    statistic (0 when no discordant pairs exist, both engines)."""
+    nb = _nb_predictions(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    heur = T_ops.with_language_id(docs, "text").select(
+        "doc_id", F.col("predicted_lang").alias("h_pred")
+    )
+    paired = nb.join(heur, "doc_id").select(
+        (F.col("h_pred") == F.col("true_lang")).cast("int").alias("h_ok"),
+        (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("nb_ok"),
+    )
+    cells = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("h_ok") * F.col("nb_ok")).cast("long").alias("both_correct"),
+        F.sum(F.col("h_ok") * (1 - F.col("nb_ok"))).cast("long").alias("b_heur_only"),
+        F.sum((1 - F.col("h_ok")) * F.col("nb_ok")).cast("long").alias("c_nb_only"),
+        F.sum((1 - F.col("h_ok")) * (1 - F.col("nb_ok")))
+        .cast("long")
+        .alias("neither"),
+    )
+    disc = F.col("b_heur_only") + F.col("c_nb_only")
+    diff = F.col("b_heur_only") - F.col("c_nb_only")
+    return cells.select(
+        "n_docs",
+        "both_correct",
+        "b_heur_only",
+        "c_nb_only",
+        "neither",
+        F.when(disc == 0, F.lit(0.0))
+        .otherwise(
+            F.round((diff * diff).cast("double") / disc.cast("double"), 6)
+        )
+        .alias("mcnemar_chi2"),
+    )
+
+
+_ORACLE_ALL["q240_mcnemar_classifiers"] = (
+    _NB_PRED_CTES
+    + ", "
+    + _langpred_cte()
+    + """
+    , paired AS (
+        SELECT CASE WHEN hp.predicted_lang = np.true_lang THEN 1 ELSE 0 END AS h_ok,
+               CASE WHEN np.pred_lang = np.true_lang THEN 1 ELSE 0 END AS nb_ok
+        FROM (SELECT doc_id, true_lang, pred_lang
+              FROM nb_pred WHERE rk = 1) np
+        JOIN pred hp ON hp.doc_id = np.doc_id
+    ), cells AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(h_ok * nb_ok) AS both_correct,
+               SUM(h_ok * (1 - nb_ok)) AS b_heur_only,
+               SUM((1 - h_ok) * nb_ok) AS c_nb_only,
+               SUM((1 - h_ok) * (1 - nb_ok)) AS neither
+        FROM paired
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(both_correct AS BIGINT) AS both_correct,
+           CAST(b_heur_only AS BIGINT) AS b_heur_only,
+           CAST(c_nb_only AS BIGINT) AS c_nb_only,
+           CAST(neither AS BIGINT) AS neither,
+           CASE WHEN b_heur_only + c_nb_only = 0 THEN 0.0
+                ELSE ROUND(CAST((b_heur_only - c_nb_only)
+                                * (b_heur_only - c_nb_only) AS DOUBLE)
+                           / (b_heur_only + c_nb_only), 6)
+           END AS mcnemar_chi2
+    FROM cells
+"""
+)
+
+EXTRA_QUERIES["q240_mcnemar_classifiers"] = q240_mcnemar_classifiers
+EXTRA_ORACLE["q240_mcnemar_classifiers"] = _ORACLE_ALL["q240_mcnemar_classifiers"]

@@ -180,6 +180,7 @@ AUDITED = (
     "q237_ab_power_mde",
     "q238_friedman_test",
     "q239_cochran_armitage",
+    "q240_mcnemar_classifiers",
 )
 
 
