@@ -116,7 +116,7 @@ def cms_sql_duckdb(
     """
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int | None = None
 ) -> DataFrame:
     """Join-size estimation from two Count-Min sketches (Cormode &
     Muthukrishnan 2005 §4.2): |A join_k B| = sum_k f_A(k)*f_B(k) is
@@ -132,9 +132,40 @@ def cms_inner_product(
     COALESCE 0), not over the inner-join survivors: a depth-row where
     the two sketches share no populated buckets means that row's true
     inner product is 0, so dropping it would inflate the min — and two
-    fully disjoint sketches must estimate 0, not NULL."""
-    _check_depth(depth)
+    fully disjoint sketches must estimate 0, not NULL.
+
+    ``depth`` defaults to the depth the sketches were BUILT with,
+    derived as max(row)+1 from the operands themselves (one tiny
+    aggregate per sketch — each is <= d*w rows). Passing it explicitly
+    is validated the same way: a depth larger than the build depth
+    would zero-fill phantom spine rows and force est=0, a smaller one
+    would drop rows and inflate the min (ADVICE r6), so both sketches
+    must populate exactly rows 0..depth-1."""
     spark = sketch_a.sparkSession
+
+    def _row_span(sketch: DataFrame, side: str) -> int:
+        row = sketch.agg(
+            F.min("row").alias("lo"), F.max("row").alias("hi")
+        ).collect()[0]
+        if row["hi"] is None:
+            raise ValueError(f"sketch_{side} is empty — build it with cms_build")
+        if row["lo"] != 0:
+            raise ValueError(f"sketch_{side} rows start at {row['lo']}, expected 0")
+        return int(row["hi"]) + 1
+
+    span_a, span_b = _row_span(sketch_a, "a"), _row_span(sketch_b, "b")
+    if span_a != span_b:
+        raise ValueError(
+            f"sketch depths differ: a={span_a} b={span_b} — "
+            "inner product needs identically-parameterized sketches"
+        )
+    if depth is None:
+        depth = span_a
+    elif depth != span_a:
+        raise ValueError(
+            f"depth={depth} does not match the sketches' build depth {span_a}"
+        )
+    _check_depth(depth)
     prod = sketch_a.alias("a").join(
         F.broadcast(sketch_b.alias("b")), ["row", "bucket"]
     )

@@ -77,19 +77,46 @@ def _latest_prev_bench() -> tuple[str, dict[str, float], float] | None:
     constant (r5 was the first). Lets each round's bench emit
     host-drift-corrected per-query deltas vs the last judged round —
     the signal that separates a plan regression (normalized ratio
-    moves) from VM placement (raw secs move, ratio ~1)."""
+    moves) from VM placement (raw secs move, ratio ~1).
+
+    A ``SPARK_GRAFT_BENCH_BASELINE`` env var (a BENCH_r{N}.json path)
+    overrides the pick. Otherwise, never compare against the current
+    (in-flight) round's own file: the driver lands BENCH_r{N}.json and
+    CORRECTNESS_r{N}.json together at round end, so the current round
+    is max(CORRECTNESS N)+1 and any BENCH_r{M} with M >= that round
+    was written THIS round — comparing to it would emit ratio~1.0 and
+    silently mask drift (ADVICE r6)."""
     import glob
     import re
 
+    override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if override:
+        try:
+            with open(override) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed", doc)
+            return (
+                os.path.basename(override),
+                parsed["queries"],
+                float(parsed["calibration"]),
+            )
+        except (OSError, ValueError, KeyError):
+            return None
+
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        n = int(m.group(1))
-        if best is None or n > best[0]:
-            best = (n, path)
+
+    def _round_nums(pattern: str) -> list[tuple[int, str]]:
+        out = []
+        for path in glob.glob(os.path.join(here, pattern)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if m:
+                out.append((int(m.group(1)), path))
+        return sorted(out)
+
+    judged = _round_nums("CORRECTNESS_r*.json")
+    current_round = (judged[-1][0] + 1) if judged else 0
+    rounds = [(n, p) for n, p in _round_nums("BENCH_r*.json") if n < current_round]
+    best: tuple[int, str] | None = rounds[-1] if rounds else None
     if best is None:
         return None
     try:

@@ -502,6 +502,26 @@ def test_cms_inner_product_join_size_guarantee_and_merge(spark):
     ).collect()[0]["est"]
     assert merged_est == whole_est
 
+    # depth validation (ADVICE r6): a depth that disagrees with the
+    # build depth must raise, not silently zero-fill (too big → est=0)
+    # or drop rows (too small → inflated min); mismatched sketches too.
+    import pytest as _pytest
+
+    sa4 = cms_build(a, F.col("k"), depth=4, width=64)
+    sb4 = cms_build(b, F.col("k"), depth=4, width=64)
+    sb2 = cms_build(b, F.col("k"), depth=2, width=64)
+    with _pytest.raises(ValueError, match="build depth"):
+        cms_inner_product(sa4, sb4, depth=3).collect()
+    with _pytest.raises(ValueError, match="build depth"):
+        cms_inner_product(sa4, sb4, depth=2).collect()
+    with _pytest.raises(ValueError, match="depths differ"):
+        cms_inner_product(sa4, sb2).collect()
+    # and the derived default equals the explicit correct depth
+    assert (
+        cms_inner_product(sa4, sb4).collect()[0]["est"]
+        == cms_inner_product(sa4, sb4, depth=4).collect()[0]["est"]
+    )
+
 
 def test_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
     from pyspark.sql import functions as F
