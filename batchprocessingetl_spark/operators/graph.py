@@ -230,7 +230,12 @@ def triangle_counts(
     )
 
 
-def bfs_hops(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Multi-source BFS shortest-hop distances, k supersteps — the
     iterative-graph primitive PageRank (float mass) and
     connected-components (label min) don't cover: exact INTEGER
@@ -241,23 +246,31 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     Superstep algebra: dist_r(n) = min(dist_{r-1}(n),
     1 + min over neighbors m of dist_{r-1}(m)) — idempotent,
     associative min-plus, so any execution order converges to the same
-    fixed point and each round is one join + one hash MIN rollup. A
-    reliable-checkpoint :func:`~batchprocessingetl_spark.operators.
-    iteration.barrier` truncates lineage per round (the q97/q113
-    machinery). At 100 TB: the frontier join shuffles on node id;
-    rounds are k sequential shuffles — the standard BSP trade."""
+    fixed point and each round is one join + one hash MIN rollup. Each
+    round's state passes through an :func:`~batchprocessingetl_spark.
+    operators.iteration.barrier` to truncate lineage (the q97/q113
+    machinery): with ``checkpoint_dir`` None that is an executor-local
+    checkpoint (fast, NOT fault-tolerant — right for local mode);
+    pass a directory to get the reliable checkpoint that survives
+    executor loss on a preemptible cluster (ADVICE r6 — the parameter
+    is threaded like pagerank/connected_components, not hard-coded).
+    At 100 TB: the frontier join shuffles on node id; rounds are k
+    sequential shuffles — the standard BSP trade."""
     from batchprocessingetl_spark.operators.iteration import barrier
 
     und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     ).distinct()
-    dist = barrier(seeds.select(F.col("node"), F.lit(0).alias("hops")))
+    dist = barrier(
+        seeds.select(F.col("node"), F.lit(0).alias("hops")), checkpoint_dir
+    )
     for _ in range(k):
         via = (
             und.join(dist, und["a"] == dist["node"])
             .select(F.col("b").alias("node"), (F.col("hops") + 1).alias("hops"))
         )
         dist = barrier(
-            dist.unionByName(via).groupBy("node").agg(F.min("hops").alias("hops"))
+            dist.unionByName(via).groupBy("node").agg(F.min("hops").alias("hops")),
+            checkpoint_dir,
         )
     return dist

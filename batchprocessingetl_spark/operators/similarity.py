@@ -686,9 +686,12 @@ def kmeans_fixedpoint(
     frame with a k-way literal-centroid argmin — entirely narrow,
     whole-stage-codegen arithmetic, no join — plus one k×d hash
     aggregate whose result (the centroids) is a model parameter
-    materialized to the driver, PageRank-dangling-mass style. Cost is
-    iters × corpus scans on any cluster size; empty clusters carry
-    their previous centroid forward.
+    materialized to the driver, PageRank-dangling-mass style.
+    ``iters`` counts Lloyd iterations the standard way: iters-1
+    centroid-update rounds followed by a final assignment-only pass
+    (the returned frame assigns against the last updated centroids).
+    Cost is iters × corpus scans on any cluster size; empty clusters
+    carry their previous centroid forward.
 
     Returns the final assignment: (id, cluster int, dist long) — dist
     is the squared scaled distance to the winning centroid."""
@@ -728,9 +731,9 @@ def kmeans_fixedpoint(
             alts.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
         return F.array_min(F.array(*alts))
 
-    for t in range(iters):
-        if t == iters - 1:
-            break
+    # iters-1 update rounds; the final iteration is assignment-only
+    # (the returned frame assigns against the last updated centroids)
+    for _ in range(iters - 1):
         stats = (
             sv.select(best_expr(cents).alias("__b"), "__v")
             .groupBy(F.col("__b.c").alias("c"))

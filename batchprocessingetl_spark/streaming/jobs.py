@@ -1256,9 +1256,15 @@ def histogram_quantile_stream(
 
     Quantile reads (:func:`histogram_quantiles`) walk the cumulative
     bins; the answer is exact to within one bin width, a deterministic
-    guarantee the test pins against exact percentiles. State is
-    n_bins × epochs rows (KBs); the value stream is never rescanned.
-    At 100 TB the same fold runs per key group with bins as a column."""
+    guarantee the test pins against exact percentiles. Values OUTSIDE
+    [lo, hi] are counted in dedicated underflow (bin -1) and overflow
+    (bin ``n_bins``) bins rather than clamped into the edge bins
+    (ADVICE r6): clamping would silently void the one-bin-width
+    guarantee, whereas explicit out-of-range bins let readers both
+    detect the violation (``within_guarantee`` flag) and still bound
+    quantiles that land in-range. State is n_bins × epochs rows (KBs);
+    the value stream is never rescanned. At 100 TB the same fold runs
+    per key group with bins as a column."""
     ev = (
         spark.readStream.schema(event_schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -1269,15 +1275,19 @@ def histogram_quantile_stream(
     def fold(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        v = F.col(value_col)
         bins = (
             batch.select(
-                F.least(
-                    F.lit(n_bins - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor((F.col(value_col) - lo) / width).cast("int"),
-                    ),
-                ).alias("bin")
+                F.when(v < F.lit(lo), F.lit(-1))
+                .when(v > F.lit(hi), F.lit(n_bins))
+                .otherwise(
+                    # v == hi closes into the last interior bin
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.floor((v - lo) / width).cast("int"),
+                    )
+                )
+                .alias("bin")
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1307,7 +1317,11 @@ def histogram_quantiles(
     across epochs, walk the cumulative distribution, report each
     requested quantile as the UPPER EDGE of the first bin whose
     cumulative count reaches q·N — within one bin width of exact by
-    construction."""
+    construction WHEN the picked bin is interior. A quantile that
+    lands in the underflow bin still gets a valid upper bound (lo, the
+    underflow bin's upper edge) and one landing in the overflow bin
+    gets +inf; both set ``within_guarantee`` false so readers can see
+    the one-bin-width guarantee no longer holds for that quantile."""
     width = (hi - lo) / n_bins
     merged = (
         spark.read.parquet(state_dir)
@@ -1327,7 +1341,12 @@ def histogram_quantiles(
             .limit(1)
             .select(
                 F.lit(q).alias("q"),
-                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("value_ub"),
+                F.when(F.col("bin") >= n_bins, F.lit(float("inf")))
+                .otherwise(F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
+                .alias("value_ub"),
+                ((F.col("bin") >= 0) & (F.col("bin") < n_bins)).alias(
+                    "within_guarantee"
+                ),
             )
         )
         out = pick if out is None else out.unionByName(pick)

@@ -147,3 +147,22 @@ def test_bfs_hops_distances_and_truncation(spark):
     seeds2 = spark.createDataFrame([("n0",), ("n4",)], "node string")
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds2, 4).collect()}
     assert got["n2"] == 2 and got["n3"] == 1 and got["n1"] == 1
+
+
+def test_bfs_hops_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir threads through to the per-round barrier
+    (ADVICE r6): reliable-checkpoint BFS equals the localCheckpoint
+    run and actually writes checkpoint files."""
+    from batchprocessingetl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n3")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    local = sorted(map(tuple, bfs_hops(edges, seeds, 3).collect()))
+    ckpt = str(tmp_path / "bfs_ckpt")
+    reliable = sorted(
+        map(tuple, bfs_hops(edges, seeds, 3, checkpoint_dir=ckpt).collect())
+    )
+    assert reliable == local
+    assert any((tmp_path / "bfs_ckpt").rglob("*")), "no reliable checkpoint written"

@@ -931,7 +931,7 @@ def test_histogram_quantile_stream_bounds_and_idempotence(spark, tmp_path):
         ]
 
     f1 = rows([1.2, 5.5, 5.5, 17.0, 44.4, 99.9, 63.1], 0)
-    f2 = rows([2.2, 5.5, 88.8, 12.0, 150.0, -3.0], 100)  # out-of-range clamps
+    f2 = rows([2.2, 5.5, 88.8, 12.0, 150.0, -3.0], 100)  # out-of-range
     f3 = rows([33.3, 33.3, 71.5], 200)
     src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
 
@@ -958,8 +958,13 @@ def test_histogram_quantile_stream_bounds_and_idempotence(spark, tmp_path):
 
         c = Counter()
         for _, _, _, _, v, _ in all_rows:
-            b = int((v - LO) // width)
-            c[max(0, min(BINS - 1, b))] += 1
+            if v < LO:
+                b = -1  # dedicated underflow bin (ADVICE r6)
+            elif v > HI:
+                b = BINS  # dedicated overflow bin
+            else:
+                b = min(BINS - 1, int((v - LO) // width))
+            c[b] += 1
         return dict(c)
 
     assert merged_hist() == batch_hist(f1 + f2)
@@ -977,15 +982,29 @@ def test_histogram_quantile_stream_bounds_and_idempotence(spark, tmp_path):
     # quantile reads: within one bin width above the exact nearest-rank
     import math
 
-    vals = sorted(
-        max(LO, min(HI, v)) for _, _, _, _, v, _ in f1 + f2 + f3
-    )
-    got = {r["q"]: r["value_ub"] for r in histogram_quantiles(
+    vals = sorted(v for _, _, _, _, v, _ in f1 + f2 + f3)
+    got = {r["q"]: r for r in histogram_quantiles(
         spark, state, qs=(0.5, 0.9), lo=LO, hi=HI, n_bins=BINS
     ).collect()}
-    for q, ub in got.items():
+    for q, row in got.items():
         exact = vals[math.ceil(q * len(vals)) - 1]
+        ub = row["value_ub"]
+        assert row["within_guarantee"], (q, row)
         assert exact <= ub + 1e-9 and ub - exact <= width + 1e-9, (q, ub, exact)
+
+    # a quantile landing in the overflow bin (150.0 is the true max)
+    # must flag the guarantee as void instead of lying with hi
+    top = histogram_quantiles(
+        spark, state, qs=(1.0,), lo=LO, hi=HI, n_bins=BINS
+    ).collect()[0]
+    assert not top["within_guarantee"]
+    assert top["value_ub"] == float("inf")
+    # ...and one landing in the underflow bin still upper-bounds at lo
+    bottom = histogram_quantiles(
+        spark, state, qs=(0.01,), lo=LO, hi=HI, n_bins=BINS
+    ).collect()[0]
+    assert not bottom["within_guarantee"]
+    assert bottom["value_ub"] == LO
 
 
 def test_ivm_revenue_stream_equals_batch_join_aggregate(spark, tmp_path):
