@@ -191,3 +191,53 @@ def test_cents_quantization_convention_cross_engine():
             f"      <> CAST(FLOOR({col} * 100) AS BIGINT)"
         ).fetchone()[0]
         assert trunc >= 0  # informational; nonzero at larger SFs
+
+
+def test_no_bare_double_to_cents_casts_in_source():
+    """Static regression guard (VERDICT r6 #4): the double-cast hazard
+    — Spark's CAST(double*100 AS BIGINT) truncates where DuckDB's
+    rounds — silently coexisted with green sweeps in five queries for
+    a round before q236's exact rank-range sums exposed it. Any
+    quantization of a scaled double must go through
+    floor(x*100 + 0.5) on BOTH engines. This test greps every
+    non-test source file (Spark code AND embedded oracle SQL strings)
+    for a bare integer cast applied directly to a *100 expression and
+    fails with file:line on a reintroduction. floor(x*100) without
+    the +0.5 is cross-engine consistent (both floor) so it is not
+    flagged here; the convention test above pins the +0.5 form."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sources = sorted(
+        list((root / "batchprocessingetl_spark").rglob("*.py"))
+        + [root / "__spark_entry__.py", root / "bench.py"]
+    )
+    # bare SQL cast: CAST(<no-nested-parens> * 100 <no-nested-parens>
+    # AS BIGINT/INT); the safe FLOOR(x*100+0.5) form has nested parens
+    # between CAST( and AS, so it cannot match
+    sql_cast = re.compile(
+        r"CAST\(\s*[^()]*\*\s*100(?:\.0)?\b[^()]*AS\s+(?:BIGINT|INTEGER|INT)\s*\)",
+        re.IGNORECASE,
+    )
+    # duckdb postfix cast: (x * 100)::BIGINT
+    sql_postfix = re.compile(r"\*\s*100(?:\.0)?\s*\)?\s*::\s*(?:BIGINT|INTEGER|INT)\b")
+    # Spark column cast: (x * 100).cast("long"); the safe form has
+    # "+ 0.5)" between *100 and .cast so it cannot match
+    py_cast = re.compile(
+        r"\*\s*100(?:\.0)?\s*\)?\s*\.cast\(\s*[\"'](?:long|bigint|int)"
+    )
+    offenders = []
+    for path in sources:
+        text = path.read_text()
+        for pat in (sql_cast, sql_postfix, py_cast):
+            for m in pat.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                offenders.append(
+                    f"{path.relative_to(root)}:{line}: {m.group(0)[:80]!r}"
+                )
+    assert not offenders, (
+        "bare double->cents integer cast (truncates in Spark, rounds in "
+        "DuckDB) — use floor(x*100 + 0.5) on both engines:\n"
+        + "\n".join(offenders)
+    )
