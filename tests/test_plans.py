@@ -216,3 +216,21 @@ def test_q137_vocab_growth_has_no_global_rank(spark):
 
     plan = _physical(q137_vocab_growth(spark, SF_SMOKE))
     assert "Window" not in plan
+
+
+def test_bench_set_is_subset_of_plan_audit():
+    """Invariant (VERDICT r6 #3): every benched query must carry a
+    current plan-audit row — the two most expensive bench queries
+    (q40/q41) once shipped a round without one. plan_audit.AUDITED is
+    derived from the full registry, so this also pins that derivation
+    against regressions (e.g. a module rename dropping queries)."""
+    import bench
+    from tools.plan_audit import AUDITED
+
+    from batchprocessingetl_spark.workload import (
+        collect_extra_queries,
+        collect_queries,
+    )
+
+    assert set(bench.HEADLINE) <= set(AUDITED)
+    assert set(AUDITED) == set(collect_queries()) | set(collect_extra_queries())
