@@ -2572,3 +2572,155 @@ _ORACLE_ALL["q228_next_event_accuracy"] = f"""
 
 EXTRA_QUERIES["q228_next_event_accuracy"] = q228_next_event_accuracy
 EXTRA_ORACLE["q228_next_event_accuracy"] = _ORACLE_ALL["q228_next_event_accuracy"]
+
+
+SHAPLEY_CHANNELS = ("view", "click", "signup")  # bit 0, 1, 2
+
+
+def _shapley_terms() -> list[tuple[int, int, int, int]]:
+    """(channel_bit_index, S, S|{i}, weight×6) for the exact 3-player
+    Shapley sum: phi(i) = sum over S ⊆ C\\{i} of
+    |S|!(k-1-|S|)!/k! · [v(S∪{i}) − v(S)], k=3 → weights 2,1,1,2
+    over |S| = 0,1,1,2 (times 1/6)."""
+    import math
+
+    k = len(SHAPLEY_CHANNELS)
+    out = []
+    for i in range(k):
+        bit = 1 << i
+        for s in range(1 << k):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            w6 = math.factorial(size) * math.factorial(k - 1 - size)
+            out.append((i, s, s | bit, w6))
+    return out
+
+
+def q242_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (the game-theoretic
+    multi-touch model next to q146's positional U-shape): each
+    converting user contributes their pre-conversion touch SET
+    (channels seen before the first purchase), the coalition value
+    v(S) counts conversions reachable using only channels in S, and
+    each channel's credit is its exact Shapley value — computed in
+    CLOSED FORM over the 2^k = 8 coalition counts, so no sampling and
+    no per-permutation pass. All arithmetic is integer until one final
+    /6 (emitted both as the exact ×6 integer and a rounded double).
+    Shape: one events scan -> per-user (first-purchase ts, channel
+    flags) hash agg -> 8-row mask frame; the subset algebra runs on
+    literal-joined 8×8 and 12-term coefficient frames. Conversions
+    with an empty touch set form v(∅) (baseline, zero credit); the
+    efficiency property sum phi = v(C) − v(∅) is pinned by test."""
+    ev = load_table(spark, sf_dir, "events")
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    flags = [
+        F.max(
+            ((F.col("event_type") == ch) & (F.col("ts") < F.col("first_ts"))).cast(
+                "int"
+            )
+        ).alias(f"f{i}")
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    ]
+    masks = (
+        ev.join(first_p, "user_id")
+        .groupBy("user_id")
+        .agg(*flags)
+        .select(
+            (
+                F.col("f0") + F.col("f1") * 2 + F.col("f2") * 4
+            ).alias("mask")
+        )
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    subsets = spark.range(1 << len(SHAPLEY_CHANNELS)).select(
+        F.col("id").cast("int").alias("s")
+    )
+    v = (
+        # complement within the 3-bit universe: ~s & 7 == 7 - s (s <= 7)
+        subsets.join(masks, F.col("mask").bitwiseAND(F.lit(7) - F.col("s")) == 0, "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    terms = spark.createDataFrame(
+        _shapley_terms(), "ch int, s int, s_i int, w6 long"
+    )
+    va = v.select(F.col("s").alias("s_i"), F.col("v").alias("v_with"))
+    vb = v.select(F.col("s").alias("s"), F.col("v").alias("v_without"))
+    phi = (
+        terms.join(F.broadcast(va), "s_i")
+        .join(F.broadcast(vb), "s")
+        .groupBy("ch")
+        .agg(
+            F.sum(F.col("w6") * (F.col("v_with") - F.col("v_without"))).alias(
+                "phi_x6"
+            )
+        )
+    )
+    names = spark.createDataFrame(
+        [(i, ch) for i, ch in enumerate(SHAPLEY_CHANNELS)], "ch int, channel string"
+    )
+    return (
+        phi.join(F.broadcast(names), "ch")
+        .select(
+            "channel",
+            "phi_x6",
+            F.round(F.col("phi_x6").cast("double") / 6.0, 6).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q242_TERMS_VALUES = ", ".join(
+    f"({i}, {s}, {si}, {w})" for i, s, si, w in _shapley_terms()
+)
+_Q242_CH_VALUES = ", ".join(
+    f"({i}, '{ch}')" for i, ch in enumerate(SHAPLEY_CHANNELS)
+)
+
+_ORACLE_ALL["q242_shapley_attribution"] = f"""
+    WITH first_p AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ), masks AS (
+        SELECT mask, COUNT(*) AS n FROM (
+            SELECT e.user_id,
+                   MAX(CASE WHEN e.event_type = 'view' AND e.ts < f.first_ts
+                            THEN 1 ELSE 0 END)
+                   + 2 * MAX(CASE WHEN e.event_type = 'click' AND e.ts < f.first_ts
+                                  THEN 1 ELSE 0 END)
+                   + 4 * MAX(CASE WHEN e.event_type = 'signup' AND e.ts < f.first_ts
+                                  THEN 1 ELSE 0 END) AS mask
+            FROM events e JOIN first_p f ON e.user_id = f.user_id
+            GROUP BY 1
+        ) GROUP BY 1
+    ), subsets AS (
+        SELECT unnest(range(0, 8))::INT AS s
+    ), v AS (
+        SELECT s.s, COALESCE(SUM(m.n), 0) AS v
+        FROM subsets s LEFT JOIN masks m ON (m.mask & (7 - s.s)) = 0
+        GROUP BY 1
+    ), terms(ch, s, s_i, w6) AS (
+        VALUES {_Q242_TERMS_VALUES}
+    ), phi AS (
+        SELECT t.ch, SUM(t.w6 * (va.v - vb.v)) AS phi_x6
+        FROM terms t
+        JOIN v va ON va.s = t.s_i
+        JOIN v vb ON vb.s = t.s
+        GROUP BY 1
+    ), names(ch, channel) AS (
+        VALUES {_Q242_CH_VALUES}
+    )
+    SELECT n.channel, CAST(p.phi_x6 AS BIGINT) AS phi_x6,
+           ROUND(CAST(p.phi_x6 AS DOUBLE) / 6.0, 6) AS shapley
+    FROM phi p JOIN names n ON n.ch = p.ch
+    ORDER BY n.channel
+"""
+
+EXTRA_QUERIES["q242_shapley_attribution"] = q242_shapley_attribution
+EXTRA_ORACLE["q242_shapley_attribution"] = _ORACLE_ALL["q242_shapley_attribution"]

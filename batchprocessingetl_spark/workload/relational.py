@@ -3481,3 +3481,317 @@ _ORACLE_ALL["q221_itemitem_cf"] = f"""
 
 EXTRA_QUERIES["q221_itemitem_cf"] = q221_itemitem_cf
 EXTRA_ORACLE["q221_itemitem_cf"] = _ORACLE_ALL["q221_itemitem_cf"]
+
+
+HITS_STEPS = 3
+HITS_SCALE = 10**6
+
+
+def q241_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    customer->part purchase graph, in FIXED-POINT INTEGER arithmetic —
+    the mutually-recursive eigenvector pair PageRank's single chain
+    (q97) and BFS's min-plus (q190) don't cover. Hubs are customers
+    (buy influential parts), authorities are parts (bought by
+    influential customers). Each round is auth = E^T . hub then
+    hub = E . auth, each followed by an exact integer max-
+    normalization floor(x * SCALE / max) — so Spark, the unrolled
+    DuckDB recurrence, and any replay agree bit-for-bit, the
+    q185/q220 discipline. Per round: two shuffles on the edge keys
+    plus two broadcast 1-row maxes; state passes a barrier so lineage
+    stays flat (operators/iteration.py). At 100 TB the edge list is
+    the only corpus-sized frame and it partitions by key."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = barrier(
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hub = barrier(
+        edges.select("c").distinct().select("c", F.lit(HITS_SCALE).alias("h"))
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        # exact BIGINT floor division (Spark `div` == DuckDB `//` on
+        # non-negative operands) — a double division would lose
+        # exactness once score * SCALE passes 2^53
+        mx = df.agg(F.max(col).alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"CAST(({col} * {HITS_SCALE}L) div __mx AS BIGINT)").alias(
+                col
+            ),
+        )
+
+    auth = None
+    for _ in range(HITS_STEPS):
+        auth = barrier(
+            _norm(
+                edges.join(hub, "c").groupBy("p").agg(F.sum("h").alias("a")),
+                "a",
+            )
+        )
+        hub = barrier(
+            _norm(
+                edges.join(auth, "p").groupBy("c").agg(F.sum("a").alias("h")),
+                "h",
+            )
+        )
+    top_auth = (
+        auth.orderBy(F.desc("a"), "p")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node_key"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_hub = (
+        hub.orderBy(F.desc("h"), "c")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node_key"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_auth.unionByName(top_hub).orderBy("side", F.desc("score"), "node_key")
+
+
+def _q241_oracle_sql(k: int) -> str:
+    s = HITS_SCALE
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), h_0 AS MATERIALIZED (
+        SELECT DISTINCT c, {s}::BIGINT AS h FROM e
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", a_{r}raw AS MATERIALIZED (
+        SELECT e.p, SUM(h.h) AS a FROM e JOIN h_{r - 1} h ON e.c = h.c
+        GROUP BY 1
+    ), a_{r} AS MATERIALIZED (
+        SELECT p, (a * {s}::BIGINT) // (SELECT MAX(a) FROM a_{r}raw) AS a
+        FROM a_{r}raw
+    ), h_{r}raw AS MATERIALIZED (
+        SELECT e.c, SUM(a.a) AS h FROM e JOIN a_{r} a ON e.p = a.p
+        GROUP BY 1
+    ), h_{r} AS MATERIALIZED (
+        SELECT c, (h * {s}::BIGINT) // (SELECT MAX(h) FROM h_{r}raw) AS h
+        FROM h_{r}raw
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT * FROM (
+        SELECT 'authority' AS side, p AS node_key, CAST(a AS BIGINT) AS score
+        FROM a_{k} ORDER BY a DESC, p LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS side, c AS node_key, CAST(h AS BIGINT) AS score
+        FROM h_{k} ORDER BY h DESC, c LIMIT 10
+    )
+    ORDER BY side, score DESC, node_key"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q241_hits_hubs_authorities"] = q241_hits_hubs_authorities
+EXTRA_ORACLE["q241_hits_hubs_authorities"] = _q241_oracle_sql(HITS_STEPS)
+
+
+PVM_Y0, PVM_Y1 = 1996, 1997
+
+
+def q243_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix variance decomposition of year-over-year brand
+    revenue (the classic FP&A "why did revenue move" bridge): for each
+    brand, DELTA revenue splits into a volume effect (total demand
+    moved), a mix effect (the brand's share of demand moved) and a
+    price effect (realized unit price moved) — anchored at prior-year
+    price/share so the three effects sum to the exact revenue delta
+    algebraically. Shape: one fact join -> (brand, year) grain with
+    exact DECIMAL revenue and integral quantity sums; all divisions
+    happen once per brand on the 25-row grain as IEEE doubles of exact
+    sums (the q133 discipline), rounded 4dp, so both engines agree to
+    the digit. Zero-quantity guards mirror in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    yr = F.year("o_orderdate")
+    base = (
+        orders.filter(yr.isin(PVM_Y0, PVM_Y1))
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            yr.alias("y"),
+            F.col("l_quantity").alias("qty"),
+            (
+                F.col("l_extendedprice").cast("decimal(28,6)")
+                * (F.lit(1.0).cast("decimal(28,6)") - F.col("l_discount").cast("decimal(28,6)"))
+            ).alias("rev"),
+        )
+    )
+    by = base.groupBy("brand", "y").agg(
+        F.sum("qty").cast("double").alias("q"),
+        F.sum("rev").cast("double").alias("r"),
+    )
+    b0 = by.filter(F.col("y") == PVM_Y0).select(
+        "brand", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    b1 = by.filter(F.col("y") == PVM_Y1).select(
+        "brand", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    tot = by.groupBy("y").agg(F.sum(F.col("q").cast("decimal(28,6)")).cast("double").alias("tq"))
+    t0 = tot.filter(F.col("y") == PVM_Y0).select(F.col("tq").alias("tq0"))
+    t1 = tot.filter(F.col("y") == PVM_Y1).select(F.col("tq").alias("tq1"))
+    j = (
+        b0.join(b1, "brand", "full_outer")
+        .select(
+            "brand",
+            F.coalesce("q0", F.lit(0.0)).alias("q0"),
+            F.coalesce("r0", F.lit(0.0)).alias("r0"),
+            F.coalesce("q1", F.lit(0.0)).alias("q1"),
+            F.coalesce("r1", F.lit(0.0)).alias("r1"),
+        )
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    p0 = F.when(F.col("q0") > 0, F.col("r0") / F.col("q0")).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("q1") > 0, F.col("r1") / F.col("q1")).otherwise(F.lit(0.0))
+    s0 = F.col("q0") / F.col("tq0")
+    s1 = F.col("q1") / F.col("tq1")
+    return j.select(
+        "brand",
+        F.col("q0").cast("long").alias("qty_y0"),
+        F.col("q1").cast("long").alias("qty_y1"),
+        F.round(F.col("r0"), 2).alias("rev_y0"),
+        F.round(F.col("r1"), 2).alias("rev_y1"),
+        F.round((F.col("tq1") - F.col("tq0")) * s0 * p0, 4).alias("volume_effect"),
+        F.round((s1 - s0) * F.col("tq1") * p0, 4).alias("mix_effect"),
+        F.round((p1 - p0) * F.col("q1"), 4).alias("price_effect"),
+    ).orderBy("brand")
+
+
+_ORACLE_ALL["q243_price_volume_mix"] = f"""
+    WITH base AS (
+        SELECT p.p_brand AS brand, EXTRACT(year FROM o.o_orderdate) AS y,
+               l.l_quantity AS qty,
+               CAST(l.l_extendedprice AS DECIMAL(28,6))
+               * (CAST(1.0 AS DECIMAL(28,6)) - CAST(l.l_discount AS DECIMAL(28,6))) AS rev
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN ({PVM_Y0}, {PVM_Y1})
+    ), by_y AS (
+        SELECT brand, y, CAST(SUM(qty) AS DOUBLE) AS q,
+               CAST(SUM(rev) AS DOUBLE) AS r
+        FROM base GROUP BY 1, 2
+    ), tot AS (
+        SELECT y, CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS tq
+        FROM by_y GROUP BY 1
+    ), j AS (
+        SELECT COALESCE(b0.brand, b1.brand) AS brand,
+               COALESCE(b0.q, 0.0) AS q0, COALESCE(b0.r, 0.0) AS r0,
+               COALESCE(b1.q, 0.0) AS q1, COALESCE(b1.r, 0.0) AS r1,
+               (SELECT tq FROM tot WHERE y = {PVM_Y0}) AS tq0,
+               (SELECT tq FROM tot WHERE y = {PVM_Y1}) AS tq1
+        FROM (SELECT * FROM by_y WHERE y = {PVM_Y0}) b0
+        FULL OUTER JOIN (SELECT * FROM by_y WHERE y = {PVM_Y1}) b1
+          ON b0.brand = b1.brand
+    ), eff AS (
+        SELECT brand, q0, q1, r0, r1, tq0, tq1,
+               CASE WHEN q0 > 0 THEN r0 / q0 ELSE 0.0 END AS p0,
+               CASE WHEN q1 > 0 THEN r1 / q1 ELSE 0.0 END AS p1
+        FROM j
+    )
+    SELECT brand,
+           CAST(q0 AS BIGINT) AS qty_y0, CAST(q1 AS BIGINT) AS qty_y1,
+           ROUND(r0, 2) AS rev_y0, ROUND(r1, 2) AS rev_y1,
+           ROUND((tq1 - tq0) * (q0 / tq0) * p0, 4) AS volume_effect,
+           ROUND((q1 / tq1 - q0 / tq0) * tq1 * p0, 4) AS mix_effect,
+           ROUND((p1 - p0) * q1, 4) AS price_effect
+    FROM eff ORDER BY brand
+"""
+
+EXTRA_QUERIES["q243_price_volume_mix"] = q243_price_volume_mix
+EXTRA_ORACLE["q243_price_volume_mix"] = _ORACLE_ALL["q243_price_volume_mix"]
+
+
+def q246_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) of parts — cheapest price
+    vs largest size, the multi-objective shortlist query optimizers
+    and product-search engines answer with dominance semantics: a part
+    is on the frontier iff no same-brand part is <= on price AND >= on
+    size with at least one strict. The naive evaluation is the O(n²)
+    pair join the ORACLE runs (NOT EXISTS dominance — independent of
+    this plan); the engine instead exploits that a 2-D skyline is a
+    SORT SWEEP: collapse to the (brand, price) grain with max size,
+    take the running max size over strictly-cheaper prices per brand,
+    and a price level survives iff its best size beats that running
+    max — one shuffle on brand, one window, zero pair joins, so the
+    plan stays O(n log n) at any scale where the pair join is
+    infeasible. Prices quantize to exact cents (floor(x*100+0.5), the
+    repo convention) so the sort key is engine-stable; ties on both
+    dimensions are mutually non-dominating and all stay."""
+    part = load_table(spark, sf_dir, "part")
+    pc = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    p = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        pc.alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = p.groupBy("brand", "price_cents").agg(
+        F.max("size").alias("best_size")
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_prices = per_price.withColumn(
+        "prev_best", F.max("best_size").over(w)
+    ).filter(
+        F.col("prev_best").isNull() | (F.col("best_size") > F.col("prev_best"))
+    )
+    return (
+        p.join(
+            sky_prices.select("brand", "price_cents", "best_size"),
+            ["brand", "price_cents"],
+        )
+        .filter(F.col("size") == F.col("best_size"))
+        .select("brand", "partkey", "price_cents", "size")
+        .orderBy("brand", "price_cents", "partkey")
+    )
+
+
+_ORACLE_ALL["q246_pareto_frontier"] = """
+    WITH p AS (
+        SELECT p_brand AS brand, p_partkey AS partkey,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT a.brand, a.partkey, a.price_cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.brand = a.brand
+          AND b.price_cents <= a.price_cents AND b.size >= a.size
+          AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    ORDER BY brand, price_cents, partkey
+"""
+
+EXTRA_QUERIES["q246_pareto_frontier"] = q246_pareto_frontier
+EXTRA_ORACLE["q246_pareto_frontier"] = _ORACLE_ALL["q246_pareto_frontier"]

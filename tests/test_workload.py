@@ -710,3 +710,39 @@ def test_markov_stationary_matches_python_replay(spark):
             nv[b] = nv.get(b, 0) + ps * v.get(a, 0)
         v = {t: x // MARKOV_SCALE for t, x in nv.items()}
     assert got == v
+
+
+def test_shapley_attribution_efficiency_and_exactness(spark):
+    """The Shapley efficiency axiom: sum of channel credits equals
+    v(C) - v(empty set) — conversions reachable with all channels
+    minus baseline conversions touched by none. Verified against a
+    direct per-user replay of the coalition definition."""
+    import pyspark.sql.functions as F
+
+    from batchprocessingetl_spark.catalog import load_table
+    from batchprocessingetl_spark.workload.events import SHAPLEY_CHANNELS
+
+    got = {
+        r["channel"]: r["phi_x6"]
+        for r in EXTRA["q242_shapley_attribution"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(SHAPLEY_CHANNELS)
+
+    ev = load_table(spark, SF_SMOKE, "events").toPandas()
+    import pandas as pd
+
+    first_p = (
+        ev[ev.event_type == "purchase"].groupby("user_id").ts.min().rename("first")
+    )
+    j = ev.join(first_p, on="user_id", how="inner")
+    masks = {}
+    for uid, grp in j.groupby("user_id"):
+        m = 0
+        for i, ch in enumerate(SHAPLEY_CHANNELS):
+            if ((grp.event_type == ch) & (grp.ts < grp["first"])).any():
+                m |= 1 << i
+        masks[m] = masks.get(m, 0) + 1
+    v_full = sum(masks.values())
+    v_empty = masks.get(0, 0)
+    # efficiency: sum phi = v(C) - v(empty); phi_x6 is exact * 6
+    assert sum(got.values()) == 6 * (v_full - v_empty)
