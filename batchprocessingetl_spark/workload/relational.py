@@ -3795,3 +3795,84 @@ _ORACLE_ALL["q246_pareto_frontier"] = """
 
 EXTRA_QUERIES["q246_pareto_frontier"] = q246_pareto_frontier
 EXTRA_ORACLE["q246_pareto_frontier"] = _ORACLE_ALL["q246_pareto_frontier"]
+
+
+def q247_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the q160 customer
+    lifetimes — the hazard-domain companion of Kaplan–Meier (and the
+    better-behaved estimator under heavy ties): H(t) = Σ_{t_i <= t}
+    d_i / n_i on the distinct-lifetime frame, right-censored at the
+    same cutoff. Counts are exact integers from two hash aggregates;
+    each hazard increment is ONE double division rounded 9dp into
+    DECIMAL, and the cumulative sum runs over decimals (exact,
+    order-independent) — so the curve matches bit-for-bit cross-
+    engine, unlike a float running sum. Window runs on the collapsed
+    distinct-lifetime frame, never fact rows."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("lt"),
+        (F.max("o_orderdate") < F.lit(KM_CUTOFF).cast("timestamp")).alias(
+            "churned"
+        ),
+    )
+    per_lt = cust.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count(F.when(F.col("churned"), 1)).alias("n_churned"),
+    )
+    n_total = cust.agg(F.count(F.lit(1)).alias("__n"))
+    w = W.orderBy("lt").rowsBetween(W.unboundedPreceding, 0)
+    staged = (
+        per_lt.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            F.col("__n") - (F.sum("c_all").over(w) - F.col("c_all")),
+        )
+        .withColumn(
+            "__term",
+            F.round(
+                F.col("n_churned").cast("double")
+                / F.col("n_at_risk").cast("double"),
+                9,
+            ).cast("decimal(28,10)"),
+        )
+    )
+    return staged.select(
+        "lt",
+        "n_at_risk",
+        "n_churned",
+        F.round(F.sum("__term").over(w).cast("double"), 6).alias("cum_hazard"),
+    ).orderBy("lt")
+
+
+_ORACLE_ALL["q247_nelson_aalen"] = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               DATE_DIFF('day', MIN(o_orderdate), MAX(o_orderdate)) AS lt,
+               MAX(o_orderdate) < TIMESTAMP '{KM_CUTOFF}' AS churned
+        FROM orders GROUP BY 1
+    ), per_lt AS (
+        SELECT lt, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT) AS n_churned
+        FROM cust GROUP BY 1
+    ), staged AS (
+        SELECT lt, c_all, n_churned,
+               (SELECT COUNT(*) FROM cust)
+               - (SUM(c_all) OVER (ORDER BY lt) - c_all) AS n_at_risk
+        FROM per_lt
+    ), terms AS (
+        SELECT lt, n_at_risk, n_churned,
+               CAST(ROUND(CAST(n_churned AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE), 9)
+                    AS DECIMAL(28,10)) AS term
+        FROM staged
+    )
+    SELECT CAST(lt AS BIGINT) AS lt, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_churned,
+           ROUND(CAST(SUM(term) OVER (ORDER BY lt) AS DOUBLE), 6) AS cum_hazard
+    FROM terms ORDER BY lt
+"""
+
+EXTRA_QUERIES["q247_nelson_aalen"] = q247_nelson_aalen
+EXTRA_ORACLE["q247_nelson_aalen"] = _ORACLE_ALL["q247_nelson_aalen"]

@@ -2595,3 +2595,447 @@ _ORACLE_ALL["q239_cochran_armitage"] = """
 
 EXTRA_QUERIES["q239_cochran_armitage"] = q239_cochran_armitage
 EXTRA_ORACLE["q239_cochran_armitage"] = _ORACLE_ALL["q239_cochran_armitage"]
+
+
+BH_ALPHA = 0.10
+BH_CONV_PRIORITY = "1-URGENT"
+# Abramowitz & Stegun 7.1.26 erf approximation constants — literal in
+# BOTH plans, so the normal tail needs no cross-engine erf/quantile
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _normal_two_sided_p(z_abs):
+    """2·(1−Φ(|z|)) = erfc(|z|/√2) via the A&S 7.1.26 polynomial —
+    a fixed closed-form double expression (max abs error 1.5e-7),
+    identical in Spark and the oracle, rounded before any ranking."""
+    x = z_abs / F.lit(2.0) ** F.lit(0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        F.lit(_AS_A[0]) * t
+        + F.lit(_AS_A[1]) * t * t
+        + F.lit(_AS_A[2]) * t * t * t
+        + F.lit(_AS_A[3]) * t * t * t * t
+        + F.lit(_AS_A[4]) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+def _normal_two_sided_p_sql(z_abs: str) -> str:
+    x = f"({z_abs} / SQRT(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"({_AS_A[0]} * {t} + {_AS_A[1]} * {t} * {t}"
+        f" + {_AS_A[2]} * {t} * {t} * {t}"
+        f" + {_AS_A[3]} * {t} * {t} * {t} * {t}"
+        f" + {_AS_A[4]} * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"({poly} * EXP(-{x} * {x}))"
+
+
+def q244_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a FAMILY of hypothesis
+    tests — the multiple-testing layer every experimentation platform
+    needs on top of the single-test shelf (q161/q206/q234-q240): one
+    two-proportion z-test per nation (variant = md5 parity of custkey,
+    outcome = customer ever places an urgent-priority order), then the
+    step-up procedure marks the largest rank k with p_(k) <= α·k/m and
+    rejects ranks 1..k. The normal tail uses the A&S 7.1.26 polynomial
+    with LITERAL constants (no cross-engine erf), p rounds to 6dp
+    before ranking (ties broken by nation key), and every count is an
+    exact integer off one customer-grain aggregate — so ranks,
+    thresholds and reject flags match bit-for-bit. Shape: one fact
+    semi-aggregate + 25-row test frame; windows run on 25 rows."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    conv = (
+        orders.filter(F.col("o_orderpriority") == BH_CONV_PRIORITY)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    per_cust = (
+        customer.join(conv, customer["c_custkey"] == conv["o_custkey"], "left")
+        .select(
+            "c_nationkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("bh:"), F.col("c_custkey").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+            F.coalesce("conv", F.lit(0)).alias("conv"),
+        )
+    )
+    cells = per_cust.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate cells are untestable: an empty variant arm or a
+    # zero/saturated pooled rate has no defined z — exclude them with
+    # the identical predicate in both engines
+    cells = cells.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    )
+    tests = (
+        cells.join(nation, cells["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_a",
+            "x_a",
+            "n_b",
+            "x_b",
+            F.round((pa - pb) / se, 4).alias("z"),
+            F.round(_normal_two_sided_p(F.abs((pa - pb) / se)), 6).alias("p"),
+        )
+    )
+    w = W.orderBy("p", "nation")
+    ranked = tests.withColumn("bh_rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(tests.agg(F.count(F.lit(1)).alias("m")))
+    )
+    ranked = ranked.withColumn(
+        "bh_threshold",
+        F.round(F.lit(BH_ALPHA) * F.col("bh_rank") / F.col("m"), 6),
+    )
+    kmax = ranked.filter(F.col("p") <= F.col("bh_threshold")).agg(
+        F.coalesce(F.max("bh_rank"), F.lit(0)).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "nation",
+            "n_a",
+            "x_a",
+            "n_b",
+            "x_b",
+            "z",
+            "p",
+            "bh_rank",
+            "bh_threshold",
+            (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+_ORACLE_ALL["q244_bh_fdr_screen"] = f"""
+    WITH conv AS (
+        SELECT DISTINCT o_custkey, 1 AS conv FROM orders
+        WHERE o_orderpriority = '{BH_CONV_PRIORITY}'
+    ), per_cust AS (
+        SELECT c.c_nationkey,
+               ('0x' || substr(md5('bh:' || c.c_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 2 AS variant,
+               COALESCE(v.conv, 0) AS conv
+        FROM customer c LEFT JOIN conv v ON c.c_custkey = v.o_custkey
+    ), cells AS (
+        SELECT c_nationkey,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM per_cust GROUP BY 1
+    ), cells_ok AS (
+        SELECT * FROM cells
+        WHERE n_a > 0 AND n_b > 0
+          AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+    ), tests AS (
+        SELECT n.n_name AS nation, n_a, x_a, n_b, x_b,
+               ROUND(zval, 4) AS z,
+               ROUND({_normal_two_sided_p_sql("ABS(zval)")}, 6) AS p
+        FROM (
+            SELECT c_nationkey, n_a, x_a, n_b, x_b,
+                   (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                   / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) AS zval
+            FROM cells_ok
+        ) c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), ranked AS (
+        SELECT t.*, ROW_NUMBER() OVER (ORDER BY p, nation) AS bh_rank,
+               (SELECT COUNT(*) FROM tests) AS m
+        FROM tests t
+    ), thr AS (
+        SELECT *, ROUND({BH_ALPHA} * bh_rank / m, 6) AS bh_threshold
+        FROM ranked
+    ), kmax AS (
+        SELECT COALESCE(MAX(bh_rank), 0) AS k FROM thr
+        WHERE p <= bh_threshold
+    )
+    SELECT nation, n_a, x_a, n_b, x_b, z, p,
+           CAST(bh_rank AS INTEGER) AS bh_rank, bh_threshold,
+           bh_rank <= (SELECT k FROM kmax) AS rejected
+    FROM thr ORDER BY bh_rank
+"""
+
+EXTRA_QUERIES["q244_bh_fdr_screen"] = q244_bh_fdr_screen
+EXTRA_ORACLE["q244_bh_fdr_screen"] = _ORACLE_ALL["q244_bh_fdr_screen"]
+
+
+IPW_BAL_SPLIT = 4500.0  # treatment = affluent account (confounded by segment)
+
+
+def q245_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounder-adjusted treatment-effect estimate by direct
+    standardization (the stratum-weighted estimator that equals
+    inverse-propensity weighting when the propensity is fit saturated
+    per stratum) — the OBSERVATIONAL companion to the randomized
+    shelf (q161/q234/q235): treatment is non-random (an affluent-
+    account flag), the market segment confounds, and the adjusted
+    effect reweights per-segment arm means by the segment's population
+    share. All inputs are exact: spend in integer cents at the
+    customer grain, per-stratum sums in DECIMAL, each stratum mean one
+    double division rounded 4dp, and the standardized blend
+    re-accumulates rounded means in DECIMAL weighted by integer
+    stratum sizes — no float-sum-order hazard anywhere. Output: one
+    row per segment plus RAW (unadjusted) and ADJUSTED rows whose gap
+    is the confounding bias."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("y"))
+    )
+    base = (
+        customer.join(spend, customer["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            F.col("c_mktsegment").alias("stratum"),
+            (F.col("c_acctbal") >= IPW_BAL_SPLIT).cast("int").alias("t"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("y_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("y_c"),
+    )
+    m_t = F.round(F.col("y_t").cast("double") / F.col("n_t"), 4)
+    m_c = F.round(F.col("y_c").cast("double") / (F.col("n") - F.col("n_t")), 4)
+    strata = cells.select(
+        "stratum",
+        "n",
+        "n_t",
+        m_t.alias("mean_t_cents"),
+        m_c.alias("mean_c_cents"),
+        F.round(m_t - m_c, 4).alias("diff_cents"),
+    )
+    d = "decimal(28,6)"
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("y_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("y_c"),
+    )
+    raw = overall.select(
+        F.lit("__RAW").alias("stratum"),
+        "n",
+        "n_t",
+        F.round(F.col("y_t").cast("double") / F.col("n_t"), 4).alias("mean_t_cents"),
+        F.round(F.col("y_c").cast("double") / (F.col("n") - F.col("n_t")), 4).alias(
+            "mean_c_cents"
+        ),
+        F.round(
+            F.col("y_t").cast("double") / F.col("n_t")
+            - F.col("y_c").cast("double") / (F.col("n") - F.col("n_t")),
+            4,
+        ).alias("diff_cents"),
+    )
+    # standardized: decimal-exact Σ n_X · rounded-mean, one division by N
+    std = cells.select(
+        "n",
+        "n_t",
+        (m_t.cast(d) * F.col("n")).alias("wt"),
+        (m_c.cast(d) * F.col("n")).alias("wc"),
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_t").alias("n_t"),
+        F.sum("wt").alias("swt"),
+        F.sum("wc").alias("swc"),
+    )
+    adj = std.select(
+        F.lit("__ADJUSTED").alias("stratum"),
+        "n",
+        "n_t",
+        F.round(F.col("swt").cast("double") / F.col("n"), 4).alias("mean_t_cents"),
+        F.round(F.col("swc").cast("double") / F.col("n"), 4).alias("mean_c_cents"),
+        F.round(
+            (F.col("swt") - F.col("swc")).cast("double") / F.col("n"), 4
+        ).alias("diff_cents"),
+    )
+    return strata.unionByName(raw).unionByName(adj).orderBy("stratum")
+
+
+_ORACLE_ALL["q245_stratified_effect"] = f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), base AS (
+        SELECT c.c_mktsegment AS stratum,
+               CASE WHEN c.c_acctbal >= {IPW_BAL_SPLIT} THEN 1 ELSE 0 END AS t,
+               COALESCE(s.y, 0) AS y
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+    ), cells AS (
+        SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+        FROM base GROUP BY 1
+    ), strata AS (
+        SELECT stratum, n, n_t,
+               ROUND(CAST(y_t AS DOUBLE) / n_t, 4) AS mean_t_cents,
+               ROUND(CAST(y_c AS DOUBLE) / (n - n_t), 4) AS mean_c_cents,
+               ROUND(ROUND(CAST(y_t AS DOUBLE) / n_t, 4)
+                     - ROUND(CAST(y_c AS DOUBLE) / (n - n_t), 4), 4) AS diff_cents
+        FROM cells
+    ), raw AS (
+        SELECT '__RAW' AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               ROUND(CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+                     / SUM(t), 4) AS mean_t_cents,
+               ROUND(CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+                     / (COUNT(*) - SUM(t)), 4) AS mean_c_cents,
+               ROUND(CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+                     / SUM(t)
+                     - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+                     / (COUNT(*) - SUM(t)), 4) AS diff_cents
+        FROM base
+    ), std AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(n_t) AS BIGINT) AS n_t,
+               SUM(CAST(ROUND(CAST(y_t AS DOUBLE) / n_t, 4) AS DECIMAL(28,6)) * n) AS swt,
+               SUM(CAST(ROUND(CAST(y_c AS DOUBLE) / (n - n_t), 4) AS DECIMAL(28,6)) * n) AS swc
+        FROM cells
+    ), adj AS (
+        SELECT '__ADJUSTED' AS stratum, n, n_t,
+               ROUND(CAST(swt AS DOUBLE) / n, 4) AS mean_t_cents,
+               ROUND(CAST(swc AS DOUBLE) / n, 4) AS mean_c_cents,
+               ROUND(CAST(swt - swc AS DOUBLE) / n, 4) AS diff_cents
+        FROM std
+    )
+    SELECT * FROM strata
+    UNION ALL SELECT * FROM raw
+    UNION ALL SELECT * FROM adj
+    ORDER BY stratum
+"""
+
+EXTRA_QUERIES["q245_stratified_effect"] = q245_stratified_effect
+EXTRA_ORACLE["q245_stratified_effect"] = _ORACLE_ALL["q245_stratified_effect"]
+
+
+def q248_seasonality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices by ratio-to-moving-average (the
+    classical multiplicative decomposition step): daily event revenue
+    in exact cents on a GAPLESS day spine (zero-activity days count —
+    the q88 spine discipline, an inner aggregate would silently skip
+    them), each interior day's ratio to its centered 7-day total
+    (expressed as 7·day/window-sum so the only division happens once,
+    rounded 6dp), then the per-weekday index as the decimal-exact mean
+    of rounded ratios. Edge days without a full window are excluded,
+    not zero-padded (a partial window would bias the index). Windows
+    run on the collapsed day frame; the fact table is touched by one
+    hash aggregate."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    ratios = (
+        filled.withColumn("sum7", F.sum("cents").over(w7))
+        .withColumn("n7", F.count(F.lit(1)).over(w7))
+        .filter((F.col("n7") == 7) & (F.col("sum7") > 0))
+        .select(
+            F.dayofweek("d").alias("dow"),
+            F.round(
+                F.lit(7.0) * F.col("cents").cast("double") / F.col("sum7"), 6
+            )
+            .cast("decimal(28,10)")
+            .alias("ratio"),
+        )
+    )
+    return (
+        ratios.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                (F.sum("ratio") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+_ORACLE_ALL["q248_seasonality_indices"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                      (SELECT MAX(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS d
+    ), filled AS (
+        SELECT s.d, COALESCE(dl.cents, 0) AS cents
+        FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+    ), win AS (
+        SELECT d, cents,
+               SUM(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS sum7,
+               COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS n7
+        FROM filled
+    ), ratios AS (
+        SELECT EXTRACT(dow FROM d) + 1 AS dow,
+               CAST(ROUND(7.0 * CAST(cents AS DOUBLE) / sum7, 6)
+                    AS DECIMAL(28,10)) AS ratio
+        FROM win WHERE n7 = 7 AND sum7 > 0
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ratio) / COUNT(*) AS DOUBLE), 6) AS seasonal_index
+    FROM ratios GROUP BY dow ORDER BY dow
+"""
+
+EXTRA_QUERIES["q248_seasonality_indices"] = q248_seasonality_indices
+EXTRA_ORACLE["q248_seasonality_indices"] = _ORACLE_ALL["q248_seasonality_indices"]

@@ -2777,3 +2777,136 @@ _ORACLE_ALL["q240_mcnemar_classifiers"] = (
 
 EXTRA_QUERIES["q240_mcnemar_classifiers"] = q240_mcnemar_classifiers
 EXTRA_ORACLE["q240_mcnemar_classifiers"] = _ORACLE_ALL["q240_mcnemar_classifiers"]
+
+
+MRR_K = NDCG_K
+MRR_REL_MIN = 2  # a doc is "relevant" when it contains >= 2 query terms
+
+
+def q249_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of the BM25 ranker — the first-hit metric
+    that completes the retrieval-eval trio next to AP (q212) and
+    nDCG@10 (q179): per query, the reciprocal of the rank of the FIRST
+    relevant result in the top-k list (0 when none lands), with
+    relevance = the q179 graded labels thresholded at >= 2 matched
+    terms. Reciprocals are single divisions of exact integer ranks
+    rounded 6dp; the summary MRR row re-accumulates the rounded
+    reciprocals in DECIMAL over the query grain — both engines agree
+    to the digit. Same ranker scan as q80/q147/q179 (one corpus pass
+    serves the whole query batch)."""
+    from batchprocessingetl_spark.operators.retrieval import bm25_topk_join
+    from batchprocessingetl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_QUERY_SET],
+        "qid int, terms array<string>",
+    )
+    q_terms = queries.select("qid", F.explode("terms").alias("term"))
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    rel = (
+        doc_terms.join(F.broadcast(q_terms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+        .filter(F.col("rel") >= MRR_REL_MIN)
+    )
+    retrieved = bm25_topk_join(docs, queries, MRR_K).select(
+        "qid", "doc_id", "rank"
+    )
+    first_hit = (
+        retrieved.join(rel, ["qid", "doc_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    per_q = (
+        queries.select("qid")
+        .join(first_hit, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("first_rel_rank", F.lit(0)).alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.round(F.lit(1.0) / F.col("first_rel_rank"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+    )
+    summary = per_q.agg(
+        F.lit(-1).cast("int").alias("qid"),
+        F.lit(0).cast("long").alias("first_rel_rank"),
+        F.round(
+            (
+                F.sum(F.col("rr").cast("decimal(28,10)")) / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("rr"),
+    )
+    return per_q.unionByName(summary).orderBy("qid")
+
+
+_Q249_RETR_CTES = f"""
+    WITH q(qid, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    base AS (
+        SELECT doc_id, len({_TOKENS_SQL})::DOUBLE AS dl, {_TOKENS_SQL} AS toks
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl FROM base
+    ), tf AS (
+        SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2, 3
+    ), dft AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+    ), sc AS (
+        SELECT t.doc_id, t.term,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / (s.sum_dl / s.n_docs)))
+                   AS score
+        FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+    ), pp AS (
+        SELECT q.qid, sc.doc_id,
+               CAST(ROUND(SUM(CAST(ROUND(sc.score, 7) AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        FROM sc JOIN q USING (term)
+        GROUP BY 1, 2
+    ), retr AS (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+        FROM pp
+        QUALIFY rank <= {MRR_K}
+    )"""
+
+_ORACLE_ALL["q249_mrr_retrieval"] = f"""{_Q249_RETR_CTES}, docterms AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term
+        FROM documents
+    ), rel AS (
+        SELECT q.qid, dt.doc_id
+        FROM docterms dt JOIN q USING (term)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MRR_REL_MIN}
+    ), first_hit AS (
+        SELECT r.qid, MIN(r.rank) AS first_rel_rank
+        FROM retr r SEMI JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+        GROUP BY 1
+    ), per_q AS (
+        SELECT q.qid,
+               CAST(COALESCE(f.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+               CASE WHEN f.first_rel_rank IS NOT NULL
+                    THEN ROUND(1.0 / f.first_rel_rank, 6) ELSE 0.0 END AS rr
+        FROM (SELECT DISTINCT qid FROM q) q
+        LEFT JOIN first_hit f ON q.qid = f.qid
+    )
+    SELECT * FROM per_q
+    UNION ALL
+    SELECT -1 AS qid, 0 AS first_rel_rank,
+           ROUND(CAST(SUM(CAST(rr AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6) AS rr
+    FROM per_q
+    ORDER BY qid
+"""
+
+EXTRA_QUERIES["q249_mrr_retrieval"] = q249_mrr_retrieval
+EXTRA_ORACLE["q249_mrr_retrieval"] = _ORACLE_ALL["q249_mrr_retrieval"]
