@@ -939,10 +939,12 @@ def tws_available() -> bool:
     """True when the transformWithState Python worker can start: its
     state-server protocol requires a working protobuf runtime.
 
-    Blocker status (re-checked round 5): ``google.protobuf`` and
-    ``grpc`` are both absent from this container, package installs are
-    disallowed, and the Spark distribution bundles only py4j on the
-    Python side — there is no vendorable runtime on the box. The
+    Blocker status (re-checked rounds 5, 6 and 7): ``google.protobuf``
+    and ``grpc`` are both absent from this container, package installs
+    are disallowed, and the Spark distribution bundles only py4j on
+    the Python side — a filesystem-wide search finds only typeshed
+    .pyi STUBS of google.protobuf (no runtime), so there is still
+    nothing vendorable on the box. The
     parity test in tests/test_streaming_state.py stays capability-
     gated on this probe and runs unmodified wherever protobuf exists
     (any standard `pip install pyspark[connect]` environment)."""
