@@ -2724,3 +2724,251 @@ _ORACLE_ALL["q242_shapley_attribution"] = f"""
 
 EXTRA_QUERIES["q242_shapley_attribution"] = q242_shapley_attribution
 EXTRA_ORACLE["q242_shapley_attribution"] = _ORACLE_ALL["q242_shapley_attribution"]
+
+
+RE_SCALE = 10**6
+RE_STEPS = 8
+RE_CHANNELS = SHAPLEY_CHANNELS  # removable touch channels (q242 pairing)
+
+
+def q250_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect channel attribution (Anderl et al. 2016)
+    — the data-driven complement to q242's game-theoretic Shapley and
+    q146's positional heuristic: model journeys as a first-order chain
+    (START -> events ... -> PURCHASE | NULL, truncated at the first
+    purchase), then credit each channel by how much the start->purchase
+    absorption probability DROPS when that channel's state is removed
+    (transitions into it redirect to NULL — paths through it die).
+    All chain algebra is FIXED-POINT INTEGER: probabilities floor-
+    scaled by 1e6, absorption computed by 8 unrolled value-iteration
+    steps with floor division (the q185/q220 discipline), so the
+    scaled conversion probabilities are bit-identical cross-engine;
+    the only doubles are the final removal-effect ratios, rounded 6dp.
+    Shape: ONE user-keyed window pass collapses the fact table to the
+    <= (|types|+2)^2 transition frame; the 4 chains x 8 steps run on
+    that broadcast-sized frame behind one barrier."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.select("user_id", "event_type", F.row_number().over(seq).alias("rn"))
+    fp = (
+        rn.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    kept = rn.join(fp, "user_id", "left").filter(
+        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn"))
+    )
+    kseq = Window.partitionBy("user_id").orderBy("rn")
+    mid = (
+        kept.withColumn("next_type", F.lead("event_type").over(kseq))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+    )
+    start = kept.filter(F.col("rn") == 1).select(
+        F.lit("__start").alias("from_type"), F.col("event_type").alias("to_type")
+    )
+    last = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    end = (
+        kept.filter(F.col("fp_rn").isNull())
+        .withColumn("__r", F.row_number().over(last))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lit("__null").alias("to_type"),
+        )
+    )
+    pairs = (
+        mid.unionByName(start)
+        .unionByName(end)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p_full = barrier(
+        pairs.select(
+            "from_type",
+            "to_type",
+            F.expr(
+                f"n * {RE_SCALE} div sum(n) over (partition by from_type)"
+            ).alias("p_s"),
+        )
+    )
+    states = barrier(
+        p_full.select(F.col("from_type").alias("t"))
+        .unionByName(p_full.select(F.col("to_type").alias("t")))
+        .distinct()
+    )
+
+    def absorb(p: DataFrame) -> DataFrame:
+        """v_k(__start): P(absorbed at purchase within k steps), scaled."""
+        v = states.select(
+            "t",
+            F.when(F.col("t") == "purchase", F.lit(RE_SCALE))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("v_s"),
+        )
+        for _ in range(RE_STEPS):
+            stepped = (
+                p.join(v, p["to_type"] == v["t"])
+                .groupBy(F.col("from_type").alias("t2"))
+                .agg(F.expr(f"sum(p_s * v_s) div {RE_SCALE}").alias("nv"))
+            )
+            v = states.join(
+                stepped, states["t"] == stepped["t2"], "left"
+            ).select(
+                "t",
+                F.when(F.col("t") == "purchase", F.lit(RE_SCALE))
+                .otherwise(F.coalesce("nv", F.lit(0)))
+                .cast("long")
+                .alias("v_s"),
+            )
+        return v.filter(F.col("t") == "__start").select(
+            F.col("v_s").alias("conv_scaled")
+        )
+
+    full = absorb(p_full).select(
+        F.lit("__full").alias("channel"), "conv_scaled"
+    )
+    out = full
+    for ch in RE_CHANNELS:
+        p_c = (
+            p_full.filter(F.col("from_type") != ch)
+            .select(
+                "from_type",
+                F.when(F.col("to_type") == ch, F.lit("__null"))
+                .otherwise(F.col("to_type"))
+                .alias("to_type"),
+                "p_s",
+            )
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("p_s").alias("p_s"))
+        )
+        out = out.unionByName(
+            absorb(p_c).select(F.lit(ch).alias("channel"), "conv_scaled")
+        )
+    base = full.select(F.col("conv_scaled").alias("base"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            "conv_scaled",
+            F.when(
+                F.col("channel") == "__full", F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("conv_scaled").cast("double") / F.col("base"),
+                    6,
+                )
+            )
+            .alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _q250_oracle_sql(k: int) -> str:
+    s = RE_SCALE
+    head = f"""
+    WITH rn AS MATERIALIZED (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), fp AS MATERIALIZED (
+        SELECT user_id, MIN(rn) AS fp_rn FROM rn
+        WHERE event_type = 'purchase' GROUP BY 1
+    ), kept AS MATERIALIZED (
+        SELECT r.user_id, r.event_type, r.rn, f.fp_rn
+        FROM rn r LEFT JOIN fp f ON r.user_id = f.user_id
+        WHERE f.fp_rn IS NULL OR r.rn <= f.fp_rn
+    ), pairs AS MATERIALIZED (
+        SELECT from_type, to_type, COUNT(*) AS n FROM (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY rn) AS to_type
+            FROM kept
+            UNION ALL
+            SELECT '__start', event_type FROM kept WHERE rn = 1
+            UNION ALL
+            SELECT event_type, '__null' FROM (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY rn DESC) AS r
+                FROM kept WHERE fp_rn IS NULL
+            ) WHERE r = 1
+        ) WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ), p_full AS MATERIALIZED (
+        SELECT from_type, to_type,
+               CAST(n * {s} // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS p_s
+        FROM pairs
+    ), states AS MATERIALIZED (
+        SELECT from_type AS t FROM p_full
+        UNION SELECT to_type FROM p_full
+    )"""
+    variants = [("__full", "p_full")]
+    chains = []
+    for ch in RE_CHANNELS:
+        pname = f"p_no_{ch}"
+        chains.append(
+            f""", {pname} AS MATERIALIZED (
+        SELECT from_type,
+               CASE WHEN to_type = '{ch}' THEN '__null' ELSE to_type END
+                   AS to_type2, SUM(p_s) AS p_s
+        FROM p_full WHERE from_type <> '{ch}'
+        GROUP BY 1, 2
+    )"""
+        )
+        variants.append((ch, pname))
+    for tag, pname in variants:
+        to_col = "to_type" if pname == "p_full" else "to_type2"
+        chains.append(
+            f""", v_{tag}_0 AS MATERIALIZED (
+        SELECT t, CASE WHEN t = 'purchase' THEN {s} ELSE 0 END::BIGINT AS v_s
+        FROM states
+    )"""
+        )
+        for r in range(1, k + 1):
+            chains.append(
+                f""", v_{tag}_{r} AS MATERIALIZED (
+        SELECT st.t,
+               CASE WHEN st.t = 'purchase' THEN {s}
+                    ELSE COALESCE(x.nv, 0) END::BIGINT AS v_s
+        FROM states st LEFT JOIN (
+            SELECT p.from_type AS t2,
+                   CAST(SUM(p.p_s * v.v_s) // {s} AS BIGINT) AS nv
+            FROM {pname} p JOIN v_{tag}_{r - 1} v ON p.{to_col} = v.t
+            GROUP BY 1
+        ) x ON st.t = x.t2
+    )"""
+            )
+    selects = []
+    for tag, _ in variants:
+        name = "'__full'" if tag == "__full" else f"'{tag}'"
+        eff = (
+            "0.0"
+            if tag == "__full"
+            else (
+                f"ROUND(1.0 - CAST(v.v_s AS DOUBLE) / "
+                f"(SELECT v_s FROM v___full_{k} WHERE t = '__start'), 6)"
+            )
+        )
+        selects.append(
+            f"""
+    SELECT {name} AS channel, CAST(v.v_s AS BIGINT) AS conv_scaled,
+           {eff} AS removal_effect
+    FROM v_{tag}_{k} v WHERE v.t = '__start'"""
+        )
+    return head + "".join(chains) + "\n    UNION ALL".join(selects) + "\n    ORDER BY channel"
+
+
+EXTRA_QUERIES["q250_markov_removal_attribution"] = q250_markov_removal_attribution
+EXTRA_ORACLE["q250_markov_removal_attribution"] = _q250_oracle_sql(RE_STEPS)
