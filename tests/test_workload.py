@@ -746,3 +746,74 @@ def test_shapley_attribution_efficiency_and_exactness(spark):
     v_empty = masks.get(0, 0)
     # efficiency: sum phi = v(C) - v(empty); phi_x6 is exact * 6
     assert sum(got.values()) == 6 * (v_full - v_empty)
+
+
+def test_pareto_sweep_equals_bruteforce_on_random_data(spark):
+    """The q246 sort-sweep skyline must equal the O(n^2) dominance
+    definition on adversarial data: duplicates on price, on size, on
+    both (mutually non-dominating ties all stay), and multiple
+    groups."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (g, i, rng.randrange(1, 12), rng.randrange(1, 8))
+        for g in ("A", "B")
+        for i in range(40)
+    ]
+
+    def brute(rows):
+        out = set()
+        for g, i, pr, sz in rows:
+            dominated = any(
+                g2 == g
+                and pr2 <= pr
+                and sz2 >= sz
+                and (pr2 < pr or sz2 > sz)
+                for g2, _, pr2, sz2 in rows
+            )
+            if not dominated:
+                out.add((g, i))
+        return out
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        rows, "brand string, partkey long, price_cents long, size long"
+    )
+    per_price = df.groupBy("brand", "price_cents").agg(
+        F.max("size").alias("best_size")
+    )
+    w = (
+        W.partitionBy("brand")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = (
+        per_price.withColumn("prev", F.max("best_size").over(w))
+        .filter(F.col("prev").isNull() | (F.col("best_size") > F.col("prev")))
+        .select("brand", "price_cents", "best_size")
+    )
+    got = {
+        (r["brand"], r["partkey"])
+        for r in df.join(sky, ["brand", "price_cents"])
+        .filter(F.col("size") == F.col("best_size"))
+        .collect()
+    }
+    assert got == brute(rows)
+
+
+def test_markov_removal_effects_are_sane(spark):
+    """Removal can only hurt conversion (paths die, none are added):
+    every removed-chain probability <= the full chain's, and effects
+    lie in [0, 1]. Exactness vs DuckDB is the oracle's job; this pins
+    the model semantics."""
+    rows = EXTRA["q250_markov_removal_attribution"](spark, SF_SMOKE).collect()
+    by = {r["channel"]: r for r in rows}
+    full = by.pop("__full")
+    assert full["conv_scaled"] > 0 and full["removal_effect"] == 0.0
+    for ch, r in by.items():
+        assert 0 <= r["conv_scaled"] <= full["conv_scaled"], ch
+        assert 0.0 <= r["removal_effect"] <= 1.0, ch
