@@ -3876,3 +3876,113 @@ _ORACLE_ALL["q247_nelson_aalen"] = f"""
 
 EXTRA_QUERIES["q247_nelson_aalen"] = q247_nelson_aalen
 EXTRA_ORACLE["q247_nelson_aalen"] = _ORACLE_ALL["q247_nelson_aalen"]
+
+
+LPA_STEPS = 4
+LPA_QTY_MIN = 48.0  # high-quantity lines only: thins the dense bipartite
+# graph so propagation resolves real communities instead of one giant one
+
+
+def q251_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    customer–supplier trade graph (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each superstep
+    re-labels a node with the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — so the fixed number of rounds,
+    the synchronous schedule and the total tie order make the run
+    bit-replayable (the async/random variant is not), the same
+    discipline as q190's min-plus BFS. Communities complement
+    connected components (q63/q113): CC merges everything reachable,
+    LPA splits dense regions. Per superstep: one edge join + one
+    (node, label) hash count + one per-node argmax window; the
+    unrolled DuckDB recurrence matches exactly. Output: the 20
+    largest communities (size desc, label asc); edges keep only
+    high-quantity lines — on the full dense bipartite graph LPA
+    collapses to one giant community, the documented LPA failure
+    mode."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(
+            lineitem.filter(F.col("l_quantity") >= LPA_QTY_MIN),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = barrier(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+    )
+    lab = barrier(
+        und.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "cand")
+    for _ in range(LPA_STEPS):
+        votes = (
+            und.join(lab, und["a"] == lab["node"])
+            .groupBy(F.col("b").alias("node2"), F.col("label").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lab = barrier(
+            votes.withColumn(
+                "rk", F.row_number().over(w.partitionBy("node2"))
+            )
+            .filter(F.col("rk") == 1)
+            .select(F.col("node2").alias("node"), F.col("cand").alias("label"))
+        )
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )
+
+
+def _q251_oracle_sql(k: int) -> str:
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS src,
+                        's' || l.l_suppkey::VARCHAR AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity >= 48.0
+    ), und AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst, src FROM e
+    ), lab_0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM und
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", lab_{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT u.b AS node, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.b
+                       ORDER BY COUNT(*) DESC, l.label) AS rk
+            FROM und u JOIN lab_{r - 1} l ON u.a = l.node
+            GROUP BY u.b, l.label
+        ) WHERE rk = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab_{k} GROUP BY 1
+    ORDER BY n_members DESC, label LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q251_label_propagation"] = q251_label_propagation
+EXTRA_ORACLE["q251_label_propagation"] = _q251_oracle_sql(LPA_STEPS)
