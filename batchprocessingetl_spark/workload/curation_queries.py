@@ -1137,6 +1137,7 @@ EXTRA_ORACLE["q183_bpe_apply_compression"] = _q183_oracle_sql(BPE_ROUNDS)
 
 
 DSIR_BUCKETS = 256
+DSIR_TOKHASH_MOD = 2**20  # per-token hash range before the bigram combine
 DSIR_TARGET = "src0"
 DSIR_TOP = 50
 
@@ -1153,26 +1154,49 @@ def q188_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al., 2023 — hashed n-gram
     importance resampling): score every RAW-pool document by how
     target-like its hashed-bigram distribution is, and keep the top-50.
-    Target = the 'src0' slice; features = word bigrams md5-hashed into
-    256 buckets; bucket log-ratios come from add-1-smoothed bucket
+    Target = the 'src0' slice; features = word bigrams hashed into 256
+    buckets; bucket log-ratios come from add-1-smoothed bucket
     multinomials of target vs raw; a doc's score is the sum of its
     bigrams' log-ratios. Shape: one corpus scan builds the per-doc
     bigram→bucket frame; the two 256-row bucket models broadcast back
     onto it; per-doc summation accumulates 9dp-rounded DECIMAL terms
     (order-independent — the q179 discipline), so both engines produce
     the identical score to the last digit. At 100 TB the model is two
-    256-row aggregates and the scoring pass is scan-speed."""
+    256-row aggregates and the scoring pass is scan-speed.
+
+    Bucketing (round 7, VERDICT r6 #7): one md5 per TOKEN occurrence
+    (posexplode), adjacent hashes combined into a bigram bucket by
+    integer arithmetic over a doc-keyed lead() window — both engines
+    replay it exactly. tools/dsir_probe.py measured this against the
+    original per-bigram-string md5 inside zip_with/slice higher-order
+    functions: at 10× docs the window form runs 5.7s vs 20.4s — and a
+    no-hash HOF control still costs 7.3s, i.e. the interpreted
+    zip_with/struct-array path was the real cost, not md5. The doc-
+    keyed shuffle the window adds is cheaper than the HOF allocation
+    it removes at every scale probed."""
+    from pyspark.sql.window import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
+    tp = docs.select(
         "doc_id",
         "source",
-        F.explode(T_ops.bigram_structs(F.col("text"))).alias("g"),
-    ).select(
-        "doc_id",
-        "source",
-        _md5_bucket(
-            F.concat(F.col("g.a"), F.lit(" "), F.col("g.b")), DSIR_BUCKETS
-        ).alias("bucket"),
+        F.posexplode(T_ops.tokens(F.col("text"))).alias("pos", "tok"),
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        % DSIR_TOKHASH_MOD,
+    )
+    wseq = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tp.withColumn("h2", F.lead("h").over(wseq))
+        .filter(F.col("h2").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("h") * 1000003 + F.col("h2")) % DSIR_BUCKETS).alias(
+                "bucket"
+            ),
+        )
     )
     is_target = F.col("source") == DSIR_TARGET
     tgt = bg.filter(is_target).groupBy("bucket").agg(
@@ -1221,17 +1245,25 @@ _DSIR_BUCKET_SQL = (
 
 EXTRA_QUERIES["q188_dsir_importance_select"] = q188_dsir_importance_select
 EXTRA_ORACLE["q188_dsir_importance_select"] = f"""
-    WITH bg AS (
+    WITH tp AS (
         SELECT doc_id, source,
-               {_DSIR_BUCKET_SQL.format(col="g")} AS bucket
-        FROM (
-            SELECT doc_id, source,
-                   unnest(list_transform(range(1, len(t)),
-                          i -> t[i] || ' ' || t[i + 1])) AS g
-            FROM (SELECT doc_id, source,
-                         {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
-                  FROM documents)
-        )
+               unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS pos
+        FROM (SELECT doc_id, source,
+                     {T_ops.TOKENS_SQL_DUCKDB.format(col="text")} AS t
+              FROM documents)
+    ), hs AS (
+        SELECT doc_id, source, pos,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                   % {DSIR_TOKHASH_MOD} AS h
+        FROM tp
+    ), bg AS (
+        SELECT doc_id, source,
+               (h * 1000003
+                + LEAD(h) OVER (PARTITION BY doc_id ORDER BY pos))
+                   % {DSIR_BUCKETS} AS bucket
+        FROM hs
+        QUALIFY LEAD(h) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
     ), spine AS (
         SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket
     ), model AS (

@@ -181,9 +181,9 @@ def main() -> None:
     variants = {
         "md5_15hex": lambda: _bg_md5(docs, 15),
         "md5_2hex": lambda: _bg_md5(docs, 2),
-        "token_zipwith": _bg_token_zipwith,
-        "token_window": _bg_token_window,
-        "floor_nohash": _bg_nohash,
+        "token_zipwith": lambda: _bg_token_zipwith(docs),
+        "token_window": lambda: _bg_token_window(docs),
+        "floor_nohash": lambda: _bg_nohash(docs),
     }
     print(f"| variant (m={m}) | best of 2 (s) |")
     print("|---|---|")
@@ -191,7 +191,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _score(make() if name != "md5_15hex" else make()).collect()
+            _score(make()).collect()
             best = min(best, time.time() - t0)
         print(f"| {name} | {best:.2f} |")
 
