@@ -188,6 +188,32 @@ def bigram_structs(col: Column) -> Column:
     )
 
 
+def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent token pairs as ROWS (id, a, b) — the exploded twin of
+    :func:`bigram_structs`, built with posexplode + a doc-keyed lead()
+    window instead of zip_with over slices. Same output exactly; very
+    different cost: tools/dsir_probe.py (round 7) measured the
+    interpreted higher-order-function path at ~3x the window form at
+    10x docs — a NO-HASH zip_with control still cost more than
+    posexplode+window WITH per-token md5, i.e. the HOF struct-array
+    allocation dominates. The window adds one id-keyed shuffle, which
+    is cheaper than the allocation it removes at every scale probed;
+    prefer this form whenever bigrams are consumed as rows. Keep
+    :func:`bigram_structs` for ARRAY-level consumers (phrase_count,
+    BPE segmentation) where no explode follows."""
+    from pyspark.sql.window import Window as W
+
+    tp = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "a")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    return (
+        tp.withColumn("b", F.lead("a").over(w))
+        .filter(F.col("b").isNotNull())
+        .select(id_col, "a", "b")
+    )
+
+
 def lm_quality_scores(
     df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
 ) -> DataFrame:
@@ -211,9 +237,7 @@ def lm_quality_scores(
     Returns (id_col, n_bigrams, avg_nll) — avg_nll is NULL for documents
     with fewer than two tokens (no bigrams to score).
     """
-    bg = df.select(
-        F.col(id_col), F.explode(bigram_structs(F.col(text_col))).alias("bg")
-    ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    bg = bigram_pairs(df, id_col, text_col)  # row-level: window beats HOF
     lm = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ctx = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vocab = df.select(

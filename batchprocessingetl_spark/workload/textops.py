@@ -1785,8 +1785,8 @@ def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
     big = (
-        docs.select(F.explode(T_ops.bigram_structs(F.col("text"))).alias("bg"))
-        .select(F.col("bg.a").alias("t_a"), F.col("bg.b").alias("t_b"))
+        T_ops.bigram_pairs(docs, "doc_id", "text")
+        .select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
         .groupBy("t_a", "t_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_COUNT)
