@@ -2910,3 +2910,180 @@ _ORACLE_ALL["q249_mrr_retrieval"] = f"""{_Q249_RETR_CTES}, docterms AS (
 
 EXTRA_QUERIES["q249_mrr_retrieval"] = q249_mrr_retrieval
 EXTRA_ORACLE["q249_mrr_retrieval"] = _ORACLE_ALL["q249_mrr_retrieval"]
+
+
+FS_LN2 = 0.6931471805599453
+FS_BAND = 1000.0
+
+
+def q252_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage weights — the
+    statistical layer ABOVE the q89/q113 fuzzy matching: from a
+    labeled candidate-pair sample, estimate each comparison field's
+    m = P(agree | match) and u = P(agree | non-match) and emit its
+    log2(m/u) match weight, the score a probabilistic linker sums per
+    pair. The labeled sample is built deterministically in-query: a
+    corrupted twin of every customer (one md5-chosen character dropped
+    from the name's first half, segment corrupted for an md5-chosen
+    20%, balance kept), candidate pairs from (nation, name-suffix)
+    blocking — truth is same-custkey, and the block key survives the
+    corruption so every true pair is in-block. Agreements: name
+    Levenshtein <= 2, segment equality, balance-band equality. All
+    counts are exact integers off one pair-grain aggregate; m and u
+    use add-half smoothing (never log 0) and round before the one
+    log2, so both engines agree to the digit. Blocking bounds the
+    pair frame (the q89 discipline) — never customer² anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fs:"), F.col("c_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hseg = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fsseg:"), F.col("c_custkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / FS_BAND).cast("long").alias("band"),
+        (h % 8 + 2).alias("p"),
+        (hseg % 5 == 0).alias("corrupt_seg"),
+    )
+    twin = base.select(
+        F.col("c_custkey").alias("t_custkey"),
+        F.expr(
+            "concat(substring(c_name, 1, cast(p - 1 as int)),"
+            " substring(c_name, cast(p + 1 as int)))"
+        ).alias("t_name"),
+        F.col("c_nationkey").alias("t_nationkey"),
+        F.when(F.col("corrupt_seg"), F.lit("CORRUPTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("t_segment"),
+        F.col("band").alias("t_band"),
+    )
+    lhs = base.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "band",
+        F.expr("substring(c_name, length(c_name) - 1, 2)").alias("blk"),
+    )
+    rhs = twin.withColumn(
+        "t_blk", F.expr("substring(t_name, length(t_name) - 1, 2)")
+    )
+    pairs = lhs.join(
+        rhs,
+        (F.col("c_nationkey") == F.col("t_nationkey"))
+        & (F.col("blk") == F.col("t_blk")),
+    ).select(
+        (F.col("c_custkey") == F.col("t_custkey")).alias("is_match"),
+        (F.levenshtein("c_name", "t_name") <= 2).alias("ag_name"),
+        (F.col("c_mktsegment") == F.col("t_segment")).alias("ag_seg"),
+        (F.col("band") == F.col("t_band")).alias("ag_band"),
+    )
+    cells = pairs.agg(
+        F.sum(F.col("is_match").cast("long")).alias("n_m"),
+        F.sum((~F.col("is_match")).cast("long")).alias("n_u"),
+        *[
+            F.sum((F.col(c) & F.col("is_match")).cast("long")).alias(f"{c}_m")
+            for c in ("ag_name", "ag_seg", "ag_band")
+        ],
+        *[
+            F.sum((F.col(c) & ~F.col("is_match")).cast("long")).alias(f"{c}_u")
+            for c in ("ag_name", "ag_seg", "ag_band")
+        ],
+    )
+
+    def field_row(tag, c):
+        m = F.round(
+            (F.col(f"{c}_m") + 0.5) / (F.col("n_m") + 1.0), 6
+        )
+        u = F.round(
+            (F.col(f"{c}_u") + 0.5) / (F.col("n_u") + 1.0), 6
+        )
+        return cells.select(
+            F.lit(tag).alias("field"),
+            F.col("n_m").alias("n_match"),
+            F.col("n_u").alias("n_nonmatch"),
+            F.col(f"{c}_m").alias("n_agree_match"),
+            F.col(f"{c}_u").alias("n_agree_nonmatch"),
+            m.alias("m"),
+            u.alias("u"),
+            F.round(F.log(m / u) / F.lit(FS_LN2), 4).alias("weight_bits"),
+        )
+
+    return (
+        field_row("band", "ag_band")
+        .unionByName(field_row("name", "ag_name"))
+        .unionByName(field_row("segment", "ag_seg"))
+        .orderBy("field")
+    )
+
+
+_ORACLE_ALL["q252_fellegi_sunter"] = f"""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {FS_BAND}) AS BIGINT) AS band,
+               ('0x' || substr(md5('fs:' || c_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 8 + 2 AS p,
+               ('0x' || substr(md5('fsseg:' || c_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 5 = 0 AS corrupt_seg
+        FROM customer
+    ), twin AS (
+        SELECT c_custkey AS t_custkey,
+               substr(c_name, 1, CAST(p - 1 AS INT))
+                   || substr(c_name, CAST(p + 1 AS INT)) AS t_name,
+               c_nationkey AS t_nationkey,
+               CASE WHEN corrupt_seg THEN 'CORRUPTED'
+                    ELSE c_mktsegment END AS t_segment,
+               band AS t_band
+        FROM base
+    ), pairs AS (
+        SELECT l.c_custkey = r.t_custkey AS is_match,
+               levenshtein(l.c_name, r.t_name) <= 2 AS ag_name,
+               l.c_mktsegment = r.t_segment AS ag_seg,
+               l.band = r.t_band AS ag_band
+        FROM base l JOIN twin r
+          ON l.c_nationkey = r.t_nationkey
+         AND substr(l.c_name, len(l.c_name) - 1, 2)
+             = substr(r.t_name, len(r.t_name) - 1, 2)
+    ), cells AS (
+        SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_m,
+               CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS n_u,
+               CAST(SUM(CASE WHEN ag_name AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_name_m,
+               CAST(SUM(CASE WHEN ag_seg AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_seg_m,
+               CAST(SUM(CASE WHEN ag_band AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_band_m,
+               CAST(SUM(CASE WHEN ag_name AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_name_u,
+               CAST(SUM(CASE WHEN ag_seg AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_seg_u,
+               CAST(SUM(CASE WHEN ag_band AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS ag_band_u
+        FROM pairs
+    ), fields AS (
+        SELECT 'name' AS field, n_m, n_u, ag_name_m AS a_m, ag_name_u AS a_u FROM cells
+        UNION ALL
+        SELECT 'segment', n_m, n_u, ag_seg_m, ag_seg_u FROM cells
+        UNION ALL
+        SELECT 'band', n_m, n_u, ag_band_m, ag_band_u FROM cells
+    )
+    SELECT field, n_m AS n_match, n_u AS n_nonmatch,
+           a_m AS n_agree_match, a_u AS n_agree_nonmatch,
+           ROUND((a_m + 0.5) / (n_m + 1.0), 6) AS m,
+           ROUND((a_u + 0.5) / (n_u + 1.0), 6) AS u,
+           ROUND(LN(ROUND((a_m + 0.5) / (n_m + 1.0), 6)
+                    / ROUND((a_u + 0.5) / (n_u + 1.0), 6)) / {FS_LN2}, 4)
+               AS weight_bits
+    FROM fields ORDER BY field
+"""
+
+EXTRA_QUERIES["q252_fellegi_sunter"] = q252_fellegi_sunter
+EXTRA_ORACLE["q252_fellegi_sunter"] = _ORACLE_ALL["q252_fellegi_sunter"]

@@ -998,3 +998,133 @@ def _q220_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q220_pca_power_iteration"] = q220_pca_power_iteration
 EXTRA_ORACLE["q220_pca_power_iteration"] = _q220_oracle_sql(PCA_STEPS)
+
+
+KC_K = 6
+KC_SEED = "kcenter"
+KC_SCALE = 10**6
+
+
+def q253_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point traversal) over the embedding corpus — the
+    DIVERSITY-sampling primitive active-learning and data-curation
+    pipelines run to pick maximally-spread exemplars, complementing
+    k-means (centroids, q187), MMR (relevance-diversity, q192) and
+    the random/stratified draws: start from the md5-min vector, then
+    k-1 times add the point FARTHEST from the chosen set (exact
+    integer squared distances on floor(x·1e6+0.5)-quantized vectors,
+    ties to the smaller vec_id) — so selection order and separation
+    radii are bit-identical cross-engine, and the decreasing radius
+    sequence doubles as a coverage diagnostic. Shape: each round is
+    one narrow scan computing distance to the single new center (a
+    collected model parameter, the q187/PageRank discipline) folded
+    into a running min — k scans total, no join, no corpus² anywhere;
+    the unrolled DuckDB recurrence replays it exactly."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = barrier(
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * KC_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("v"),
+        )
+    )
+    first = (
+        sv.orderBy(
+            F.md5(F.concat(F.lit(KC_SEED + ":"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [(1, int(first["vec_id"]), None, list(first["v"]))]
+
+    def dist_to(cvec):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    mind = sv.select("vec_id", "v", dist_to(centers[0][3]).alias("d"))
+    for r in range(2, KC_K + 1):
+        far = (
+            mind.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        )
+        centers.append((r, int(far["vec_id"]), int(far["d"]), list(far["v"])))
+        mind = barrier(
+            mind.select(
+                "vec_id",
+                "v",
+                F.least("d", dist_to(centers[-1][3])).alias("d"),
+            )
+        )
+    return spark.createDataFrame(
+        [(r, vid, d) for r, vid, d, _ in centers],
+        "rank int, vec_id long, sep_dist long",
+    ).orderBy("rank")
+
+
+def _q253_oracle_sql(k: int, seed: str, scale: int) -> str:
+    parts = [
+        f"""
+    WITH sv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+                   AS v
+        FROM embeddings
+    ), verts AS MATERIALIZED (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i, 'x': v[i]}}), recursive := true)
+        FROM sv
+    ), c_1 AS MATERIALIZED (
+        SELECT vec_id FROM sv
+        ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id LIMIT 1
+    ), m_1 AS MATERIALIZED (
+        SELECT t.vec_id, CAST(SUM((t.x - c.x) * (t.x - c.x)) AS BIGINT) AS d
+        FROM verts t
+        JOIN (SELECT v.dim, v.x FROM verts v JOIN c_1 ON v.vec_id = c_1.vec_id) c
+          ON t.dim = c.dim
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""", c_{r} AS MATERIALIZED (
+        SELECT vec_id, d FROM m_{r - 1} ORDER BY d DESC, vec_id LIMIT 1
+    ), m_{r} AS MATERIALIZED (
+        SELECT t.vec_id, LEAST(m.d, CAST(SUM((t.x - c.x) * (t.x - c.x))
+                                         AS BIGINT)) AS d
+        FROM verts t
+        JOIN (SELECT v.dim, v.x FROM verts v
+              JOIN c_{r} ON v.vec_id = c_{r}.vec_id) c ON t.dim = c.dim
+        JOIN m_{r - 1} m ON m.vec_id = t.vec_id
+        GROUP BY t.vec_id, m.d
+    )"""
+        )
+    sels = [
+        "SELECT 1 AS rank, vec_id, CAST(NULL AS BIGINT) AS sep_dist FROM c_1"
+    ]
+    for r in range(2, k + 1):
+        sels.append(
+            f"SELECT {r} AS rank, vec_id, CAST(d AS BIGINT) AS sep_dist FROM c_{r}"
+        )
+    return (
+        "".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
+        + "\n    ORDER BY rank"
+    )
+
+
+EXTRA_QUERIES["q253_kcenter_coreset"] = q253_kcenter_coreset
+EXTRA_ORACLE["q253_kcenter_coreset"] = _q253_oracle_sql(KC_K, KC_SEED, KC_SCALE)
