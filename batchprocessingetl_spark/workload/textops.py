@@ -3087,3 +3087,134 @@ _ORACLE_ALL["q252_fellegi_sunter"] = f"""
 
 EXTRA_QUERIES["q252_fellegi_sunter"] = q252_fellegi_sunter
 EXTRA_ORACLE["q252_fellegi_sunter"] = _ORACLE_ALL["q252_fellegi_sunter"]
+
+
+PPL_MOD, PPL_TRAIN_LT = 10, 8  # md5 doc split: 80% train / 20% held out
+PPL_ALPHA = 0.5
+PPL_LAMBDA = 0.5  # bigram/unigram interpolation weight
+
+
+def q254_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation — train an interpolated
+    add-α bigram/unigram LM on an md5-deterministic 80% document split
+    and report per-source average NLL and perplexity on the UNSEEN
+    20%: the eval-side companion to q95 (which scores the corpus with
+    a model trained on itself) and the statistic an LM-data pipeline
+    watches to compare corpus versions. Unseen eval contexts and OOV
+    tokens are handled by the unigram leg (COALESCE-0 counts, add-α
+    keeps every probability positive) with the IDENTICAL expression in
+    both engines. Per-bigram NLL rounds to 7dp before DECIMAL
+    accumulation (the q95/q179 discipline); the one exp() per source
+    happens on a 6dp-rounded mean (the q160 ln/exp precedent). Shape:
+    one train scan builds the two count tables, one eval scan joins
+    them back on (a, b) and b — vocab-bounded join sides, fact-scale
+    probes, AQE handles the heavy-hitter skew."""
+    from batchprocessingetl_spark.operators.text import bigram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    split_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ppl:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % PPL_MOD
+    docs = docs.withColumn("__is_train", split_h < PPL_TRAIN_LT)
+    train = docs.filter(F.col("__is_train"))
+    test = docs.filter(~F.col("__is_train"))
+
+    tr_bg = bigram_pairs(train, "doc_id", "text")
+    lm_bg = tr_bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    lm_ctx = lm_bg.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    tr_uni = (
+        train.select(F.explode(T_ops.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    stats = tr_uni.agg(
+        F.sum("c_t").alias("n_tok"), F.count(F.lit(1)).alias("vsz")
+    )
+
+    ev = bigram_pairs(test, "doc_id", "text").join(
+        test.select("doc_id", "source"), "doc_id"
+    )
+    scored = (
+        ev.join(lm_bg, ["a", "b"], "left")
+        .join(lm_ctx, "a", "left")
+        .join(
+            tr_uni.select(F.col("t").alias("b"), F.col("c_t").alias("c_b")),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    p_big = (F.coalesce("c_ab", F.lit(0)) + F.lit(PPL_ALPHA)) / (
+        F.coalesce("c_a", F.lit(0)) + F.lit(PPL_ALPHA) * F.col("vsz")
+    )
+    p_uni = (F.coalesce("c_b", F.lit(0)) + F.lit(PPL_ALPHA)) / (
+        F.col("n_tok") + F.lit(PPL_ALPHA) * F.col("vsz")
+    )
+    nll = F.round(
+        -F.log(F.lit(PPL_LAMBDA) * p_big + F.lit(1.0 - PPL_LAMBDA) * p_uni), 7
+    ).cast("decimal(28,10)")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                (F.sum(nll) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp("avg_nll"), 4))
+        .orderBy("source")
+    )
+
+
+_ORACLE_ALL["q254_heldout_perplexity"] = f"""
+    WITH d AS (
+        SELECT doc_id, source, {_TOKENS_SQL} AS t,
+               ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % {PPL_MOD} < {PPL_TRAIN_LT} AS is_train
+        FROM documents
+    ), tr_bg AS (
+        SELECT doc_id, t[pos] AS a, t[pos + 1] AS b
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+              FROM d WHERE is_train)
+    ), lm_bg AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM tr_bg GROUP BY 1, 2
+    ), lm_ctx AS (
+        SELECT a, SUM(c_ab) AS c_a FROM lm_bg GROUP BY 1
+    ), tr_uni AS (
+        SELECT tok AS t, COUNT(*) AS c_t
+        FROM (SELECT unnest(t) AS tok FROM d WHERE is_train) GROUP BY 1
+    ), stats AS (
+        SELECT SUM(c_t) AS n_tok, COUNT(*) AS vsz FROM tr_uni
+    ), ev AS (
+        SELECT doc_id, source, t[pos] AS a, t[pos + 1] AS b
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS pos
+              FROM d WHERE NOT is_train)
+    ), scored AS (
+        SELECT ev.doc_id, ev.source,
+               CAST(ROUND(-LN(
+                   {PPL_LAMBDA} * (COALESCE(g.c_ab, 0) + {PPL_ALPHA})
+                       / (COALESCE(cx.c_a, 0) + {PPL_ALPHA} * s.vsz)
+                   + {1.0 - PPL_LAMBDA} * (COALESCE(u.c_t, 0) + {PPL_ALPHA})
+                       / (s.n_tok + {PPL_ALPHA} * s.vsz)
+               ), 7) AS DECIMAL(28,10)) AS nll
+        FROM ev
+        LEFT JOIN lm_bg g ON ev.a = g.a AND ev.b = g.b
+        LEFT JOIN lm_ctx cx ON ev.a = cx.a
+        LEFT JOIN tr_uni u ON ev.b = u.t
+        CROSS JOIN stats s
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(nll) / COUNT(*) AS DOUBLE), 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(SUM(nll) / COUNT(*) AS DOUBLE), 6)), 4) AS ppl
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+EXTRA_QUERIES["q254_heldout_perplexity"] = q254_heldout_perplexity
+EXTRA_ORACLE["q254_heldout_perplexity"] = _ORACLE_ALL["q254_heldout_perplexity"]
