@@ -1526,3 +1526,66 @@ def kmv_distinct_daily(
         F.col("n_state") < k, F.col("n_state").cast("double")
     ).otherwise(F.round(F.lit(k - 1) / (F.col("hk") / F.lit(scale)), 4))
     return per_day.select("day", est.alias("kmv_est")).orderBy("day")
+
+
+def cms_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous Count-Min frequency-sketch state — the FREQUENCY
+    member of the streaming estimator family (HLL ≈cardinality, bitmap
+    exact-distinct, KMV bit-exact-distinct, histogram quantiles): each
+    micro-batch builds the q121/q178 CM counter grid over its keys
+    (``operators/sketches.py::cms_build``) and writes it to an
+    epoch-owned partition (``state_dir/epoch=N``, overwrite — counter
+    addition is NOT idempotent, so replay must rewrite, the
+    histogram/IVM pattern). Readers sum counters across epochs:
+    because CM merge IS addition, the merged state equals the one-shot
+    batch sketch EXACTLY under any micro-batch slicing — the test pins
+    stream == batch counter-for-counter, and point reads
+    (:func:`~batchprocessingetl_spark.operators.sketches.cms_point`)
+    inherit the standard overestimate-within-eps·N guarantee.
+
+    100 TB posture: state is d×w counters per epoch (KBs, key-
+    cardinality-independent); each fold shuffles at most d×w partials
+    after map-side combine; compact old epochs by re-aggregating into
+    one (the algebra is the read-side sum either way)."""
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from batchprocessingetl_spark.operators.sketches import cms_build
+
+        cms_build(batch, F.col(key_col), depth, width).write.mode(
+            "overwrite"
+        ).parquet(state_dir.rstrip("/") + f"/epoch={int(epoch_id)}")
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_rollup_read(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The merged sketch: counters summed across epoch partitions —
+    bit-identical to a one-shot cms_build over all data ever folded."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

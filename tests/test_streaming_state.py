@@ -1157,3 +1157,77 @@ def test_kmv_rollup_stream_exactly_equals_batch(spark, tmp_path):
     assert set(ests) == {"2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"}
     for day, est in ests.items():
         assert est > 0
+
+
+def test_cms_rollup_stream_equals_batch_sketch_exactly(spark, tmp_path):
+    """CM counters merge by addition, so the epoch-summed streaming
+    state must equal the one-shot batch sketch EXACTLY (counter-for-
+    counter) under any micro-batch slicing, a no-new-file rerun, and
+    a resume — and point reads keep the overestimate guarantee."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as SF
+
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    from batchprocessingetl_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        cms_rollup_read,
+        cms_rollup_stream,
+    )
+
+    def rows(uids, base):
+        return [
+            (base + i, datetime(2024, 6, 1, 8), int(u), "view", 1.0, "{}")
+            for i, u in enumerate(uids)
+        ]
+
+    f1 = rows([1, 1, 1, 2, 3, 5, 8], 0)
+    f2 = rows([1, 2, 13, 21, 34], 100)
+    f3 = rows([1, 55, 89], 200)
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ckpt"))
+
+    def drop(chunk):
+        spark.createDataFrame(chunk, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def merged():
+        return {
+            (r["row"], r["bucket"]): r["c"]
+            for r in cms_rollup_read(spark, state).collect()
+        }
+
+    def batch(all_rows):
+        df = spark.createDataFrame(all_rows, EVENTS_STREAM_SCHEMA)
+        return {
+            (r["row"], r["bucket"]): r["c"]
+            for r in cms_build(df, SF.col("user_id"), 4, 64).collect()
+        }
+
+    drop(f1)
+    drop(f2)
+    cms_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt, width=64)
+    assert merged() == batch(f1 + f2)
+    # rerun with no new files: replay must not double-count
+    cms_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt, width=64)
+    assert merged() == batch(f1 + f2)
+    drop(f3)
+    cms_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt, width=64)
+    assert merged() == batch(f1 + f2 + f3)
+
+    # point reads off the merged state: overestimate within eps*N
+    keys = spark.createDataFrame([(1,), (89,), (999,)], "k long")
+    est = {
+        int(r["k"]): r["est"]
+        for r in cms_point_estimates(
+            cms_rollup_read(spark, state), keys, "k", width=64
+        ).collect()
+    }
+    true = {1: 5, 89: 1, 999: 0}
+    n = len(f1 + f2 + f3)
+    for k, t in true.items():
+        assert est[k] >= t
+        assert est[k] <= t + (2.718281828459045 / 64) * n
