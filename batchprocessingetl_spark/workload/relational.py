@@ -3986,3 +3986,260 @@ def _q251_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q251_label_propagation"] = q251_label_propagation
 EXTRA_ORACLE["q251_label_propagation"] = _q251_oracle_sql(LPA_STEPS)
+
+
+CONTRIB_Y0, CONTRIB_Y1 = 1996, 1997
+CONTRIB_TOP = 15
+
+
+def q255_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional contribution analysis ("why did the metric
+    move") — the drilldown BI engines run on top of the q243 bridge:
+    year-over-year revenue delta decomposed over the (nation ×
+    market-segment) cell grid, each cell reporting its exact delta,
+    its signed share of the total move, and a rank by absolute
+    contribution — the top-N cells that explain the change. Revenue
+    accumulates in exact DECIMAL at the cell grain (one fact join +
+    one hash agg); shares are one double division per cell off the
+    125-row frame, rounded 6dp; ties rank deterministically by cell
+    key. Cells active in only one year COALESCE to 0 on the other
+    side, so appearing/vanishing cells are first-class
+    contributors."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
+    cells = (
+        orders.filter(yr.isin(CONTRIB_Y0, CONTRIB_Y1))
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(
+                F.when(yr == CONTRIB_Y0, F.col("o_totalprice")).otherwise(0.0).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("r0"),
+            F.sum(
+                F.when(yr == CONTRIB_Y1, F.col("o_totalprice")).otherwise(0.0).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("r1"),
+        )
+    )
+    tot = cells.agg(
+        (F.sum("r1") - F.sum("r0")).alias("total_delta")
+    )
+    ranked = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "segment",
+            F.round(F.col("r0"), 2).cast("double").alias("rev_y0"),
+            F.round(F.col("r1"), 2).cast("double").alias("rev_y1"),
+            F.round(F.col("r1") - F.col("r0"), 2).cast("double").alias("delta"),
+            F.round(
+                (F.col("r1") - F.col("r0")).cast("double")
+                / F.col("total_delta").cast("double"),
+                6,
+            ).alias("share_of_move"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.abs(F.col("delta"))), "nation", "segment"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= CONTRIB_TOP)
+        .orderBy("rank")
+    )
+    return ranked
+
+
+_ORACLE_ALL["q255_delta_contribution"] = f"""
+    WITH cells AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = {CONTRIB_Y0}
+                        THEN CAST(o.o_totalprice AS DECIMAL(28,6))
+                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS r0,
+               SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = {CONTRIB_Y1}
+                        THEN CAST(o.o_totalprice AS DECIMAL(28,6))
+                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS r1
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN ({CONTRIB_Y0}, {CONTRIB_Y1})
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(r1) - SUM(r0) AS total_delta FROM cells
+    ), ranked AS (
+        SELECT nation, segment,
+               CAST(ROUND(r0, 2) AS DOUBLE) AS rev_y0,
+               CAST(ROUND(r1, 2) AS DOUBLE) AS rev_y1,
+               CAST(ROUND(r1 - r0, 2) AS DOUBLE) AS delta,
+               ROUND(CAST(r1 - r0 AS DOUBLE) / CAST(t.total_delta AS DOUBLE), 6)
+                   AS share_of_move,
+               ROW_NUMBER() OVER (
+                   ORDER BY ABS(CAST(ROUND(r1 - r0, 2) AS DOUBLE)) DESC,
+                            nation, segment) AS rank
+        FROM cells CROSS JOIN tot t
+    )
+    SELECT nation, segment, rev_y0, rev_y1, delta, share_of_move,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {CONTRIB_TOP} ORDER BY rank
+"""
+
+EXTRA_QUERIES["q255_delta_contribution"] = q255_delta_contribution
+EXTRA_ORACLE["q255_delta_contribution"] = _ORACLE_ALL["q255_delta_contribution"]
+
+
+CH_NODES, CH_VNODES = 8, 32
+
+
+def q256_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing rebalance audit — the shard-assignment math
+    a 100 TB ingest layer runs before adding a node: place N nodes on
+    an md5 ring (32 virtual points each), assign every customer key to
+    its clockwise successor point, then re-run with N+1 nodes and
+    measure how many keys MOVE — against the naive hash-mod-N
+    assignment, where adding a node reshuffles almost everything. The
+    expected fractions (≈1/(N+1) ring vs ≈N/(N+1) mod) fall out of
+    exact counts. Successor lookup is sort-merge, not a keys×points
+    join: union points and keys on the hex ring, one descending-order
+    window carries the last-seen point's node onto every key (md5 hex
+    strings of equal length order lexicographically = numerically in
+    BOTH engines), wrap-around keys COALESCE to the ring's minimum
+    point. The window runs over |keys|+|points| rows once per ring —
+    at scale, range-partition the ring and carry each partition's
+    boundary point, the standard distributed form."""
+    from pyspark.sql.window import Window as W
+
+    customer = load_table(spark, sf_dir, "customer")
+    keys = customer.select(
+        F.col("c_custkey").alias("k"),
+        F.md5(F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))).alias(
+            "h"
+        ),
+    )
+
+    def ring_assign(n_nodes: int) -> DataFrame:
+        pts = spark.range(n_nodes * CH_VNODES).select(
+            (F.col("id") % n_nodes).cast("int").alias("pnode"),
+            F.md5(
+                F.concat(
+                    F.lit("ring:"),
+                    (F.col("id") % n_nodes).cast("string"),
+                    F.lit(":"),
+                    (F.col("id") / n_nodes).cast("int").cast("string"),
+                )
+            ).alias("h"),
+        )
+        first_pt = pts.orderBy("h").limit(1).select(
+            F.col("pnode").alias("wrap_node")
+        )
+        combined = keys.select(
+            "k", "h", F.lit(None).cast("int").alias("pnode")
+        ).unionByName(
+            pts.select(F.lit(None).cast("long").alias("k"), "h", "pnode")
+        )
+        w = W.orderBy(F.desc("h"), F.desc("pnode")).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        return (
+            combined.withColumn(
+                "anode", F.last("pnode", ignorenulls=True).over(w)
+            )
+            .filter(F.col("k").isNotNull())
+            .crossJoin(F.broadcast(first_pt))
+            .select(
+                "k", F.coalesce("anode", "wrap_node").alias("node")
+            )
+        )
+
+    a8 = ring_assign(CH_NODES).withColumnRenamed("node", "n8")
+    a9 = ring_assign(CH_NODES + 1).withColumnRenamed("node", "n9")
+    key_h = keys.select(
+        "k",
+        (
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+        ).alias("hk"),
+    )
+    audit = (
+        a8.join(a9, "k")
+        .join(key_h, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("n8") != F.col("n9")).cast("long")).alias("ring_moved"),
+            F.sum(
+                (
+                    (F.col("hk") % CH_NODES)
+                    != (F.col("hk") % (CH_NODES + 1))
+                ).cast("long")
+            ).alias("mod_moved"),
+        )
+    )
+    return audit.select(
+        "n_keys",
+        "ring_moved",
+        "mod_moved",
+        F.round(F.col("ring_moved") / F.col("n_keys"), 6).alias("ring_moved_frac"),
+        F.round(F.col("mod_moved") / F.col("n_keys"), 6).alias("mod_moved_frac"),
+    )
+
+
+def _q256_ring_cte(tag: str, n_nodes: int) -> str:
+    return f"""pts_{tag} AS (
+        SELECT CAST(i % {n_nodes} AS INT) AS pnode,
+               md5('ring:' || (i % {n_nodes})::VARCHAR || ':'
+                   || CAST(i // {n_nodes} AS INT)::VARCHAR) AS h
+        FROM (SELECT unnest(range(0, {n_nodes * CH_VNODES})) AS i)
+    ), asg_{tag} AS (
+        SELECT k,
+               COALESCE(anode,
+                        (SELECT pnode FROM pts_{tag} ORDER BY h LIMIT 1))
+                   AS node
+        FROM (
+            SELECT k, pnode,
+                   LAST_VALUE(pnode IGNORE NULLS) OVER (
+                       ORDER BY h DESC, pnode DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS anode
+            FROM (
+                SELECT k, h, CAST(NULL AS INT) AS pnode FROM keys
+                UNION ALL
+                SELECT CAST(NULL AS BIGINT), h, pnode FROM pts_{tag}
+            )
+        ) WHERE k IS NOT NULL
+    )"""
+
+
+_ORACLE_ALL["q256_consistent_hash_rebalance"] = f"""
+    WITH keys AS (
+        SELECT c_custkey AS k,
+               md5('key:' || c_custkey::VARCHAR) AS h
+        FROM customer
+    ), {_q256_ring_cte("a", CH_NODES)}, {_q256_ring_cte("b", CH_NODES + 1)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END) AS BIGINT)
+               AS ring_moved,
+           CAST(SUM(CASE WHEN ('0x' || substr(kk.h, 1, 15))::BIGINT % {CH_NODES}
+                         <> ('0x' || substr(kk.h, 1, 15))::BIGINT % {CH_NODES + 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+           ROUND(CAST(SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS ring_moved_frac,
+           ROUND(CAST(SUM(CASE WHEN ('0x' || substr(kk.h, 1, 15))::BIGINT % {CH_NODES}
+                          <> ('0x' || substr(kk.h, 1, 15))::BIGINT % {CH_NODES + 1}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS mod_moved_frac
+    FROM asg_a a JOIN asg_b b USING (k) JOIN keys kk USING (k)
+"""
+
+EXTRA_QUERIES["q256_consistent_hash_rebalance"] = q256_consistent_hash_rebalance
+EXTRA_ORACLE["q256_consistent_hash_rebalance"] = _ORACLE_ALL[
+    "q256_consistent_hash_rebalance"
+]
