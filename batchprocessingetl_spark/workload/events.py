@@ -2972,3 +2972,91 @@ def _q250_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q250_markov_removal_attribution"] = q250_markov_removal_attribution
 EXTRA_ORACLE["q250_markov_removal_attribution"] = _q250_oracle_sql(RE_STEPS)
+
+
+CRC_W1 = (1, 10)   # capture window 1: days 1-10
+CRC_W2 = (11, 20)  # capture window 2: days 11-20
+CRC_Z = 1.96
+
+
+def q260_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the TOTAL user population
+    from two observation windows — the ecology estimator product
+    analytics reuses to ask "how many users exist that we never see":
+    capture 1 = users active in days 1-10, capture 2 = days 11-20,
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 with the standard variance and a 95%
+    Wald interval. Everything is exact integer counts off one events
+    scan (two conditional distinct aggregates + an intersection
+    semi-count); the estimator arithmetic is a fixed double expression
+    of those integers, rounded 4dp. Also reports the users actually
+    observed in either window — the estimate's lower bound."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.dayofmonth("ts")
+    tagged = ev.select(
+        "user_id",
+        ((d >= CRC_W1[0]) & (d <= CRC_W1[1])).cast("int").alias("w1"),
+        ((d >= CRC_W2[0]) & (d <= CRC_W2[1])).cast("int").alias("w2"),
+    ).groupBy("user_id").agg(
+        F.max("w1").alias("w1"), F.max("w2").alias("w2")
+    )
+    cells = tagged.agg(
+        F.sum("w1").alias("n1"),
+        F.sum("w2").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).alias("m"),
+        F.sum(
+            F.when((F.col("w1") == 1) | (F.col("w2") == 1), 1).otherwise(0)
+        ).alias("observed"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1)
+        * (n2 + 1)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return cells.select(
+        F.col("n1").cast("long").alias("n_capture1"),
+        F.col("n2").cast("long").alias("n_capture2"),
+        F.col("m").cast("long").alias("n_recaptured"),
+        F.col("observed").cast("long").alias("n_observed"),
+        F.round(est, 4).alias("chapman_estimate"),
+        F.round(est - F.lit(CRC_Z) * F.sqrt(var), 4).alias("ci_lo"),
+        F.round(est + F.lit(CRC_Z) * F.sqrt(var), 4).alias("ci_hi"),
+    )
+
+
+_ORACLE_ALL["q260_capture_recapture"] = f"""
+    WITH tagged AS (
+        SELECT user_id,
+               MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN {CRC_W1[0]} AND {CRC_W1[1]}
+                        THEN 1 ELSE 0 END) AS w1,
+               MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN {CRC_W2[0]} AND {CRC_W2[1]}
+                        THEN 1 ELSE 0 END) AS w2
+        FROM events GROUP BY 1
+    ), cells AS (
+        SELECT CAST(SUM(w1) AS BIGINT) AS n1, CAST(SUM(w2) AS BIGINT) AS n2,
+               CAST(SUM(w1 * w2) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN w1 = 1 OR w2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS observed
+        FROM tagged
+    )
+    SELECT n1 AS n_capture1, n2 AS n_capture2, m AS n_recaptured,
+           observed AS n_observed,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 4) AS chapman_estimate,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+                 - {CRC_Z} * SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 4)
+               AS ci_lo,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+                 + {CRC_Z} * SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 4)
+               AS ci_hi
+    FROM cells
+"""
+
+EXTRA_QUERIES["q260_capture_recapture"] = q260_capture_recapture
+EXTRA_ORACLE["q260_capture_recapture"] = _ORACLE_ALL["q260_capture_recapture"]

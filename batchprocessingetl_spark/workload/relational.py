@@ -4243,3 +4243,139 @@ EXTRA_QUERIES["q256_consistent_hash_rebalance"] = q256_consistent_hash_rebalance
 EXTRA_ORACLE["q256_consistent_hash_rebalance"] = _ORACLE_ALL[
     "q256_consistent_hash_rebalance"
 ]
+
+
+LOGRANK_SEG = "AUTOMOBILE"
+
+
+def q257_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing customer-lifetime survival between two
+    cohorts (the q160/q247 segment split: AUTOMOBILE vs the rest) —
+    THE standard test for "do these survival curves differ", closing
+    the survival shelf next to the KM curve and the Nelson–Aalen
+    hazard: at every distinct event time, the observed group-1 deaths
+    are compared against the expectation under a shared hazard
+    (d_t · n1_t / n_t), with the hypergeometric variance summed the
+    same way; χ² = (O−E)²/V. At-risk counts fall out of cumulative
+    windows on the collapsed (lifetime × group) frame; every per-time
+    term is ONE double expression of exact integers rounded 9dp into
+    DECIMAL before summation, so O, E, V and χ² match cross-engine to
+    the digit. Windows touch the distinct-lifetime frame only."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("lt"),
+            (F.max("o_orderdate") < F.lit(KM_CUTOFF).cast("timestamp")).alias(
+                "churned"
+            ),
+        )
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .select(
+            "lt",
+            "churned",
+            (F.col("c_mktsegment") == LOGRANK_SEG).cast("int").alias("g"),
+        )
+    )
+    per = cust.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("g").alias("c_g1"),
+        F.count(F.when(F.col("churned"), 1)).alias("d_all"),
+        F.sum(F.when(F.col("churned"), F.col("g")).otherwise(0)).alias("d_g1"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("g").alias("n_g1")
+    )
+    w = W.orderBy("lt").rowsBetween(W.unboundedPreceding, 0)
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r_all", F.col("n_all") - (F.sum("c_all").over(w) - F.col("c_all"))
+        )
+        .withColumn(
+            "r_g1", F.col("n_g1") - (F.sum("c_g1").over(w) - F.col("c_g1"))
+        )
+        .filter(F.col("d_all") > 0)
+    )
+    d, r, r1 = (
+        F.col("d_all").cast("double"),
+        F.col("r_all").cast("double"),
+        F.col("r_g1").cast("double"),
+    )
+    e_term = F.round(d * r1 / r, 9).cast("decimal(28,10)")
+    v_term = F.when(
+        F.col("r_all") > 1,
+        F.round(
+            d * (r - d) * r1 * (r - r1) / (r * r * (r - F.lit(1.0))), 9
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,10)")
+    sums = staged.agg(
+        F.sum("d_g1").alias("o1"),
+        F.sum(e_term).alias("e1"),
+        F.sum(v_term).alias("v"),
+        F.count(F.lit(1)).alias("n_event_times"),
+    )
+    return sums.select(
+        F.col("o1").cast("long").alias("observed_g1"),
+        F.round(F.col("e1").cast("double"), 6).alias("expected_g1"),
+        F.round(F.col("v").cast("double"), 6).alias("variance"),
+        "n_event_times",
+        F.round(
+            (F.col("o1") - F.col("e1")).cast("double")
+            * (F.col("o1") - F.col("e1")).cast("double")
+            / F.col("v").cast("double"),
+            4,
+        ).alias("chisq"),
+    )
+
+
+_ORACLE_ALL["q257_logrank_test"] = f"""
+    WITH cust AS (
+        SELECT lt, churned,
+               CASE WHEN c.c_mktsegment = '{LOGRANK_SEG}' THEN 1 ELSE 0 END AS g
+        FROM (
+            SELECT o_custkey,
+                   DATE_DIFF('day', MIN(o_orderdate), MAX(o_orderdate)) AS lt,
+                   MAX(o_orderdate) < TIMESTAMP '{KM_CUTOFF}' AS churned
+            FROM orders GROUP BY 1
+        ) x JOIN customer c ON x.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT lt, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(g) AS BIGINT) AS c_g1,
+               CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT) AS d_all,
+               CAST(SUM(CASE WHEN churned THEN g ELSE 0 END) AS BIGINT) AS d_g1
+        FROM cust GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all, CAST(SUM(g) AS BIGINT) AS n_g1
+        FROM cust
+    ), staged AS (
+        SELECT p.*,
+               t.n_all - (SUM(c_all) OVER (ORDER BY lt) - c_all) AS r_all,
+               t.n_g1 - (SUM(c_g1) OVER (ORDER BY lt) - c_g1) AS r_g1
+        FROM per p CROSS JOIN tot t
+    ), terms AS (
+        SELECT d_g1,
+               CAST(ROUND(CAST(d_all AS DOUBLE) * r_g1 / r_all, 9)
+                    AS DECIMAL(28,10)) AS e_term,
+               CAST(CASE WHEN r_all > 1 THEN
+                    ROUND(CAST(d_all AS DOUBLE) * (r_all - d_all) * r_g1
+                          * (r_all - r_g1)
+                          / (CAST(r_all AS DOUBLE) * r_all * (r_all - 1.0)), 9)
+                    ELSE 0.0 END AS DECIMAL(28,10)) AS v_term
+        FROM staged WHERE d_all > 0
+    )
+    SELECT CAST(SUM(d_g1) AS BIGINT) AS observed_g1,
+           ROUND(CAST(SUM(e_term) AS DOUBLE), 6) AS expected_g1,
+           ROUND(CAST(SUM(v_term) AS DOUBLE), 6) AS variance,
+           CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           ROUND(CAST(SUM(d_g1) - SUM(e_term) AS DOUBLE)
+                 * CAST(SUM(d_g1) - SUM(e_term) AS DOUBLE)
+                 / CAST(SUM(v_term) AS DOUBLE), 4) AS chisq
+    FROM terms
+"""
+
+EXTRA_QUERIES["q257_logrank_test"] = q257_logrank_test
+EXTRA_ORACLE["q257_logrank_test"] = _ORACLE_ALL["q257_logrank_test"]

@@ -3039,3 +3039,103 @@ _ORACLE_ALL["q248_seasonality_indices"] = """
 
 EXTRA_QUERIES["q248_seasonality_indices"] = q248_seasonality_indices
 EXTRA_ORACLE["q248_seasonality_indices"] = _ORACLE_ALL["q248_seasonality_indices"]
+
+
+CVM_G1, CVM_G2 = "1-URGENT", "5-LOW"
+
+
+def q258_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic for distribution equality
+    of order values between the urgent and low priority classes — the
+    INTEGRATED-difference companion to the KS max-difference (q172):
+    ω² = nm/N² · Σ over combined order statistics of (F1−F2)², which
+    on the collapsed distinct-value frame becomes Σ c_v·num_v² /
+    (N²·n·m) with num_v = cum1_v·m − cum2_v·n an EXACT INTEGER (the
+    q232 doubled-rank discipline applied to ECDFs): every cumulative
+    count is an integer window on the distinct-cents frame, num² sums
+    in DECIMAL(38,0), and the single double division happens at the
+    end — bit-stable cross-engine, no per-row rank anywhere, no
+    global window over fact rows."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isin(CVM_G1, CVM_G2)
+    ).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (F.col("o_orderpriority") == CVM_G1).cast("long").alias("g1"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum("g1").alias("c1"),
+        F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+    )
+    tot = base.agg(
+        F.sum("g1").alias("n"), F.sum(F.lit(1) - F.col("g1")).alias("m")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    staged = (
+        per_v.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("c1") + F.col("c2")).cast(d38).alias("c_v"),
+            (
+                F.col("cum1").cast(d38) * F.col("m")
+                - F.col("cum2").cast(d38) * F.col("n")
+            ).alias("num"),
+            "n",
+            "m",
+        )
+    )
+    sums = staged.agg(
+        F.sum(F.col("c_v") * F.col("num") * F.col("num")).alias("s"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    nn = F.col("n").cast("double")
+    mm = F.col("m").cast("double")
+    big_n = nn + mm
+    return sums.select(
+        F.col("n").cast("long").alias("n_urgent"),
+        F.col("m").cast("long").alias("n_low"),
+        F.round(
+            F.col("s").cast("double") / (big_n * big_n * nn * mm), 9
+        ).alias("cvm_omega_sq"),
+    )
+
+
+_ORACLE_ALL["q258_cvm_two_sample"] = f"""
+    WITH base AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '{CVM_G1}' THEN 1 ELSE 0 END AS g1
+        FROM orders
+        WHERE o_orderpriority IN ('{CVM_G1}', '{CVM_G2}')
+    ), per_v AS (
+        SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(1 - g1) AS BIGINT) AS c2
+        FROM base GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(g1) AS BIGINT) AS n,
+               CAST(SUM(1 - g1) AS BIGINT) AS m
+        FROM base
+    ), staged AS (
+        SELECT CAST(c1 + c2 AS DECIMAL(38,0)) AS c_v,
+               CAST(SUM(c1) OVER (ORDER BY v) AS DECIMAL(38,0)) * t.m
+               - CAST(SUM(c2) OVER (ORDER BY v) AS DECIMAL(38,0)) * t.n AS num,
+               t.n, t.m
+        FROM per_v CROSS JOIN tot t
+    ), sums AS (
+        SELECT SUM(c_v * num * num) AS s, MAX(n) AS n, MAX(m) AS m
+        FROM staged
+    )
+    SELECT CAST(n AS BIGINT) AS n_urgent, CAST(m AS BIGINT) AS n_low,
+           ROUND(CAST(s AS DOUBLE)
+                 / (CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE)
+                    * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)), 9)
+               AS cvm_omega_sq
+    FROM sums
+"""
+
+EXTRA_QUERIES["q258_cvm_two_sample"] = q258_cvm_two_sample
+EXTRA_ORACLE["q258_cvm_two_sample"] = _ORACLE_ALL["q258_cvm_two_sample"]

@@ -3218,3 +3218,118 @@ _ORACLE_ALL["q254_heldout_perplexity"] = f"""
 
 EXTRA_QUERIES["q254_heldout_perplexity"] = q254_heldout_perplexity
 EXTRA_ORACLE["q254_heldout_perplexity"] = _ORACLE_ALL["q254_heldout_perplexity"]
+
+
+GT_MAX_R = 10
+
+
+def q259_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies over corpus 5-gram TYPES —
+    the smoothing/coverage statistic an LM-data pipeline reads to
+    answer "how much probability mass belongs to UNSEEN sequences"
+    (the singleton fraction N1/N) and how raw counts deflate (r* =
+    (r+1)·N_{r+1}/N_r). The grain is 5-gram types, not unigrams: this
+    corpus has a closed 31-word vocabulary where every token repeats
+    hundreds of times (no GT tail at all), while its 5-gram frame is
+    singleton-dominated — exactly the regime GT was built for. Two
+    hash aggregates (gram counts, then counts-of-counts); everything
+    is an exact integer until the two divisions per row, rounded 6dp.
+    Rows r = 1..10 plus an r = 0 summary row carrying the unseen-mass
+    estimate; r* is NULL when N_{r+1} is empty (the raw estimator is
+    undefined there — emitting 0 would understate)."""
+    from batchprocessingetl_spark.operators.curation import positional_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    # count on a 60-bit md5 gram key, not the gram string: the type
+    # aggregate shuffles 8-byte longs instead of ~60-byte strings (the
+    # q82/q181 trade — a collision would merge two types, so the oracle
+    # replicates the identical key and both engines see the same N_r)
+    counts = (
+        positional_ngrams(docs, "doc_id", "text", 5)
+        .select(
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gkey")
+        )
+        .groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
+    tot = counts.agg(
+        F.sum("r").alias("n_tokens"), F.count(F.lit(1)).alias("v")
+    )
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next"))
+    rows = (
+        fof.filter((F.col("r") >= 1) & (F.col("r") <= GT_MAX_R))
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_types",
+            F.round(
+                (F.col("r") + 1)
+                * F.col("n_next").cast("double")
+                / F.col("n_types"),
+                6,
+            ).alias("gt_adjusted_count"),
+            F.round(
+                F.col("r") * F.col("n_types") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mass_share"),
+        )
+    )
+    n1 = fof.agg(
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_types"))), F.lit(0)
+        ).alias("n1")
+    )
+    unseen = (
+        tot.crossJoin(F.broadcast(n1))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.col("v").alias("n_types"),
+            F.lit(None).cast("double").alias("gt_adjusted_count"),
+            F.round(
+                F.col("n1") / F.col("n_tokens").cast("double"), 6
+            ).alias("mass_share"),
+        )
+    )
+    return unseen.unionByName(rows).orderBy("r")
+
+
+_ORACLE_ALL["q259_good_turing"] = f"""
+    WITH counts AS (
+        SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey,
+               COUNT(*) AS r
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t) - 3),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+            FROM (SELECT {_TOKENS_SQL} AS t FROM documents)
+        ) GROUP BY 1
+    ), fof AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts
+    )
+    SELECT 0::BIGINT AS r, t.v AS n_types,
+           CAST(NULL AS DOUBLE) AS gt_adjusted_count,
+           ROUND(COALESCE((SELECT n_types FROM fof WHERE r = 1), 0)
+                 / CAST(t.n_tokens AS DOUBLE), 6) AS mass_share
+    FROM tot t
+    UNION ALL
+    SELECT CAST(f.r AS BIGINT), f.n_types,
+           ROUND((f.r + 1) * CAST(nx.n_types AS DOUBLE) / f.n_types, 6),
+           ROUND(f.r * f.n_types / CAST(t.n_tokens AS DOUBLE), 6)
+    FROM fof f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.r BETWEEN 1 AND {GT_MAX_R}
+    ORDER BY r
+"""
+
+EXTRA_QUERIES["q259_good_turing"] = q259_good_turing
+EXTRA_ORACLE["q259_good_turing"] = _ORACLE_ALL["q259_good_turing"]
