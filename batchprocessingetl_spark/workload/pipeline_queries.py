@@ -1050,3 +1050,77 @@ _ORACLE_ALL["q230_fk_integrity"] = _q230_oracle_sql()
 
 EXTRA_QUERIES["q230_fk_integrity"] = q230_fk_integrity
 EXTRA_ORACLE["q230_fk_integrity"] = _ORACLE_ALL["q230_fk_integrity"]
+
+
+FD_CANDIDATES = (
+    # (name, table, determinant, dependent)
+    ("order_to_cust", "orders", "o_orderkey", "o_custkey"),
+    ("cust_to_nation", "customer", "c_custkey", "c_nationkey"),
+    ("cust_to_segment", "customer", "c_custkey", "c_mktsegment"),
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("priority_to_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def q262_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — for each candidate FD A→B,
+    does every determinant value map to exactly one dependent value?
+    The schema-discovery statistic profilers and normalization tools
+    compute (complementing q108's single-column profile and q230's FK
+    integrity): per candidate, groups violated = determinant values
+    with >1 distinct dependent, rows in violation = rows beyond the
+    majority mapping... here the EXACT definition used is g1-style:
+    violations = Σ_A (distinct_B(A) − 1) and strength = 1 −
+    violations / distinct_A — all integers off one (A, B) distinct
+    aggregate per candidate, one division at the end. Key-determined
+    FDs (orderkey→custkey) must hold exactly; categorical→categorical
+    candidates (priority→status, nation→segment) measure association
+    strength instead. Each candidate is one independent aggregate —
+    a union of six tiny frames, trivially parallel."""
+    out = None
+    for name, table, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        per_a = (
+            t.select(F.col(det).alias("a"), F.col(dep).alias("b"))
+            .distinct()
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n_b"))
+        )
+        row = per_a.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_determinants"),
+            F.sum(F.col("n_b") - 1).alias("violations"),
+            (F.sum(F.col("n_b") - 1) == 0).alias("holds"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("n_b") - 1) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("strength"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")
+
+
+_Q262_SELECTS = []
+for _name, _table, _det, _dep in FD_CANDIDATES:
+    _Q262_SELECTS.append(
+        f"""
+    SELECT '{_name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_determinants,
+           CAST(SUM(n_b - 1) AS BIGINT) AS violations,
+           SUM(n_b - 1) = 0 AS holds,
+           ROUND(1.0 - SUM(n_b - 1) / CAST(COUNT(*) AS DOUBLE), 6) AS strength
+    FROM (
+        SELECT a, COUNT(*) AS n_b FROM (
+            SELECT DISTINCT {_det} AS a, {_dep} AS b FROM {_table}
+        ) GROUP BY 1
+    )"""
+    )
+
+_ORACLE_ALL["q262_fd_discovery"] = (
+    "\n    UNION ALL".join(_Q262_SELECTS) + "\n    ORDER BY fd"
+)
+
+EXTRA_QUERIES["q262_fd_discovery"] = q262_fd_discovery
+EXTRA_ORACLE["q262_fd_discovery"] = _ORACLE_ALL["q262_fd_discovery"]

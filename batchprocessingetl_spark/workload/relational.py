@@ -4379,3 +4379,100 @@ _ORACLE_ALL["q257_logrank_test"] = f"""
 
 EXTRA_QUERIES["q257_logrank_test"] = q257_logrank_test
 EXTRA_ORACLE["q257_logrank_test"] = _ORACLE_ALL["q257_logrank_test"]
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def q261_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the thinned trade graph (the q251 edge
+    set): iteratively peel every node with degree < k until the fixed
+    point — the dense-subgraph primitive community pipelines run
+    BEFORE clustering (peripheral nodes poison modularity), distinct
+    from connected components (reachability) and LPA (labels). The
+    peel is a monotone fixed point in exact integers: each round
+    recomputes degrees within the surviving subgraph and drops
+    under-k nodes, so the unrolled DuckDB recurrence matches
+    bit-for-bit and 8 rounds suffice (the survivor count is monotone
+    non-increasing; the output pins per-round survivor counts so
+    convergence is visible). Per round: one edge semi-join + one
+    degree hash-agg behind a barrier; edges are the only corpus-sized
+    frame."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(
+            lineitem.filter(F.col("l_quantity") >= LPA_QTY_MIN),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = barrier(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+    )
+    alive = barrier(und.select(F.col("a").alias("node")).distinct())
+    counts = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(
+                alive.select(F.col("node").alias("b")), "b", "left_semi"
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = barrier(
+            deg.filter(F.col("deg") >= KCORE_K).select(F.col("a").alias("node"))
+        )
+        counts.append((r, alive.count()))
+    return spark.createDataFrame(
+        counts, "round int, n_in_core long"
+    ).orderBy("round")
+
+
+def _q261_oracle_sql(k: int, rounds: int) -> str:
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS src,
+                        's' || l.l_suppkey::VARCHAR AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity >= {LPA_QTY_MIN}
+    ), und AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst, src FROM e
+    ), alive_0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node FROM und
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", alive_{r} AS MATERIALIZED (
+        SELECT a AS node FROM (
+            SELECT u.a, COUNT(*) AS deg
+            FROM und u
+            SEMI JOIN alive_{r - 1} x ON u.a = x.node
+            SEMI JOIN alive_{r - 1} y ON u.b = y.node
+            GROUP BY u.a
+        ) WHERE deg >= {k}
+    )"""
+        )
+    sels = [
+        f"SELECT {r} AS round, (SELECT COUNT(*) FROM alive_{r})::BIGINT"
+        f" AS n_in_core"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sels) + "\n    ORDER BY round"
+
+
+EXTRA_QUERIES["q261_kcore_decomposition"] = q261_kcore_decomposition
+EXTRA_ORACLE["q261_kcore_decomposition"] = _q261_oracle_sql(KCORE_K, KCORE_ROUNDS)
