@@ -1124,3 +1124,128 @@ _ORACLE_ALL["q262_fd_discovery"] = (
 
 EXTRA_QUERIES["q262_fd_discovery"] = q262_fd_discovery
 EXTRA_ORACLE["q262_fd_discovery"] = _ORACLE_ALL["q262_fd_discovery"]
+
+
+SKEW_PARTS = 32
+SKEW_SALT_RATIO = 2.0
+
+
+def q264_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a join/aggregation key — the diagnostic
+    an engine (or its operator author) runs BEFORE choosing between a
+    plain shuffle, AQE skew splitting, and an explicit salted plan
+    (the q81/q94 bake-off made a first-class query): per-key row
+    counts for lineitem.l_suppkey, the top-1/top-10 key shares, and a
+    SIMULATED hash partitioning into 32 buckets (md5 of the key — the
+    engine-replayable stand-in for the engine's hash) yielding max
+    and average partition loads; the recommendation flag trips when
+    max/avg exceeds 2. Everything is exact integer counts off one
+    fact aggregate plus a 32-row bucket rollup; the shares and the
+    load ratio are the only divisions, rounded 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    buckets = (
+        per_key.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("sk:"), F.col("l_suppkey").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % SKEW_PARTS
+            ).alias("b"),
+            "c",
+        )
+        .groupBy("b")
+        .agg(F.sum("c").alias("load"))
+    )
+    from pyspark.sql.window import Window as W
+
+    topshare = per_key.select(
+        F.col("c"),
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), "l_suppkey"))
+        .alias("rk"),
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("n_rows")
+    )
+    tops = topshare.agg(
+        F.sum(F.when(F.col("rk") == 1, F.col("c")).otherwise(0)).alias("top1"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0)).alias("top10"),
+    )
+    loads = buckets.agg(
+        F.max("load").alias("max_load"),
+        F.sum("load").alias("total"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tops))
+        .crossJoin(F.broadcast(loads))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round(F.col("top1") / F.col("n_rows").cast("double"), 6).alias(
+                "top1_share"
+            ),
+            F.round(F.col("top10") / F.col("n_rows").cast("double"), 6).alias(
+                "top10_share"
+            ),
+            "max_load",
+            F.round(
+                F.col("max_load")
+                * F.col("n_buckets")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("max_over_avg"),
+            (
+                F.col("max_load") * F.col("n_buckets")
+                > F.lit(SKEW_SALT_RATIO) * F.col("total")
+            ).alias("recommend_salting"),
+        )
+    )
+
+
+_ORACLE_ALL["q264_shuffle_skew_audit"] = f"""
+    WITH per_key AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ), buckets AS (
+        SELECT ('0x' || substr(md5('sk:' || l_suppkey::VARCHAR), 1, 15))::BIGINT
+                   % {SKEW_PARTS} AS b,
+               CAST(SUM(c) AS BIGINT) AS load
+        FROM per_key GROUP BY 1
+    ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, l_suppkey) AS rk
+        FROM per_key
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM per_key
+    ), tops AS (
+        SELECT CAST(SUM(CASE WHEN rk = 1 THEN c ELSE 0 END) AS BIGINT) AS top1,
+               CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10
+        FROM ranked
+    ), loads AS (
+        SELECT CAST(MAX(load) AS BIGINT) AS max_load,
+               CAST(SUM(load) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM buckets
+    )
+    SELECT a.n_keys, a.n_rows,
+           ROUND(t.top1 / CAST(a.n_rows AS DOUBLE), 6) AS top1_share,
+           ROUND(t.top10 / CAST(a.n_rows AS DOUBLE), 6) AS top10_share,
+           l.max_load,
+           ROUND(l.max_load * l.n_buckets / CAST(l.total AS DOUBLE), 6)
+               AS max_over_avg,
+           l.max_load * l.n_buckets > {SKEW_SALT_RATIO} * l.total
+               AS recommend_salting
+    FROM agg a CROSS JOIN tops t CROSS JOIN loads l
+"""
+
+EXTRA_QUERIES["q264_shuffle_skew_audit"] = q264_shuffle_skew_audit
+EXTRA_ORACLE["q264_shuffle_skew_audit"] = _ORACLE_ALL["q264_shuffle_skew_audit"]

@@ -3139,3 +3139,141 @@ _ORACLE_ALL["q258_cvm_two_sample"] = f"""
 
 EXTRA_QUERIES["q258_cvm_two_sample"] = q258_cvm_two_sample
 EXTRA_ORACLE["q258_cvm_two_sample"] = _ORACLE_ALL["q258_cvm_two_sample"]
+
+
+FE_Y0, FE_Y1 = 1995, 1998  # panel window (inclusive)
+FE_SCALE = 10**4  # fixed-point scale for the within-transform means
+
+
+def q263_fixed_effects_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects panel regression — revenue on order count
+    over the (pseudo-nation × month) panel with unit AND time effects
+    swept out by the within transformation (ẏ = y − ȳ_unit − ȳ_time +
+    ȳ), the workhorse spec between pooled OLS (q107) and
+    diff-in-diff (q235): β identifies off within-cell variation only,
+    immune to any additive unit level or common time shock.
+
+    Exactness: rounded-double means FAIL here — cents magnitudes
+    (~1e8) leave no double headroom below 4dp, and a 1-ULP rounding
+    divergence in a mean perturbs β at 1e-7 (measured). So every mean
+    is FIXED-POINT INTEGER: floor(S·10⁴ div C) (Spark `div` == DuckDB
+    `//` on non-negative sums — the q185/q220 idiom), demeaned values
+    are exact BIGINTs at 1e4 scale, cross products accumulate in
+    DECIMAL(38,0), and β/R² take the only double divisions at the
+    end — bit-stable cross-engine. Shape: one fact aggregate to the
+    panel grain, three broadcast mean frames, one cross-product
+    aggregate; windows never touch fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    panel = (
+        orders.filter(
+            (F.year("o_orderdate") >= FE_Y0) & (F.year("o_orderdate") <= FE_Y1)
+        )
+        .groupBy(
+            (F.col("o_custkey") % 25).alias("nat"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("y"),
+            F.count(F.lit(1)).alias("x"),
+        )
+    )
+    s = FE_SCALE
+
+    def means(df, keys, tag):
+        return df.groupBy(*keys).agg(
+            F.expr(f"CAST((sum(y) * {s}L) div count(1) AS BIGINT)").alias(
+                f"ybar_{tag}"
+            ),
+            F.expr(f"CAST((sum(x) * {s}L) div count(1) AS BIGINT)").alias(
+                f"xbar_{tag}"
+            ),
+        )
+
+    m_nat = means(panel, ["nat"], "n")
+    m_mon = means(panel, ["mon"], "m")
+    m_all = means(panel, [], "g")
+    d38 = "decimal(38,0)"
+    demeaned = (
+        panel.join(F.broadcast(m_nat), "nat")
+        .join(F.broadcast(m_mon), "mon")
+        .crossJoin(F.broadcast(m_all))
+        .select(
+            (
+                F.col("y") * s - F.col("ybar_n") - F.col("ybar_m") + F.col("ybar_g")
+            )
+            .cast(d38)
+            .alias("yd"),
+            (
+                F.col("x") * s - F.col("xbar_n") - F.col("xbar_m") + F.col("xbar_g")
+            )
+            .cast(d38)
+            .alias("xd"),
+        )
+    )
+    sums = demeaned.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+    )
+    beta = F.col("sxy").cast("double") / F.col("sxx").cast("double")
+    r2 = (
+        F.col("sxy").cast("double")
+        * F.col("sxy").cast("double")
+        / (F.col("sxx").cast("double") * F.col("syy").cast("double"))
+    )
+    return sums.select(
+        "n_cells",
+        F.round(beta, 4).alias("beta_cents_per_order"),
+        F.round(r2, 6).alias("within_r2"),
+    )
+
+
+_ORACLE_ALL["q263_fixed_effects_ols"] = f"""
+    WITH panel AS (
+        SELECT o_custkey % 25 AS nat,
+               date_trunc('month', o_orderdate) AS mon,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) BETWEEN {FE_Y0} AND {FE_Y1}
+        GROUP BY 1, 2
+    ), m_nat AS (
+        SELECT nat, CAST((SUM(y) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS ybar_n,
+               CAST((SUM(x) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS xbar_n
+        FROM panel GROUP BY 1
+    ), m_mon AS (
+        SELECT mon, CAST((SUM(y) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS ybar_m,
+               CAST((SUM(x) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS xbar_m
+        FROM panel GROUP BY 1
+    ), m_all AS (
+        SELECT CAST((SUM(y) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS ybar_g,
+               CAST((SUM(x) * {FE_SCALE}) // COUNT(*) AS BIGINT) AS xbar_g
+        FROM panel
+    ), demeaned AS (
+        SELECT CAST(p.y * {FE_SCALE} - n.ybar_n - m.ybar_m + a.ybar_g
+                    AS DECIMAL(38,0)) AS yd,
+               CAST(p.x * {FE_SCALE} - n.xbar_n - m.xbar_m + a.xbar_g
+                    AS DECIMAL(38,0)) AS xd
+        FROM panel p
+        JOIN m_nat n USING (nat)
+        JOIN m_mon m USING (mon)
+        CROSS JOIN m_all a
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(xd * xd) AS sxx, SUM(xd * yd) AS sxy, SUM(yd * yd) AS syy
+        FROM demeaned
+    )
+    SELECT n_cells,
+           ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 4)
+               AS beta_cents_per_order,
+           ROUND(CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS within_r2
+    FROM sums
+"""
+
+EXTRA_QUERIES["q263_fixed_effects_ols"] = q263_fixed_effects_ols
+EXTRA_ORACLE["q263_fixed_effects_ols"] = _ORACLE_ALL["q263_fixed_effects_ols"]
