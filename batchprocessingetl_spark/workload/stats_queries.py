@@ -3277,3 +3277,111 @@ _ORACLE_ALL["q263_fixed_effects_ols"] = f"""
 
 EXTRA_QUERIES["q263_fixed_effects_ols"] = q263_fixed_effects_ols
 EXTRA_ORACLE["q263_fixed_effects_ols"] = _ORACLE_ALL["q263_fixed_effects_ols"]
+
+
+GAINS_BIN = 100  # cents-grain score bins for the decile cut
+
+
+def q265_gains_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains and lift table — the campaign-targeting readout
+    next to AUC (q169), AP (q212) and calibration (q180): rank orders
+    by value (the targeting score), cut the ranked population into
+    deciles, and report each decile's capture of all urgent-priority
+    positives plus the cumulative gain and lift. Deciles are assigned
+    at the BIN grain (exact cents bins; a bin belongs wholly to the
+    decile of its first ranked row — decile = 10·cum_before div N,
+    integer floor division both engines), so no per-row rank ever
+    touches fact rows and the assignment is deterministic under ties;
+    the lumpy-boundary convention is documented rather than
+    pro-rated. All counts exact; shares/lift are final divisions
+    rounded 6dp."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.floor(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / GAINS_BIN
+            )
+            .cast("long")
+            .alias("bin"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("posc"))
+    )
+    w = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy()
+    assigned = cells.select(
+        "cnt",
+        "posc",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wall).alias("n_tot"),
+        F.sum("posc").over(wall).alias("pos_tot"),
+    ).select(
+        F.expr("CAST((cum_before * 10) div n_tot AS INT) + 1").alias("decile"),
+        "cnt",
+        "posc",
+        "n_tot",
+        "pos_tot",
+    )
+    per_d = assigned.groupBy("decile").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("posc").alias("n_pos"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("pos_tot").alias("pos_tot"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_d.withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("cum_pos") / F.col("pos_tot").cast("double"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("cum_pos") / F.col("pos_tot").cast("double"))
+                / (F.col("cum_n") / F.col("n_tot").cast("double")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLE_ALL["q265_gains_lift_curve"] = """
+    WITH cells AS (
+        SELECT CAST(FLOOR(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          / 100) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS posc
+        FROM orders GROUP BY 1
+    ), assigned AS (
+        SELECT CAST((COALESCE(SUM(cnt) OVER (ORDER BY bin DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     * 10) // SUM(cnt) OVER () AS INT) + 1 AS decile,
+               cnt, posc,
+               SUM(cnt) OVER () AS n_tot, SUM(posc) OVER () AS pos_tot
+        FROM cells
+    ), per_d AS (
+        SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(posc) AS BIGINT) AS n_pos,
+               CAST(MAX(n_tot) AS BIGINT) AS n_tot,
+               CAST(MAX(pos_tot) AS BIGINT) AS pos_tot
+        FROM assigned GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           ROUND(SUM(n_pos) OVER (ORDER BY decile)
+                 / CAST(pos_tot AS DOUBLE), 6) AS cum_gain,
+           ROUND((SUM(n_pos) OVER (ORDER BY decile) / CAST(pos_tot AS DOUBLE))
+                 / (SUM(n) OVER (ORDER BY decile) / CAST(n_tot AS DOUBLE)), 6)
+               AS cum_lift
+    FROM per_d ORDER BY decile
+"""
+
+EXTRA_QUERIES["q265_gains_lift_curve"] = q265_gains_lift_curve
+EXTRA_ORACLE["q265_gains_lift_curve"] = _ORACLE_ALL["q265_gains_lift_curve"]

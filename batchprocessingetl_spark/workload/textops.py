@@ -3333,3 +3333,77 @@ _ORACLE_ALL["q259_good_turing"] = f"""
 
 EXTRA_QUERIES["q259_good_turing"] = q259_good_turing
 EXTRA_ORACLE["q259_good_turing"] = _ORACLE_ALL["q259_good_turing"]
+
+
+BURST_MIN_DF = 5
+BURST_TOP = 20
+
+
+def q266_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness audit (Church & Gale): which terms CLUMP —
+    appearing many times in few documents — versus spreading evenly?
+    The statistic behind adaptive LM caching and topical-keyword
+    detection, complementing the frequency views (vocab q86, Zipf
+    q216, keyness q138): per term, the variance-to-mean ratio of its
+    per-document count over ALL documents (zeros included — the power
+    sums Σc and Σc² come from one (doc, term) aggregate, zeros
+    contribute nothing, and the N-denominator reinstates them
+    algebraically: VMR = (Σc² − (Σc)²/N) / Σc) plus the within-doc
+    repeat rate Σc / df. Everything integer until two divisions per
+    term, rounded 6dp; top 20 by VMR (ties → term). VMR = 1 is
+    Poisson — values above mark bursty terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    per_dt = (
+        docs.select("doc_id", F.explode(T_ops.tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_t = per_dt.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    vmr = (
+        F.col("sc2").cast("double")
+        - F.col("sc").cast("double") * F.col("sc") / F.lit(float(n_docs))
+    ) / F.col("sc").cast("double")
+    return (
+        per_t.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            F.col("sc").alias("total_count"),
+            F.round(F.col("sc") / F.col("df").cast("double"), 6).alias(
+                "repeat_rate"
+            ),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "term")
+        .limit(BURST_TOP)
+    )
+
+
+_ORACLE_ALL["q266_term_burstiness"] = f"""
+    WITH per_dt AS (
+        SELECT doc_id, tok AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ), per_t AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS sc2
+        FROM per_dt GROUP BY 1
+    ), n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+    SELECT t AS term, df, sc AS total_count,
+           ROUND(sc / CAST(df AS DOUBLE), 6) AS repeat_rate,
+           ROUND((CAST(sc2 AS DOUBLE)
+                  - CAST(sc AS DOUBLE) * sc / n.n_docs)
+                 / CAST(sc AS DOUBLE), 6) AS vmr
+    FROM per_t CROSS JOIN n
+    WHERE df >= {BURST_MIN_DF}
+    ORDER BY vmr DESC, term LIMIT {BURST_TOP}
+"""
+
+EXTRA_QUERIES["q266_term_burstiness"] = q266_term_burstiness
+EXTRA_ORACLE["q266_term_burstiness"] = _ORACLE_ALL["q266_term_burstiness"]
