@@ -3060,3 +3060,114 @@ _ORACLE_ALL["q260_capture_recapture"] = f"""
 
 EXTRA_QUERIES["q260_capture_recapture"] = q260_capture_recapture
 EXTRA_ORACLE["q260_capture_recapture"] = _ORACLE_ALL["q260_capture_recapture"]
+
+
+TD_WINDOW_H = 168  # attribution lookback (hours)
+TD_HALF_LIFE_H = 24.0
+
+
+def q267_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — credit ∝ 2^(−Δt/halflife)
+    for every touch (view/click/signup) within 7 days before a
+    purchase, normalized per conversion — completing the attribution
+    QUARTET: positional U-shape (q146), game-theoretic Shapley (q242),
+    Markov removal effect (q250), and recency-weighted time decay
+    (industry default in ad platforms). Shape: one user-keyed interval
+    join (purchase × preceding touches, time-bounded so it is the q146
+    machinery), per-conversion weight sums joined back for the
+    normalization, one final channel rollup. Exactness: Δt is exact
+    integer microseconds; each weight rounds 9dp into DECIMAL, each
+    per-conversion share is one double division re-rounded 9dp, and
+    channel totals sum DECIMALs — deterministic cross-engine (ln/exp
+    at 9dp, the q160 precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin(*SHAPLEY_CHANNELS)).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    joined = p.join(
+        t,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {TD_WINDOW_H} HOURS")
+        ),
+    ).select(
+        "pid",
+        "channel",
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                -(
+                    (
+                        F.unix_micros("pts") - F.unix_micros("tts")
+                    ).cast("double")
+                    / F.lit(3600.0 * 1e6)
+                )
+                / F.lit(TD_HALF_LIFE_H),
+            ),
+            9,
+        )
+        .cast("decimal(28,10)")
+        .alias("w"),
+    )
+    per_conv = joined.groupBy("pid").agg(F.sum("w").alias("wsum"))
+    shares = joined.join(per_conv, "pid").select(
+        "channel",
+        F.round(
+            F.col("w").cast("double") / F.col("wsum").cast("double"), 9
+        )
+        .cast("decimal(28,10)")
+        .alias("share"),
+    )
+    return (
+        shares.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("share").cast("double"), 6).alias("total_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q267_CH_IN = ", ".join(f"'{c}'" for c in SHAPLEY_CHANNELS)
+
+_ORACLE_ALL["q267_time_decay_attribution"] = f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id AS pu, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id AS tu, event_type AS channel, ts AS tts
+        FROM events WHERE event_type IN ({_Q267_CH_IN})
+    ), joined AS (
+        SELECT p.pid, t.channel,
+               CAST(ROUND(POW(2.0,
+                   -(CAST(EPOCH_US(p.pts) - EPOCH_US(t.tts) AS DOUBLE)
+                     / (3600.0 * 1e6)) / {TD_HALF_LIFE_H}), 9)
+                    AS DECIMAL(28,10)) AS w
+        FROM p JOIN t
+          ON p.pu = t.tu
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL {TD_WINDOW_H} HOURS
+    ), per_conv AS (
+        SELECT pid, SUM(w) AS wsum FROM joined GROUP BY 1
+    ), shares AS (
+        SELECT j.channel,
+               CAST(ROUND(CAST(j.w AS DOUBLE) / CAST(c.wsum AS DOUBLE), 9)
+                    AS DECIMAL(28,10)) AS share
+        FROM joined j JOIN per_conv c USING (pid)
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(share) AS DOUBLE), 6) AS total_credit
+    FROM shares GROUP BY 1 ORDER BY 1
+"""
+
+EXTRA_QUERIES["q267_time_decay_attribution"] = q267_time_decay_attribution
+EXTRA_ORACLE["q267_time_decay_attribution"] = _ORACLE_ALL["q267_time_decay_attribution"]
