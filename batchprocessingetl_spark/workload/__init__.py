@@ -43,64 +43,67 @@ _MODULES = (
     _stats,
 )
 
-# Round-7 rotation (VERDICT r6 #1): the 50 driver-checked rows.
-# Newly rotated IN (40): the TPC-H analog completions q164-q168/
-# q174-q177/q186 (with round 6's q127-q134 these finish driver
-# coverage of all 22 TPC-H shapes), the fixed-point iterative family
-# q182/q185/q187/q190/q220, the experimentation shelf q206/q232-q240,
-# the KMV sketch pair q203/q204 (VERDICT r6 #5), and thirteen
-# family-retaining rows q178/q188/q192/q195/q196/q198/q207/q208/
-# q214/q216/q221/q225/q228. Anchors kept (10): q03/q40/q41/q60/q71/
-# q78/q93/q111 (no incoming sibling) plus q146 (interval-join
-# attribution — sole registered interval row) and q147 (BM25 lexical
-# retrieval — sole registered BM25 row). Displacement mapping lives in
-# docs/COVERAGE.md ("Round 7 rotation").
+# Round-8 rotation (VERDICT r7 #1): the 50 driver-checked rows.
+# Newly rotated IN (27): the whole round-7 block q241-q267 — the
+# attribution quartet completions q242/q250/q267 (Shapley, Markov
+# removal-effect, time-decay; q146 stays as the interval anchor), the
+# survival/testing shelf q244/q245/q247/q257/q258, graph fixed points
+# q241/q251/q261, linkage/dedup q252, vectors q253, text q254/q259/
+# q266, and the analytics rows q243/q246/q248/q249/q255/q256/q260/
+# q262/q263/q264/q265. Displaced to EXTRA (27), each twice-or-more
+# proven or with registered kin: the ten TPC-H analogs q164-q168/
+# q174-q177/q186 (driver-green rounds 6-7; q03 retains the join/agg
+# shape), seven of the experimentation shelf q206/q232/q233/q235/
+# q237/q238/q239 (q234 CUPED, q236 trimmed-mean — the cents-guard
+# exposer — and q240 McNemar stay), and ten family retainers q178/
+# q185/q195/q196/q198/q207/q214/q216/q221/q228 whose families keep a
+# registered row (mapping in docs/COVERAGE.md "Round 8 rotation").
 _REGISTERED = (
-    # TPC-H analog completions (Q2, Q4, Q9, Q10, Q16, Q6, Q12, Q14, Q20, Q13)
-    "q164_min_cost_supplier",
-    "q165_late_shipment_priority",
-    "q166_nation_profit",
-    "q167_returned_item_customers",
-    "q168_dominant_suppliers",
-    "q174_forecast_revenue_delta",
-    "q175_shipping_speed_priority",
-    "q176_promo_revenue_share",
-    "q177_part_supplier_counts",
-    "q186_customer_order_distribution",
-    # fixed-point iterative family
+    # round-7 block, rotated in (27)
+    "q241_hits_hubs_authorities",
+    "q242_shapley_attribution",
+    "q243_price_volume_mix",
+    "q244_bh_fdr_screen",
+    "q245_stratified_effect",
+    "q246_pareto_frontier",
+    "q247_nelson_aalen",
+    "q248_seasonality_indices",
+    "q249_mrr_retrieval",
+    "q250_markov_removal_attribution",
+    "q251_label_propagation",
+    "q252_fellegi_sunter",
+    "q253_kcenter_coreset",
+    "q254_heldout_perplexity",
+    "q255_delta_contribution",
+    "q256_consistent_hash_rebalance",
+    "q257_logrank_test",
+    "q258_cvm_two_sample",
+    "q259_good_turing",
+    "q260_capture_recapture",
+    "q261_kcore_decomposition",
+    "q262_fd_discovery",
+    "q263_fixed_effects_ols",
+    "q264_shuffle_skew_audit",
+    "q265_gains_lift_curve",
+    "q266_term_burstiness",
+    "q267_time_decay_attribution",
+    # fixed-point iterative retainers
     "q182_bpe_train_merges",
-    "q185_markov_stationary",
     "q187_kmeans_clusters",
     "q190_trade_reach_bfs",
     "q220_pca_power_iteration",
-    # experimentation / statistics shelf
-    "q206_permutation_test",
-    "q232_spearman_corr",
-    "q233_kruskal_wallis",
+    # experimentation representatives
     "q234_cuped_adjustment",
-    "q235_diff_in_diff",
     "q236_trimmed_mean",
-    "q237_ab_power_mde",
-    "q238_friedman_test",
-    "q239_cochran_armitage",
     "q240_mcnemar_classifiers",
-    # KMV sketches (VERDICT r6 #5 — streaming twin's batch anchor)
+    # KMV sketches (streaming twin's batch anchor)
     "q203_kmv_distinct",
     "q204_kmv_rolling_wau",
-    # family-retaining rows for the displaced q123-q163 set
-    "q178_join_size_estimate",
+    # family retainers
     "q188_dsir_importance_select",
     "q192_mmr_rerank",
-    "q195_dominant_frequency",
-    "q196_mad_outliers",
-    "q198_weighted_jaccard_pairs",
-    "q207_stratified_kfold",
     "q208_acf_daily_revenue",
-    "q214_js_divergence",
-    "q216_zipf_slope",
-    "q221_itemitem_cf",
     "q225_blocking_quality",
-    "q228_next_event_accuracy",
     # anchors
     "q03_product_sales_in_year",
     "q40_staging_clean",
