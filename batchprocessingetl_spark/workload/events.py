@@ -1070,30 +1070,22 @@ def q146_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     each and the middles split 0.2 evenly. The single-touch as-of
     pick (q24) is the
     degenerate case; this is the marketing-standard generalization.
-    Shape: one user-keyed interval join (pair count bounded by clicks
-    within the window per purchase, never corpus²), then position /
-    count windows over per-purchase groups — tiny partitions. Credits
-    are exact rational doubles (0.4, 0.2/(k-2)) from integer
-    positions, bit-identical cross-engine."""
+    Shape: one user-keyed interval join (operators/attribution.py::
+    conversion_touch_frame, the quartet's shared journey builder —
+    pair count bounded by clicks within the window per purchase,
+    never corpus²), then position / count windows over per-purchase
+    groups — tiny partitions. Credits are exact rational doubles
+    (0.4, 0.2/(k-2)) from integer positions, bit-identical
+    cross-engine."""
+    from batchprocessingetl_spark.operators.attribution import conversion_touch_frame
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-    )
-    joined = p.join(
-        c,
-        (F.col("c_user") == F.col("user_id"))
-        & (F.col("click_ts") <= F.col("p_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("p_ts") - F.expr(f"INTERVAL {MTA_WINDOW_S} SECONDS")
-        ),
+    joined = conversion_touch_frame(
+        ev, ("click",), MTA_WINDOW_S, inclusive=True
+    ).select(
+        F.col("conversion_id").alias("purchase_id"),
+        F.col("touch_id").alias("click_id"),
+        F.col("touch_ts").alias("click_ts"),
     )
     w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
     wk = Window.partitionBy("purchase_id")
@@ -2607,28 +2599,30 @@ def q242_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLOSED FORM over the 2^k = 8 coalition counts, so no sampling and
     no per-permutation pass. All arithmetic is integer until one final
     /6 (emitted both as the exact ×6 integer and a rounded double).
-    Shape: one events scan -> per-user (first-purchase ts, channel
-    flags) hash agg -> 8-row mask frame; the subset algebra runs on
-    literal-joined 8×8 and 12-term coefficient frames. Conversions
-    with an empty touch set form v(∅) (baseline, zero credit); the
-    efficiency property sum phi = v(C) − v(∅) is pinned by test."""
-    ev = load_table(spark, sf_dir, "events")
-    first_p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"))
+    Shape: one events scan -> per-user truncated journey
+    (operators/attribution.py::first_conversion_journeys, the quartet's
+    shared builder) -> channel-flag hash agg -> 8-row mask frame; the
+    subset algebra runs on literal-joined 8×8 and 12-term coefficient
+    frames. Conversions with an empty touch set form v(∅) (baseline,
+    zero credit); the efficiency property sum phi = v(C) − v(∅) is
+    pinned by test."""
+    from batchprocessingetl_spark.operators.attribution import (
+        first_conversion_journeys,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    journeys = first_conversion_journeys(ev).filter(F.col("fp_rn").isNotNull())
     flags = [
         F.max(
-            ((F.col("event_type") == ch) & (F.col("ts") < F.col("first_ts"))).cast(
-                "int"
-            )
+            (
+                (F.col("event_type") == ch)
+                & (F.col("ts") < F.col("first_conv_ts"))
+            ).cast("int")
         ).alias(f"f{i}")
         for i, ch in enumerate(SHAPLEY_CHANNELS)
     ]
     masks = (
-        ev.join(first_p, "user_id")
-        .groupBy("user_id")
+        journeys.groupBy("user_id")
         .agg(*flags)
         .select(
             (
@@ -2744,22 +2738,18 @@ def q250_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     steps with floor division (the q185/q220 discipline), so the
     scaled conversion probabilities are bit-identical cross-engine;
     the only doubles are the final removal-effect ratios, rounded 6dp.
-    Shape: ONE user-keyed window pass collapses the fact table to the
-    <= (|types|+2)^2 transition frame; the 4 chains x 8 steps run on
-    that broadcast-sized frame behind one barrier."""
+    Shape: ONE user-keyed window pass (operators/attribution.py::
+    first_conversion_journeys, the quartet's shared builder) collapses
+    the fact table to the <= (|types|+2)^2 transition frame; the
+    4 chains x 8 steps run on that broadcast-sized frame behind one
+    barrier."""
+    from batchprocessingetl_spark.operators.attribution import (
+        first_conversion_journeys,
+    )
     from batchprocessingetl_spark.operators.iteration import barrier
 
     ev = load_table(spark, sf_dir, "events")
-    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    rn = ev.select("user_id", "event_type", F.row_number().over(seq).alias("rn"))
-    fp = (
-        rn.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rn").alias("fp_rn"))
-    )
-    kept = rn.join(fp, "user_id", "left").filter(
-        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn"))
-    )
+    kept = first_conversion_journeys(ev)
     kseq = Window.partitionBy("user_id").orderBy("rn")
     mid = (
         kept.withColumn("next_type", F.lead("event_type").over(kseq))
@@ -3073,41 +3063,27 @@ def q267_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUARTET: positional U-shape (q146), game-theoretic Shapley (q242),
     Markov removal effect (q250), and recency-weighted time decay
     (industry default in ad platforms). Shape: one user-keyed interval
-    join (purchase × preceding touches, time-bounded so it is the q146
-    machinery), per-conversion weight sums joined back for the
-    normalization, one final channel rollup. Exactness: Δt is exact
-    integer microseconds; each weight rounds 9dp into DECIMAL, each
-    per-conversion share is one double division re-rounded 9dp, and
-    channel totals sum DECIMALs — deterministic cross-engine (ln/exp
-    at 9dp, the q160 precedent)."""
+    join (operators/attribution.py::conversion_touch_frame — the SAME
+    shared builder as q146, strict upper bound), per-conversion weight
+    sums joined back for the normalization, one final channel rollup.
+    Exactness: Δt is exact integer microseconds; each weight rounds
+    9dp into DECIMAL, each per-conversion share is one double division
+    re-rounded 9dp, and channel totals sum DECIMALs — deterministic
+    cross-engine (ln/exp at 9dp, the q160 precedent)."""
+    from batchprocessingetl_spark.operators.attribution import conversion_touch_frame
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"),
-        F.col("user_id").alias("pu"),
-        F.col("ts").alias("pts"),
-    )
-    t = ev.filter(F.col("event_type").isin(*SHAPLEY_CHANNELS)).select(
-        F.col("user_id").alias("tu"),
-        F.col("event_type").alias("channel"),
-        F.col("ts").alias("tts"),
-    )
-    joined = p.join(
-        t,
-        (F.col("pu") == F.col("tu"))
-        & (F.col("tts") < F.col("pts"))
-        & (
-            F.col("tts")
-            >= F.col("pts") - F.expr(f"INTERVAL {TD_WINDOW_H} HOURS")
-        ),
+    joined = conversion_touch_frame(
+        ev, SHAPLEY_CHANNELS, TD_WINDOW_H * 3600, inclusive=False
     ).select(
-        "pid",
+        F.col("conversion_id").alias("pid"),
         "channel",
         F.round(
             F.pow(
                 F.lit(2.0),
                 -(
                     (
-                        F.unix_micros("pts") - F.unix_micros("tts")
+                        F.unix_micros("conv_ts") - F.unix_micros("touch_ts")
                     ).cast("double")
                     / F.lit(3600.0 * 1e6)
                 )

@@ -16,6 +16,7 @@ from tests.conftest import SF_SMOKE
 
 QUERIES = collect_queries()
 EXTRA = collect_extra_queries()
+ALL = {**QUERIES, **EXTRA}
 
 
 def test_oracle_keys_subset_of_queries():
@@ -724,7 +725,7 @@ def test_shapley_attribution_efficiency_and_exactness(spark):
 
     got = {
         r["channel"]: r["phi_x6"]
-        for r in EXTRA["q242_shapley_attribution"](spark, SF_SMOKE).collect()
+        for r in ALL["q242_shapley_attribution"](spark, SF_SMOKE).collect()
     }
     assert set(got) == set(SHAPLEY_CHANNELS)
 
@@ -810,7 +811,7 @@ def test_markov_removal_effects_are_sane(spark):
     every removed-chain probability <= the full chain's, and effects
     lie in [0, 1]. Exactness vs DuckDB is the oracle's job; this pins
     the model semantics."""
-    rows = EXTRA["q250_markov_removal_attribution"](spark, SF_SMOKE).collect()
+    rows = ALL["q250_markov_removal_attribution"](spark, SF_SMOKE).collect()
     by = {r["channel"]: r for r in rows}
     full = by.pop("__full")
     assert full["conv_scaled"] > 0 and full["removal_effect"] == 0.0
