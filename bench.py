@@ -148,7 +148,13 @@ def main() -> None:
     # production scale — steady-state execution time is the
     # scalability-relevant number. Best-of-3 (vs 2) also absorbs the
     # shared-host noise observed between rounds (single-run timings on
-    # the same plan vary up to 4x with VM placement).
+    # the same plan vary up to 4x with VM placement). Round 8 (VERDICT
+    # r7 #4): queries whose best-of-3 lands under 2.5s get two extra
+    # runs (best of 5) — BENCH_r07 showed normalized deltas up to 1.39
+    # on UNCHANGED sub-1.5s queries, so min-of-3 was not damping
+    # scheduler noise at that magnitude (and the first 5-run probe
+    # still saw q37 at 1.9s moving 1.28x on 3 runs, hence 2.5s).
+    cal_pre = calibrate()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
@@ -156,11 +162,21 @@ def main() -> None:
             t0 = time.time()
             queries[name](spark, sf_dir).count()
             runs.append(time.time() - t0)
+        if min(runs) < 2.5:
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    calibration = calibrate()
+    # second probe AFTER the query loop: drift WITHIN the bench run is
+    # visible as cal_pre vs cal_post divergence; normalization uses the
+    # faster of the two (the closest estimate of the noise-free clock,
+    # matching the min-of-runs query protocol)
+    cal_post = calibrate()
+    calibration = min(cal_pre, cal_post)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -170,6 +186,8 @@ def main() -> None:
         # host-speed yardstick: compare value/calibration (and
         # per-query t/calibration) across rounds, not raw secs
         "calibration": calibration,
+        "calibration_pre": cal_pre,
+        "calibration_post": cal_post,
         "value_normalized": round(total / calibration, 2),
         "queries_normalized": {
             k: round(v / calibration, 2) for k, v in timings.items()
