@@ -234,3 +234,55 @@ def test_bench_set_is_subset_of_plan_audit():
 
     assert set(bench.HEADLINE) <= set(AUDITED)
     assert set(AUDITED) == set(collect_queries()) | set(collect_extra_queries())
+
+
+def test_global_window_guard_detects_fact_grain_windows(spark):
+    """VERDICT r7 #3: tools/plan_audit.py::unguarded_global_windows must
+    flag an empty-partition window running at fact grain and accept one
+    sitting above a grain-collapsing aggregate."""
+    from pyspark.sql import Window
+
+    from batchprocessingetl_spark.catalog import load_table
+    from tools.plan_audit import count_global_windows, unguarded_global_windows
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # fact-grain global window: the anti-pattern the guard exists for
+    bad = li.withColumn("rk", F.row_number().over(Window.orderBy("l_orderkey")))
+    assert unguarded_global_windows(_physical(bad)) >= 1
+
+    # collapsed-grain global window: agg first, then the global rank
+    good = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("q"))))
+    )
+    gplan = _physical(good)
+    assert count_global_windows(gplan) >= 1
+    assert unguarded_global_windows(gplan) == 0
+
+    # partitioned windows never count as global
+    part = li.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    )
+    assert count_global_windows(_physical(part)) == 0
+
+
+def test_registered_workload_has_no_unguarded_global_windows(spark):
+    """Every driver-registered query's physical plan: any
+    empty-partition WindowExec must sit above a grain-collapsing
+    aggregate (the documented collapsed-frame designs — cents bins,
+    distinct-value ranks, test-level BH ranking). A fact-grain global
+    window introduced anywhere in the registered surface fails here."""
+    from batchprocessingetl_spark.workload import collect_queries
+    from tools.plan_audit import unguarded_global_windows
+
+    offenders = {}
+    for name, fn in collect_queries().items():
+        plan = _physical(fn(spark, SF_SMOKE))
+        n = unguarded_global_windows(plan)
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders

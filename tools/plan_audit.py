@@ -39,6 +39,75 @@ def _audited() -> tuple:
 AUDITED = _audited()
 
 
+def _depth(line: str) -> int:
+    """Tree depth of a physical-plan toString line = length of its
+    branch-drawing prefix (spaces, ':', '+', '-'). Operator names never
+    start with those characters."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _window_is_global(line: str) -> bool:
+    """True when a `Window [...]` plan line has NO partition spec.
+
+    WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`;
+    the partition list is omitted when empty, so a global window shows
+    either `Window [exprs]` (unordered) or `Window [exprs], [order]`
+    where every entry in the single trailing list carries ASC/DESC.
+    """
+    m = re.search(r"\bWindow (\[.*)$", line)
+    if not m:
+        return False
+    parts = m.group(1).split("], [")
+    if len(parts) >= 3:
+        return False
+    if len(parts) == 2:
+        tail = parts[1]
+        return " ASC" in tail or " DESC" in tail
+    return True
+
+
+def unguarded_global_windows(plan: str) -> int:
+    """Count empty-partition WindowExec nodes NOT sitting above a
+    grain-collapsing aggregate (VERDICT r7 #3).
+
+    A global window serializes its whole input into one task, which is
+    only acceptable on a frame whose cardinality a previous aggregate
+    has collapsed to domain size (cents bins, distinct ranks, test
+    ids). This walks each global Window node's SUBTREE (the following
+    deeper-indented lines of the depth-first toString): if no
+    HashAggregate / SortAggregate / ObjectHashAggregate appears below
+    it, the window runs at fact grain — flagged. tests/test_plans.py
+    asserts zero unguarded nodes across the registered workload and
+    that a synthetic fact-grain global window is caught.
+    """
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line) or not _window_is_global(line):
+            continue
+        d = _depth(line)
+        guarded = False
+        for below in lines[i + 1 :]:
+            if not below.strip():
+                break
+            if _depth(below) <= d:
+                break
+            if re.search(r"\b(Hash|Sort|ObjectHash)Aggregate\b", below):
+                guarded = True
+                break
+        if not guarded:
+            bad += 1
+    return bad
+
+
+def count_global_windows(plan: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\bWindow \[", line) and _window_is_global(line)
+    )
+
+
 def summarize(plan: str) -> list[str]:
     facts = []
     scans = re.findall(r"FileScan parquet[^\n]*", plan)
@@ -60,6 +129,17 @@ def summarize(plan: str) -> list[str]:
     # AQE final plans mark codegen stages with "*(n)" operator prefixes
     n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     facts.append(f"whole-stage-codegen spans: {n_wsc}")
+    n_gw = count_global_windows(plan)
+    if n_gw:
+        n_bad = unguarded_global_windows(plan)
+        facts.append(
+            f"global (empty-partition) Window nodes: {n_gw}"
+            + (
+                f" — {n_bad} UNGUARDED (fact grain, fix me)"
+                if n_bad
+                else ", all above a grain-collapsing aggregate"
+            )
+        )
     return facts
 
 
