@@ -74,12 +74,22 @@ def unguarded_global_windows(plan: str) -> int:
     only acceptable on a frame whose cardinality a previous aggregate
     has collapsed to domain size (cents bins, distinct ranks, test
     ids). This walks each global Window node's SUBTREE (the following
-    deeper-indented lines of the depth-first toString): if no
-    HashAggregate / SortAggregate / ObjectHashAggregate appears below
-    it, the window runs at fact grain — flagged. tests/test_plans.py
-    asserts zero unguarded nodes across the registered workload and
-    that a synthetic fact-grain global window is caught.
+    deeper-indented lines of the depth-first toString): the window is
+    guarded if a HashAggregate / SortAggregate / ObjectHashAggregate
+    collapses the grain below it, OR a limit operator bounds the frame
+    (TakeOrderedAndProject / GlobalLimit / CollectLimit — the IVF
+    probe's top-k pools), OR the subtree ends in a ReusedExchange
+    (its elided original subtree is audited where it is printed; a
+    window directly above an unguarded original still flags there).
+    Otherwise the window runs at fact grain — flagged.
+    tests/test_plans.py asserts zero unguarded nodes across the
+    registered workload and that a synthetic fact-grain global window
+    is caught.
     """
+    guard = re.compile(
+        r"\b(?:(?:Hash|Sort|ObjectHash)Aggregate|TakeOrderedAndProject"
+        r"|GlobalLimit|CollectLimit|ReusedExchange)\b"
+    )
     lines = plan.splitlines()
     bad = 0
     for i, line in enumerate(lines):
@@ -92,7 +102,7 @@ def unguarded_global_windows(plan: str) -> int:
                 break
             if _depth(below) <= d:
                 break
-            if re.search(r"\b(Hash|Sort|ObjectHash)Aggregate\b", below):
+            if guard.search(below):
                 guarded = True
                 break
         if not guarded:
