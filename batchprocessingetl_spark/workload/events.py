@@ -3147,3 +3147,203 @@ _ORACLE_ALL["q267_time_decay_attribution"] = f"""
 
 EXTRA_QUERIES["q267_time_decay_attribution"] = q267_time_decay_attribution
 EXTRA_ORACLE["q267_time_decay_attribution"] = _ORACLE_ALL["q267_time_decay_attribution"]
+
+
+def q268_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the estimator read that makes KMV
+    (q203/q204) strictly more useful than HLL at the same size: for
+    every unordered pair of event types, estimate |A ∪ B| from the
+    MERGED k-min set (union the two sketches, re-take the k smallest —
+    the mergeability contract) and |A ∩ B| via the standard KMV
+    Jaccard estimator (the fraction of the union's k minima present in
+    BOTH input sketches), with the EXACT union/intersection computed
+    alongside as the audit. Because the hash is md5, every estimate is
+    bit-replayable in DuckDB — full value parity, no tolerance flags.
+    Shape: one distinct (type, user) aggregate; sketches are k rows per
+    type, so all pair algebra runs on <= |types|·k collapsed rows."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = du.select("event_type", "user_id", h)
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sketch = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "user_id", "h")
+    )
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # exact union / intersection from the distinct frame (the audit)
+    mem = hashed.select("event_type", "user_id")
+    exact_a = mem.select(F.col("event_type").alias("type_a"), "user_id")
+    exact_b = mem.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_counts = (
+        pairs.join(exact_a, "type_a")
+        .join(
+            exact_b.withColumnRenamed("user_id", "ub"),
+            "type_b",
+        )
+        .filter(F.col("user_id") == F.col("ub"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    sizes = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact_full = (
+        pairs.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")),
+            "type_b",
+        )
+        .join(exact_counts, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.coalesce("n_inter_exact", F.lit(0))).alias(
+                "n_union_exact"
+            ),
+            F.coalesce("n_inter_exact", F.lit(0)).alias("n_inter_exact"),
+        )
+    )
+    # merged sketch per pair: union of the two k-min sets, re-ranked
+    sk_a = sketch.select(
+        F.col("event_type").alias("type_a"), "user_id", "h"
+    )
+    sk_b = sketch.select(
+        F.col("event_type").alias("type_b"), "user_id", "h"
+    )
+    merged = (
+        pairs.join(sk_a, "type_a")
+        .select("type_a", "type_b", "user_id", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(sk_b, "type_b").select(
+                "type_a", "type_b", "user_id", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("type_a", "type_b", "user_id", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id")
+    mk = merged.withColumn("rk", F.row_number().over(wm)).filter(
+        F.col("rk") <= KMV_K
+    )
+    stats = mk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("hk"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("hk").isNotNull(),
+        F.round(F.lit(KMV_K - 1) / (F.col("hk") / F.lit(KMV_SCALE)), 4),
+    ).otherwise(F.col("k_used").cast("double"))
+    jacc = F.round(F.col("n_both") / F.col("k_used").cast("double"), 6)
+    return (
+        exact_full.join(stats, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_union_exact",
+            "n_inter_exact",
+            union_est.alias("kmv_union_est"),
+            jacc.alias("kmv_jaccard"),
+            F.round(jacc * union_est, 4).alias("kmv_inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_Q268_H = "('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT"
+
+_ORACLE_ALL["q268_kmv_set_ops"] = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+        SELECT event_type, user_id, {_Q268_H} AS h FROM du
+    ), sketch AS (
+        SELECT event_type, user_id, h FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY h, user_id) AS rk
+            FROM hashed
+        ) WHERE rk <= {KMV_K}
+    ), types AS (
+        SELECT DISTINCT event_type FROM du
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM types a JOIN types b ON a.event_type < b.event_type
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM hashed GROUP BY 1
+    ), inter AS (
+        SELECT p.type_a, p.type_b, COUNT(*) AS n_inter_exact
+        FROM pairs p
+        JOIN hashed a ON a.event_type = p.type_a
+        JOIN hashed b ON b.event_type = p.type_b AND b.user_id = a.user_id
+        GROUP BY 1, 2
+    ), exact_full AS (
+        SELECT p.type_a, p.type_b,
+               sa.n + sb.n - COALESCE(i.n_inter_exact, 0) AS n_union_exact,
+               COALESCE(i.n_inter_exact, 0) AS n_inter_exact
+        FROM pairs p
+        JOIN sizes sa ON sa.event_type = p.type_a
+        JOIN sizes sb ON sb.event_type = p.type_b
+        LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    ), merged AS (
+        SELECT type_a, type_b, user_id, h,
+               MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (
+            SELECT p.type_a, p.type_b, s.user_id, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sketch s ON s.event_type = p.type_a
+            UNION ALL
+            SELECT p.type_a, p.type_b, s.user_id, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN sketch s ON s.event_type = p.type_b
+        ) GROUP BY 1, 2, 3, 4
+    ), mk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY type_a, type_b ORDER BY h, user_id) AS rk
+            FROM merged
+        ) WHERE rk <= {KMV_K}
+    ), stats AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               MAX(CASE WHEN rk = {KMV_K} THEN h END) AS hk,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM mk GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.n_union_exact AS BIGINT) AS n_union_exact,
+           CAST(e.n_inter_exact AS BIGINT) AS n_inter_exact,
+           CASE WHEN s.hk IS NOT NULL
+                THEN ROUND(({KMV_K} - 1) / (s.hk / {KMV_SCALE}), 4)
+                ELSE s.k_used::DOUBLE END AS kmv_union_est,
+           ROUND(s.n_both / CAST(s.k_used AS DOUBLE), 6) AS kmv_jaccard,
+           ROUND(ROUND(s.n_both / CAST(s.k_used AS DOUBLE), 6)
+                 * CASE WHEN s.hk IS NOT NULL
+                        THEN ROUND(({KMV_K} - 1) / (s.hk / {KMV_SCALE}), 4)
+                        ELSE s.k_used::DOUBLE END, 4) AS kmv_inter_est
+    FROM exact_full e
+    JOIN stats s ON s.type_a = e.type_a AND s.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b
+"""
+
+EXTRA_QUERIES["q268_kmv_set_ops"] = q268_kmv_set_ops
+EXTRA_ORACLE["q268_kmv_set_ops"] = _ORACLE_ALL["q268_kmv_set_ops"]

@@ -1249,3 +1249,101 @@ _ORACLE_ALL["q264_shuffle_skew_audit"] = f"""
 
 EXTRA_QUERIES["q264_shuffle_skew_audit"] = q264_shuffle_skew_audit
 EXTRA_ORACLE["q264_shuffle_skew_audit"] = _ORACLE_ALL["q264_shuffle_skew_audit"]
+
+
+MERKLE_SHARDS = 16
+
+
+def q272_merkle_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style content-integrity audit of the documents corpus —
+    the fingerprint tree a 100 TB lake computes to verify replicas /
+    detect silent corruption without moving data: each leaf is
+    md5('doc:'||doc_id||':'||md5(text)), each of 16 shards (doc_id mod
+    16) hashes the doc-id-ordered concatenation of its leaves, and a
+    final root row (shard = -1) hashes the shard-ordered fingerprints,
+    so two lakes compare ONE row first and descend only into shards
+    that differ. Per-shard state is the sorted leaf list — bounded by
+    shard size, and at scale the shard count is raised so each
+    collect_list stays executor-sized (the tree just gets one level
+    deeper, same audit). Everything is exact string hashing: full
+    cross-engine value parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    leaves = docs.select(
+        (F.col("doc_id") % MERKLE_SHARDS).alias("shard"),
+        "doc_id",
+        F.col("n_chars"),
+        F.md5(
+            F.concat(
+                F.lit("doc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.md5("text"),
+            )
+        ).alias("leaf"),
+    )
+    shards = leaves.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "leaf"))
+                    ),
+                    lambda s: s["leaf"],
+                ),
+                "",
+            )
+        ).alias("fingerprint"),
+    )
+    root = shards.agg(
+        F.lit(-1).cast("long").alias("shard"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard", "fingerprint"))
+                    ),
+                    lambda s: s["fingerprint"],
+                ),
+                "",
+            )
+        ).alias("fingerprint"),
+    )
+    return (
+        shards.select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_chars",
+            "fingerprint",
+        )
+        .unionByName(root)
+        .orderBy("shard")
+    )
+
+
+_ORACLE_ALL["q272_merkle_shard_audit"] = f"""
+    WITH leaves AS (
+        SELECT doc_id % {MERKLE_SHARDS} AS shard, doc_id, n_chars,
+               md5('doc:' || doc_id::VARCHAR || ':' || md5(text)) AS leaf
+        FROM documents
+    ), shards AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               md5(string_agg(leaf, '' ORDER BY doc_id)) AS fingerprint
+        FROM leaves GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_chars, fingerprint
+    FROM shards
+    UNION ALL
+    SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           md5(string_agg(fingerprint, '' ORDER BY shard))
+    FROM shards
+    ORDER BY shard
+"""
+
+EXTRA_QUERIES["q272_merkle_shard_audit"] = q272_merkle_shard_audit
+EXTRA_ORACLE["q272_merkle_shard_audit"] = _ORACLE_ALL["q272_merkle_shard_audit"]

@@ -4506,3 +4506,189 @@ def _q261_oracle_sql(k: int, rounds: int) -> str:
 
 EXTRA_QUERIES["q261_kcore_decomposition"] = q261_kcore_decomposition
 EXTRA_ORACLE["q261_kcore_decomposition"] = _q261_oracle_sql(KCORE_K, KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 net-new: cube lattice + approximate query processing
+# ---------------------------------------------------------------------------
+
+def q273_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (status, priority, year) with grouping
+    level — the complete grouping-sets surface next to q15's ROLLUP
+    (which only walks one hierarchy): all 8 aggregation levels of the
+    orders fact in ONE pass. Spark lowers cube() to a single Expand
+    (8x row replication) feeding one partially-aggregated hash
+    aggregate — at 100 TB this is strictly cheaper than 8 separate
+    scans and shuffles the collapsed grain only. grouping_id is emitted
+    with an explicit bit formula (GROUPING(a)*4+GROUPING(b)*2+
+    GROUPING(c)) so the Spark and DuckDB conventions cannot drift.
+    Money quantizes via floor(x*100 + 0.5) cents on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    gid = (
+        F.grouping("o_orderstatus") * 4
+        + F.grouping("o_orderpriority") * 2
+        + F.grouping("o_year")
+    ).cast("long")
+    return (
+        base.cube("o_orderstatus", "o_orderpriority", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+            gid.alias("grouping_lvl"),
+        )
+        .orderBy("grouping_lvl", "o_orderstatus", "o_orderpriority", "o_year")
+    )
+
+
+_ORACLE_ALL["q273_cube_revenue"] = """
+    SELECT o_orderstatus, o_orderpriority, o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(GROUPING(o_orderstatus) * 4 + GROUPING(o_orderpriority) * 2
+                + GROUPING(o_year) AS BIGINT) AS grouping_lvl
+    FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    GROUP BY CUBE (o_orderstatus, o_orderpriority, o_year)
+    ORDER BY grouping_lvl,
+             o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST,
+             o_year NULLS FIRST
+"""
+
+EXTRA_QUERIES["q273_cube_revenue"] = q273_cube_revenue
+EXTRA_ORACLE["q273_cube_revenue"] = _ORACLE_ALL["q273_cube_revenue"]
+
+
+AQP_MOD = 100  # deterministic 1-in-100 hash sample
+
+
+def q270_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style) with an error
+    audit: estimate per-priority order revenue from a DETERMINISTIC
+    1-in-100 md5 hash sample, scale by the sampling rate
+    (Horvitz-Thompson), attach a normal-approximation standard error
+    from the sample variance, and record whether the EXACT answer
+    (computed alongside) falls within 2 SE — the accuracy contract an
+    interactive 100 TB dashboard runs on, where the sample predicate
+    pushes to the scan and the full fact is touched only by the audit
+    column. All sums are exact cents integers; the only doubles are
+    the SE (one sqrt, rounded 4dp) and the relative error (6dp).
+    Sample membership hashes the PRIMARY KEY (md5, mod 100), so both
+    engines draw the identical sample — the estimate itself is
+    bit-replayable, not a tolerance check."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % AQP_MOD
+    )
+    base = orders.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        (h == 0).cast("int").alias("in_sample"),
+    )
+    per = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("cents").alias("exact_cents"),
+        F.sum("in_sample").alias("n_sample"),
+        F.sum(F.col("cents") * F.col("in_sample")).alias("sample_cents"),
+        F.sum(
+            F.col("cents") * F.col("cents") * F.col("in_sample")
+        ).alias("sample_cents2"),
+    )
+    m = float(AQP_MOD)
+    nswf = F.col("n_sample").cast("double")
+    s2 = F.when(
+        F.col("n_sample") > 1,
+        (
+            F.col("sample_cents2").cast("double")
+            - F.col("sample_cents").cast("double")
+            * F.col("sample_cents").cast("double")
+            / nswf
+        )
+        / (nswf - 1.0),
+    ).otherwise(F.lit(0.0))
+    est = F.col("sample_cents") * F.lit(AQP_MOD)
+    se = F.round(
+        F.sqrt(F.lit(m * m) * nswf * s2 * F.lit(1.0 - 1.0 / m)), 4
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_pop",
+        "n_sample",
+        "exact_cents",
+        est.cast("long").alias("est_cents"),
+        F.round(
+            F.abs(est.cast("double") - F.col("exact_cents"))
+            / F.col("exact_cents").cast("double"),
+            6,
+        ).alias("rel_err"),
+        se.alias("se"),
+        (
+            F.abs(est.cast("double") - F.col("exact_cents")) <= 2.0 * se
+        ).alias("within_2se"),
+    ).orderBy("o_orderpriority")
+
+
+_ORACLE_ALL["q270_aqp_sample_estimate"] = f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN ('0x' || substr(md5('aqp:' || o_orderkey::VARCHAR),
+                                         1, 15))::BIGINT % {AQP_MOD} = 0
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM orders
+    ), per AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(cents) AS BIGINT) AS exact_cents,
+               CAST(SUM(in_sample) AS BIGINT) AS n_sample,
+               CAST(SUM(cents * in_sample) AS BIGINT) AS sample_cents,
+               CAST(SUM(cents * cents * in_sample) AS BIGINT) AS sample_cents2
+        FROM base GROUP BY 1
+    ), calc AS (
+        SELECT *,
+               CASE WHEN n_sample > 1
+                    THEN (CAST(sample_cents2 AS DOUBLE)
+                          - CAST(sample_cents AS DOUBLE) * sample_cents
+                            / CAST(n_sample AS DOUBLE))
+                         / (CAST(n_sample AS DOUBLE) - 1.0)
+                    ELSE 0.0 END AS s2
+        FROM per
+    )
+    SELECT o_orderpriority, n_pop, n_sample, exact_cents,
+           CAST(sample_cents * {AQP_MOD} AS BIGINT) AS est_cents,
+           ROUND(ABS(CAST(sample_cents * {AQP_MOD} AS DOUBLE) - exact_cents)
+                 / CAST(exact_cents AS DOUBLE), 6) AS rel_err,
+           ROUND(SQRT({AQP_MOD}.0 * {AQP_MOD}.0 * n_sample * s2
+                      * (1.0 - 1.0 / {AQP_MOD}.0)), 4) AS se,
+           ABS(CAST(sample_cents * {AQP_MOD} AS DOUBLE) - exact_cents)
+               <= 2.0 * ROUND(SQRT({AQP_MOD}.0 * {AQP_MOD}.0 * n_sample * s2
+                                   * (1.0 - 1.0 / {AQP_MOD}.0)), 4)
+               AS within_2se
+    FROM calc
+    ORDER BY o_orderpriority
+"""
+
+EXTRA_QUERIES["q270_aqp_sample_estimate"] = q270_aqp_sample_estimate
+EXTRA_ORACLE["q270_aqp_sample_estimate"] = _ORACLE_ALL["q270_aqp_sample_estimate"]

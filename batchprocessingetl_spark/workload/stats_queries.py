@@ -3385,3 +3385,168 @@ _ORACLE_ALL["q265_gains_lift_curve"] = """
 
 EXTRA_QUERIES["q265_gains_lift_curve"] = q265_gains_lift_curve
 EXTRA_ORACLE["q265_gains_lift_curve"] = _ORACLE_ALL["q265_gains_lift_curve"]
+
+
+RANSAC_CANDS = 16
+RANSAC_TOL = 5000.0  # absolute residual tolerance (price units)
+RANSAC_POOL_MOD = 64  # deterministic draw-pool slice (1 pool hash per row)
+
+
+def q269_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of extendedprice on quantity — the
+    outlier-immune regression used to fit trends on data where OLS
+    (q263's family) is dragged by heavy tails: draw RANSAC_CANDS
+    candidate lines through DETERMINISTIC md5-sampled point pairs,
+    count inliers within an absolute residual tolerance, rank by
+    consensus. The draws are min(struct(md5(seed:key), x, y))
+    aggregates — 32 hash columns on ONE scan, no per-candidate pass;
+    the struct min breaks hash-key ties on (x, y) so the draw is
+    deterministic even though (orderkey, linenumber) is not unique in
+    this fixture — and the
+    inlier count is one 16x broadcast-replicated scan with a
+    map-side-combined aggregate, so the fact table is read exactly
+    twice at any scale. The 32 struct-min buffers only ever see a
+    DETERMINISTIC 1-in-64 hash slice of the rows (one pool md5 per
+    row instead of 32; a uniform subsample of a uniform draw is the
+    same draw distribution, and both engines slice identically — a
+    measured 10x probe cut the draw pass ~5x). Slopes/intercepts
+    round 9dp before the inlier test so both engines threshold
+    identical IEEE doubles; degenerate draws (equal x) are filtered
+    identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    base = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        key.alias("k"),
+    )
+    pool = base.filter(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pool:"), F.col("k"))), 1, 15), 16, 10)
+        .cast("long")
+        % RANSAC_POOL_MOD
+        == 0
+    )
+    aggs = []
+    for c in range(RANSAC_CANDS):
+        for j in (0, 1):
+            hcol = F.md5(F.concat(F.lit(f"ransac:{c}:{j}:"), F.col("k")))
+            aggs.append(
+                F.min(
+                    F.struct(
+                        hcol.alias("h"),
+                        F.col("x").alias("x"),
+                        F.col("y").alias("y"),
+                    )
+                ).alias(f"d{c}_{j}")
+            )
+    drawn = pool.agg(*aggs)
+    cand_cols = [
+        F.struct(
+            F.lit(c).alias("cand"),
+            F.col(f"d{c}_0.x").alias("x1"),
+            F.col(f"d{c}_0.y").alias("y1"),
+            F.col(f"d{c}_1.x").alias("x2"),
+            F.col(f"d{c}_1.y").alias("y2"),
+        )
+        for c in range(RANSAC_CANDS)
+    ]
+    cands = (
+        drawn.select(F.explode(F.array(*cand_cols)).alias("s"))
+        .select("s.*")
+        .filter(F.col("x1") != F.col("x2"))
+        .withColumn(
+            "slope",
+            F.round(
+                (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")), 9
+            ),
+        )
+        .withColumn(
+            "intercept", F.round(F.col("y1") - F.col("slope") * F.col("x1"), 9)
+        )
+        .select("cand", "slope", "intercept")
+    )
+    counted = (
+        base.crossJoin(F.broadcast(cands))
+        .filter(
+            F.abs(
+                F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept"))
+            )
+            <= F.lit(RANSAC_TOL)
+        )
+        .groupBy("cand", "slope", "intercept")
+        .agg(F.count(F.lit(1)).alias("n_inliers"))
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    wbest = Window.orderBy(F.desc("n_inliers"), F.asc("cand"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(wbest))
+        .select(
+            "cand",
+            "slope",
+            "intercept",
+            "n_inliers",
+            F.round(F.col("n_inliers") / F.col("n_total").cast("double"), 6).alias(
+                "inlier_frac"
+            ),
+            (F.col("rk") == 1).alias("is_best"),
+        )
+        .orderBy("cand")
+    )
+
+
+def _q269_oracle() -> str:
+    draw_cols = ", ".join(
+        f"min(struct_pack(h := md5('ransac:{c}:{j}:' || k),"
+        f" x := x, y := y)) AS d{c}_{j}"
+        for c in range(RANSAC_CANDS)
+        for j in (0, 1)
+    )
+    cand_rows = " UNION ALL ".join(
+        f"SELECT {c} AS cand, (d{c}_0).x AS x1, (d{c}_0).y AS y1,"
+        f" (d{c}_1).x AS x2, (d{c}_1).y AS y2 FROM drawn"
+        for c in range(RANSAC_CANDS)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS k
+        FROM lineitem
+    ), pool AS (
+        SELECT * FROM base
+        WHERE ('0x' || substr(md5('pool:' || k), 1, 15))::BIGINT
+              % {RANSAC_POOL_MOD} = 0
+    ), drawn AS (
+        SELECT {draw_cols} FROM pool
+    ), cand_raw AS (
+        {cand_rows}
+    ), cands AS (
+        SELECT cand,
+               ROUND((y2 - y1) / (x2 - x1), 9) AS slope,
+               ROUND(y1 - ROUND((y2 - y1) / (x2 - x1), 9) * x1, 9)
+                   AS intercept
+        FROM cand_raw WHERE x1 <> x2
+    ), counted AS (
+        SELECT c.cand, c.slope, c.intercept,
+               CAST(COUNT(*) AS BIGINT) AS n_inliers
+        FROM base b JOIN cands c
+          ON ABS(b.y - (c.slope * b.x + c.intercept)) <= {RANSAC_TOL}
+        GROUP BY 1, 2, 3
+    ), tot AS (SELECT COUNT(*)::DOUBLE AS n_total FROM base)
+    SELECT cand, slope, intercept, n_inliers,
+           ROUND(n_inliers / t.n_total, 6) AS inlier_frac,
+           ROW_NUMBER() OVER (ORDER BY n_inliers DESC, cand ASC) = 1
+               AS is_best
+    FROM counted CROSS JOIN tot t
+    ORDER BY cand
+    """
+
+
+_ORACLE_ALL["q269_ransac_line"] = _q269_oracle()
+EXTRA_QUERIES["q269_ransac_line"] = q269_ransac_line
+EXTRA_ORACLE["q269_ransac_line"] = _ORACLE_ALL["q269_ransac_line"]

@@ -3426,3 +3426,113 @@ _ORACLE_ALL["q266_term_burstiness"] = f"""
 
 EXTRA_QUERIES["q266_term_burstiness"] = q266_term_burstiness
 EXTRA_ORACLE["q266_term_burstiness"] = _ORACLE_ALL["q266_term_burstiness"]
+
+
+IPF_ITERS = 4
+IPF_SCALE = 10**6
+
+
+def q271_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the corpus (lang ×
+    source) mixture to UNIFORM marginals — the calibration-weighting
+    step a training-data pipeline runs to rebalance an over-crawled
+    source or language before sampling (survey statisticians' raking,
+    Deming-Stephan 1940), joining the fixed-point iterative family
+    (q185/q220/q250). The grid is the collapsed (lang, source) count
+    frame, so all 2·IPF_ITERS alternating row/column scaling steps run
+    on ~|langs|·|sources| rows; each step multiplies by
+    target·SCALE div marginal-sum in DECIMAL(38,0) fixed point (floor
+    division on non-negative operands — the engine-identical q263
+    discipline), so weights are bit-identical cross-engine. One
+    documents scan; everything after is broadcast-sized."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    consts = cells.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    cur = (
+        cells.crossJoin(F.broadcast(consts))
+        .withColumn("t_row", F.expr(f"total * {IPF_SCALE}L div n_langs"))
+        .withColumn("t_col", F.expr(f"total * {IPF_SCALE}L div n_sources"))
+        .withColumn("w", F.expr(f"n * {IPF_SCALE}L"))
+    )
+    for _ in range(IPF_ITERS):
+        cur = cur.withColumn(
+            "rs", F.sum("w").over(Window.partitionBy("lang"))
+        ).withColumn(
+            "w",
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * t_row DIV CAST(rs AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).drop("rs")
+        cur = cur.withColumn(
+            "cs", F.sum("w").over(Window.partitionBy("source"))
+        ).withColumn(
+            "w",
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * t_col DIV CAST(cs AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).drop("cs")
+    return cur.select(
+        "lang",
+        "source",
+        "n",
+        F.col("w").alias("w_scaled"),
+        F.round(F.col("w") / F.lit(float(IPF_SCALE)), 6).alias("w_raked"),
+    ).orderBy("lang", "source")
+
+
+def _q271_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for i in range(IPF_ITERS):
+        steps.append(
+            f"""r{i} AS (
+        SELECT lang, source, n, t_row, t_col,
+               CAST(CAST(w AS HUGEINT) * t_row
+                    // CAST(SUM(w) OVER (PARTITION BY lang) AS HUGEINT)
+                    AS BIGINT) AS w
+        FROM {prev}
+    )"""
+        )
+        steps.append(
+            f"""c{i} AS (
+        SELECT lang, source, n, t_row, t_col,
+               CAST(CAST(w AS HUGEINT) * t_col
+                    // CAST(SUM(w) OVER (PARTITION BY source) AS HUGEINT)
+                    AS BIGINT) AS w
+        FROM r{i}
+    )"""
+        )
+        prev = f"c{i}"
+    joined = ", ".join(steps)
+    return f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), consts AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM cells
+    ), w0 AS (
+        SELECT lang, source, n,
+               (total * {IPF_SCALE}) // n_langs AS t_row,
+               (total * {IPF_SCALE}) // n_sources AS t_col,
+               n * {IPF_SCALE} AS w
+        FROM cells CROSS JOIN consts
+    ), {joined}
+    SELECT lang, source, n, w AS w_scaled,
+           ROUND(w / {float(IPF_SCALE)}, 6) AS w_raked
+    FROM {prev}
+    ORDER BY lang, source
+    """
+
+
+_ORACLE_ALL["q271_ipf_raking"] = _q271_oracle()
+EXTRA_QUERIES["q271_ipf_raking"] = q271_ipf_raking
+EXTRA_ORACLE["q271_ipf_raking"] = _ORACLE_ALL["q271_ipf_raking"]
