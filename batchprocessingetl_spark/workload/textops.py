@@ -3536,3 +3536,192 @@ def _q271_oracle() -> str:
 _ORACLE_ALL["q271_ipf_raking"] = _q271_oracle()
 EXTRA_QUERIES["q271_ipf_raking"] = q271_ipf_raking
 EXTRA_ORACLE["q271_ipf_raking"] = _ORACLE_ALL["q271_ipf_raking"]
+
+
+def q274_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount D = 3/4)
+    — the de-facto classical n-gram smoother, completing the LM shelf
+    next to add-alpha scoring (q95), Good-Turing mass (q259) and
+    held-out perplexity (q254). KN's insight is that backoff weight
+    should follow CONTINUATION counts (how many distinct left contexts
+    a word follows), not raw frequency; with D = 3/4 every probability
+    is the exact rational [max(4·c(v,w) − 3, 0)·T + 3·N1+(v·)·N1+(·w)]
+    / [4·c(v)·T] (T = distinct bigram types), emitted as exact integer
+    numerator/denominator plus ONE rounded double division — bit-exact
+    cross-engine, no floating-point smoothing arithmetic. Shape: one
+    bigram_pairs pass (the round-7 posexplode+lead operator), then
+    three hash aggregates on the collapsed bigram-type frame (bounded
+    by vocab², tiny here; at web scale this frame is the standard
+    count-of-counts grain)."""
+    from batchprocessingetl_spark.operators.text import bigram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        bigram_pairs(docs, "doc_id", "text")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bg.groupBy("a").agg(
+        F.sum("c").alias("c_a"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = bg.agg(F.count(F.lit(1)).alias("t_types"))
+    num = (
+        F.greatest(F.lit(0).cast("long"), F.col("c") * 4 - 3) * F.col("t_types")
+        + F.lit(3) * F.col("n1_fwd") * F.col("n1_bwd")
+    )
+    den = F.lit(4) * F.col("c_a") * F.col("t_types")
+    return (
+        bg.join(ctx, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("context"),
+            F.col("b").alias("word"),
+            "c",
+            "n1_fwd",
+            "n1_bwd",
+            num.alias("p_num"),
+            den.alias("p_den"),
+            F.round(num.cast("double") / den.cast("double"), 9).alias("p_kn"),
+        )
+        .orderBy("context", "word")
+    )
+
+
+_ORACLE_ALL["q274_kneser_ney"] = f"""
+    WITH bgr AS (
+        SELECT t[pos] AS a, t[pos + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS pos
+              FROM (SELECT {_TOKENS_SQL} AS t FROM documents))
+    ), bg AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bgr GROUP BY 1, 2
+    ), ctx AS (
+        SELECT a, CAST(SUM(c) AS BIGINT) AS c_a,
+               CAST(COUNT(*) AS BIGINT) AS n1_fwd
+        FROM bg GROUP BY 1
+    ), cont AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n1_bwd FROM bg GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM bg)
+    SELECT bg.a AS context, bg.b AS word, bg.c, ctx.n1_fwd, cont.n1_bwd,
+           CAST(GREATEST(0, bg.c * 4 - 3) * t.t_types
+                + 3 * ctx.n1_fwd * cont.n1_bwd AS BIGINT) AS p_num,
+           CAST(4 * ctx.c_a * t.t_types AS BIGINT) AS p_den,
+           ROUND(CAST(GREATEST(0, bg.c * 4 - 3) * t.t_types
+                      + 3 * ctx.n1_fwd * cont.n1_bwd AS DOUBLE)
+                 / CAST(4 * ctx.c_a * t.t_types AS DOUBLE), 9) AS p_kn
+    FROM bg
+    JOIN ctx ON ctx.a = bg.a
+    JOIN cont ON cont.b = bg.b
+    CROSS JOIN tot t
+    ORDER BY context, word
+"""
+
+EXTRA_QUERIES["q274_kneser_ney"] = q274_kneser_ney
+EXTRA_ORACLE["q274_kneser_ney"] = _ORACLE_ALL["q274_kneser_ney"]
+
+
+SETCOVER_K = 6
+
+
+def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection — pick SETCOVER_K
+    documents that together cover the most distinct 3-shingles, the
+    classic (1−1/e)-approximate set-cover greedy that data-curation
+    pipelines run to assemble a small eval/seed set with maximal
+    n-gram coverage (the coverage-driven dual of q253's k-center
+    diversity selection). Each round is one distributed count
+    aggregate over the uncovered (doc, shingle) frame and ONE 1-row
+    collect (the argmax — the k-center/BPE bounded-collect
+    discipline); the covered-shingle set is removed by anti-join, and
+    each round's survivor frame sits behind an iteration BARRIER
+    (localCheckpoint) so the anti-join chain cannot replay prior
+    rounds from the scan. Shingle sets never pass through the driver.
+    Ties break on doc_id; counts are exact integers, so both engines
+    pick identical documents every round. Exact greedy max-coverage
+    is inherently k linear passes over the uncovered frame (the 10×
+    probe's α ≈ 0.9 IS that k-pass linearity, not a plan defect); at
+    real scale the standard cheapening is lazy/stochastic greedy,
+    which trades exactness — this query pins the exact semantics."""
+    from batchprocessingetl_spark.operators.dedup import shingle_frame
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = barrier(
+        shingle_frame(docs, "doc_id", "text", 3)
+        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    remaining = sh
+    picked: list[tuple[int, int, int, int]] = []
+    covered = 0
+    for r in range(1, SETCOVER_K + 1):
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        covered += b.gain
+        picked.append((r, int(b.doc_id), int(b.gain), covered))
+        best_sh = sh.filter(F.col("doc_id") == b.doc_id).select("sh")
+        remaining = barrier(
+            remaining.filter(F.col("doc_id") != b.doc_id).join(
+                best_sh, "sh", "left_anti"
+            )
+        )
+    return spark.createDataFrame(
+        picked, "round int, doc_id long, gain long, covered long"
+    ).orderBy("round")
+
+
+def _q275_oracle() -> str:
+    shl = _SHINGLES_SQL.format(toks=_TOKENS_SQL)
+    parts = [
+        f"""d AS (
+        SELECT doc_id, {shl} AS shl FROM documents
+    ), sh0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest(shl) AS sh FROM d)
+    )"""
+    ]
+    prev = "sh0"
+    sels = []
+    for r in range(1, SETCOVER_K + 1):
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM {prev} GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""sh{r} AS MATERIALIZED (
+        SELECT s.doc_id, s.sh FROM {prev} s, b{r}
+        WHERE s.doc_id <> b{r}.doc_id
+          AND s.sh NOT IN (SELECT sh FROM {prev} JOIN b{r} USING (doc_id))
+    )"""
+        )
+        sels.append(f"SELECT {r} AS round, doc_id, gain FROM b{r}")
+        prev = f"sh{r}"
+    return (
+        "\n    WITH "
+        + ", ".join(parts)
+        + ", sel AS (\n        "
+        + "\n        UNION ALL ".join(sels)
+        + """
+    )
+    SELECT CAST(round AS INT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+           gain,
+           CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered
+    FROM sel ORDER BY round
+    """
+    )
+
+
+_ORACLE_ALL["q275_setcover_selection"] = _q275_oracle()
+EXTRA_QUERIES["q275_setcover_selection"] = q275_setcover_selection
+EXTRA_ORACLE["q275_setcover_selection"] = _ORACLE_ALL["q275_setcover_selection"]
