@@ -1347,3 +1347,133 @@ _ORACLE_ALL["q272_merkle_shard_audit"] = f"""
 
 EXTRA_QUERIES["q272_merkle_shard_audit"] = q272_merkle_shard_audit
 EXTRA_ORACLE["q272_merkle_shard_audit"] = _ORACLE_ALL["q272_merkle_shard_audit"]
+
+
+MERKLE_CORRUPT_MOD = 97  # deterministic ~1% corruption in the twin
+
+
+def q277_merkle_diff_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle DESCENT — the read path q272's fingerprint tree exists
+    for: given two corpus versions (here version B is the corpus with
+    a deterministic md5-chosen ~1% of documents corrupted by an
+    appended byte, the standard replica-drift fixture), compare shard
+    fingerprints first and descend ONLY into differing shards to name
+    the corrupted doc_ids. Emits one row per differing shard with its
+    two fingerprints and the count + min/max of mismatched leaves, so
+    a 100 TB anti-entropy repair moves |corrupt| rows after comparing
+    16 fingerprint pairs instead of diffing whole replicas. Both
+    versions derive from ONE scan (the corruption is an in-plan
+    expression), and the leaf diff is a per-shard join of the two leaf
+    frames — never a corpus x corpus compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    corrupt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rot:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MERKLE_CORRUPT_MOD
+        == 0
+    )
+    both = docs.select(
+        (F.col("doc_id") % MERKLE_SHARDS).alias("shard"),
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("doc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.md5("text"),
+            )
+        ).alias("leaf_a"),
+        F.md5(
+            F.concat(
+                F.lit("doc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.md5(
+                    F.when(corrupt, F.concat(F.col("text"), F.lit("\x01")))
+                    .otherwise(F.col("text"))
+                ),
+            )
+        ).alias("leaf_b"),
+    )
+    shards = both.groupBy("shard").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "leaf_a"))),
+                    lambda s: s["leaf_a"],
+                ),
+                "",
+            )
+        ).alias("fp_a"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "leaf_b"))),
+                    lambda s: s["leaf_b"],
+                ),
+                "",
+            )
+        ).alias("fp_b"),
+        F.sum((F.col("leaf_a") != F.col("leaf_b")).cast("long")).alias(
+            "n_corrupt"
+        ),
+        F.min(
+            F.when(F.col("leaf_a") != F.col("leaf_b"), F.col("doc_id"))
+        ).alias("first_corrupt_id"),
+        F.max(
+            F.when(F.col("leaf_a") != F.col("leaf_b"), F.col("doc_id"))
+        ).alias("last_corrupt_id"),
+    )
+    return (
+        shards.filter(F.col("fp_a") != F.col("fp_b"))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "fp_a",
+            "fp_b",
+            "n_corrupt",
+            "first_corrupt_id",
+            "last_corrupt_id",
+        )
+        .orderBy("shard")
+    )
+
+
+_ORACLE_ALL["q277_merkle_diff_localization"] = f"""
+    WITH both_v AS (
+        SELECT doc_id % {MERKLE_SHARDS} AS shard, doc_id,
+               md5('doc:' || doc_id::VARCHAR || ':' || md5(text)) AS leaf_a,
+               md5('doc:' || doc_id::VARCHAR || ':' ||
+                   md5(CASE WHEN ('0x' || substr(md5('rot:' || doc_id::VARCHAR),
+                                                 1, 15))::BIGINT
+                                 % {MERKLE_CORRUPT_MOD} = 0
+                            THEN text || chr(1) ELSE text END)) AS leaf_b
+        FROM documents
+    ), shards AS (
+        SELECT shard,
+               md5(string_agg(leaf_a, '' ORDER BY doc_id)) AS fp_a,
+               md5(string_agg(leaf_b, '' ORDER BY doc_id)) AS fp_b,
+               CAST(SUM(CASE WHEN leaf_a <> leaf_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               MIN(CASE WHEN leaf_a <> leaf_b THEN doc_id END)
+                   AS first_corrupt_id,
+               MAX(CASE WHEN leaf_a <> leaf_b THEN doc_id END)
+                   AS last_corrupt_id
+        FROM both_v GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, fp_a, fp_b, n_corrupt,
+           first_corrupt_id, last_corrupt_id
+    FROM shards WHERE fp_a <> fp_b
+    ORDER BY shard
+"""
+
+EXTRA_QUERIES["q277_merkle_diff_localization"] = q277_merkle_diff_localization
+EXTRA_ORACLE["q277_merkle_diff_localization"] = _ORACLE_ALL[
+    "q277_merkle_diff_localization"
+]

@@ -4692,3 +4692,51 @@ _ORACLE_ALL["q270_aqp_sample_estimate"] = f"""
 
 EXTRA_QUERIES["q270_aqp_sample_estimate"] = q270_aqp_sample_estimate
 EXTRA_ORACLE["q270_aqp_sample_estimate"] = _ORACLE_ALL["q270_aqp_sample_estimate"]
+
+
+def q276_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — customers whose orders span EVERY order
+    priority class (the 'for all' query shape: ÷ in the relational
+    algebra, classically written as nested NOT EXISTS; none of the 22
+    TPC-H analogs exercises it). Spark-first form: ONE distinct
+    (customer, priority) aggregate, count distinct per customer, keep
+    counts equal to the global class count carried alongside as a
+    broadcast scalar — no correlated subquery, no self-join, two
+    shuffles total on collapsed grain. Output includes each qualifying
+    customer's order count and cents turnover so the row is useful,
+    not just a key list."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_classes = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_classes")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("turnover_cents"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(n_classes))
+        .filter(F.col("n_prio") == F.col("n_classes"))
+        .select("o_custkey", "n_orders", "turnover_cents")
+        .orderBy("o_custkey")
+    )
+
+
+_ORACLE_ALL["q276_relational_division"] = """
+    WITH n AS (
+        SELECT COUNT(DISTINCT o_orderpriority) AS n_classes FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS turnover_cents
+    FROM orders CROSS JOIN n
+    GROUP BY o_custkey, n.n_classes
+    HAVING COUNT(DISTINCT o_orderpriority) = n_classes
+    ORDER BY o_custkey
+"""
+
+EXTRA_QUERIES["q276_relational_division"] = q276_relational_division
+EXTRA_ORACLE["q276_relational_division"] = _ORACLE_ALL["q276_relational_division"]
