@@ -1128,3 +1128,132 @@ def _q253_oracle_sql(k: int, seed: str, scale: int) -> str:
 
 EXTRA_QUERIES["q253_kcenter_coreset"] = q253_kcenter_coreset
 EXTRA_ORACLE["q253_kcenter_coreset"] = _q253_oracle_sql(KC_K, KC_SEED, KC_SCALE)
+
+
+PQ_SUB, PQ_SUBDIM, PQ_K, PQ_ITERS, PQ_SCALE = 4, 16, 8, 2, 10**6
+
+
+def q278_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training + reconstruction audit —
+    the memory-compression step under billion-scale ANN (IVF-PQ): the
+    64-dim embedding splits into 4 contiguous 16-dim subspaces, each
+    subspace trains its own 8-entry codebook with the SAME fixed-point
+    Lloyd's machinery q187 pins (md5-deterministic init, integer
+    distances, floor(sum/count) updates — bit-identical cross-engine),
+    and each vector's per-subspace squared distance to its assigned
+    code IS its reconstruction error contribution. Output: per
+    (subspace, code) member count and summed squared error — the table
+    an ANN operator reads to size codebooks (64 floats -> 4 bytes per
+    vector at these settings). Cost: 4 independent narrow-column
+    k-means runs, each iters x one scan + one k x subdim aggregate;
+    subspaces could also run as one fused scan at scale."""
+    from batchprocessingetl_spark.operators.similarity import kmeans_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for s in range(PQ_SUB):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+        asg = kmeans_fixedpoint(
+            sub, "vec_id", "sub", k=PQ_K, iters=PQ_ITERS, seed=f"pq{s}",
+            scale=PQ_SCALE,
+        )
+        outs.append(
+            asg.groupBy(F.col("cluster").alias("code"))
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("dist").alias("sq_err_scaled"),
+            )
+            .select(
+                F.lit(s).cast("int").alias("subspace"),
+                "code",
+                "n_members",
+                "sq_err_scaled",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("subspace", "code")
+
+
+def _q278_oracle_sql() -> str:
+    parts = []
+    sels = []
+    for s in range(PQ_SUB):
+        a, b = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        seed = f"pq{s}"
+        parts.append(
+            f"""sv_{s} AS (
+        SELECT vec_id,
+               list_transform(embedding[{a}:{b}],
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE} + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ), verts_{s} AS (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i, 'x': v[i]}}), recursive := true)
+        FROM sv_{s}
+    ), init_{s} AS (
+        SELECT v,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) - 1
+                   AS cid
+        FROM sv_{s}
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) <= {PQ_K}
+    ), cent_{s}_0 AS (
+        SELECT cid,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'dim': i, 'c': v[i]}}), recursive := true)
+        FROM init_{s}
+    )"""
+        )
+        for r in range(1, PQ_ITERS + 1):
+            parts.append(
+                f"""dist_{s}_{r} AS (
+        SELECT t.vec_id, c.cid,
+               CAST(SUM((t.x - c.c) * (t.x - c.c)) AS BIGINT) AS d
+        FROM verts_{s} t JOIN cent_{s}_{r - 1} c ON t.dim = c.dim
+        GROUP BY 1, 2
+    ), asg_{s}_{r} AS (
+        SELECT vec_id,
+               CAST(MIN(d * {PQ_K} + cid) % {PQ_K} AS INTEGER) AS cid,
+               CAST(MIN(d * {PQ_K} + cid) // {PQ_K} AS BIGINT) AS d
+        FROM dist_{s}_{r}
+        GROUP BY 1
+    )"""
+            )
+            if r < PQ_ITERS:
+                parts.append(
+                    f"""upd_{s}_{r} AS (
+        SELECT a.cid, t.dim,
+               CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM asg_{s}_{r} a JOIN verts_{s} t USING (vec_id)
+        GROUP BY 1, 2
+    ), cent_{s}_{r} AS (
+        SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+        FROM cent_{s}_{r - 1} p
+        LEFT JOIN upd_{s}_{r} u ON u.cid = p.cid AND u.dim = p.dim
+    )"""
+                )
+        sels.append(
+            f"""SELECT {s} AS subspace, cid AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(d) AS BIGINT) AS sq_err_scaled
+        FROM asg_{s}_{PQ_ITERS} GROUP BY 1, 2"""
+        )
+    return (
+        "\n    WITH "
+        + ", ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
+        + "\n    ORDER BY subspace, code"
+    )
+
+
+EXTRA_QUERIES["q278_product_quantization"] = q278_product_quantization
+EXTRA_ORACLE["q278_product_quantization"] = _q278_oracle_sql()
