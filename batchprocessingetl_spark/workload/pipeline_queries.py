@@ -1477,3 +1477,216 @@ EXTRA_QUERIES["q277_merkle_diff_localization"] = q277_merkle_diff_localization
 EXTRA_ORACLE["q277_merkle_diff_localization"] = _ORACLE_ALL[
     "q277_merkle_diff_localization"
 ]
+
+
+def q279_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scorecard across the star's FK edges —
+    the data-quality gate a warehouse load runs before publishing:
+    for each child->parent edge (lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer, customer->nation), count
+    child rows, DISTINCT child keys, orphaned rows (no matching
+    parent, null-safe: NULL keys count as orphans and are also broken
+    out), and the orphan rate. Each edge is ONE left-anti-join-shaped
+    aggregate (a left join against the parent's distinct key set with
+    a miss flag, so the count and the rate come from the same pass);
+    parents' key sets are broadcast-sized dims here and hash-shuffled
+    at scale. Exact integers + one rounded division per edge."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        joined = c.join(p, "k", "left")
+        outs.append(
+            joined.agg(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_distinct(F.col("k")).alias("n_child_keys"),
+                F.sum(
+                    (F.col("__hit").isNull() | F.col("k").isNull()).cast("long")
+                ).alias("n_orphans"),
+                F.sum(F.col("k").isNull().cast("long")).alias("n_null_keys"),
+            ).select(
+                "edge",
+                "n_child",
+                "n_child_keys",
+                "n_orphans",
+                "n_null_keys",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child").cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("edge")
+
+
+def _q279_oracle() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    sels = []
+    for child, ck, parent, pk in edges:
+        sels.append(
+            f"""SELECT '{child}.{ck}->{parent}.{pk}' AS edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(COUNT(DISTINCT c.k) AS BIGINT) AS n_child_keys,
+               CAST(SUM(CASE WHEN p.k IS NULL OR c.k IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               CAST(SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_keys,
+               ROUND(SUM(CASE WHEN p.k IS NULL OR c.k IS NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_rate
+        FROM (SELECT {ck} AS k FROM {child}) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p USING (k)"""
+        )
+    return "\n    " + "\n    UNION ALL ".join(sels) + "\n    ORDER BY edge"
+
+
+_ORACLE_ALL["q279_fk_integrity_audit"] = _q279_oracle()
+EXTRA_QUERIES["q279_fk_integrity_audit"] = q279_fk_integrity_audit
+EXTRA_ORACLE["q279_fk_integrity_audit"] = _ORACLE_ALL["q279_fk_integrity_audit"]
+
+
+PROFILE_COLS = (
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_totalprice",
+)
+
+
+def q280_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling scorecard over orders — the table-stats pass a
+    catalog/datacard layer runs on ingest (pairing with q262's FD
+    discovery and q90's constraint gate): per column, row count, null
+    count, exact distinct count, the modal value with its count
+    (ties -> lexicographically smallest value) and the Shannon entropy
+    of the value distribution in bits. Profiling C columns costs ONE
+    widened scan: an in-plan unpivot (explode of C structs) feeds a
+    single (column, value) hash aggregate; the modal pick is a
+    row_number window over the collapsed value-count frame (bounded by
+    distinct values, partitioned by column). Entropy terms c·log2(c)
+    round 9dp into DECIMAL before summing (the q160 discipline), so
+    the sum is order-independent and engine-identical; money values
+    group through the cents cast."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = []
+    for c in PROFILE_COLS:
+        if c == "o_totalprice":
+            v = F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")
+        else:
+            v = F.col(c).cast("string")
+        pairs.append(F.struct(F.lit(c).alias("col"), v.alias("val")))
+    long_f = orders.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    vc = long_f.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    nn = vc.filter(F.col("val").isNotNull())
+    stats = vc.groupBy("col").agg(
+        F.sum("c").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1))).alias("n_distinct"),
+    )
+    ent = nn.groupBy("col").agg(
+        F.sum("c").alias("n_nn"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double") * F.log2(F.col("c").cast("double")), 9
+            ).cast("decimal(28,10)")
+        ).alias("hsum"),
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("c"), "val")
+    modal = (
+        nn.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("col", F.col("val").alias("modal_value"), F.col("c").alias("modal_count"))
+    )
+    return (
+        stats.join(modal, "col")
+        .join(ent, "col")
+        .select(
+            F.col("col").alias("column"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "modal_value",
+            "modal_count",
+            F.round(
+                F.log2(F.col("n_nn").cast("double"))
+                - F.col("hsum").cast("double") / F.col("n_nn").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("column")
+    )
+
+
+def _q280_oracle() -> str:
+    branches = []
+    for c in PROFILE_COLS:
+        v = (
+            "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+            if c == "o_totalprice"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        branches.append(f"SELECT '{c}' AS col, {v} AS val FROM orders")
+    return f"""
+    WITH long_f AS (
+        {" UNION ALL ".join(branches)}
+    ), vc AS (
+        SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c
+        FROM long_f GROUP BY 1, 2
+    ), nn AS (
+        SELECT * FROM vc WHERE val IS NOT NULL
+    ), stats AS (
+        SELECT col, CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_distinct
+        FROM vc GROUP BY 1
+    ), ent AS (
+        SELECT col, CAST(SUM(c) AS BIGINT) AS n_nn,
+               SUM(CAST(ROUND(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
+                        AS DECIMAL(28,10))) AS hsum
+        FROM nn GROUP BY 1
+    ), modal AS (
+        SELECT col, val AS modal_value, c AS modal_count
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY col ORDER BY c DESC, val) AS rk FROM nn)
+        WHERE rk = 1
+    )
+    SELECT s.col AS "column", s.n_rows, s.n_nulls, s.n_distinct,
+           m.modal_value, m.modal_count,
+           ROUND(log2(CAST(e.n_nn AS DOUBLE))
+                 - CAST(e.hsum AS DOUBLE) / CAST(e.n_nn AS DOUBLE), 6)
+               AS entropy_bits
+    FROM stats s JOIN modal m ON m.col = s.col JOIN ent e ON e.col = s.col
+    ORDER BY "column"
+"""
+
+
+_ORACLE_ALL["q280_column_profile"] = _q280_oracle()
+EXTRA_QUERIES["q280_column_profile"] = q280_column_profile
+EXTRA_ORACLE["q280_column_profile"] = _ORACLE_ALL["q280_column_profile"]
