@@ -43,47 +43,48 @@ _MODULES = (
     _stats,
 )
 
-# Round-8 rotation (VERDICT r7 #1): the 50 driver-checked rows.
-# Newly rotated IN (27): the whole round-7 block q241-q267 — the
-# attribution quartet completions q242/q250/q267 (Shapley, Markov
-# removal-effect, time-decay; q146 stays as the interval anchor), the
-# survival/testing shelf q244/q245/q247/q257/q258, graph fixed points
-# q241/q251/q261, linkage/dedup q252, vectors q253, text q254/q259/
-# q266, and the analytics rows q243/q246/q248/q249/q255/q256/q260/
-# q262/q263/q264/q265. Displaced to EXTRA (27), each twice-or-more
-# proven or with registered kin: the ten TPC-H analogs q164-q168/
-# q174-q177/q186 (driver-green rounds 6-7; q03 retains the join/agg
-# shape), seven of the experimentation shelf q206/q232/q233/q235/
-# q237/q238/q239 (q234 CUPED, q236 trimmed-mean — the cents-guard
-# exposer — and q240 McNemar stay), and ten family retainers q178/
-# q185/q195/q196/q198/q207/q214/q216/q221/q228 whose families keep a
-# registered row (mapping in docs/COVERAGE.md "Round 8 rotation").
+# Round-9 rotation (VERDICT r8 #1): the 50 driver-checked rows.
+# Newly rotated IN (13): the whole round-8 block q268-q280 — KMV set
+# algebra, RANSAC, AQP Horvitz-Thompson, IPF raking, Merkle shard
+# audit + descent, CUBE lattice, Kneser-Ney, greedy set-cover,
+# relational division, PQ codebooks, FK scorecard, column profiler —
+# the only declared rows that lacked a driver CORRECTNESS entry.
+# Displaced to EXTRA (13), each driver-proven in round 8 and with
+# registered kin: survival/testing q244/q247/q258 (q245 stratified
+# effect + q257 log-rank stay, with q234/q236/q240), graph fixed
+# points q241/q261 (q190 BFS + q251 LPA stay), attribution q250
+# (q146/q242/q267 stay), and the analytics singletons q243/q246/
+# q248/q249/q255/q260/q264 whose families retain anchors (q111 IVM,
+# q253 k-center, q208 ACF, q147 RRF, incoming q270 estimation and
+# q279/q280 data-quality). Mapping in docs/COVERAGE.md "Round 9
+# rotation".
 _REGISTERED = (
-    # round-7 block, rotated in (27)
-    "q241_hits_hubs_authorities",
+    # round-8 block, rotated in (13)
+    "q268_kmv_set_ops",
+    "q269_ransac_line",
+    "q270_aqp_sample_estimate",
+    "q271_ipf_raking",
+    "q272_merkle_shard_audit",
+    "q273_cube_revenue",
+    "q274_kneser_ney",
+    "q275_setcover_selection",
+    "q276_relational_division",
+    "q277_merkle_diff_localization",
+    "q278_product_quantization",
+    "q279_fk_integrity_audit",
+    "q280_column_profile",
+    # round-7 block retainers (14)
     "q242_shapley_attribution",
-    "q243_price_volume_mix",
-    "q244_bh_fdr_screen",
     "q245_stratified_effect",
-    "q246_pareto_frontier",
-    "q247_nelson_aalen",
-    "q248_seasonality_indices",
-    "q249_mrr_retrieval",
-    "q250_markov_removal_attribution",
     "q251_label_propagation",
     "q252_fellegi_sunter",
     "q253_kcenter_coreset",
     "q254_heldout_perplexity",
-    "q255_delta_contribution",
     "q256_consistent_hash_rebalance",
     "q257_logrank_test",
-    "q258_cvm_two_sample",
     "q259_good_turing",
-    "q260_capture_recapture",
-    "q261_kcore_decomposition",
     "q262_fd_discovery",
     "q263_fixed_effects_ols",
-    "q264_shuffle_skew_audit",
     "q265_gains_lift_curve",
     "q266_term_burstiness",
     "q267_time_decay_attribution",

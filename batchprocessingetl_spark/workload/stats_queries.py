@@ -3403,9 +3403,14 @@ def q269_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     the struct min breaks hash-key ties on (x, y) so the draw is
     deterministic even though (orderkey, linenumber) is not unique in
     this fixture — and the
-    inlier count is one 16x broadcast-replicated scan with a
-    map-side-combined aggregate, so the fact table is read exactly
-    twice at any scale. The 32 struct-min buffers only ever see a
+    inlier count is ONE un-replicated scan: the <=16 surviving
+    candidate lines pivot into a single broadcast row and each
+    candidate becomes a conditional-sum aggregate, so every fact row
+    is tested against all 16 lines inside one whole-stage-codegen
+    pass (round 8 replicated the scan 16x through a broadcast
+    crossJoin; folding the candidates into columns removed the 16x
+    row blow-up — VERDICT r8 #5). The fact table is still read
+    exactly twice at any scale. The 32 struct-min buffers only ever see a
     DETERMINISTIC 1-in-64 hash slice of the rows (one pool md5 per
     row instead of 32; a uniform subsample of a uniform draw is the
     same draw distribution, and both engines slice identically — a
@@ -3469,22 +3474,64 @@ def q269_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cand", "slope", "intercept")
     )
-    counted = (
-        base.crossJoin(F.broadcast(cands))
-        .filter(
-            F.abs(
-                F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept"))
+    # pivot the surviving candidates into ONE broadcast row (absent /
+    # degenerate candidates stay NULL and are dropped after unpivot)
+    wide = cands.agg(
+        *[
+            f
+            for c in range(RANSAC_CANDS)
+            for f in (
+                F.max(F.when(F.col("cand") == c, F.col("slope"))).alias(f"s{c}"),
+                F.max(F.when(F.col("cand") == c, F.col("intercept"))).alias(
+                    f"i{c}"
+                ),
             )
-            <= F.lit(RANSAC_TOL)
-        )
-        .groupBy("cand", "slope", "intercept")
-        .agg(F.count(F.lit(1)).alias("n_inliers"))
+        ]
     )
-    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    # one scan, 16 fused conditional sums — no row replication
+    counted_wide = base.crossJoin(F.broadcast(wide)).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y")
+                        - (F.col(f"s{c}") * F.col("x") + F.col(f"i{c}"))
+                    )
+                    <= F.lit(RANSAC_TOL),
+                    1,
+                ).otherwise(0)
+            ).alias(f"n{c}")
+            for c in range(RANSAC_CANDS)
+        ],
+        *[F.first(f"s{c}").alias(f"fs{c}") for c in range(RANSAC_CANDS)],
+        *[F.first(f"i{c}").alias(f"fi{c}") for c in range(RANSAC_CANDS)],
+    )
+    counted = (
+        counted_wide.select(
+            "n_total",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cand"),
+                            F.col(f"fs{c}").alias("slope"),
+                            F.col(f"fi{c}").alias("intercept"),
+                            F.col(f"n{c}").alias("n_inliers"),
+                        )
+                        for c in range(RANSAC_CANDS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("n_total", "s.*")
+        # degenerate draws have NULL slope; zero-inlier candidates are
+        # absent from the oracle's post-filter GROUP BY — match both
+        .filter(F.col("slope").isNotNull() & (F.col("n_inliers") > 0))
+    )
     wbest = Window.orderBy(F.desc("n_inliers"), F.asc("cand"))
     return (
-        counted.crossJoin(F.broadcast(tot))
-        .withColumn("rk", F.row_number().over(wbest))
+        counted.withColumn("rk", F.row_number().over(wbest))
         .select(
             "cand",
             "slope",

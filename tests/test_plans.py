@@ -269,6 +269,29 @@ def test_global_window_guard_detects_fact_grain_windows(spark):
     )
     assert count_global_windows(_physical(part)) == 0
 
+    # round-8 ADVICE false negative: a fact-grain global window above a
+    # join whose BUILD side aggregates must still flag — the aggregate
+    # is not on the data-flow path, every streamed fact row survives
+    dim = li.groupBy("l_returnflag").agg(F.count("*").alias("dim_c"))
+    sneaky = (
+        li.join(F.broadcast(dim), "l_returnflag")
+        .withColumn("rk", F.row_number().over(Window.orderBy("l_orderkey")))
+    )
+    assert unguarded_global_windows(_physical(sneaky)) >= 1
+
+    # ...while the legitimate agg -> enrich-join -> global-window shape
+    # stays guarded: the streamed side is the collapsed frame
+    na = load_table(spark, SF_SMOKE, "nation")
+    enriched = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"), F.min("l_suppkey").alias("k"))
+        .join(F.broadcast(na), F.col("k") % 25 == F.col("n_nationkey"), "left")
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("q"))))
+    )
+    eplan = _physical(enriched)
+    assert count_global_windows(eplan) >= 1
+    assert unguarded_global_windows(eplan) == 0
+
 
 def test_registered_workload_has_no_unguarded_global_windows(spark):
     """Every driver-registered query's physical plan: any
@@ -281,6 +304,24 @@ def test_registered_workload_has_no_unguarded_global_windows(spark):
 
     offenders = {}
     for name, fn in collect_queries().items():
+        plan = _physical(fn(spark, SF_SMOKE))
+        n = unguarded_global_windows(plan)
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
+
+
+def test_extra_workload_has_no_unguarded_global_windows(spark):
+    """Round-8 VERDICT #4: the same gate over the EXTRA surface, so a
+    fact-grain global window introduced in ANY declared query is
+    caught at pytest time, not only at PLANS.md regeneration. Plans
+    are built at smoke SF (iterative queries run their loops at
+    plan-build time, so this stays cheap there)."""
+    from batchprocessingetl_spark.workload import collect_extra_queries
+    from tools.plan_audit import unguarded_global_windows
+
+    offenders = {}
+    for name, fn in collect_extra_queries().items():
         plan = _physical(fn(spark, SF_SMOKE))
         n = unguarded_global_windows(plan)
         if n:

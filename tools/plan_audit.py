@@ -66,46 +66,118 @@ def _window_is_global(line: str) -> bool:
     return True
 
 
+_GUARD = re.compile(
+    r"\b(?:(?:Hash|Sort|ObjectHash)Aggregate|TakeOrderedAndProject"
+    r"|GlobalLimit|CollectLimit|LocalTableScan|Scan ExistingRDD"
+    r"|Range \()"
+)
+_JOIN = re.compile(
+    r"\b(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+    r"|BroadcastNestedLoopJoin|CartesianProduct)\b"
+)
+_PLAN_ID = re.compile(r",?\s*\[plan_id=\d+\]")
+
+
+def _children(lines: list[str], j: int) -> list[int]:
+    """Line indexes of the DIRECT children of the node at lines[j].
+
+    The physical-plan toString is a depth-first preorder where all
+    direct children of a node print at one common depth (`:- ` /
+    `+- ` at the same indentation); grandchildren are strictly
+    deeper. So the children are exactly the subtree lines at the
+    first depth encountered below the node."""
+    out: list[int] = []
+    d = _depth(lines[j])
+    base: int | None = None
+    for k in range(j + 1, len(lines)):
+        if not lines[k].strip():
+            break
+        dk = _depth(lines[k])
+        if dk <= d:
+            break
+        if base is None:
+            base = dk
+        if dk == base:
+            out.append(k)
+    return out
+
+
+def _strip_node(line: str) -> str:
+    """Drop the tree-drawing prefix, codegen `*(n) ` marker and plan_id
+    so node descriptions can be compared across print sites."""
+    body = line.lstrip(" :+-")
+    body = re.sub(r"^\*\(\d+\) ", "", body)
+    return _PLAN_ID.sub("", body).rstrip()
+
+
+def _chain_guarded(lines: list[str], i: int, visited: frozenset[int]) -> bool:
+    """True iff a grain-collapsing guard appears on the DATA-FLOW input
+    path of the node at lines[i]: the unary chain below it, following
+    each join into its STREAMED side only (rows reaching the window
+    come from streamed-side rows; an aggregate on the build side
+    bounds nothing, since every streamed row survives an inner/outer
+    probe — the round-8 ADVICE false negative)."""
+    kids = _children(lines, i)
+    while kids:
+        j = kids[0]
+        line = lines[j]
+        if _GUARD.search(line):
+            return True
+        m = re.search(r"\bReusedExchange \[[^\]]*\], (Exchange .*)$", line)
+        if m:
+            # Resolve the reference: find the original Exchange node and
+            # continue the walk below it. Unresolvable -> unguarded.
+            target = _PLAN_ID.sub("", m.group(1)).rstrip()
+            for k, cand in enumerate(lines):
+                if k not in visited and k != j and _strip_node(cand) == target:
+                    return _chain_guarded(lines, k, visited | {k})
+            return False
+        jm = _JOIN.search(line)
+        kids = _children(lines, j)
+        if jm:
+            if "CartesianProduct" in line or len(kids) < 2:
+                return False
+            # streamed side: the non-build child (SortMergeJoin has no
+            # build marker; its left input is the walked probe side)
+            kids = [kids[1]] if "BuildLeft" in line else [kids[0]]
+    return False
+
+
 def unguarded_global_windows(plan: str) -> int:
     """Count empty-partition WindowExec nodes NOT sitting above a
-    grain-collapsing aggregate (VERDICT r7 #3).
+    grain-collapsing aggregate (VERDICT r7 #3; tightened r9 per ADVICE).
 
     A global window serializes its whole input into one task, which is
     only acceptable on a frame whose cardinality a previous aggregate
     has collapsed to domain size (cents bins, distinct ranks, test
-    ids). This walks each global Window node's SUBTREE (the following
-    deeper-indented lines of the depth-first toString): the window is
-    guarded if a HashAggregate / SortAggregate / ObjectHashAggregate
-    collapses the grain below it, OR a limit operator bounds the frame
+    ids). For each global Window node this walks its DATA-FLOW input
+    path (the unary chain below it, following each join into its
+    streamed side only): the window is guarded only if a
+    HashAggregate / SortAggregate / ObjectHashAggregate collapses the
+    grain on that path, OR a limit operator bounds the frame
     (TakeOrderedAndProject / GlobalLimit / CollectLimit — the IVF
-    probe's top-k pools), OR the subtree ends in a ReusedExchange
-    (its elided original subtree is audited where it is printed; a
-    window directly above an unguarded original still flags there).
+    probe's top-k pools), OR the path's source is a driver-literal
+    frame (LocalTableScan / Scan ExistingRDD — e.g. q256's 16-row
+    boundary spine — or a literal `Range` spine whose cardinality is
+    a compile-time constant, e.g. q211/q214's 10-12 bin grids),
+    bounded by construction. An aggregate on a
+    join's BUILD side no longer counts — every streamed row survives
+    the probe, so the build side bounds nothing (round-8 ADVICE
+    false negative).
+    A ReusedExchange on the chain is RESOLVED to its original Exchange
+    node and the walk continues below that (unresolvable references
+    count as unguarded — the second round-8 ADVICE false negative).
     Otherwise the window runs at fact grain — flagged.
-    tests/test_plans.py asserts zero unguarded nodes across the
-    registered workload and that a synthetic fact-grain global window
-    is caught.
+    tests/test_plans.py asserts zero unguarded nodes across the full
+    declared workload and that synthetic fact-grain global windows
+    (including one hidden above a join) are caught.
     """
-    guard = re.compile(
-        r"\b(?:(?:Hash|Sort|ObjectHash)Aggregate|TakeOrderedAndProject"
-        r"|GlobalLimit|CollectLimit|ReusedExchange)\b"
-    )
     lines = plan.splitlines()
     bad = 0
     for i, line in enumerate(lines):
         if not re.search(r"\bWindow \[", line) or not _window_is_global(line):
             continue
-        d = _depth(line)
-        guarded = False
-        for below in lines[i + 1 :]:
-            if not below.strip():
-                break
-            if _depth(below) <= d:
-                break
-            if guard.search(below):
-                guarded = True
-                break
-        if not guarded:
+        if not _chain_guarded(lines, i, frozenset({i})):
             bad += 1
     return bad
 
