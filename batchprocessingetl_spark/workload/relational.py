@@ -4740,3 +4740,223 @@ _ORACLE_ALL["q276_relational_division"] = """
 
 EXTRA_QUERIES["q276_relational_division"] = q276_relational_division
 EXTRA_ORACLE["q276_relational_division"] = _ORACLE_ALL["q276_relational_division"]
+
+
+def q283_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit of order totals per
+    priority class — the classic forensic/data-quality screen for
+    fabricated or truncated numeric columns (companion to q279/q280's
+    integrity scorecards). One hash aggregate collapses the fact
+    table to the 5x9 (priority, digit) grid; expected Benford mass
+    log10(1+1/d) and each digit's chi-square contribution
+    (obs-exp)^2/exp round to 9dp IN THE DECIMAL DOMAIN before the
+    per-class sum (the q280 entropy-term discipline — double-summing
+    rounded terms would reorder under partial aggregation), so both
+    engines report identical statistics. The first digit comes from
+    the INTEGER dollar part (totals are >= 1), string-free:
+    repeated integer division is expressed as a log10/pow pair on
+    exact BIGINTs."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice")).cast("long")
+    digit = F.floor(
+        cents / F.pow(F.lit(10.0), F.floor(F.log10(cents.cast("double"))))
+    ).cast("int")
+    grid = (
+        o.select(F.col("o_orderpriority").alias("priority"), digit.alias("d"))
+        .groupBy("priority", "d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = grid.groupBy("priority").agg(F.sum("n_obs").alias("n_tot"))
+    p_exp = F.round(F.log10(1 + 1 / F.col("d").cast("double")), 9)
+    exp_n = F.col("n_tot").cast("double") * F.col("p_exp")
+    contrib = F.round(
+        (F.col("n_obs").cast("double") - exp_n) * (F.col("n_obs") - exp_n)
+        / exp_n,
+        9,
+    )
+    w = Window.partitionBy("priority")
+    return (
+        grid.join(F.broadcast(tot), "priority")
+        .withColumn("p_exp", p_exp)
+        .withColumn("contrib", contrib)
+        .withColumn(
+            "chi2",
+            F.sum(F.col("contrib").cast("decimal(28,9)")).over(w).cast("double"),
+        )
+        .select("priority", "d", "n_obs", "p_exp", "contrib", "chi2")
+        .orderBy("priority", "d")
+    )
+
+
+_ORACLE_ALL["q283_benford_audit"] = """
+    WITH grid AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(CAST(FLOOR(o_totalprice) AS BIGINT)
+                    / POW(10.0, FLOOR(LOG10(CAST(CAST(FLOOR(o_totalprice)
+                        AS BIGINT) AS DOUBLE))))) AS INT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1, 2
+    ), tot AS (
+        SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_tot
+        FROM grid GROUP BY 1
+    ), scored AS (
+        SELECT g.priority, g.d, g.n_obs,
+               ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9) AS p_exp,
+               ROUND((g.n_obs - t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9))
+                     * (g.n_obs - t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9))
+                     / (t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9)),
+                     9) AS contrib
+        FROM grid g JOIN tot t USING (priority)
+    )
+    SELECT priority, d, n_obs, p_exp, contrib,
+           CAST(SUM(CAST(contrib AS DECIMAL(28,9)))
+                    OVER (PARTITION BY priority) AS DOUBLE) AS chi2
+    FROM scored ORDER BY priority, d
+"""
+EXTRA_QUERIES["q283_benford_audit"] = q283_benford_audit
+EXTRA_ORACLE["q283_benford_audit"] = _ORACLE_ALL["q283_benford_audit"]
+
+
+def q286_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump for line returns
+    (l_returnflag = 'R') over the two small-domain features quantity and
+    discount — the feature-screening / split-search primitive of tree
+    training, run the warehouse way: ONE union-scan collapses the
+    fact table to per-(feature, value) label counts (domain-size
+    frames, <= 61 rows), cumulative windows over the value grain turn
+    every distinct value into a candidate threshold 'x <= t', and the
+    information gain of each split is a closed-form double expression
+    over exact integer counts (identical evaluation order both
+    engines, rounded 9dp). No per-threshold rescan, no fact-grain
+    window; at 100 TB the only data-proportional work is the first
+    aggregate. is_best ranks (gain, feature, threshold)
+    deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_returnflag") == "R").cast("long")
+    branches = [
+        li.select(
+            F.lit("quantity").alias("feature"),
+            F.col("l_quantity").cast("int").alias("v"),
+            late.alias("pos"),
+        ),
+        li.select(
+            F.lit("discount_c").alias("feature"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("int").alias("v"),
+            late.alias("pos"),
+        ),
+    ]
+    vals = (
+        branches[0]
+        .unionByName(branches[1])
+        .groupBy("feature", "v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
+    )
+    wcum = Window.partitionBy("feature").orderBy("v")
+    wtot = Window.partitionBy("feature")
+
+    def h(p, n):
+        pr = p.cast("double") / n.cast("double")
+        qr = (n - p).cast("double") / n.cast("double")
+        return -(
+            F.when(p > 0, pr * F.log2(pr)).otherwise(F.lit(0.0))
+            + F.when(n - p > 0, qr * F.log2(qr)).otherwise(F.lit(0.0))
+        )
+
+    cum = (
+        vals.withColumn("n_left", F.sum("n").over(wcum))
+        .withColumn("pos_left", F.sum("p").over(wcum))
+        .withColumn("n_tot", F.sum("n").over(wtot))
+        .withColumn("pos_tot", F.sum("p").over(wtot))
+        .filter(F.col("n_left") < F.col("n_tot"))
+        .withColumn("n_right", F.col("n_tot") - F.col("n_left"))
+        .withColumn("pos_right", F.col("pos_tot") - F.col("pos_left"))
+    )
+    gain = F.round(
+        h(F.col("pos_tot"), F.col("n_tot"))
+        - (
+            F.col("n_left").cast("double") / F.col("n_tot").cast("double")
+        )
+        * h(F.col("pos_left"), F.col("n_left"))
+        - (
+            F.col("n_right").cast("double") / F.col("n_tot").cast("double")
+        )
+        * h(F.col("pos_right"), F.col("n_right")),
+        9,
+    )
+    wbest = Window.orderBy(F.desc("gain"), "feature", "threshold")
+    return (
+        cum.select(
+            "feature",
+            F.col("v").alias("threshold"),
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            gain.alias("gain"),
+        )
+        .withColumn("is_best", F.row_number().over(wbest) == 1)
+        .orderBy("feature", "threshold")
+    )
+
+
+_ORACLE_ALL["q286_decision_stump"] = """
+    WITH rows_u AS (
+        SELECT 'quantity' AS feature, CAST(l_quantity AS INT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_c', CAST(FLOOR(l_discount * 100 + 0.5) AS INT),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+    ), vals AS (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM rows_u GROUP BY 1, 2
+    ), cum AS (
+        SELECT feature, v,
+               SUM(n) OVER (PARTITION BY feature ORDER BY v) AS n_left,
+               SUM(p) OVER (PARTITION BY feature ORDER BY v) AS pos_left,
+               SUM(n) OVER (PARTITION BY feature) AS n_tot,
+               SUM(p) OVER (PARTITION BY feature) AS pos_tot
+        FROM vals
+    ), split AS (
+        SELECT feature, v AS threshold,
+               CAST(n_left AS BIGINT) AS n_left,
+               CAST(pos_left AS BIGINT) AS pos_left,
+               CAST(n_tot - n_left AS BIGINT) AS n_right,
+               CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
+               CAST(n_tot AS BIGINT) AS n_tot,
+               CAST(pos_tot AS BIGINT) AS pos_tot
+        FROM cum WHERE n_left < n_tot
+    ), scored AS (
+        SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+            ROUND(
+            (-(CASE WHEN pos_tot > 0 THEN (pos_tot/CAST(n_tot AS DOUBLE))
+                    * LOG2(pos_tot/CAST(n_tot AS DOUBLE)) ELSE 0 END
+               + CASE WHEN n_tot - pos_tot > 0
+                      THEN ((n_tot-pos_tot)/CAST(n_tot AS DOUBLE))
+                       * LOG2((n_tot-pos_tot)/CAST(n_tot AS DOUBLE))
+                      ELSE 0 END))
+            - (n_left/CAST(n_tot AS DOUBLE))
+              * (-(CASE WHEN pos_left > 0 THEN (pos_left/CAST(n_left AS DOUBLE))
+                        * LOG2(pos_left/CAST(n_left AS DOUBLE)) ELSE 0 END
+                   + CASE WHEN n_left - pos_left > 0
+                          THEN ((n_left-pos_left)/CAST(n_left AS DOUBLE))
+                           * LOG2((n_left-pos_left)/CAST(n_left AS DOUBLE))
+                          ELSE 0 END))
+            - (n_right/CAST(n_tot AS DOUBLE))
+              * (-(CASE WHEN pos_right > 0 THEN (pos_right/CAST(n_right AS DOUBLE))
+                        * LOG2(pos_right/CAST(n_right AS DOUBLE)) ELSE 0 END
+                   + CASE WHEN n_right - pos_right > 0
+                          THEN ((n_right-pos_right)/CAST(n_right AS DOUBLE))
+                           * LOG2((n_right-pos_right)/CAST(n_right AS DOUBLE))
+                          ELSE 0 END)), 9) AS gain
+        FROM split
+    )
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right, gain,
+           ROW_NUMBER() OVER (ORDER BY gain DESC, feature, threshold) = 1
+               AS is_best
+    FROM scored ORDER BY feature, threshold
+"""
+EXTRA_QUERIES["q286_decision_stump"] = q286_decision_stump
+EXTRA_ORACLE["q286_decision_stump"] = _ORACLE_ALL["q286_decision_stump"]

@@ -3597,3 +3597,342 @@ def _q269_oracle() -> str:
 _ORACLE_ALL["q269_ransac_line"] = _q269_oracle()
 EXTRA_QUERIES["q269_ransac_line"] = q269_ransac_line
 EXTRA_ORACLE["q269_ransac_line"] = _ORACLE_ALL["q269_ransac_line"]
+
+
+THEILSEN_CORESET = 256  # fixed-size deterministic point coreset
+
+
+def q282_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation of quantity vs discount per
+    return flag — computed WITHOUT any pairwise pass over rows: both
+    variables live on small integer domains (quantity 1-50, discount
+    0-10 hundredths), so the fact table collapses to a <=550-cell
+    contingency grid per group (one hash aggregate) and the
+    concordant/discordant pair counts come from the CELL-grid
+    self-join, Sum(n_a*n_b) over cell pairs — domain-size x
+    domain-size work that is CONSTANT in the row count. Tie
+    corrections n1/n2 fall out of the grid margins; everything up to
+    the final tau division is exact BIGINT (the q169 discipline), so
+    both engines agree bit-for-bit. At 100 TB the only
+    data-proportional work is the first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("int").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("int")
+            .alias("y"),
+        )
+        .groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("c_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("d_pairs"),
+        )
+    )
+    margins = cells.groupBy("g").agg(
+        F.sum("n").alias("n_rows"),
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("n").alias("r"))
+        .groupBy("g")
+        .agg(F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("ties_x"))
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("n").alias("r"))
+        .groupBy("g")
+        .agg(F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("ties_y"))
+    )
+    n0 = (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    return (
+        pair.join(margins, "g")
+        .join(tx, "g")
+        .join(ty, "g")
+        .select(
+            "g",
+            "n_rows",
+            "c_pairs",
+            "d_pairs",
+            "ties_x",
+            "ties_y",
+            F.round(
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / F.sqrt(
+                    ((n0 - F.col("ties_x")).cast("double"))
+                    * ((n0 - F.col("ties_y")).cast("double"))
+                ),
+                9,
+            ).alias("tau_b"),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q282_kendall_tau"] = """
+    WITH cells AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS x,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3
+    ), pair AS (
+        SELECT a.g,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c_pairs,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d_pairs
+        FROM cells a JOIN cells b ON a.g = b.g GROUP BY 1
+    ), margins AS (
+        SELECT g, CAST(SUM(n) AS BIGINT) AS n_rows FROM cells GROUP BY 1
+    ), tx AS (
+        SELECT g, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS ties_x
+        FROM (SELECT g, x, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
+    ), ty AS (
+        SELECT g, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS ties_y
+        FROM (SELECT g, y, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT p.g, m.n_rows, p.c_pairs, p.d_pairs, t1.ties_x, t2.ties_y,
+           ROUND(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                 / SQRT(CAST(m.n_rows * (m.n_rows - 1) / 2 - t1.ties_x AS DOUBLE)
+                        * CAST(m.n_rows * (m.n_rows - 1) / 2 - t2.ties_y AS DOUBLE)),
+                 9) AS tau_b
+    FROM pair p
+    JOIN margins m USING (g) JOIN tx t1 USING (g) JOIN ty t2 USING (g)
+    ORDER BY g
+"""
+EXTRA_QUERIES["q282_kendall_tau"] = q282_kendall_tau
+EXTRA_ORACLE["q282_kendall_tau"] = _ORACLE_ALL["q282_kendall_tau"]
+
+
+def q287_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of extendedprice on quantity — the
+    median-of-pairwise-slopes estimator (29% breakdown point), the
+    rank-based sibling of q269's RANSAC. The quadratic pair space is
+    tamed the scale-correct way: a FIXED-SIZE deterministic coreset —
+    the THEILSEN_CORESET rows with the smallest md5 draw order
+    (TakeOrderedAndProject; ties broken on (x, y) so duplicate
+    (orderkey, linenumber) keys cannot reorder it) — so the pair
+    frame is CONSTANT (256^2/2) at any data scale and the only
+    data-proportional work is the top-k scan. Slopes round 9dp before
+    ranking; the median is the lower median by (slope, h_a, h_b)
+    order, intercept is the median residual y - m*x over the coreset.
+    Both engines replay the identical draw, order and index
+    arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    pts = (
+        li.select(
+            F.md5(F.concat(F.lit("ts:"), k)).alias("h"),
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+        .orderBy("h", "x", "y")
+        .limit(THEILSEN_CORESET)
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") < F.col("b.h"))
+        .filter(F.col("a.x") != F.col("b.x"))
+        .select(
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+            F.round(
+                (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")), 9
+            ).alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "ha", "hb")
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_pairs))
+        .filter(F.col("rk") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("slope", "n_pairs")
+    )
+    resid = pts.crossJoin(F.broadcast(med)).select(
+        "slope",
+        "n_pairs",
+        F.round(F.col("y") - F.col("slope") * F.col("x"), 9).alias("r"),
+        "h",
+    )
+    n_pts = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    wr = Window.orderBy("r", "h")
+    return (
+        resid.withColumn("rrk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(n_pts))
+        .filter(F.col("rrk") == F.expr("(n_points + 1) DIV 2"))
+        .select(
+            "n_points",
+            "n_pairs",
+            F.col("slope").alias("median_slope"),
+            F.col("r").alias("median_intercept"),
+        )
+    )
+
+
+def _q287_oracle() -> str:
+    return f"""
+    WITH pts AS MATERIALIZED (
+        SELECT md5('ts:' || l_orderkey::VARCHAR || ':'
+                   || l_linenumber::VARCHAR) AS h,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem ORDER BY h, x, y LIMIT {THEILSEN_CORESET}
+    ), pairs AS MATERIALIZED (
+        SELECT a.h AS ha, b.h AS hb,
+               ROUND((b.y - a.y) / (b.x - a.x), 9) AS slope
+        FROM pts a JOIN pts b ON a.h < b.h WHERE a.x <> b.x
+    ), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+    med AS (
+        SELECT slope, n_pairs FROM (
+            SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, ha, hb) AS rk
+            FROM pairs) CROSS JOIN np
+        WHERE rk = (n_pairs + 1) // 2
+    ), resid AS (
+        SELECT m.slope, m.n_pairs, ROUND(p.y - m.slope * p.x, 9) AS r, p.h
+        FROM pts p CROSS JOIN med m
+    ), npt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts)
+    SELECT n_points, n_pairs, slope AS median_slope, r AS median_intercept
+    FROM (SELECT slope, n_pairs, r,
+                 ROW_NUMBER() OVER (ORDER BY r, h) AS rrk FROM resid)
+    CROSS JOIN npt
+    WHERE rrk = (n_points + 1) // 2
+    """
+
+
+_ORACLE_ALL["q287_theil_sen"] = _q287_oracle()
+EXTRA_QUERIES["q287_theil_sen"] = q287_theil_sen
+EXTRA_ORACLE["q287_theil_sen"] = _ORACLE_ALL["q287_theil_sen"]
+
+
+def q290_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier audit of (quantity, price cents)
+    per return flag — the multivariate generalization of z-score
+    screens (q196's MAD family): d^2 = (C*u^2 - 2B*u*v + A*v^2)/det
+    with u = n*x - Sx, v = n*y - Sy and A/B/C/det the integer-scaled
+    covariance entries (A = n*Sxx - Sx^2 ...). All moments accumulate
+    EXACTLY — DECIMAL(38,0) here, HUGEINT in the oracle (cents
+    squared overflow BIGINT at sf>=0.03) — and only the final d^2
+    expression drops to IEEE doubles with a fixed evaluation order,
+    so both engines agree on every rounded distance. Two scans at any
+    scale: one map-side-combined moment aggregate, one rescan joined
+    against the 3 broadcast moment rows (no window ever touches fact
+    grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    mm = m.select(
+        "g",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("a"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("b"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("c"),
+    ).withColumn("det", F.col("a") * F.col("c") - F.col("b") * F.col("b"))
+    u = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    v = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    d2 = F.round(
+        (F.col("c") * u * u - 2 * F.col("b") * u * v + F.col("a") * v * v)
+        / F.col("det"),
+        6,
+    )
+    return (
+        base.join(F.broadcast(mm), "g")
+        .select("g", F.col("n").cast("long").alias("n_rows"), d2.alias("d2"))
+        .groupBy("g", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("d2") > 9.0, 1).otherwise(0)).alias("n_outliers"),
+            F.max("d2").alias("max_d2"),
+        )
+        .select(
+            "g",
+            "n_rows",
+            "n_outliers",
+            "max_d2",
+            F.round(F.col("n_outliers") / F.col("n_rows").cast("double"), 9).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q290_mahalanobis_outliers"] = """
+    WITH base AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM base GROUP BY 1
+    ), mm AS (
+        SELECT g, n, sx, sy,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS b,
+               CAST(n * syy - sy * sy AS DOUBLE) AS c
+        FROM m
+    ), scored AS (
+        SELECT base.g, CAST(mm.n AS BIGINT) AS n_rows,
+               ROUND((mm.c * CAST(mm.n * base.x - mm.sx AS DOUBLE)
+                           * CAST(mm.n * base.x - mm.sx AS DOUBLE)
+                      - 2 * mm.b * CAST(mm.n * base.x - mm.sx AS DOUBLE)
+                            * CAST(mm.n * base.y - mm.sy AS DOUBLE)
+                      + mm.a * CAST(mm.n * base.y - mm.sy AS DOUBLE)
+                            * CAST(mm.n * base.y - mm.sy AS DOUBLE))
+                     / (mm.a * mm.c - mm.b * mm.b), 6) AS d2
+        FROM base JOIN mm ON mm.g = base.g
+    )
+    SELECT g, n_rows,
+           CAST(SUM(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           MAX(d2) AS max_d2,
+           ROUND(SUM(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END)
+                 / CAST(n_rows AS DOUBLE), 9) AS outlier_frac
+    FROM scored GROUP BY 1, 2 ORDER BY g
+"""
+EXTRA_QUERIES["q290_mahalanobis_outliers"] = q290_mahalanobis_outliers
+EXTRA_ORACLE["q290_mahalanobis_outliers"] = _ORACLE_ALL["q290_mahalanobis_outliers"]

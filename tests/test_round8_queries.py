@@ -8,10 +8,14 @@ import math
 
 import pytest
 
-from batchprocessingetl_spark.workload import collect_extra_queries
+from batchprocessingetl_spark.workload import (
+    collect_extra_queries,
+    collect_queries,
+)
 from tests.conftest import SF_SMOKE
 
-EXTRA = collect_extra_queries()
+# rotation-proof: q268-q280 moved into the driver registry in round 9
+EXTRA = {**collect_queries(), **collect_extra_queries()}
 
 
 def test_kmv_set_ops_bounds(spark):
