@@ -4752,31 +4752,38 @@ def q283_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (obs-exp)^2/exp round to 9dp IN THE DECIMAL DOMAIN before the
     per-class sum (the q280 entropy-term discipline — double-summing
     rounded terms would reorder under partial aggregation), so both
-    engines report identical statistics. The first digit comes from
-    the INTEGER dollar part (totals are >= 1), string-free:
-    repeated integer division is expressed as a log10/pow pair on
-    exact BIGINTs."""
+    engines report identical statistics. The first digit is taken
+    EXACTLY — leading character of the BIGINT dollar part's string
+    form (totals are >= 1; integer-to-string is bit-identical in both
+    engines) — never via a log10/pow pair, whose one-ULP libm
+    disagreements at exact powers of ten flip the digit cross-engine
+    (the q159 discipline). The observed grid is LEFT-joined onto the
+    full 9-digit spine per priority so an unobserved digit still
+    contributes its expected mass (0-exp)^2/exp = exp to chi-square,
+    as the statistic requires."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice")).cast("long")
-    digit = F.floor(
-        cents / F.pow(F.lit(10.0), F.floor(F.log10(cents.cast("double"))))
-    ).cast("int")
+    dollars = F.floor(F.col("o_totalprice")).cast("long")
+    digit = F.substring(dollars.cast("string"), 1, 1).cast("int")
     grid = (
         o.select(F.col("o_orderpriority").alias("priority"), digit.alias("d"))
         .groupBy("priority", "d")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     tot = grid.groupBy("priority").agg(F.sum("n_obs").alias("n_tot"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    spine = tot.crossJoin(F.broadcast(digits))
     p_exp = F.round(F.log10(1 + 1 / F.col("d").cast("double")), 9)
     exp_n = F.col("n_tot").cast("double") * F.col("p_exp")
     contrib = F.round(
-        (F.col("n_obs").cast("double") - exp_n) * (F.col("n_obs") - exp_n)
+        (F.col("n_obs").cast("double") - exp_n)
+        * (F.col("n_obs").cast("double") - exp_n)
         / exp_n,
         9,
     )
     w = Window.partitionBy("priority")
     return (
-        grid.join(F.broadcast(tot), "priority")
+        spine.join(grid, ["priority", "d"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long"))
         .withColumn("p_exp", p_exp)
         .withColumn("contrib", contrib)
         .withColumn(
@@ -4791,27 +4798,34 @@ def q283_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ALL["q283_benford_audit"] = """
     WITH grid AS (
         SELECT o_orderpriority AS priority,
-               CAST(FLOOR(CAST(FLOOR(o_totalprice) AS BIGINT)
-                    / POW(10.0, FLOOR(LOG10(CAST(CAST(FLOOR(o_totalprice)
-                        AS BIGINT) AS DOUBLE))))) AS INT) AS d,
+               CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS d,
                CAST(COUNT(*) AS BIGINT) AS n_obs
         FROM orders GROUP BY 1, 2
     ), tot AS (
         SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_tot
         FROM grid GROUP BY 1
+    ), spine AS (
+        SELECT t.priority, t.n_tot, CAST(gs.d AS INT) AS d
+        FROM tot t CROSS JOIN generate_series(1, 9) AS gs(d)
     ), scored AS (
-        SELECT g.priority, g.d, g.n_obs,
-               ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9) AS p_exp,
-               ROUND((g.n_obs - t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9))
-                     * (g.n_obs - t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9))
-                     / (t.n_tot * ROUND(LOG10(1 + 1 / CAST(g.d AS DOUBLE)), 9)),
-                     9) AS contrib
-        FROM grid g JOIN tot t USING (priority)
+        SELECT s.priority, s.d,
+               CAST(COALESCE(g.n_obs, 0) AS BIGINT) AS n_obs,
+               s.n_tot,
+               ROUND(LOG10(1 + 1 / CAST(s.d AS DOUBLE)), 9) AS p_exp
+        FROM spine s
+        LEFT JOIN grid g ON g.priority = s.priority AND g.d = s.d
+    ), contribd AS (
+        SELECT priority, d, n_obs, p_exp,
+               ROUND((CAST(n_obs AS DOUBLE) - n_tot * p_exp)
+                     * (CAST(n_obs AS DOUBLE) - n_tot * p_exp)
+                     / (n_tot * p_exp), 9) AS contrib
+        FROM scored
     )
     SELECT priority, d, n_obs, p_exp, contrib,
            CAST(SUM(CAST(contrib AS DECIMAL(28,9)))
                     OVER (PARTITION BY priority) AS DOUBLE) AS chi2
-    FROM scored ORDER BY priority, d
+    FROM contribd ORDER BY priority, d
 """
 EXTRA_QUERIES["q283_benford_audit"] = q283_benford_audit
 EXTRA_ORACLE["q283_benford_audit"] = _ORACLE_ALL["q283_benford_audit"]

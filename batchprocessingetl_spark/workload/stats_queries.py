@@ -3653,15 +3653,18 @@ def q282_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.groupBy("g", "x")
         .agg(F.sum("n").alias("r"))
         .groupBy("g")
-        .agg(F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("ties_x"))
+        .agg(F.sum(F.expr("r * (r - 1) DIV 2")).alias("ties_x"))
     )
     ty = (
         cells.groupBy("g", "y")
         .agg(F.sum("n").alias("r"))
         .groupBy("g")
-        .agg(F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("ties_y"))
+        .agg(F.sum(F.expr("r * (r - 1) DIV 2")).alias("ties_y"))
     )
-    n0 = (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    # r*(r-1) is always even, so integer division is exact — Spark DIV
+    # and DuckDB // agree on non-negative operands, keeping the whole
+    # pipeline in BIGINT as documented (no double-division detour).
+    n0 = F.expr("n_rows * (n_rows - 1) DIV 2")
     return (
         pair.join(margins, "g")
         .join(tx, "g")
@@ -3702,16 +3705,16 @@ _ORACLE_ALL["q282_kendall_tau"] = """
     ), margins AS (
         SELECT g, CAST(SUM(n) AS BIGINT) AS n_rows FROM cells GROUP BY 1
     ), tx AS (
-        SELECT g, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS ties_x
+        SELECT g, CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS ties_x
         FROM (SELECT g, x, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
     ), ty AS (
-        SELECT g, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS ties_y
+        SELECT g, CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS ties_y
         FROM (SELECT g, y, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
     )
     SELECT p.g, m.n_rows, p.c_pairs, p.d_pairs, t1.ties_x, t2.ties_y,
            ROUND(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
-                 / SQRT(CAST(m.n_rows * (m.n_rows - 1) / 2 - t1.ties_x AS DOUBLE)
-                        * CAST(m.n_rows * (m.n_rows - 1) / 2 - t2.ties_y AS DOUBLE)),
+                 / SQRT(CAST(m.n_rows * (m.n_rows - 1) // 2 - t1.ties_x AS DOUBLE)
+                        * CAST(m.n_rows * (m.n_rows - 1) // 2 - t2.ties_y AS DOUBLE)),
                  9) AS tau_b
     FROM pair p
     JOIN margins m USING (g) JOIN tx t1 USING (g) JOIN ty t2 USING (g)
@@ -3936,3 +3939,495 @@ _ORACLE_ALL["q290_mahalanobis_outliers"] = """
 """
 EXTRA_QUERIES["q290_mahalanobis_outliers"] = q290_mahalanobis_outliers
 EXTRA_ORACLE["q290_mahalanobis_outliers"] = _ORACLE_ALL["q290_mahalanobis_outliers"]
+
+
+def q284_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs discount per return
+    flag — the monotone-association twin of q282's Kendall tau-b,
+    computed the same scale-correct way: NO per-row ranking window
+    ever touches fact grain. Both variables live on small integer
+    domains (quantity 1-50, discount 0-10 hundredths), so one hash
+    aggregate collapses the fact table to the contingency grid, and
+    the tie-adjusted MIDRANKS fall out of the per-value margins via
+    the file's doubled-rank form 2R(v) = 2*cum_below + cnt + 1 (exact
+    integers, the q-AUC machinery). Spearman rho is then Pearson on
+    the doubled midranks, accumulated as weighted cell moments in
+    DECIMAL(38,0) (HUGEINT in the oracle — fourth-order rank moments
+    pass 2^63 beyond sf~1), with the single double division + sqrt
+    last (fixed evaluation order, round 9dp). Everything
+    data-proportional is the first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("int").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("int")
+            .alias("y"),
+        )
+        .groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def doubled_midranks(key: str) -> DataFrame:
+        w = (
+            Window.partitionBy("g")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            cells.groupBy("g", key)
+            .agg(F.sum("n").alias("cnt"))
+            .withColumn(
+                f"r2{key}",
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1,
+            )
+            .select("g", key, f"r2{key}")
+        )
+
+    scored = (
+        cells.join(F.broadcast(doubled_midranks("x")), ["g", "x"])
+        .join(F.broadcast(doubled_midranks("y")), ["g", "y"])
+        .select(
+            "g",
+            F.col("n").cast(d38).alias("n"),
+            F.col("r2x").cast(d38).alias("rx"),
+            F.col("r2y").cast(d38).alias("ry"),
+        )
+    )
+    m = scored.groupBy("g").agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("rx")).alias("sx"),
+        F.sum(F.col("n") * F.col("ry")).alias("sy"),
+        F.sum(F.col("n") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("n") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("n") * F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "g",
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(num / F.sqrt(dx * dy), 9).alias("rho_s"),
+    ).orderBy("g")
+
+
+_ORACLE_ALL["q284_spearman_rho"] = """
+    WITH cells AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS x,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3
+    ), rx AS (
+        SELECT g, x,
+               2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2x
+        FROM (SELECT g, x, SUM(n) AS cnt FROM cells GROUP BY 1, 2)
+    ), ry AS (
+        SELECT g, y,
+               2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2y
+        FROM (SELECT g, y, SUM(n) AS cnt FROM cells GROUP BY 1, 2)
+    ), scored AS (
+        SELECT c.g, CAST(c.n AS HUGEINT) AS n,
+               CAST(rx.r2x AS HUGEINT) AS rx, CAST(ry.r2y AS HUGEINT) AS ry
+        FROM cells c
+        JOIN rx ON rx.g = c.g AND rx.x = c.x
+        JOIN ry ON ry.g = c.g AND ry.y = c.y
+    ), m AS (
+        SELECT g, SUM(n) AS nn,
+               SUM(n * rx) AS sx, SUM(n * ry) AS sy,
+               SUM(n * rx * rx) AS sxx, SUM(n * ry * ry) AS syy,
+               SUM(n * rx * ry) AS sxy
+        FROM scored GROUP BY 1
+    )
+    SELECT g, CAST(nn AS BIGINT) AS n_rows,
+           ROUND(CAST(nn * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(nn * sxx - sx * sx AS DOUBLE)
+                        * CAST(nn * syy - sy * sy AS DOUBLE)), 9) AS rho_s
+    FROM m ORDER BY g
+"""
+EXTRA_QUERIES["q284_spearman_rho"] = q284_spearman_rho
+EXTRA_ORACLE["q284_spearman_rho"] = _ORACLE_ALL["q284_spearman_rho"]
+
+
+def q285_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression of mean line price
+    on quantity — the shape-constrained calibration fit (the PAV curve
+    ML pipelines use to calibrate scores), computed WITHOUT the
+    sequential pool-adjacent-violators loop: on a D-level domain the
+    PAV solution has the closed minimax form
+    fit(k) = max_{i<=k} min_{j>=k} avg(i..j) (interval averages of the
+    level means). One hash aggregate collapses the fact table to the
+    D<=50 quantity levels; prefix sums over that domain frame (a
+    global window ABOVE the aggregate — guarded) give all O(D^2)
+    interval sums, and the minimax is two domain-sized group-bys over
+    the (k, i, j) incidence — constant work in the row count. Interval
+    averages are compared as EXACT micro-cent fixed points
+    floor(S*10^6 / C) (DECIMAL(38,0) DIV here, HUGEINT // in the
+    oracle — identical floor division on non-negative operands), so
+    both engines pick identical minimax winners; only the display
+    dollars column divides in doubles. The fit is nondecreasing in
+    quantity by construction (pinned by the property test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    lv = (
+        li.select(
+            F.col("l_quantity").cast("int").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast(d38)
+            .alias("cents"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("c"),
+            F.sum("cents").alias("s"),
+        )
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    pre = lv.select(
+        "q",
+        "c",
+        "s",
+        F.sum("c").over(w).alias("pc"),
+        F.sum("s").over(w).alias("ps"),
+    )
+    a = pre.select(
+        F.col("q").alias("i"),
+        (F.col("ps") - F.col("s")).alias("ps0"),
+        (F.col("pc") - F.col("c")).alias("pc0"),
+    )
+    b = pre.select(F.col("q").alias("j"), "ps", "pc")
+    iv = a.join(b, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        F.expr("CAST((ps - ps0) * 1000000 AS DECIMAL(38,0)) DIV (pc - pc0)")
+        .cast("long")
+        .alias("afp"),
+    )
+    spine = pre.select(
+        F.col("q").alias("k"),
+        F.col("c").cast("long").alias("n_rows"),
+        F.expr("CAST(s * 1000000 AS DECIMAL(38,0)) DIV c")
+        .cast("long")
+        .alias("avg_fp"),
+    )
+    return (
+        spine.join(iv, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")))
+        .groupBy("k", "n_rows", "avg_fp", "i")
+        .agg(F.min("afp").alias("mn"))
+        .groupBy("k", "n_rows", "avg_fp")
+        .agg(F.max("mn").alias("fit_fp"))
+        .select(
+            F.col("k").alias("quantity"),
+            "n_rows",
+            "avg_fp",
+            "fit_fp",
+            F.round(F.col("fit_fp") / 1e8, 6).alias("fit_dollars"),
+        )
+        .orderBy("quantity")
+    )
+
+
+_ORACLE_ALL["q285_isotonic_regression"] = """
+    WITH lv AS (
+        SELECT CAST(l_quantity AS INT) AS q,
+               CAST(COUNT(*) AS HUGEINT) AS c,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS s
+        FROM lineitem GROUP BY 1
+    ), pre AS (
+        SELECT q, c, s,
+               SUM(c) OVER (ORDER BY q) AS pc,
+               SUM(s) OVER (ORDER BY q) AS ps
+        FROM lv
+    ), iv AS (
+        SELECT a.q AS i, b.q AS j,
+               CAST(((b.ps - (a.ps - a.s)) * 1000000)
+                    // (b.pc - (a.pc - a.c)) AS BIGINT) AS afp
+        FROM pre a JOIN pre b ON a.q <= b.q
+    ), spine AS (
+        SELECT q AS k, CAST(c AS BIGINT) AS n_rows,
+               CAST((s * 1000000) // c AS BIGINT) AS avg_fp
+        FROM pre
+    ), mn AS (
+        SELECT spine.k, spine.n_rows, spine.avg_fp, iv.i,
+               MIN(iv.afp) AS mn
+        FROM spine JOIN iv ON iv.i <= spine.k AND spine.k <= iv.j
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT k AS quantity, n_rows, avg_fp, MAX(mn) AS fit_fp,
+           ROUND(MAX(mn) / 1e8, 6) AS fit_dollars
+    FROM mn GROUP BY 1, 2, 3 ORDER BY quantity
+"""
+EXTRA_QUERIES["q285_isotonic_regression"] = q285_isotonic_regression
+EXTRA_ORACLE["q285_isotonic_regression"] = _ORACLE_ALL["q285_isotonic_regression"]
+
+
+def q288_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per line status: do
+    returned lines (l_returnflag = 'R') draw their quantities from the
+    same distribution as non-returned ones? The two-sample
+    nonparametric screen, computed on the contingency margins like
+    every rank statistic in this file: one hash aggregate collapses
+    the facts to the <=50 quantity values with per-sample counts
+    (ca, cb), doubled midranks 2R(v) = 2*cum_below + t + 1 come from a
+    domain-grain window, and the rank sum / tie-corrected variance are
+    exact DECIMAL(38,0) (HUGEINT in the oracle: the tie term sums t^3
+    and the variance numerator is ~n^5). The z statistic's single
+    double division + sqrt happens last in a fixed evaluation order,
+    rounded 9dp — identical cross-engine. All data-proportional work
+    is the first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select(
+            F.col("l_linestatus").alias("g"),
+            F.col("l_quantity").cast("int").alias("v"),
+            (F.col("l_returnflag") == "R").alias("isa"),
+        )
+        .groupBy("g", "v")
+        .agg(
+            F.sum(F.when(F.col("isa"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("isa"), 0).otherwise(1)).alias("cb"),
+        )
+        .withColumn("t", F.col("ca") + F.col("cb"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "r2", 2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1
+    ).select(
+        "g",
+        F.col("ca").cast(d38).alias("ca"),
+        F.col("cb").cast(d38).alias("cb"),
+        F.col("t").cast(d38).alias("t"),
+        F.col("r2").cast(d38).alias("r2"),
+    )
+    m = ranked.groupBy("g").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * F.col("r2")).alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    sig2num = (
+        F.col("na")
+        * F.col("nb")
+        * ((n + 1) * n * (n - 1) - F.col("ties"))
+    )
+    z = F.round(
+        (u2 - F.col("na") * F.col("nb")).cast("double")
+        / (
+            2.0
+            * F.sqrt(
+                sig2num.cast("double") / (12 * n * (n - 1)).cast("double")
+            )
+        ),
+        9,
+    )
+    return m.select(
+        "g",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        z.alias("z"),
+    ).orderBy("g")
+
+
+_ORACLE_ALL["q288_mann_whitney_u"] = """
+    WITH cells AS (
+        SELECT l_linestatus AS g, CAST(l_quantity AS INT) AS v,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS cb
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT g, CAST(ca AS HUGEINT) AS ca, CAST(cb AS HUGEINT) AS cb,
+               CAST(ca + cb AS HUGEINT) AS t,
+               CAST(2 * COALESCE(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ca + cb) + 1 AS HUGEINT) AS r2
+        FROM cells
+    ), m AS (
+        SELECT g, SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(ca * r2) AS r2a, SUM(t * t * t - t) AS ties
+        FROM ranked GROUP BY 1
+    )
+    SELECT g, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                 / (2.0 * SQRT(CAST(na * nb * ((na + nb + 1) * (na + nb)
+                                    * (na + nb - 1) - ties) AS DOUBLE)
+                               / CAST(12 * (na + nb) * (na + nb - 1)
+                                      AS DOUBLE))), 9) AS z
+    FROM m ORDER BY g
+"""
+EXTRA_QUERIES["q288_mann_whitney_u"] = q288_mann_whitney_u
+EXTRA_ORACLE["q288_mann_whitney_u"] = _ORACLE_ALL["q288_mann_whitney_u"]
+
+
+def q289_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over three categorical pairs —
+    (returnflag, linestatus) on lineitem, (orderstatus, orderpriority)
+    on orders, and the cross-table (returnflag, orderpriority) through
+    the orderkey join — the screening matrix a feature-selection pass
+    runs to find redundant categoricals. All three contingency tables
+    are stacked into ONE (pair, a, b) hash aggregate (the join pair
+    rides the standard orderkey equi-join), margins and totals are
+    domain-sized, and the chi-square term for every cell of the FULL
+    r x c grid — including unobserved cells, which contribute their
+    expected mass via the margin cross-join + left-join spine (the
+    q283 discipline) — is the exact-integer form
+    (n*o - rt*ct)^2 / (n*rt*ct), DECIMAL(38,0) / HUGEINT up to the one
+    double division, rounded 9dp IN THE DECIMAL DOMAIN before the
+    per-pair sum. V = sqrt(chi2 / (n * min(r-1, c-1)))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    p1 = li.select(
+        F.lit("rf:ls").alias("pair"),
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+    )
+    p2 = od.select(
+        F.lit("os:op").alias("pair"),
+        F.col("o_orderstatus").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    p3 = (
+        li.select("l_orderkey", F.col("l_returnflag").alias("a"))
+        .join(
+            od.select("o_orderkey", F.col("o_orderpriority").alias("b")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.lit("rf:op").alias("pair"), "a", "b")
+    )
+    cells = (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = cells.groupBy("pair", "a").agg(F.sum("n").alias("rt"))
+    ct = cells.groupBy("pair", "b").agg(F.sum("n").alias("ct"))
+    tot = cells.groupBy("pair").agg(
+        F.sum("n").alias("n_tot"),
+        F.countDistinct("a").alias("r_levels"),
+        F.countDistinct("b").alias("c_levels"),
+    )
+    grid = (
+        rt.join(ct, "pair")
+        .join(F.broadcast(tot), "pair")
+        .join(cells, ["pair", "a", "b"], "left")
+        .select(
+            "pair",
+            "n_tot",
+            "r_levels",
+            "c_levels",
+            F.col("rt").cast(d38).alias("rtd"),
+            F.col("ct").cast(d38).alias("ctd"),
+            F.col("n_tot").cast(d38).alias("nd"),
+            F.coalesce(F.col("n"), F.lit(0)).cast(d38).alias("o"),
+        )
+    )
+    num = F.col("nd") * F.col("o") - F.col("rtd") * F.col("ctd")
+    contrib = F.round(
+        (num * num).cast("double")
+        / (F.col("nd") * F.col("rtd") * F.col("ctd")).cast("double"),
+        9,
+    )
+    return (
+        grid.withColumn("contrib", contrib)
+        .groupBy("pair", "n_tot", "r_levels", "c_levels")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("chi2")
+        )
+        .select(
+            "pair",
+            "n_tot",
+            "r_levels",
+            "c_levels",
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n_tot")
+                        * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+                    ).cast("double")
+                ),
+                9,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+_ORACLE_ALL["q289_cramers_v_matrix"] = """
+    WITH stacked AS (
+        SELECT 'rf:ls' AS pair, l_returnflag AS a, l_linestatus AS b
+        FROM lineitem
+        UNION ALL
+        SELECT 'os:op', o_orderstatus, o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'rf:op', l_returnflag, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cells AS (
+        SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM stacked GROUP BY 1, 2, 3
+    ), rt AS (
+        SELECT pair, a, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1, 2
+    ), ct AS (
+        SELECT pair, b, CAST(SUM(n) AS BIGINT) AS ct FROM cells GROUP BY 1, 2
+    ), tot AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels
+        FROM cells GROUP BY 1
+    ), grid AS (
+        SELECT rt.pair, tot.n_tot, tot.r_levels, tot.c_levels,
+               CAST(rt.rt AS HUGEINT) AS rtd, CAST(ct.ct AS HUGEINT) AS ctd,
+               CAST(tot.n_tot AS HUGEINT) AS nd,
+               CAST(COALESCE(c.n, 0) AS HUGEINT) AS o
+        FROM rt
+        JOIN ct ON ct.pair = rt.pair
+        JOIN tot ON tot.pair = rt.pair
+        LEFT JOIN cells c
+          ON c.pair = rt.pair AND c.a = rt.a AND c.b = ct.b
+    ), scored AS (
+        SELECT pair, n_tot, r_levels, c_levels,
+               ROUND(CAST((nd * o - rtd * ctd) * (nd * o - rtd * ctd)
+                          AS DOUBLE)
+                     / CAST(nd * rtd * ctd AS DOUBLE), 9) AS contrib
+        FROM grid
+    ), agg AS (
+        SELECT pair, n_tot, r_levels, c_levels,
+               CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+        FROM scored GROUP BY 1, 2, 3, 4
+    )
+    SELECT pair, n_tot, r_levels, c_levels, chi2,
+           ROUND(SQRT(chi2 / CAST(n_tot * LEAST(r_levels - 1, c_levels - 1)
+                                  AS DOUBLE)), 9) AS cramers_v
+    FROM agg ORDER BY pair
+"""
+EXTRA_QUERIES["q289_cramers_v_matrix"] = q289_cramers_v_matrix
+EXTRA_ORACLE["q289_cramers_v_matrix"] = _ORACLE_ALL["q289_cramers_v_matrix"]

@@ -66,9 +66,15 @@ def _window_is_global(line: str) -> bool:
     return True
 
 
+# NOTE: `Scan ExistingRDD` is deliberately NOT a guard — localCheckpoint
+# / barrier of ANY frame (including a fact-grain one) prints the same
+# node as createDataFrame(list), and the two are indistinguishable in
+# both the physical and logical plan strings (round-9 ADVICE). Driver-
+# literal spines must be built via createDataFrame(pandas_df) (prints
+# LocalTableScan) or spark.range to count as bounded-by-construction.
 _GUARD = re.compile(
     r"\b(?:(?:Hash|Sort|ObjectHash)Aggregate|TakeOrderedAndProject"
-    r"|GlobalLimit|CollectLimit|LocalTableScan|Scan ExistingRDD"
+    r"|GlobalLimit|CollectLimit|LocalTableScan"
     r"|Range \()"
 )
 _JOIN = re.compile(
@@ -110,37 +116,53 @@ def _strip_node(line: str) -> str:
     return _PLAN_ID.sub("", body).rstrip()
 
 
+def _subtree_guarded(lines: list[str], j: int, visited: frozenset[int]) -> bool:
+    """True iff a grain-collapsing guard appears at lines[j] itself or
+    on the data-flow input path below it (see _chain_guarded)."""
+    line = lines[j]
+    if _GUARD.search(line):
+        return True
+    m = re.search(r"\bReusedExchange \[[^\]]*\], (Exchange .*)$", line)
+    if m:
+        # Resolve the reference: find the original Exchange node and
+        # continue the walk below it. Unresolvable -> unguarded.
+        target = _PLAN_ID.sub("", m.group(1)).rstrip()
+        for k, cand in enumerate(lines):
+            if k not in visited and k != j and _strip_node(cand) == target:
+                return _chain_guarded(lines, k, visited | {k})
+        return False
+    kids = _children(lines, j)
+    if _JOIN.search(line):
+        if "CartesianProduct" in line or len(kids) < 2:
+            return False
+        if "BuildLeft" in line:
+            return _subtree_guarded(lines, kids[1], visited | {kids[1]})
+        if "BuildRight" in line:
+            return _subtree_guarded(lines, kids[0], visited | {kids[0]})
+        # No build marker (SortMergeJoin): EITHER input may carry the
+        # fact grain through the probe — for dim_agg JOIN fact the
+        # aggregate sits on the left while every fact row survives, so
+        # the round-8 "left = streamed" assumption was a false-negative
+        # generator (round-9 ADVICE). Conservative rule: require BOTH
+        # input chains guarded.
+        return all(
+            _subtree_guarded(lines, k, visited | {k}) for k in kids[:2]
+        )
+    if not kids:
+        return False
+    return _subtree_guarded(lines, kids[0], visited | {kids[0]})
+
+
 def _chain_guarded(lines: list[str], i: int, visited: frozenset[int]) -> bool:
     """True iff a grain-collapsing guard appears on the DATA-FLOW input
     path of the node at lines[i]: the unary chain below it, following
-    each join into its STREAMED side only (rows reaching the window
-    come from streamed-side rows; an aggregate on the build side
-    bounds nothing, since every streamed row survives an inner/outer
-    probe — the round-8 ADVICE false negative)."""
+    each join into its streamed side (both sides when the join prints
+    no Build marker — an aggregate on the build side bounds nothing,
+    since every streamed row survives an inner/outer probe)."""
     kids = _children(lines, i)
-    while kids:
-        j = kids[0]
-        line = lines[j]
-        if _GUARD.search(line):
-            return True
-        m = re.search(r"\bReusedExchange \[[^\]]*\], (Exchange .*)$", line)
-        if m:
-            # Resolve the reference: find the original Exchange node and
-            # continue the walk below it. Unresolvable -> unguarded.
-            target = _PLAN_ID.sub("", m.group(1)).rstrip()
-            for k, cand in enumerate(lines):
-                if k not in visited and k != j and _strip_node(cand) == target:
-                    return _chain_guarded(lines, k, visited | {k})
-            return False
-        jm = _JOIN.search(line)
-        kids = _children(lines, j)
-        if jm:
-            if "CartesianProduct" in line or len(kids) < 2:
-                return False
-            # streamed side: the non-build child (SortMergeJoin has no
-            # build marker; its left input is the walked probe side)
-            kids = [kids[1]] if "BuildLeft" in line else [kids[0]]
-    return False
+    if not kids:
+        return False
+    return _subtree_guarded(lines, kids[0], visited | {kids[0]})
 
 
 def unguarded_global_windows(plan: str) -> int:
@@ -157,13 +179,20 @@ def unguarded_global_windows(plan: str) -> int:
     grain on that path, OR a limit operator bounds the frame
     (TakeOrderedAndProject / GlobalLimit / CollectLimit — the IVF
     probe's top-k pools), OR the path's source is a driver-literal
-    frame (LocalTableScan / Scan ExistingRDD — e.g. q256's 16-row
-    boundary spine — or a literal `Range` spine whose cardinality is
-    a compile-time constant, e.g. q211/q214's 10-12 bin grids),
-    bounded by construction. An aggregate on a
-    join's BUILD side no longer counts — every streamed row survives
+    frame (LocalTableScan — e.g. q256's 16-row boundary spine — or a
+    literal `Range` spine whose cardinality is a compile-time
+    constant, e.g. q211/q214's 10-12 bin grids), bounded by
+    construction. `Scan ExistingRDD` does NOT count: localCheckpoint /
+    barrier of a fact-grain frame prints the same node as
+    createDataFrame(list) and the two are indistinguishable (round-9
+    ADVICE) — driver spines must use createDataFrame(pandas) or
+    spark.range instead. An aggregate on a
+    join's BUILD side does not count — every streamed row survives
     the probe, so the build side bounds nothing (round-8 ADVICE
-    false negative).
+    false negative); a join printing NO build marker requires BOTH
+    input chains guarded (round-9 ADVICE: in dim_agg JOIN fact the
+    aggregate prints as the left child while fact grain survives the
+    probe).
     A ReusedExchange on the chain is RESOLVED to its original Exchange
     node and the walk continues below that (unresolvable references
     count as unguarded — the second round-8 ADVICE false negative).
