@@ -4130,8 +4130,14 @@ def q256_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
             "h"
         ),
     )
+    # pandas path on purpose: it plans as LocalTableScan (genuinely
+    # driver-literal), which the plan gate accepts as bounded — the
+    # list path plans as Scan ExistingRDD, indistinguishable from a
+    # localCheckpoint of a fact frame and so no longer a guard.
+    import pandas as pd
+
     bucket_spine = spark.createDataFrame(
-        [(c,) for c in "0123456789abcdef"], "b string"
+        pd.DataFrame({"b": list("0123456789abcdef")})
     )
 
     def ring_assign(n_nodes: int) -> DataFrame:

@@ -3652,10 +3652,15 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batchprocessingetl_spark.operators.iteration import barrier
 
     docs = load_table(spark, sf_dir, "documents")
+    # (doc_id, sh) is distinct by construction — shingles dedupe WITHIN
+    # each doc's array before the explode, so the materialization is
+    # map-only (no global distinct shuffle)
     sh = barrier(
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
-        .distinct()
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array_distinct("sh")).alias("sh"),
+        )
     )
     picked: list[tuple[int, int, int, int]] = []
     picked_ids: list[int] = []
@@ -3794,12 +3799,19 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bpetl_sgcover_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(work, ignore_errors=True)
+    # map-only materialization: shingles are deduped WITHIN each doc's
+    # array (array_distinct before the explode) — (doc_id, sh) is then
+    # distinct by construction, so no global distinct shuffle; the
+    # partitionBy write runs at full parallelism (each task fans its
+    # rows into the MOD bucket dirs — never repartition down to MOD
+    # tasks, which serializes the write)
     (
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
-        .distinct()
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array_distinct("sh")).alias("sh"),
+        )
         .withColumn("bucket", _sg_bucket(F.col("doc_id")))
-        .repartition(SETCOVER_SG_MOD, "bucket")
         .write.partitionBy("bucket")
         .parquet(work)
     )

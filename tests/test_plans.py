@@ -292,6 +292,52 @@ def test_global_window_guard_detects_fact_grain_windows(spark):
     assert count_global_windows(eplan) >= 1
     assert unguarded_global_windows(eplan) == 0
 
+    # round-9 ADVICE false negative #1: a localCheckpoint (barrier) of
+    # a FACT-GRAIN frame prints `Scan ExistingRDD` — indistinguishable
+    # from createDataFrame(list) — so it must NOT count as a bounded
+    # source; a global window above it still runs at fact grain
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    barricaded = barrier(li.select("l_orderkey", "l_quantity")).withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    assert unguarded_global_windows(_physical(barricaded)) >= 1
+
+    # ...while a genuinely driver-literal spine (createDataFrame via
+    # pandas -> LocalTableScan) under a global window stays guarded
+    import pandas as pd
+
+    spine = spark.createDataFrame(pd.DataFrame({"b": list("0123456789")}))
+    spined = spine.withColumn("rk", F.row_number().over(Window.orderBy("b")))
+    splan = _physical(spined)
+    assert count_global_windows(splan) >= 1
+    assert unguarded_global_windows(splan) == 0
+
+    # round-9 ADVICE false negative #2: dim_agg JOIN fact through a
+    # SORT-MERGE join prints the aggregate as the LEFT child while
+    # every fact row survives the probe — a fact-grain global window
+    # above it must flag (the round-8 patch only caught the
+    # BroadcastHashJoin build-side variant)
+    smj_sneaky = (
+        dim.hint("merge")
+        .join(li, "l_returnflag")
+        .withColumn("rk", F.row_number().over(Window.orderBy("l_orderkey")))
+    )
+    smj_plan = _physical(smj_sneaky)
+    assert "SortMergeJoin" in smj_plan
+    assert unguarded_global_windows(smj_plan) >= 1
+
+    # ...and the both-sides-collapsed SMJ shape stays guarded
+    dim2 = li.groupBy("l_returnflag").agg(F.max("l_quantity").alias("mx"))
+    smj_good = (
+        dim.hint("merge")
+        .join(dim2, "l_returnflag")
+        .withColumn("rk", F.row_number().over(Window.orderBy("l_returnflag")))
+    )
+    smj_gplan = _physical(smj_good)
+    assert "SortMergeJoin" in smj_gplan
+    assert unguarded_global_windows(smj_gplan) == 0
+
 
 def test_registered_workload_has_no_unguarded_global_windows(spark):
     """Every driver-registered query's physical plan: any

@@ -1,0 +1,239 @@
+"""Algebraic / replication properties of the round-9 and round-10
+statistics additions (q281-q290) — invariants and independent
+re-derivations (pandas / exact fractions / hashlib md5) the DuckDB
+value-parity gate can't express."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from fractions import Fraction
+
+import pandas as pd
+
+from batchprocessingetl_spark.workload import (
+    collect_extra_queries,
+    collect_queries,
+)
+from tests.conftest import SF_SMOKE
+
+# rotation-proof: look the queries up across both registries
+EXTRA = {**collect_queries(), **collect_extra_queries()}
+
+
+def _lineitem_pdf(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .toPandas()
+    )
+
+
+def test_stochastic_setcover_accounting(spark):
+    """Picked docs are distinct, gains are positive, and the covered
+    column is the exact running sum of gains; the stochastic run never
+    out-covers exact greedy at the final round."""
+    rows = EXTRA["q281_stochastic_setcover"](spark, SF_SMOKE).collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    run = 0
+    for r in rows:
+        assert r.gain > 0
+        run += r.gain
+        assert r.covered == run
+    exact = EXTRA["q275_setcover_selection"](spark, SF_SMOKE).collect()
+    if exact and len(exact) == len(rows):
+        assert rows[-1].covered <= exact[-1].covered
+
+
+def test_kendall_tau_bounds_and_pair_accounting(spark):
+    """tau_b in [-1, 1]; concordant + discordant pairs never exceed the
+    total pair count; tie corrections are bounded by it too."""
+    rows = EXTRA["q282_kendall_tau"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n0 = r.n_rows * (r.n_rows - 1) // 2
+        assert -1.0 <= r.tau_b <= 1.0
+        assert 0 <= r.c_pairs + r.d_pairs <= n0
+        assert 0 <= r.ties_x <= n0 and 0 <= r.ties_y <= n0
+
+
+def test_benford_grid_is_complete_and_consistent(spark):
+    """Every (priority, digit 1..9) cell is present (empty digits
+    contribute expected mass), Benford masses sum to ~1 per priority,
+    and chi2 equals the sum of that priority's contributions."""
+    rows = EXTRA["q283_benford_audit"](spark, SF_SMOKE).collect()
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r.priority, []).append(r)
+    for p, grp in by_p.items():
+        assert sorted(g.d for g in grp) == list(range(1, 10))
+        assert abs(sum(g.p_exp for g in grp) - 1.0) < 1e-6
+        chi2 = grp[0].chi2
+        assert all(abs(g.chi2 - chi2) < 1e-9 for g in grp)
+        assert abs(chi2 - sum(g.contrib for g in grp)) < 1e-6
+
+
+def test_spearman_matches_pandas(spark):
+    """q284's contingency-midrank Spearman equals pandas' direct
+    rank-correlation on the raw rows, per group."""
+    got = {
+        r.g: r.rho_s for r in EXTRA["q284_spearman_rho"](spark, SF_SMOKE).collect()
+    }
+    pdf = _lineitem_pdf(spark)
+    pdf["x"] = pdf["l_quantity"].astype(int)
+    pdf["y"] = (pdf["l_discount"] * 100 + 0.5).apply(math.floor).astype(int)
+    for g, grp in pdf.groupby("l_returnflag"):
+        # spearman = pearson on average ranks (scipy-free form)
+        rx = grp["x"].rank(method="average")
+        ry = grp["y"].rank(method="average")
+        expect = rx.corr(ry, method="pearson")
+        assert abs(got[g] - expect) < 1e-9, (g, got[g], expect)
+
+
+def _pav_exact(levels: list[tuple[int, int, int]]) -> list[Fraction]:
+    """Pool-adjacent-violators on (q, count, cents-sum) levels sorted by
+    q, exact Fraction arithmetic; returns the fitted mean per level."""
+    blocks: list[list] = []  # [sum, cnt, n_levels]
+    for _, c, s in levels:
+        blocks.append([Fraction(s), Fraction(c), 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            s2, c2, k2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += c2
+            blocks[-1][2] += k2
+    out: list[Fraction] = []
+    for s, c, k in blocks:
+        out.extend([s / c] * k)
+    return out
+
+
+def test_isotonic_equals_exact_pav(spark):
+    """q285's minimax closed form equals the sequential PAV solution:
+    fit_fp == floor(1e6 * PAV block mean) level by level (floor
+    commutes with min/max, so the fixed-point minimax IS the floored
+    exact solution); the fit is nondecreasing."""
+    rows = EXTRA["q285_isotonic_regression"](spark, SF_SMOKE).collect()
+    assert rows
+    fits = [r.fit_fp for r in rows]
+    assert fits == sorted(fits)
+    pdf = _lineitem_pdf(spark)
+    pdf["q"] = pdf["l_quantity"].astype(int)
+    pdf["cents"] = (pdf["l_extendedprice"] * 100 + 0.5).apply(math.floor)
+    lv = (
+        pdf.groupby("q")["cents"]
+        .agg(["count", "sum"])
+        .reset_index()
+        .sort_values("q")
+    )
+    levels = [(int(r.q), int(r["count"]), int(r["sum"])) for _, r in lv.iterrows()]
+    pav = _pav_exact(levels)
+    assert len(pav) == len(rows)
+    for r, v in zip(rows, pav):
+        assert r.fit_fp == (v * 1_000_000).__floor__(), (r.quantity, r.fit_fp)
+
+
+def test_decision_stump_one_best_and_counts(spark):
+    rows = EXTRA["q286_decision_stump"](spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(1 for r in rows if r.is_best) == 1
+    best = next(r for r in rows if r.is_best)
+    assert best.gain == max(r.gain for r in rows)
+    for r in rows:
+        assert 0 <= r.pos_left <= r.n_left
+        assert 0 <= r.pos_right <= r.n_right
+        assert r.gain >= -1e-9
+
+
+def test_theil_sen_matches_direct_replay(spark):
+    """Re-derive q287 in plain python: same md5 coreset draw, all
+    pairwise slopes rounded 9dp, lower median by (slope, h_a, h_b)."""
+    row = EXTRA["q287_theil_sen"](spark, SF_SMOKE).collect()[0]
+    pdf = _lineitem_pdf(spark)
+    pts = []
+    for t in pdf.itertuples():
+        k = f"ts:{t.l_orderkey}:{t.l_linenumber}"
+        pts.append(
+            (
+                hashlib.md5(k.encode()).hexdigest(),
+                float(t.l_quantity),
+                float(t.l_extendedprice),
+            )
+        )
+    pts = sorted(pts)[:256]
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            # the query pairs on h_a < h_b: duplicate (orderkey,
+            # linenumber) keys share an md5, so equal-h pairs drop out
+            if a[0] != b[0] and a[1] != b[1]:
+                slopes.append((round((b[2] - a[2]) / (b[1] - a[1]), 9), a[0], b[0]))
+    slopes.sort()
+    assert row.n_pairs == len(slopes)
+    assert row.median_slope == slopes[(len(slopes) + 1) // 2 - 1][0]
+
+
+def test_mann_whitney_matches_pandas_ranks(spark):
+    """q288's doubled-midrank U equals the U computed from pandas
+    average ranks on the raw rows, per line status."""
+    rows = {
+        r.g: r for r in EXTRA["q288_mann_whitney_u"](spark, SF_SMOKE).collect()
+    }
+    pdf = _lineitem_pdf(spark)
+    pdf["v"] = pdf["l_quantity"].astype(int)
+    for g, grp in pdf.groupby("l_linestatus"):
+        ranks = grp["v"].rank(method="average")
+        is_a = grp["l_returnflag"] == "R"
+        na = int(is_a.sum())
+        r1a = float(ranks[is_a].sum())
+        u_a = r1a - na * (na + 1) / 2.0
+        r = rows[g]
+        assert r.n_a == na and r.n_b == len(grp) - na
+        assert abs(r.u2_a - 2.0 * u_a) < 1e-6
+        assert math.isfinite(r.z)
+
+
+def test_cramers_v_matches_pandas_crosstab(spark):
+    """q289's full-grid chi-square equals the pandas crosstab
+    computation (including zero cells) for the lineitem-local pair;
+    V stays in [0, 1] for all pairs."""
+    rows = {
+        r.pair: r
+        for r in EXTRA["q289_cramers_v_matrix"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"rf:ls", "os:op", "rf:op"}
+    for r in rows.values():
+        assert 0.0 <= r.cramers_v <= 1.0 and r.chi2 >= 0.0
+    pdf = _lineitem_pdf(spark)
+    ct = pd.crosstab(pdf["l_returnflag"], pdf["l_linestatus"])
+    n = ct.values.sum()
+    chi2 = 0.0
+    for a in ct.index:
+        for b in ct.columns:
+            o = ct.loc[a, b]
+            e = ct.loc[a].sum() * ct[b].sum() / n
+            chi2 += (o - e) ** 2 / e
+    r = rows["rf:ls"]
+    assert r.n_tot == n and r.r_levels == ct.shape[0] and r.c_levels == ct.shape[1]
+    assert abs(r.chi2 - chi2) < 1e-3
+
+
+def test_mahalanobis_outlier_accounting(spark):
+    rows = EXTRA["q290_mahalanobis_outliers"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_rows
+        assert r.max_d2 >= 0.0
+        assert abs(r.outlier_frac - round(r.n_outliers / r.n_rows, 9)) < 1e-12
