@@ -63,10 +63,19 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     hash-repartition (parallelizes few-file corpora AND materializes the
     token array across the exchange) -> shingle from the bound column."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    # The outer array_distinct is a semantic no-op (shingles_of_tokens
+    # already dedupes) but a measured 4-80x win for downstream
+    # explode()s: it pins the when/transform HOF behind an eval-once
+    # array so generator codegen cannot re-evaluate the lambda per
+    # emitted row (sf0.1 explode 3.9s -> 1.0s; the 10x blow-up's
+    # longer documents paid 164s -> 2s on the same count).
     return (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
         .repartition(par, "id")
-        .select("id", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
+        .select(
+            "id",
+            F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("sh"),
+        )
     )
 
 

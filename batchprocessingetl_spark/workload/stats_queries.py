@@ -3474,61 +3474,26 @@ def q269_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cand", "slope", "intercept")
     )
-    # pivot the surviving candidates into ONE broadcast row (absent /
-    # degenerate candidates stay NULL and are dropped after unpivot)
-    wide = cands.agg(
-        *[
-            f
-            for c in range(RANSAC_CANDS)
-            for f in (
-                F.max(F.when(F.col("cand") == c, F.col("slope"))).alias(f"s{c}"),
-                F.max(F.when(F.col("cand") == c, F.col("intercept"))).alias(
-                    f"i{c}"
-                ),
-            )
-        ]
-    )
-    # one scan, 16 fused conditional sums — no row replication
-    counted_wide = base.crossJoin(F.broadcast(wide)).agg(
-        F.count(F.lit(1)).alias("n_total"),
-        *[
-            F.sum(
-                F.when(
-                    F.abs(
-                        F.col("y")
-                        - (F.col(f"s{c}") * F.col("x") + F.col(f"i{c}"))
-                    )
-                    <= F.lit(RANSAC_TOL),
-                    1,
-                ).otherwise(0)
-            ).alias(f"n{c}")
-            for c in range(RANSAC_CANDS)
-        ],
-        *[F.first(f"s{c}").alias(f"fs{c}") for c in range(RANSAC_CANDS)],
-        *[F.first(f"i{c}").alias(f"fi{c}") for c in range(RANSAC_CANDS)],
-    )
+    # round-10 A/B (same host, sf0.1 + 10x, best-of-3 interleaved,
+    # /tmp/q269_ab.log): the replicated crossJoin-filter shape below
+    # beat round 9's fused-conditional-sums fold at BOTH scales
+    # (base 2.30s vs 3.92s, 10x 8.28s vs 11.21s) — the 16x row
+    # replication dies inside one whole-stage-codegen filter before
+    # the map-side combine, while the fold's 16 struct sums defeat
+    # codegen fusion. Keep the measured winner (VERDICT r9 #4).
     counted = (
-        counted_wide.select(
-            "n_total",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("cand"),
-                            F.col(f"fs{c}").alias("slope"),
-                            F.col(f"fi{c}").alias("intercept"),
-                            F.col(f"n{c}").alias("n_inliers"),
-                        )
-                        for c in range(RANSAC_CANDS)
-                    ]
-                )
-            ).alias("s"),
+        base.crossJoin(F.broadcast(cands))
+        .filter(
+            F.abs(
+                F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept"))
+            )
+            <= F.lit(RANSAC_TOL)
         )
-        .select("n_total", "s.*")
-        # degenerate draws have NULL slope; zero-inlier candidates are
-        # absent from the oracle's post-filter GROUP BY — match both
-        .filter(F.col("slope").isNotNull() & (F.col("n_inliers") > 0))
+        .groupBy("cand", "slope", "intercept")
+        .agg(F.count(F.lit(1)).alias("n_inliers"))
     )
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = counted.crossJoin(F.broadcast(tot))
     wbest = Window.orderBy(F.desc("n_inliers"), F.asc("cand"))
     return (
         counted.withColumn("rk", F.row_number().over(wbest))

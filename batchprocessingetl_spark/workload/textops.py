@@ -3657,10 +3657,7 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-only (no global distinct shuffle)
     sh = barrier(
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.explode(F.array_distinct("sh")).alias("sh"),
-        )
+        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
     )
     picked: list[tuple[int, int, int, int]] = []
     picked_ids: list[int] = []
@@ -3807,10 +3804,7 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks, which serializes the write)
     (
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.explode(F.array_distinct("sh")).alias("sh"),
-        )
+        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
         .withColumn("bucket", _sg_bucket(F.col("doc_id")))
         .write.partitionBy("bucket")
         .parquet(work)
