@@ -73,20 +73,21 @@ _REGISTERED = (
     "q278_product_quantization",
     "q279_fk_integrity_audit",
     "q280_column_profile",
-    # round-7 block retainers (14)
-    "q242_shapley_attribution",
-    "q245_stratified_effect",
-    "q251_label_propagation",
-    "q252_fellegi_sunter",
+    # round-9/10 block, rotated in (10)
+    "q281_stochastic_setcover",
+    "q282_kendall_tau",
+    "q283_benford_audit",
+    "q284_spearman_rho",
+    "q285_isotonic_regression",
+    "q286_decision_stump",
+    "q287_theil_sen",
+    "q288_mann_whitney_u",
+    "q289_cramers_v_matrix",
+    "q290_mahalanobis_outliers",
+    # round-7 block retainers (4)
     "q253_kcenter_coreset",
-    "q254_heldout_perplexity",
     "q256_consistent_hash_rebalance",
     "q257_logrank_test",
-    "q259_good_turing",
-    "q262_fd_discovery",
-    "q263_fixed_effects_ols",
-    "q265_gains_lift_curve",
-    "q266_term_burstiness",
     "q267_time_decay_attribution",
     # fixed-point iterative retainers
     "q182_bpe_train_merges",
