@@ -55,7 +55,9 @@ def decontaminate(
     )
     eval_grams = (
         shingle_frame(eval_docs, id_col, text_col, n)
-        .select(F.explode("sh").alias("g"))
+        # array_distinct blocks InferFiltersFromGenerate re-inlining
+        # the shingle HOF below the exchange (see shingles_of_tokens)
+        .select(F.explode(F.array_distinct("sh")).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )

@@ -42,7 +42,19 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     re-evaluated per shingle — O(tokens^2) regex work per document
     (measured 6x slowdown on shingling alone). Use
     :func:`shingle_frame` which inserts a shuffle barrier between
-    tokenize and shingle so projection collapse cannot re-inline it."""
+    tokenize and shingle so projection collapse cannot re-inline it.
+
+    INNER-EXPLODE DISCIPLINE: consumers that ``F.explode`` (not
+    explode_outer) the resulting ``sh`` column must write
+    ``F.explode(F.array_distinct("sh"))``. An inner explode of a bare
+    attribute makes Catalyst's InferFiltersFromGenerate add
+    ``size(sh) > 0 AND isnotnull(sh)`` and push it BELOW
+    shingle_frame's exchange, re-inlining the whole tokenize+shingle
+    HOF on the map side once per row (measured: a 10x-corpus explode
+    at 164.6s vs 4.9s for the same 2.6M-row output). A non-attribute
+    generator child — the no-op array_distinct — blocks the inference;
+    explode_outer never infers. tests/test_plans.py pins the single
+    evaluation."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
@@ -63,19 +75,10 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     hash-repartition (parallelizes few-file corpora AND materializes the
     token array across the exchange) -> shingle from the bound column."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    # The outer array_distinct is a semantic no-op (shingles_of_tokens
-    # already dedupes) but a measured 4-80x win for downstream
-    # explode()s: it pins the when/transform HOF behind an eval-once
-    # array so generator codegen cannot re-evaluate the lambda per
-    # emitted row (sf0.1 explode 3.9s -> 1.0s; the 10x blow-up's
-    # longer documents paid 164s -> 2s on the same count).
     return (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
         .repartition(par, "id")
-        .select(
-            "id",
-            F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("sh"),
-        )
+        .select("id", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
     )
 
 

@@ -1943,8 +1943,9 @@ def q198_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % WJ_MOD == 0
     )
+    # inner-explode discipline: see operators/dedup.shingles_of_tokens
     sh = shingle_frame(docs, "doc_id", "text").select(
-        "id", F.explode("sh").alias("s")
+        "id", F.explode(F.array_distinct("sh")).alias("s")
     )
     n_docs = docs.count()
     w = F.round(
@@ -3655,9 +3656,13 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, sh) is distinct by construction — shingles dedupe WITHIN
     # each doc's array before the explode, so the materialization is
     # map-only (no global distinct shuffle)
+    # inner-explode discipline: see operators/dedup.shingles_of_tokens
     sh = barrier(
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array_distinct("sh")).alias("sh"),
+        )
     )
     picked: list[tuple[int, int, int, int]] = []
     picked_ids: list[int] = []
@@ -3804,7 +3809,11 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks, which serializes the write)
     (
         shingle_frame(docs, "doc_id", "text", 3)
-        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("sh"))
+        # inner-explode discipline: see operators/dedup.shingles_of_tokens
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array_distinct("sh")).alias("sh"),
+        )
         .withColumn("bucket", _sg_bucket(F.col("doc_id")))
         .write.partitionBy("bucket")
         .parquet(work)
