@@ -4396,3 +4396,493 @@ _ORACLE_ALL["q289_cramers_v_matrix"] = """
 """
 EXTRA_QUERIES["q289_cramers_v_matrix"] = q289_cramers_v_matrix
 EXTRA_ORACLE["q289_cramers_v_matrix"] = _ORACLE_ALL["q289_cramers_v_matrix"]
+
+
+def q291_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the line-return rate trend
+    monotonically across order priority (ordinal scores 1-5 parsed
+    from the priority label)? The dose-response screen for ordered
+    categories — chi-square (q170) ignores the ordering, this
+    statistic spends its single degree of freedom on it. Everything
+    reduces to the 5-row (score, n, r) table from one fact aggregate
+    over the orderkey equi-join; the z numerator N*Σsr - R*Σsn and
+    variance core R(N-R)(N*Σs²n - (Σsn)²) are exact DECIMAL(38,0)
+    (HUGEINT in the oracle — the variance core is ~N³), and the one
+    double division + sqrt happens last in a fixed order, rounded
+    9dp. Output keeps the per-priority table with the shared z."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select("l_orderkey", (F.col("l_returnflag") == "R").alias("ret"))
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("ret"), 1).otherwise(0)).alias("r"),
+        )
+        .withColumn(
+            "s", F.substring("priority", 1, 1).cast("int")
+        )
+    )
+    m = cells.select(
+        F.col("n").cast(d38).alias("n"),
+        F.col("r").cast(d38).alias("r"),
+        F.col("s").cast(d38).alias("s"),
+    ).agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).alias("sr"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
+    )
+    a = F.col("nn") * F.col("sr") - F.col("rr") * F.col("sn")
+    b = (
+        F.col("rr")
+        * (F.col("nn") - F.col("rr"))
+        * (F.col("nn") * F.col("ssn") - F.col("sn") * F.col("sn"))
+    )
+    stat = m.select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("rr").cast("long").alias("r_total"),
+        F.round(
+            a.cast("double")
+            / F.sqrt(b.cast("double") / F.col("nn").cast("double")),
+            9,
+        ).alias("z_trend"),
+    )
+    return (
+        cells.select(
+            "priority",
+            "s",
+            "n",
+            "r",
+            F.round(F.col("r") / F.col("n").cast("double"), 9).alias("rate"),
+        )
+        .crossJoin(F.broadcast(stat))
+        .orderBy("priority")
+    )
+
+
+_ORACLE_ALL["q291_cochran_armitage"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS priority,
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(r) AS HUGEINT) AS rr,
+               CAST(SUM(CAST(s AS HUGEINT) * r) AS HUGEINT) AS sr,
+               CAST(SUM(CAST(s AS HUGEINT) * n) AS HUGEINT) AS sn,
+               CAST(SUM(CAST(s AS HUGEINT) * s * n) AS HUGEINT) AS ssn
+        FROM cells
+    ), stat AS (
+        SELECT CAST(nn AS BIGINT) AS n_total, CAST(rr AS BIGINT) AS r_total,
+               ROUND(CAST(nn * sr - rr * sn AS DOUBLE)
+                     / SQRT(CAST(rr * (nn - rr) * (nn * ssn - sn * sn)
+                                 AS DOUBLE)
+                            / CAST(nn AS DOUBLE)), 9) AS z_trend
+        FROM m
+    )
+    SELECT c.priority, c.s, c.n, c.r,
+           ROUND(c.r / CAST(c.n AS DOUBLE), 9) AS rate,
+           s2.n_total, s2.r_total, s2.z_trend
+    FROM cells c CROSS JOIN stat s2
+    ORDER BY c.priority
+"""
+EXTRA_QUERIES["q291_cochran_armitage"] = q291_cochran_armitage
+EXTRA_ORACLE["q291_cochran_armitage"] = _ORACLE_ALL["q291_cochran_armitage"]
+
+
+def q292_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (median-based Levene)
+    of quantity across return flags — the robust "are the spreads
+    equal" screen that complements the location tests (q288) before
+    pooling cohorts. Runs entirely on the quantity contingency grid:
+    the per-group LOWER median (min v with 2*cum >= n_g — stays on
+    the integer domain, no midpoint average) comes from a domain-grain
+    cumulative window, absolute deviations z = |v - med_g| are exact
+    integers on that grid, and the between/within sums of squares are
+    assembled from exact DECIMAL(38,0)/HUGEINT moments: the group
+    contribution (N*Zg - Z*ng)^2 / ng and Szz_g - Zg^2/ng each drop to
+    doubles in ONE division, round 9dp in the decimal domain, and sum
+    deterministically. W = (N-k)/(k-1) * SSB/SSW with the fixed
+    evaluation order written identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("int").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum", F.sum("n").over(wcum))
+    ngs = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    med = (
+        cum.join(F.broadcast(ngs), "g")
+        .filter(2 * F.col("cum") >= F.col("ng"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med_v"))
+    )
+    zc = cells.join(F.broadcast(med), "g").select(
+        "g",
+        F.col("n").cast(d38).alias("n"),
+        F.abs(F.col("v") - F.col("med_v")).cast(d38).alias("z"),
+        "med_v",
+    )
+    gsum = zc.groupBy("g", "med_v").agg(
+        F.sum("n").alias("ng"),
+        F.sum(F.col("n") * F.col("z")).alias("zg"),
+        F.sum(F.col("n") * F.col("z") * F.col("z")).alias("szz"),
+    )
+    glob = gsum.agg(
+        F.sum("ng").alias("nn"),
+        F.sum("zg").alias("zz"),
+        F.count(F.lit(1)).cast(d38).alias("k"),
+    )
+    per = gsum.crossJoin(F.broadcast(glob)).withColumn(
+        "num_g",
+        F.round(
+            (
+                (F.col("nn") * F.col("zg") - F.col("zz") * F.col("ng"))
+                * (F.col("nn") * F.col("zg") - F.col("zz") * F.col("ng"))
+            ).cast("double")
+            / F.col("ng").cast("double"),
+            9,
+        ),
+    ).withColumn(
+        "den_g",
+        F.round(
+            F.col("szz").cast("double")
+            - (F.col("zg") * F.col("zg")).cast("double")
+            / F.col("ng").cast("double"),
+            9,
+        ),
+    )
+    stat = per.groupBy("nn", "k").agg(
+        F.sum(F.col("num_g").cast("decimal(38,9)")).alias("ssb_s"),
+        F.sum(F.col("den_g").cast("decimal(38,9)")).alias("ssw"),
+    ).select(
+        F.round(
+            (F.col("nn") - F.col("k")).cast("double")
+            * F.col("ssb_s").cast("double")
+            / (
+                (F.col("k") - 1).cast("double")
+                * F.col("nn").cast("double")
+                * F.col("nn").cast("double")
+                * F.col("ssw").cast("double")
+            ),
+            9,
+        ).alias("w_bf")
+    )
+    return (
+        per.select(
+            "g",
+            F.col("ng").cast("long").alias("n_g"),
+            "med_v",
+            F.round(
+                F.col("zg").cast("double") / F.col("ng").cast("double"), 9
+            ).alias("zbar"),
+        )
+        .crossJoin(F.broadcast(stat))
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q292_brown_forsythe"] = """
+    WITH cells AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, n,
+               SUM(n) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM cells
+    ), ngs AS (
+        SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM cells GROUP BY 1
+    ), med AS (
+        SELECT c.g, MIN(c.v) AS med_v
+        FROM cum c JOIN ngs ON ngs.g = c.g
+        WHERE 2 * c.cum >= ngs.ng GROUP BY 1
+    ), gsum AS (
+        SELECT c.g, m.med_v,
+               CAST(SUM(c.n) AS HUGEINT) AS ng,
+               CAST(SUM(CAST(c.n AS HUGEINT) * ABS(c.v - m.med_v))
+                    AS HUGEINT) AS zg,
+               CAST(SUM(CAST(c.n AS HUGEINT) * ABS(c.v - m.med_v)
+                        * ABS(c.v - m.med_v)) AS HUGEINT) AS szz
+        FROM cells c JOIN med m ON m.g = c.g GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS nn,
+               CAST(SUM(zg) AS HUGEINT) AS zz,
+               CAST(COUNT(*) AS HUGEINT) AS k
+        FROM gsum
+    ), per AS (
+        SELECT g.g, g.ng, g.med_v, g.zg, gl.nn, gl.k,
+               ROUND(CAST((gl.nn * g.zg - gl.zz * g.ng)
+                          * (gl.nn * g.zg - gl.zz * g.ng) AS DOUBLE)
+                     / CAST(g.ng AS DOUBLE), 9) AS num_g,
+               ROUND(CAST(g.szz AS DOUBLE)
+                     - CAST(g.zg * g.zg AS DOUBLE)
+                       / CAST(g.ng AS DOUBLE), 9) AS den_g
+        FROM gsum g CROSS JOIN tot gl
+    ), stat AS (
+        SELECT ROUND(CAST(nn - k AS DOUBLE)
+                     * CAST(SUM(CAST(num_g AS DECIMAL(38,9))) AS DOUBLE)
+                     / (CAST(k - 1 AS DOUBLE) * CAST(nn AS DOUBLE)
+                        * CAST(nn AS DOUBLE)
+                        * CAST(SUM(CAST(den_g AS DECIMAL(38,9)))
+                               AS DOUBLE)), 9) AS w_bf
+        FROM per GROUP BY nn, k
+    )
+    SELECT p.g, CAST(p.ng AS BIGINT) AS n_g, p.med_v,
+           ROUND(CAST(p.zg AS DOUBLE) / CAST(p.ng AS DOUBLE), 9) AS zbar,
+           s.w_bf
+    FROM per p CROSS JOIN stat s
+    ORDER BY p.g
+"""
+EXTRA_QUERIES["q292_brown_forsythe"] = q292_brown_forsythe
+EXTRA_ORACLE["q292_brown_forsythe"] = _ORACLE_ALL["q292_brown_forsythe"]
+
+
+def q293_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of days-to-ship, with
+    returned lines (l_returnflag = 'R') treated as right-censored —
+    the product-limit estimator completing the survival shelf next to
+    q257's log-rank (the displaced q247 Nelson-Aalen is its
+    cumulative-hazard twin). Durations live on an integer-day domain
+    bounded by the fixture's date span (~4.7k distinct values here —
+    the synthetic ship/order dates are uncorrelated, so offsets can be
+    negative; the estimator only needs an ordered domain), so one
+    fact aggregate yields (t, d events, c censored);
+    the at-risk count n_t is a domain-grain suffix sum, and the
+    product Π(1 - d/n) is taken in LOG SPACE with the engine-parity
+    discipline: each term ln((n-d)/n) is one double op chain on exact
+    integers rounded 9dp into DECIMAL(28,9), the cumulative sum runs
+    over the collapsed domain frame, and a single exp + 6dp round
+    produces the curve — transcendental 1-ULP engine differences die
+    under the per-term rounding. Only event rows (d > 0) emit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    base = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_returnflag") != "R").alias("event"),
+    ).join(
+        od.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    cells = (
+        base.select(
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("t"),
+            "event",
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("event"), 0).otherwise(1)).alias("c"),
+        )
+    )
+    wrisk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = cells.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(wrisk)
+    )
+    # n_risk == d at the final event time exhausts the risk set: the
+    # survival drops to exactly 0. A -99 log-space sentinel keeps both
+    # engines total (DuckDB LN(0) raises, Spark log(0) is NULL) and
+    # exp(<= -99) rounds to 0.000000 at 6dp.
+    term = F.when(
+        F.col("n_risk") == F.col("d"), F.lit(-99.0)
+    ).otherwise(
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            9,
+        )
+    ).cast("decimal(28,9)")
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.filter(F.col("d") > 0)
+        .withColumn("logterm", term)
+        .withColumn("logsum", F.sum("logterm").over(wcum))
+        .select(
+            "t",
+            "d",
+            "c",
+            "n_risk",
+            F.round(F.exp(F.col("logsum").cast("double")), 6).alias("s_km"),
+        )
+        .orderBy("t")
+    )
+
+
+_ORACLE_ALL["q293_kaplan_meier"] = """
+    WITH cells AS (
+        SELECT DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS t,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), risk AS (
+        SELECT t, d, c,
+               SUM(d + c) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n_risk
+        FROM cells
+    ), terms AS (
+        SELECT t, d, c, n_risk,
+               CAST(CASE WHEN n_risk = d THEN -99.0
+                         ELSE ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)), 9)
+                    END AS DECIMAL(28,9)) AS logterm
+        FROM risk WHERE d > 0
+    )
+    SELECT t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+           ROUND(EXP(CAST(SUM(logterm) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE)), 6) AS s_km
+    FROM terms ORDER BY t
+"""
+EXTRA_QUERIES["q293_kaplan_meier"] = q293_kaplan_meier
+EXTRA_ORACLE["q293_kaplan_meier"] = _ORACLE_ALL["q293_kaplan_meier"]
+
+
+def q294_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series: is the sequence of above/below-median days random, or does
+    it cluster (trend / regime persistence)? The monitoring screen a
+    pipeline runs on its own throughput series. Day-grain everything:
+    one fact aggregate collapses lineitem to ~2.4k daily cent totals
+    (exact BIGINT), the LOWER MEDIAN day-revenue comes from a
+    domain-grain cumulative count (min value with 2*cum >= n — stays
+    on the cents grid, no midpoint), signs are exact comparisons, the
+    run count is 1 + Σ sign-changes via a lag window over the day
+    frame, and the z statistic's mean/variance 2*n1*n2*(2*n1*n2-n)
+    use exact DECIMAL(38,0)/HUGEINT (~n^4) with the single double
+    division + sqrt last, rounded 9dp. Days with revenue exactly AT
+    the median count as 'below' (<=) identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    wcum = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
+    cnt = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med = (
+        daily.withColumn("cum", F.count(F.lit(1)).over(wcum))
+        .crossJoin(F.broadcast(cnt))
+        .filter(2 * F.col("cum") >= F.col("n_days"))
+        .agg(F.min("rev").alias("med_rev"))
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "day", (F.col("rev") > F.col("med_rev")).cast("int").alias("s")
+    )
+    wlag = Window.orderBy("day")
+    runs = signed.withColumn("prev", F.lag("s").over(wlag)).agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1
+            ).otherwise(0)
+        ).alias("n_runs"),
+        F.sum("s").cast(d38).alias("n1"),
+        F.sum(1 - F.col("s")).cast(d38).alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two = F.lit(2).cast(d38)
+    mu_num = two * F.col("n1") * F.col("n2")  # mean = mu_num/n + 1
+    var_num = (
+        two
+        * F.col("n1")
+        * F.col("n2")
+        * (two * F.col("n1") * F.col("n2") - n)
+    )  # variance = var_num / (n^2 (n-1))
+    z = F.round(
+        (
+            F.col("n_runs").cast("double")
+            - (
+                mu_num.cast("double") / n.cast("double")
+                + F.lit(1.0)
+            )
+        )
+        / F.sqrt(
+            var_num.cast("double")
+            / (n * n * (n - 1)).cast("double")
+        ),
+        9,
+    )
+    return runs.select(
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        z.alias("z"),
+    )
+
+
+_ORACLE_ALL["q294_runs_test"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    med AS (
+        SELECT MIN(rev) AS med_rev
+        FROM (SELECT rev, COUNT(*) OVER (ORDER BY rev
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+              FROM daily) d CROSS JOIN cnt
+        WHERE 2 * d.cum >= cnt.n_days
+    ), signed AS (
+        SELECT day, CAST(rev > med.med_rev AS INT) AS s
+        FROM daily CROSS JOIN med
+    ), runs AS (
+        SELECT CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST(SUM(s) AS HUGEINT) AS n1,
+               CAST(SUM(1 - s) AS HUGEINT) AS n2
+        FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signed)
+    )
+    SELECT CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           ROUND((CAST(n_runs AS DOUBLE)
+                  - (CAST(2 * n1 * n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                 / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                             AS DOUBLE)
+                        / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                               AS DOUBLE)), 9) AS z
+    FROM runs
+"""
+EXTRA_QUERIES["q294_runs_test"] = q294_runs_test
+EXTRA_ORACLE["q294_runs_test"] = _ORACLE_ALL["q294_runs_test"]

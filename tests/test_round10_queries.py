@@ -1,5 +1,5 @@
 """Algebraic / replication properties of the round-9 and round-10
-statistics additions (q281-q290) — invariants and independent
+statistics additions (q281-q294) — invariants and independent
 re-derivations (pandas / exact fractions / hashlib md5) the DuckDB
 value-parity gate can't express."""
 
@@ -237,3 +237,65 @@ def test_mahalanobis_outlier_accounting(spark):
         assert 0 <= r.n_outliers <= r.n_rows
         assert r.max_d2 >= 0.0
         assert abs(r.outlier_frac - round(r.n_outliers / r.n_rows, 9)) < 1e-12
+
+
+def test_cochran_armitage_consistency(spark):
+    """5 priority rows share one z; rates in [0,1]; totals add up."""
+    rows = EXTRA["q291_cochran_armitage"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert len({r.z_trend for r in rows}) == 1
+    assert sum(r.n for r in rows) == rows[0].n_total
+    assert sum(r.r for r in rows) == rows[0].r_total
+    for r in rows:
+        assert 0.0 <= r.rate <= 1.0
+        assert 1 <= r.s <= 5
+
+
+def test_brown_forsythe_matches_direct_computation(spark):
+    """Re-derive W from the raw rows in pandas: lower-median absolute
+    deviations, classic Levene/BF formula."""
+    rows = EXTRA["q292_brown_forsythe"](spark, SF_SMOKE).collect()
+    w_got = rows[0].w_bf
+    pdf = _lineitem_pdf(spark)
+    pdf["v"] = pdf["l_quantity"].astype(int)
+    groups = []
+    for g, grp in pdf.groupby("l_returnflag"):
+        vs = sorted(grp["v"])
+        med = vs[(len(vs) + 1) // 2 - 1]  # lower median
+        z = (grp["v"] - med).abs()
+        groups.append(z)
+        r = next(x for x in rows if x.g == g)
+        assert r.med_v == med and r.n_g == len(grp)
+        assert abs(r.zbar - z.mean()) < 1e-6
+    n = sum(len(z) for z in groups)
+    k = len(groups)
+    zbar = sum(z.sum() for z in groups) / n
+    ssb = sum(len(z) * (z.mean() - zbar) ** 2 for z in groups)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in groups)
+    w_exp = (n - k) / (k - 1) * ssb / ssw
+    assert abs(w_got - w_exp) < 1e-5
+
+
+def test_kaplan_meier_is_valid_survival_curve(spark):
+    """S is nonincreasing in [0,1]; risk sets shrink over time; the
+    first row's S equals its own factor 1 - d/n."""
+    rows = EXTRA["q293_kaplan_meier"](spark, SF_SMOKE).collect()
+    assert rows
+    last_s, last_n = 1.0 + 1e-12, None
+    for r in rows:
+        assert 0.0 <= r.s_km <= last_s + 1e-9
+        last_s = r.s_km
+        if last_n is not None:
+            assert r.n_risk <= last_n
+        last_n = r.n_risk
+    r0 = rows[0]
+    assert abs(r0.s_km - (1.0 - r0.d / r0.n_risk)) < 1e-5
+
+
+def test_runs_test_accounting(spark):
+    """Run count bounds: 1 <= runs <= n1+n2, runs <= 2*min(n1,n2)+1."""
+    r = EXTRA["q294_runs_test"](spark, SF_SMOKE).collect()[0]
+    n = r.n_above + r.n_below
+    assert 1 <= r.n_runs <= n
+    assert r.n_runs <= 2 * min(r.n_above, r.n_below) + 1
+    assert math.isfinite(r.z)
