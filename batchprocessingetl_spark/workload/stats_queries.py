@@ -4886,3 +4886,456 @@ _ORACLE_ALL["q294_runs_test"] = """
 """
 EXTRA_QUERIES["q294_runs_test"] = q294_runs_test
 EXTRA_ORACLE["q294_runs_test"] = _ORACLE_ALL["q294_runs_test"]
+
+
+def q295_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: does line quantity
+    shift monotonically across order priority (ordinal 1-5)? The
+    ordered-groups counterpart of q291's binary trend — the JT
+    statistic is the sum of Mann-Whitney U counts over all group
+    pairs i < j, and on the 50-value quantity domain every pairwise U
+    comes from the (group, value) contingency grid: the grid
+    self-join is (5*50)^2 cells of work, CONSTANT in the row count.
+    Doubled for tie-midpoints (ties between groups contribute 1/2 —
+    kept as exact integers via 2U), mean and variance use the
+    no-tie closed forms on exact DECIMAL(38,0)/HUGEINT (~n^3), one
+    double division + sqrt last, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select("l_orderkey", F.col("l_quantity").cast("int").alias("v"))
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+            "v",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    # 2*JT = sum over group pairs ga < gb of [2*#(vb > va) + #(vb = va)]
+    jt2 = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.v") > F.col("a.v"),
+                    2 * F.col("a.n").cast(d38) * F.col("b.n").cast(d38),
+                )
+                .when(
+                    F.col("b.v") == F.col("a.v"),
+                    F.col("a.n").cast(d38) * F.col("b.n").cast(d38),
+                )
+                .otherwise(F.lit(0).cast(d38))
+            ).alias("jt2")
+        )
+    )
+    gm = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    m = gm.select(F.col("ng").cast(d38).alias("ng")).agg(
+        F.sum("ng").alias("nn"),
+        F.sum(F.col("ng") * F.col("ng")).alias("sq"),
+        F.sum(
+            F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3)
+        ).alias("cubeterm"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    # mean = (n^2 - sq)/4  -> 2*mean = (n^2 - sq)/2 exact (both even
+    # or both odd never occurs: n^2 - sq = sum_{i!=j} ni*nj is even)
+    mu2 = (F.col("nn") * F.col("nn") - F.col("sq")) / 2
+    var = (
+        F.col("nn") * F.col("nn") * (2 * F.col("nn") + 3) - F.col("cubeterm")
+    )  # variance = var/72
+    z = F.round(
+        (F.col("jt2").cast("double") - mu2.cast("double"))
+        / (2.0 * F.sqrt(var.cast("double") / F.lit(72.0))),
+        9,
+    )
+    return (
+        jt2.crossJoin(F.broadcast(m))
+        .select(
+            F.col("nn").cast("long").alias("n_total"),
+            "k_groups",
+            F.col("jt2").cast("long").alias("jt2"),
+            z.alias("z"),
+        )
+    )
+
+
+_ORACLE_ALL["q295_jonckheere_terpstra"] = """
+    WITH cells AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS g,
+               CAST(l_quantity AS INT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ), jt AS (
+        SELECT CAST(SUM(CASE WHEN b.v > a.v
+                             THEN 2 * CAST(a.n AS HUGEINT) * b.n
+                             WHEN b.v = a.v
+                             THEN CAST(a.n AS HUGEINT) * b.n
+                             ELSE 0 END) AS HUGEINT) AS jt2
+        FROM cells a JOIN cells b ON a.g < b.g
+    ), gm AS (
+        SELECT g, CAST(SUM(n) AS HUGEINT) AS ng FROM cells GROUP BY 1
+    ), m AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS nn,
+               CAST(SUM(ng * ng) AS HUGEINT) AS sq,
+               CAST(SUM(ng * ng * (2 * ng + 3)) AS HUGEINT) AS cubeterm,
+               CAST(COUNT(*) AS BIGINT) AS k_groups
+        FROM gm
+    )
+    SELECT CAST(m.nn AS BIGINT) AS n_total, m.k_groups,
+           CAST(jt.jt2 AS BIGINT) AS jt2,
+           ROUND((CAST(jt.jt2 AS DOUBLE)
+                  - CAST((m.nn * m.nn - m.sq) // 2 AS DOUBLE))
+                 / (2.0 * SQRT(CAST(m.nn * m.nn * (2 * m.nn + 3)
+                                    - m.cubeterm AS DOUBLE) / 72.0)), 9)
+               AS z
+    FROM jt CROSS JOIN m
+"""
+EXTRA_QUERIES["q295_jonckheere_terpstra"] = q295_jonckheere_terpstra
+EXTRA_ORACLE["q295_jonckheere_terpstra"] = _ORACLE_ALL["q295_jonckheere_terpstra"]
+
+
+def q296_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five order priorities keep the same
+    revenue ordering across order months, or does some priority
+    systematically out-earn within-month? The repeated-measures
+    (blocked) counterpart of q298/q288's independent-sample tests:
+    blocks are the ~84 order months, treatments the 5 priorities, the
+    response the EXACT per-(month, priority) cent total. Ranks are
+    doubled midranks within each block (2R = 2*cum_below + t + 1 on
+    the 5-row block frame — exact integers even under cent-total
+    ties), so R_j^2 sums stay in DECIMAL(38,0)/HUGEINT and the
+    chi-square 3*Σ(2R_j)²/(b*k*(k+1)) - 3*b*(k+1) evaluates in a
+    fixed double order, rounded 9dp. Everything after the one fact
+    aggregate is a ≤(blocks*k)-row frame."""
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cells = (
+        od.select(
+            F.date_trunc("month", "o_orderdate").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("blk", "trt")
+        .agg(F.sum("cents").alias("m"))
+    )
+    # Friedman requires COMPLETE blocks: keep only months where all k
+    # treatments appear (incomplete blocks would bias the rank sums)
+    kframe = cells.agg(F.countDistinct("trt").alias("k0"))
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(kframe))
+        .filter(F.col("cnt") == F.col("k0"))
+        .select("blk")
+    )
+    cells = cells.join(F.broadcast(complete), "blk")
+    # strictly-smaller count via rank()-1 (a rows-preceding count
+    # would include arbitrary-order tie peers — nondeterministic)
+    wblk = Window.partitionBy("blk").orderBy("m")
+    wtie = Window.partitionBy("blk", "m")
+    ranked = (
+        cells.withColumn("below", F.rank().over(wblk) - 1)
+        .withColumn("t", F.count("*").over(wtie))
+        .withColumn("r2", 2 * F.col("below") + F.col("t") + 1)
+    )
+    rsum = ranked.groupBy("trt").agg(
+        F.sum(F.col("r2").cast(d38)).alias("rj2"),
+        F.count(F.lit(1)).alias("b_blocks"),
+    )
+    tot = rsum.agg(
+        F.sum(F.col("rj2") * F.col("rj2")).alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("b_blocks").alias("b"),
+    )
+    chi = F.round(
+        F.lit(3.0)
+        * F.col("s2").cast("double")
+        / (
+            F.col("b").cast("double")
+            * F.col("k").cast("double")
+            * (F.col("k") + 1).cast("double")
+        )
+        - 3.0 * F.col("b").cast("double") * (F.col("k") + 1).cast("double"),
+        9,
+    )
+    return (
+        rsum.crossJoin(F.broadcast(tot.withColumn("chi2_f", chi)))
+        .select(
+            F.col("trt").alias("priority"),
+            F.col("rj2").cast("long").alias("rank_sum2"),
+            F.col("b").alias("n_blocks"),
+            "k",
+            "chi2_f",
+        )
+        .orderBy("priority")
+    )
+
+
+_ORACLE_ALL["q296_friedman_test"] = """
+    WITH cells0 AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS blk,
+               o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1, 2
+    ), kf AS (SELECT COUNT(DISTINCT trt) AS k0 FROM cells0),
+    complete AS (
+        SELECT blk FROM cells0 CROSS JOIN kf
+        GROUP BY blk, k0 HAVING COUNT(*) = ANY_VALUE(k0)
+    ), cells AS (
+        SELECT c.* FROM cells0 c JOIN complete USING (blk)
+    ), ranked AS (
+        SELECT trt,
+               2 * (RANK() OVER (PARTITION BY blk ORDER BY m) - 1)
+               + COUNT(*) OVER (PARTITION BY blk, m) + 1 AS r2
+        FROM cells
+    ), rsum AS (
+        SELECT trt, CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS rj2,
+               CAST(COUNT(*) AS BIGINT) AS b_blocks
+        FROM ranked GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(rj2 * rj2) AS HUGEINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(b_blocks) AS BIGINT) AS b
+        FROM rsum
+    )
+    SELECT r.trt AS priority, CAST(r.rj2 AS BIGINT) AS rank_sum2,
+           t.b AS n_blocks, t.k,
+           ROUND(3.0 * CAST(t.s2 AS DOUBLE)
+                 / (CAST(t.b AS DOUBLE) * CAST(t.k AS DOUBLE)
+                    * CAST(t.k + 1 AS DOUBLE))
+                 - 3.0 * CAST(t.b AS DOUBLE) * CAST(t.k + 1 AS DOUBLE), 9)
+               AS chi2_f
+    FROM rsum r CROSS JOIN tot t
+    ORDER BY priority
+"""
+EXTRA_QUERIES["q296_friedman_test"] = q296_friedman_test
+EXTRA_ORACLE["q296_friedman_test"] = _ORACLE_ALL["q296_friedman_test"]
+
+
+def q297_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of return (l_returnflag='R')
+    vs finished status (l_linestatus='F') across order-priority
+    strata — the stratified-association estimator that answers "does
+    the 2x2 association survive controlling for priority?"
+    (Simpson's-paradox guard; completes q245's stratified-effect
+    family on the categorical side). One aggregate over the orderkey
+    join yields the five 2x2 tables; each stratum's ad/n and bc/n
+    terms are ONE double division on exact BIGINTs, rounded 9dp into
+    DECIMAL(28,9) before the cross-stratum sums (the q280/q283
+    discipline), and OR_MH is their ratio, rounded 9dp. Per-stratum
+    odds ratios ride along for the paradox check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cells = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_returnflag") == "R").alias("x"),
+            (F.col("l_linestatus") == "F").alias("y"),
+        )
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(F.col("x") & F.col("y"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("x") & ~F.col("y"), 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~F.col("x") & F.col("y"), 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~F.col("x") & ~F.col("y"), 1).otherwise(0)).alias(
+                "d"
+            ),
+        )
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    terms = cells.withColumn(
+        "ad_n",
+        F.round((F.col("a") * F.col("d")).cast("double") / n, 9),
+    ).withColumn(
+        "bc_n",
+        F.round((F.col("b") * F.col("c")).cast("double") / n, 9),
+    )
+    pooled = terms.agg(
+        F.round(
+            F.sum(F.col("ad_n").cast("decimal(28,9)")).cast("double")
+            / F.sum(F.col("bc_n").cast("decimal(28,9)")).cast("double"),
+            9,
+        ).alias("or_mh")
+    )
+    return (
+        terms.select(
+            "stratum",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.round(
+                (F.col("a") * F.col("d")).cast("double")
+                / (F.col("b") * F.col("c")).cast("double"),
+                9,
+            ).alias("or_stratum"),
+        )
+        .crossJoin(F.broadcast(pooled))
+        .orderBy("stratum")
+    )
+
+
+_ORACLE_ALL["q297_mantel_haenszel"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), terms AS (
+        SELECT stratum, a, b, c, d,
+               ROUND(CAST(a * d AS DOUBLE)
+                     / CAST(a + b + c + d AS DOUBLE), 9) AS ad_n,
+               ROUND(CAST(b * c AS DOUBLE)
+                     / CAST(a + b + c + d AS DOUBLE), 9) AS bc_n
+        FROM cells
+    ), pooled AS (
+        SELECT ROUND(CAST(SUM(CAST(ad_n AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(SUM(CAST(bc_n AS DECIMAL(28,9))) AS DOUBLE), 9)
+                   AS or_mh
+        FROM terms
+    )
+    SELECT t.stratum, t.a, t.b, t.c, t.d,
+           ROUND(CAST(t.a * t.d AS DOUBLE)
+                 / CAST(t.b * t.c AS DOUBLE), 9) AS or_stratum,
+           p.or_mh
+    FROM terms t CROSS JOIN pooled p
+    ORDER BY t.stratum
+"""
+EXTRA_QUERIES["q297_mantel_haenszel"] = q297_mantel_haenszel
+EXTRA_ORACLE["q297_mantel_haenszel"] = _ORACLE_ALL["q297_mantel_haenszel"]
+
+
+def q298_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the three return flags draw quantity
+    from one distribution? The k-group extension of q288's two-sample
+    Mann-Whitney, same contingency-margin machinery: global doubled
+    midranks 2R(v) = 2*(strictly-below count) + t + 1 come from one
+    domain-grain window over the 50-value grid, per-group doubled
+    rank sums S_g = Σ c_g(v)*2R(v) stay exact
+    (DECIMAL(38,0)/HUGEINT), each S_g²/n_g drops to doubles in ONE
+    division rounded 9dp (decimal-summed across the 3 groups), and
+    the tie-corrected H = [3*Σ(S_g²/n_g)/(N(N+1)) - 3(N+1)] *
+    (N³-N)/((N³-N) - Σ(t³-t)) evaluates in a fixed double order,
+    rounded 9dp. One fact scan at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("int").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vm = cells.groupBy("v").agg(F.sum("n").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vm.withColumn(
+        "r2", 2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+    )
+    gsum = (
+        cells.join(F.broadcast(ranks.select("v", "r2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast(d38).alias("ng"),
+            F.sum(F.col("n").cast(d38) * F.col("r2").cast(d38)).alias("sg2"),
+        )
+        .withColumn(
+            "term",
+            F.round(
+                (F.col("sg2") * F.col("sg2")).cast("double")
+                / F.col("ng").cast("double"),
+                9,
+            ),
+        )
+    )
+    ties = vm.agg(
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
+            - F.col("t").cast(d38)
+        ).alias("tt")
+    )
+    tot = gsum.agg(
+        F.sum("ng").alias("nn"),
+        F.sum(F.col("term").cast("decimal(38,9)")).alias("s4"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    ).crossJoin(F.broadcast(ties))
+    n3n = F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    # S_g sums are DOUBLED ranks: Σ(S_g²/n_g) = 4·Σ n_g·R̄_g², and
+    # 12/(N(N+1))·(s4/4) folds to 3·s4/(N(N+1))
+    h = F.round(
+        (
+            3.0 * F.col("s4").cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") + 1).cast("double"))
+            - 3.0 * (F.col("nn") + 1).cast("double")
+        )
+        * n3n.cast("double")
+        / (n3n - F.col("tt")).cast("double"),
+        9,
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n_total"),
+        "k_groups",
+        h.alias("h_stat"),
+    )
+
+
+_ORACLE_ALL["q298_kruskal_wallis"] = """
+    WITH cells AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), vm AS (
+        SELECT v, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1
+    ), ranks AS (
+        SELECT v,
+               2 * COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2
+        FROM vm
+    ), gsum AS (
+        SELECT c.g, CAST(SUM(c.n) AS HUGEINT) AS ng,
+               CAST(SUM(CAST(c.n AS HUGEINT) * r.r2) AS HUGEINT) AS sg2
+        FROM cells c JOIN ranks r ON r.v = c.v GROUP BY 1
+    ), terms AS (
+        SELECT ng,
+               ROUND(CAST(sg2 * sg2 AS DOUBLE) / CAST(ng AS DOUBLE), 9)
+                   AS term
+        FROM gsum
+    ), ties AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+        FROM vm
+    ), tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS nn,
+               SUM(CAST(term AS DECIMAL(38,9))) AS s4,
+               CAST(COUNT(*) AS BIGINT) AS k_groups
+        FROM terms
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n_total, t.k_groups,
+           ROUND((3.0 * CAST(t.s4 AS DOUBLE)
+                  / (CAST(t.nn AS DOUBLE) * CAST(t.nn + 1 AS DOUBLE))
+                  - 3.0 * CAST(t.nn + 1 AS DOUBLE))
+                 * CAST(t.nn * t.nn * t.nn - t.nn AS DOUBLE)
+                 / CAST(t.nn * t.nn * t.nn - t.nn - ti.tt AS DOUBLE), 9)
+               AS h_stat
+    FROM tot t CROSS JOIN ties ti
+"""
+EXTRA_QUERIES["q298_kruskal_wallis"] = q298_kruskal_wallis
+EXTRA_ORACLE["q298_kruskal_wallis"] = _ORACLE_ALL["q298_kruskal_wallis"]

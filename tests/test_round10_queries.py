@@ -299,3 +299,82 @@ def test_runs_test_accounting(spark):
     assert 1 <= r.n_runs <= n
     assert r.n_runs <= 2 * min(r.n_above, r.n_below) + 1
     assert math.isfinite(r.z)
+
+
+def test_jonckheere_matches_pairwise_u_sum(spark):
+    """2*JT equals the sum over ordered group pairs of the pairwise
+    Mann-Whitney 2U (greater counts doubled + ties), re-derived in
+    pandas from the raw rows."""
+    row = EXTRA["q295_jonckheere_terpstra"](spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    pdf = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            od.o_orderpriority.substr(1, 1).cast("int").alias("g"),
+            li.l_quantity.cast("int").alias("v"),
+        )
+        .toPandas()
+    )
+    from collections import Counter
+
+    counts = {g: Counter(grp["v"]) for g, grp in pdf.groupby("g")}
+    gs = sorted(counts)
+    jt2 = 0
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1 :]:
+            for va, na in counts[ga].items():
+                for vb, nb in counts[gb].items():
+                    if vb > va:
+                        jt2 += 2 * na * nb
+                    elif vb == va:
+                        jt2 += na * nb
+    assert row.jt2 == jt2
+    assert row.k_groups == len(gs)
+    assert math.isfinite(row.z)
+
+
+def test_friedman_rank_sums_account(spark):
+    """Per-block doubled ranks of k treatments sum to k(k+1)... doubled:
+    each block contributes Σ2R = 2*(1+..+k) when untied, so the total
+    over treatments equals b*k*(k+1); chi2 is finite and shared."""
+    rows = EXTRA["q296_friedman_test"](spark, SF_SMOKE).collect()
+    k = rows[0].k
+    b = rows[0].n_blocks
+    assert len(rows) == k
+    assert len({r.chi2_f for r in rows}) == 1
+    assert sum(r.rank_sum2 for r in rows) == b * k * (k + 1)
+    assert math.isfinite(rows[0].chi2_f) and rows[0].chi2_f >= -1e-9
+
+
+def test_mantel_haenszel_pooled_within_stratum_range(spark):
+    """All cells positive here, so OR_MH must lie within the min..max
+    of the per-stratum odds ratios (it is a weighted combination)."""
+    rows = EXTRA["q297_mantel_haenszel"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    ors = [r.or_stratum for r in rows]
+    assert len({r.or_mh for r in rows}) == 1
+    assert min(ors) - 1e-9 <= rows[0].or_mh <= max(ors) + 1e-9
+    for r in rows:
+        assert r.a >= 0 and r.b >= 0 and r.c >= 0 and r.d >= 0
+
+
+def test_kruskal_wallis_matches_pandas_ranks(spark):
+    """Re-derive tie-corrected H from pandas average ranks."""
+    row = EXTRA["q298_kruskal_wallis"](spark, SF_SMOKE).collect()[0]
+    pdf = _lineitem_pdf(spark)
+    pdf["v"] = pdf["l_quantity"].astype(int)
+    pdf["rank"] = pdf["v"].rank(method="average")
+    n = len(pdf)
+    s = 0.0
+    for g, grp in pdf.groupby("l_returnflag"):
+        s += grp["rank"].sum() ** 2 / len(grp)
+    h_u = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    t = pdf.groupby("v").size()
+    corr = 1.0 - ((t**3 - t).sum()) / (n**3 - n)
+    assert abs(row.h_stat - h_u / corr) < 1e-6
+    assert row.n_total == n and row.k_groups == 3
