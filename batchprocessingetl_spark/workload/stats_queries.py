@@ -5339,3 +5339,345 @@ _ORACLE_ALL["q298_kruskal_wallis"] = """
 """
 EXTRA_QUERIES["q298_kruskal_wallis"] = q298_kruskal_wallis
 EXTRA_ORACLE["q298_kruskal_wallis"] = _ORACLE_ALL["q298_kruskal_wallis"]
+
+
+def q299_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two binary labelers — here the
+    return flag (R vs not) and the open line status (O vs not), per
+    order priority stratum — the chance-corrected agreement statistic
+    label-quality audits run when two annotation pipelines disagree
+    (companion to q240's McNemar, which tests DISAGREEMENT asymmetry).
+    One aggregate over the orderkey join yields each stratum's 2x2;
+    kappa = (po - pe)/(1 - pe) is cleared of its inner divisions by
+    multiplying through by n²: with pe_num = (a+b)(a+c) + (c+d)(b+d),
+    kappa = (n*(a+d) - pe_num) / (n² - pe_num) — numerator and
+    denominator are EXACT DECIMAL(38,0)/HUGEINT integers, so the one
+    double division happens last, identical order both engines,
+    rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cells = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_returnflag") == "R").alias("x"),
+            (F.col("l_linestatus") == "O").alias("y"),
+        )
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(F.col("x") & F.col("y"), 1).otherwise(0))
+            .cast(d38)
+            .alias("a"),
+            F.sum(F.when(F.col("x") & ~F.col("y"), 1).otherwise(0))
+            .cast(d38)
+            .alias("b"),
+            F.sum(F.when(~F.col("x") & F.col("y"), 1).otherwise(0))
+            .cast(d38)
+            .alias("c"),
+            F.sum(F.when(~F.col("x") & ~F.col("y"), 1).otherwise(0))
+            .cast(d38)
+            .alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    kappa = F.round(
+        (
+            (n * (F.col("a") + F.col("d"))).cast("double")
+            - pe_num.cast("double")
+        )
+        / ((n * n).cast("double") - pe_num.cast("double")),
+        9,
+    )
+    po = F.round(
+        (F.col("a") + F.col("d")).cast("double") / n.cast("double"), 9
+    )
+    return cells.select(
+        "stratum",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        po.alias("p_observed"),
+        kappa.alias("kappa"),
+    ).orderBy("stratum")
+
+
+_ORACLE_ALL["q299_cohens_kappa"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    )
+    SELECT stratum,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           ROUND(CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 9)
+               AS p_observed,
+           ROUND((CAST((a + b + c + d) * (a + d) AS DOUBLE)
+                  - CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE))
+                 / (CAST((a + b + c + d) * (a + b + c + d) AS DOUBLE)
+                    - CAST((a + b) * (a + c) + (c + d) * (b + d)
+                           AS DOUBLE)), 9) AS kappa
+    FROM cells ORDER BY stratum
+"""
+EXTRA_QUERIES["q299_cohens_kappa"] = q299_cohens_kappa
+EXTRA_ORACLE["q299_cohens_kappa"] = _ORACLE_ALL["q299_cohens_kappa"]
+
+
+def q300_pages_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative refinement of
+    q296's Friedman: with priorities scored 1..5, does within-month
+    revenue rank increase monotonically with priority? (q295 is the
+    independent-samples analogue; this is the blocked one.) Same
+    complete-block month x priority frame and doubled midranks as
+    q296; L = Σ_j s_j R_j is kept doubled (L2 = Σ s_j * 2R sums —
+    exact DECIMAL(38,0)/HUGEINT), the null mean 2E[L] =
+    b*k*(k+1)²/2 is an exact even-integer division, the variance
+    b*k²*(k+1)*(k²-1)/144 stays an exact integer ratio, and
+    z = (L2 - 2E)/(2*sqrt(var)) evaluates in one fixed double chain,
+    rounded 9dp."""
+    od = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    cells = (
+        od.select(
+            F.date_trunc("month", "o_orderdate").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("blk", "s")
+        .agg(F.sum("cents").alias("m"))
+    )
+    kframe = cells.agg(F.countDistinct("s").alias("k0"))
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(kframe))
+        .filter(F.col("cnt") == F.col("k0"))
+        .select("blk")
+    )
+    cells = cells.join(F.broadcast(complete), "blk")
+    wblk = Window.partitionBy("blk").orderBy("m")
+    wtie = Window.partitionBy("blk", "m")
+    ranked = (
+        cells.withColumn("below", F.rank().over(wblk) - 1)
+        .withColumn("t", F.count("*").over(wtie))
+        .withColumn("r2", 2 * F.col("below") + F.col("t") + 1)
+    )
+    m = ranked.agg(
+        F.sum(F.col("s").cast(d38) * F.col("r2").cast(d38)).alias("l2"),
+        F.countDistinct("blk").cast(d38).alias("b"),
+        F.countDistinct("s").cast(d38).alias("k"),
+    )
+    e2 = F.expr("CAST(b * k * (k + 1) * (k + 1) AS DECIMAL(38,0)) DIV 2")
+    var_num = (
+        F.col("b")
+        * F.col("k")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+    )
+    z = F.round(
+        (F.col("l2").cast("double") - F.col("e2_v").cast("double"))
+        / (2.0 * F.sqrt(var_num.cast("double") / F.lit(144.0))),
+        9,
+    )
+    return (
+        m.withColumn("e2_v", e2)
+        .select(
+            F.col("b").cast("long").alias("n_blocks"),
+            F.col("k").cast("long").alias("k_groups"),
+            F.col("l2").cast("long").alias("l2"),
+            z.alias("z"),
+        )
+    )
+
+
+_ORACLE_ALL["q300_pages_trend"] = """
+    WITH cells0 AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS blk,
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1, 2
+    ), kf AS (SELECT COUNT(DISTINCT s) AS k0 FROM cells0),
+    complete AS (
+        SELECT blk FROM cells0 CROSS JOIN kf
+        GROUP BY blk, k0 HAVING COUNT(*) = ANY_VALUE(k0)
+    ), cells AS (
+        SELECT c.* FROM cells0 c JOIN complete USING (blk)
+    ), ranked AS (
+        SELECT s,
+               2 * (RANK() OVER (PARTITION BY blk ORDER BY m) - 1)
+               + COUNT(*) OVER (PARTITION BY blk, m) + 1 AS r2,
+               blk
+        FROM cells
+    ), agg AS (
+        SELECT CAST(SUM(CAST(s AS HUGEINT) * r2) AS HUGEINT) AS l2,
+               CAST(COUNT(DISTINCT blk) AS HUGEINT) AS b,
+               CAST(COUNT(DISTINCT s) AS HUGEINT) AS k
+        FROM ranked
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_groups,
+           CAST(l2 AS BIGINT) AS l2,
+           ROUND((CAST(l2 AS DOUBLE)
+                  - CAST((b * k * (k + 1) * (k + 1)) // 2 AS DOUBLE))
+                 / (2.0 * SQRT(CAST(b * k * k * (k + 1) * (k * k - 1)
+                                    AS DOUBLE) / 144.0)), 9) AS z
+    FROM agg
+"""
+EXTRA_QUERIES["q300_pages_trend"] = q300_pages_trend
+EXTRA_ORACLE["q300_pages_trend"] = _ORACLE_ALL["q300_pages_trend"]
+
+
+def q301_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) = I(X;Y)/H(Y) for the
+    same three categorical pairs as q289's Cramér's V — the
+    ASYMMETRIC, information-theoretic association measure feature
+    audits prefer when direction matters (how much of Y's entropy
+    does knowing X remove?). Same stacked one-aggregate contingency;
+    every entropy term is the q280 discipline — (n/N)*ln(rx/n) and
+    (cy/N)*ln(N/cy) are single fixed double chains on exact integer
+    counts, rounded 9dp into DECIMAL(28,9) BEFORE summation (0*log 0
+    cells are simply absent, contributing their correct zero), and
+    U = (H(Y) - H(Y|X))/H(Y) divides once at the end, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    p1 = li.select(
+        F.lit("rf:ls").alias("pair"),
+        F.col("l_returnflag").alias("x"),
+        F.col("l_linestatus").alias("y"),
+    )
+    p2 = od.select(
+        F.lit("os:op").alias("pair"),
+        F.col("o_orderstatus").alias("x"),
+        F.col("o_orderpriority").alias("y"),
+    )
+    p3 = (
+        li.select("l_orderkey", F.col("l_returnflag").alias("x"))
+        .join(
+            od.select("o_orderkey", F.col("o_orderpriority").alias("y")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.lit("rf:op").alias("pair"), "x", "y")
+    )
+    cells = (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .groupBy("pair", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rx = cells.groupBy("pair", "x").agg(F.sum("n").alias("rx"))
+    cy = cells.groupBy("pair", "y").agg(F.sum("n").alias("cy"))
+    tot = cells.groupBy("pair").agg(F.sum("n").alias("n_tot"))
+    d289 = "decimal(28,9)"
+    hyx = (
+        cells.join(rx, ["pair", "x"])
+        .join(F.broadcast(tot), "pair")
+        .withColumn(
+            "term",
+            F.round(
+                F.col("n").cast("double")
+                / F.col("n_tot").cast("double")
+                * F.log(
+                    F.col("rx").cast("double") / F.col("n").cast("double")
+                ),
+                9,
+            ),
+        )
+        .groupBy("pair", "n_tot")
+        .agg(F.sum(F.col("term").cast(d289)).cast("double").alias("h_y_given_x"))
+    )
+    hy = (
+        cy.join(F.broadcast(tot), "pair")
+        .withColumn(
+            "term",
+            F.round(
+                F.col("cy").cast("double")
+                / F.col("n_tot").cast("double")
+                * F.log(
+                    F.col("n_tot").cast("double") / F.col("cy").cast("double")
+                ),
+                9,
+            ),
+        )
+        .groupBy("pair")
+        .agg(F.sum(F.col("term").cast(d289)).cast("double").alias("h_y"))
+    )
+    return (
+        hyx.join(hy, "pair")
+        .select(
+            "pair",
+            "n_tot",
+            F.round("h_y", 9).alias("h_y"),
+            F.round("h_y_given_x", 9).alias("h_y_given_x"),
+            F.round(
+                (F.col("h_y") - F.col("h_y_given_x")) / F.col("h_y"), 9
+            ).alias("u_yx"),
+        )
+        .orderBy("pair")
+    )
+
+
+_ORACLE_ALL["q301_theils_u"] = """
+    WITH stacked AS (
+        SELECT 'rf:ls' AS pair, l_returnflag AS x, l_linestatus AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'os:op', o_orderstatus, o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'rf:op', l_returnflag, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cells AS (
+        SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM stacked GROUP BY 1, 2, 3
+    ), rx AS (
+        SELECT pair, x, CAST(SUM(n) AS BIGINT) AS rx FROM cells GROUP BY 1, 2
+    ), cy AS (
+        SELECT pair, y, CAST(SUM(n) AS BIGINT) AS cy FROM cells GROUP BY 1, 2
+    ), tot AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_tot FROM cells GROUP BY 1
+    ), hyx AS (
+        SELECT c.pair, t.n_tot,
+               CAST(SUM(CAST(ROUND(CAST(c.n AS DOUBLE)
+                                   / CAST(t.n_tot AS DOUBLE)
+                                   * LN(CAST(r.rx AS DOUBLE)
+                                        / CAST(c.n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS h_y_given_x
+        FROM cells c
+        JOIN rx r ON r.pair = c.pair AND r.x = c.x
+        JOIN tot t ON t.pair = c.pair
+        GROUP BY 1, 2
+    ), hy AS (
+        SELECT cy.pair,
+               CAST(SUM(CAST(ROUND(CAST(cy.cy AS DOUBLE)
+                                   / CAST(t.n_tot AS DOUBLE)
+                                   * LN(CAST(t.n_tot AS DOUBLE)
+                                        / CAST(cy.cy AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS h_y
+        FROM cy JOIN tot t ON t.pair = cy.pair
+        GROUP BY 1
+    )
+    SELECT hyx.pair, hyx.n_tot,
+           ROUND(hy.h_y, 9) AS h_y,
+           ROUND(hyx.h_y_given_x, 9) AS h_y_given_x,
+           ROUND((hy.h_y - hyx.h_y_given_x) / hy.h_y, 9) AS u_yx
+    FROM hyx JOIN hy ON hy.pair = hyx.pair
+    ORDER BY hyx.pair
+"""
+EXTRA_QUERIES["q301_theils_u"] = q301_theils_u
+EXTRA_ORACLE["q301_theils_u"] = _ORACLE_ALL["q301_theils_u"]

@@ -378,3 +378,57 @@ def test_kruskal_wallis_matches_pandas_ranks(spark):
     corr = 1.0 - ((t**3 - t).sum()) / (n**3 - n)
     assert abs(row.h_stat - h_u / corr) < 1e-6
     assert row.n_total == n and row.k_groups == 3
+
+
+def test_cohens_kappa_matches_direct(spark):
+    """Re-derive kappa per stratum from the 2x2 cells the query itself
+    reports: kappa = (po - pe)/(1 - pe); kappa <= po and in [-1, 1]."""
+    rows = EXTRA["q299_cohens_kappa"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        n = r.a + r.b + r.c + r.d
+        po = (r.a + r.d) / n
+        pe = ((r.a + r.b) * (r.a + r.c) + (r.c + r.d) * (r.b + r.d)) / n**2
+        assert abs(r.p_observed - po) < 1e-9
+        assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-9
+        assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+
+
+def test_pages_trend_consistent_with_friedman_frame(spark):
+    """L2 is bounded by the extreme orderings: b*k*(k+1)... the minimum
+    (reverse order) and maximum (aligned order) of sum(s*2R) over
+    complete blocks; block/group counts match q296's."""
+    row = EXTRA["q300_pages_trend"](spark, SF_SMOKE).collect()[0]
+    f = EXTRA["q296_friedman_test"](spark, SF_SMOKE).collect()
+    assert row.n_blocks == f[0].n_blocks and row.k_groups == f[0].k
+    b, k = row.n_blocks, row.k_groups
+    # untied doubled ranks are 2..2k step 2; extremes of sum(s*2r)
+    lo = b * sum((i + 1) * 2 * (k - i) for i in range(k))
+    hi = b * sum((i + 1) * 2 * (i + 1) for i in range(k))
+    assert lo <= row.l2 <= hi
+    assert math.isfinite(row.z)
+
+
+def test_theils_u_information_inequalities(spark):
+    """0 <= H(Y|X) <= H(Y) (conditioning never increases entropy), so
+    U in [0, 1]; the lineitem-local pair re-derived in pandas."""
+    rows = {r.pair: r for r in EXTRA["q301_theils_u"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"rf:ls", "os:op", "rf:op"}
+    for r in rows.values():
+        assert -1e-9 <= r.h_y_given_x <= r.h_y + 1e-9
+        assert -1e-9 <= r.u_yx <= 1.0 + 1e-9
+    pdf = _lineitem_pdf(spark)
+    ct = pd.crosstab(pdf["l_returnflag"], pdf["l_linestatus"])
+    n = ct.values.sum()
+    hy = sum(
+        -(ct[b].sum() / n) * math.log(ct[b].sum() / n) for b in ct.columns
+    )
+    hyx = 0.0
+    for a in ct.index:
+        ra = ct.loc[a].sum()
+        for b in ct.columns:
+            o = ct.loc[a, b]
+            if o:
+                hyx += (o / n) * math.log(ra / o)
+    r = rows["rf:ls"]
+    assert abs(r.h_y - hy) < 1e-6 and abs(r.h_y_given_x - hyx) < 1e-6
