@@ -432,3 +432,44 @@ def test_theils_u_information_inequalities(spark):
                 hyx += (o / n) * math.log(ra / o)
     r = rows["rf:ls"]
     assert abs(r.h_y - hy) < 1e-6 and abs(r.h_y_given_x - hyx) < 1e-6
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(0, 100000)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pav_minimax_identity(levels):
+    """The two mathematical facts q285 rests on, pinned over random
+    weighted level sets with exact Fraction arithmetic:
+    (1) the sequential PAV solution equals the closed minimax form
+        fit(k) = max_{i<=k} min_{j>=k} avg(i..j);
+    (2) floor (to micro-units) commutes through that minimax, so the
+        engine's fixed-point DIV comparisons compute the floored
+        exact solution, never a reordered winner."""
+    pav = _pav_exact([(i, c, s) for i, (c, s) in enumerate(levels)])
+    n = len(levels)
+    pre_s, pre_c = [0], [0]
+    for c, s in levels:
+        pre_s.append(pre_s[-1] + s)
+        pre_c.append(pre_c[-1] + c)
+    for k in range(n):
+        best, best_fp = None, None
+        for i in range(k + 1):
+            mn, mn_fp = None, None
+            for j in range(k, n):
+                a = Fraction(pre_s[j + 1] - pre_s[i], pre_c[j + 1] - pre_c[i])
+                afp = (a * 1_000_000).__floor__()
+                mn = a if mn is None else min(mn, a)
+                mn_fp = afp if mn_fp is None else min(mn_fp, afp)
+            best = mn if best is None else max(best, mn)
+            best_fp = mn_fp if best_fp is None else max(best_fp, mn_fp)
+        assert best == pav[k]
+        assert best_fp == (pav[k] * 1_000_000).__floor__()
