@@ -473,3 +473,74 @@ def test_pav_minimax_identity(levels):
             best_fp = mn_fp if best_fp is None else max(best_fp, mn_fp)
         assert best == pav[k]
         assert best_fp == (pav[k] * 1_000_000).__floor__()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_contingency_pair_counts_match_bruteforce(rows):
+    """The cell-grid pair algebra q282/q295 use — concordant and
+    discordant counts as Σ n_a*n_b over cell pairs — equals the
+    brute-force O(n²) pair scan on random (x, y) data."""
+    from collections import Counter
+
+    cells = Counter(rows)
+    c_grid = d_grid = 0
+    for (xa, ya), na in cells.items():
+        for (xb, yb), nb in cells.items():
+            if xb > xa and yb > ya:
+                c_grid += na * nb
+            elif xb > xa and yb < ya:
+                d_grid += na * nb
+    c_bf = d_bf = 0
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            if i == j:
+                continue
+            (xa, ya), (xb, yb) = rows[i], rows[j]
+            if xb > xa and yb > ya:
+                c_bf += 1
+            elif xb > xa and yb < ya:
+                d_bf += 1
+    assert (c_grid, d_grid) == (c_bf, d_bf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 8)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_doubled_midrank_u_matches_bruteforce(rows):
+    """q288/q295's doubled-midrank rank sum — Σ c_a(v)*(2*below+t+1)
+    over the value margins — equals twice the brute-force Wilcoxon
+    rank sum (greater pairs + half ties + self-rank base)."""
+    from collections import Counter
+
+    vals = Counter(v for _, v in rows)
+    ca = Counter(v for is_a, v in rows if is_a)
+    below = 0
+    r2a = 0
+    for v in sorted(vals):
+        t = vals[v]
+        r2 = 2 * below + t + 1
+        r2a += ca.get(v, 0) * r2
+        below += t
+    # brute force: rank of each A-row = 1 + #smaller + (#ties-1)/2
+    # over the combined sample; doubled to stay integral
+    r2a_bf = 0
+    all_v = [v for _, v in rows]
+    for is_a, v in rows:
+        if not is_a:
+            continue
+        smaller = sum(1 for u in all_v if u < v)
+        ties = sum(1 for u in all_v if u == v)
+        r2a_bf += 2 + 2 * smaller + (ties - 1)
+    assert r2a == r2a_bf
