@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from batchprocessingetl_spark.workload import (
     curation_queries as _curation,
     events as _events,
+    inference_queries as _inference,
     mm_stream as _mm_stream,
     pipeline_queries as _pipeline,
     relational as _relational,
@@ -41,6 +42,7 @@ _MODULES = (
     _events,
     _textops,
     _stats,
+    _inference,
 )
 
 # Round-9 rotation (VERDICT r8 #1): the 50 driver-checked rows.

@@ -1,0 +1,1238 @@
+"""Round-10 statistical-inference shelf (q302+).
+
+Survival comparison (log-rank), ordinal association (gamma / Somers' D
+/ Stuart tau-c), distribution distance (1-D Wasserstein), serial
+correlation (Durbin-Watson / lag-1), one-way ANOVA, paired
+nonparametrics (Wilcoxon signed-rank, Cochran's Q), robust location
+(Hodges-Lehmann), partial correlation, and structural-break (Chow) —
+the remaining classical monitoring statistics a 100 TB training-data
+pipeline runs next to its ETL, formulated with the repo's established
+cross-engine discipline (see stats_queries.py): facts collapse to
+bounded domain/contingency grids in ONE hash aggregate, every window
+runs over the collapsed frame, the arithmetic core stays exact
+integer/DECIMAL(38,0), and the single final double chain is written in
+the identical operation order on both engines, rounded for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batchprocessingetl_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLE: dict = {}
+_ORACLE_ALL: dict = {}
+
+_D38 = "decimal(38,0)"
+
+LOGRANK_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q302_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test: do high-priority orders (1-URGENT /
+    2-HIGH) ship on a different survival curve than the rest? The
+    hypothesis-test companion to q293's Kaplan-Meier curve (same
+    duration framing: t = days from order to ship, returned lines
+    right-censored). One fact aggregate collapses to the integer-day
+    domain grid (t -> d1/c1/d0/c0); at-risk counts are suffix sums
+    over that ~2.5k-row frame; at each event time the expected group-1
+    events E1 = d*n1/n and the hypergeometric variance
+    d*n1*(n-n1)*(n-d) / (n^2*(n-1)) are each ONE double chain on
+    exactly-cast integers (factor-by-factor, identical order both
+    engines — no DECIMAL(38,0) n^4 product, so no overflow at any
+    scale), rounded 9dp into DECIMAL(28,9) so the cross-time sums are
+    exact and order-free. z = (O1-E1)/sqrt(V) and chi2 = z^2 are the
+    final double ops. Only the first aggregate is data-proportional."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    base = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_returnflag") != "R").alias("event"),
+    ).join(
+        od.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    cells = (
+        base.select(
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("t"),
+            "event",
+            F.col("o_orderpriority").isin(*LOGRANK_HIGH).alias("hi"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("hi") & F.col("event"), 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("hi") & ~F.col("event"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(~F.col("hi") & F.col("event"), 1).otherwise(0)).alias("d0"),
+            F.sum(F.when(~F.col("hi") & ~F.col("event"), 1).otherwise(0)).alias("c0"),
+        )
+    )
+    wrisk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        cells.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(wrisk))
+        .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(wrisk))
+        .withColumn("n", F.col("n1") + F.col("n0"))
+        .withColumn("d", F.col("d1") + F.col("d0"))
+        .filter(F.col("d") > 0)
+    )
+    dd = F.col("d").cast("double")
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    e1 = F.round(dd * n1d / nd, 9).cast("decimal(28,9)")
+    var = F.when(F.col("n") > 1, F.round(
+        dd
+        * n1d
+        * (F.col("n") - F.col("n1")).cast("double")
+        * (F.col("n") - F.col("d")).cast("double")
+        / (nd * nd * (F.col("n") - 1).cast("double")),
+        9,
+    )).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    agg = risk.select(
+        F.col("d1").cast("decimal(28,9)").alias("o1t"),
+        e1.alias("e1t"),
+        var.alias("vt"),
+        "d1",
+        "d0",
+    ).agg(
+        F.sum("o1t").alias("o1"),
+        F.sum("e1t").alias("e1"),
+        F.sum("vt").alias("v"),
+        F.sum("d1").cast("long").alias("events_hi"),
+        F.sum("d0").cast("long").alias("events_lo"),
+    )
+    z = F.col("o1").cast("double") - F.col("e1").cast("double")
+    return agg.select(
+        "events_hi",
+        "events_lo",
+        F.round(F.col("e1").cast("double"), 6).alias("expected_hi"),
+        F.round(z / F.sqrt(F.col("v").cast("double")), 6).alias("z"),
+        F.round(
+            z * z / F.col("v").cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+_ORACLE_ALL["q302_logrank_test"] = """
+    WITH cells AS (
+        SELECT DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS t,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS d1,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS d0,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS c0
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), risk AS (
+        SELECT t, d1, d0,
+               SUM(d1 + c1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+               SUM(d0 + c0) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        FROM cells
+    ), ev AS (
+        SELECT t, d1, d0, n1, n0, n1 + n0 AS n, d1 + d0 AS d
+        FROM risk WHERE d1 + d0 > 0
+    ), terms AS (
+        SELECT d1, d0,
+               CAST(ROUND(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                          / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS e1t,
+               CAST(CASE WHEN n > 1 THEN ROUND(
+                        CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        * CAST(n - n1 AS DOUBLE) * CAST(n - d AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE)), 9)
+                    ELSE 0.0 END AS DECIMAL(28,9)) AS vt
+        FROM ev
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS events_hi,
+           CAST(SUM(d0) AS BIGINT) AS events_lo,
+           ROUND(CAST(SUM(e1t) AS DOUBLE), 6) AS expected_hi,
+           ROUND((CAST(SUM(CAST(d1 AS DECIMAL(28,9))) AS DOUBLE)
+                  - CAST(SUM(e1t) AS DOUBLE))
+                 / SQRT(CAST(SUM(vt) AS DOUBLE)), 6) AS z,
+           ROUND((CAST(SUM(CAST(d1 AS DECIMAL(28,9))) AS DOUBLE)
+                  - CAST(SUM(e1t) AS DOUBLE))
+                 * (CAST(SUM(CAST(d1 AS DECIMAL(28,9))) AS DOUBLE)
+                    - CAST(SUM(e1t) AS DOUBLE))
+                 / CAST(SUM(vt) AS DOUBLE), 6) AS chi2
+    FROM terms
+"""
+EXTRA_QUERIES["q302_logrank_test"] = q302_logrank_test
+EXTRA_ORACLE["q302_logrank_test"] = _ORACLE_ALL["q302_logrank_test"]
+
+
+def q303_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma, both Somers' D directions, and Stuart's
+    tau-c for quantity vs discount per return flag — the full ordinal-
+    association family sharing q282's machinery (tau-b is there): ONE
+    hash aggregate collapses the fact table to the <=550-cell
+    contingency grid per group, concordant/discordant pair counts come
+    from the grid self-join (domain x domain, constant in row count),
+    tie corrections from the margins, and every statistic is exact
+    BIGINT up to its own single final double division, rounded 9dp.
+    gamma ignores ties; D_yx / D_xy each exclude one tie direction;
+    tau-c = 2m(C-D)/(n^2(m-1)) corrects for the m = min(rows, cols)
+    rectangular grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("int").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("int")
+            .alias("y"),
+        )
+        .groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("c_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("d_pairs"),
+        )
+    )
+    margins = cells.groupBy("g").agg(
+        F.sum("n").alias("n_rows"),
+        F.countDistinct("x").alias("mx"),
+        F.countDistinct("y").alias("my"),
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("n").alias("r"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("r * (r - 1) DIV 2")).alias("ties_x"))
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("n").alias("r"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("r * (r - 1) DIV 2")).alias("ties_y"))
+    )
+    n0 = F.expr("n_rows * (n_rows - 1) DIV 2")
+    s = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    m = F.least(F.col("mx"), F.col("my"))
+    return (
+        pair.join(margins, "g")
+        .join(tx, "g")
+        .join(ty, "g")
+        .select(
+            "g",
+            "n_rows",
+            "c_pairs",
+            "d_pairs",
+            F.round(
+                s / (F.col("c_pairs") + F.col("d_pairs")).cast("double"), 9
+            ).alias("gamma"),
+            F.round(
+                s / (n0 - F.col("ties_x")).cast("double"), 9
+            ).alias("somers_d_yx"),
+            F.round(
+                s / (n0 - F.col("ties_y")).cast("double"), 9
+            ).alias("somers_d_xy"),
+            F.round(
+                F.lit(2.0)
+                * m.cast("double")
+                * s
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.col("n_rows").cast("double")
+                    * (m - 1).cast("double")
+                ),
+                9,
+            ).alias("tau_c"),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q303_ordinal_association"] = """
+    WITH cells AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS x,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3
+    ), pair AS (
+        SELECT a.g,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c_pairs,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d_pairs
+        FROM cells a JOIN cells b ON a.g = b.g GROUP BY 1
+    ), margins AS (
+        SELECT g, CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT x) AS BIGINT) AS mx,
+               CAST(COUNT(DISTINCT y) AS BIGINT) AS my
+        FROM cells GROUP BY 1
+    ), tx AS (
+        SELECT g, CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS ties_x
+        FROM (SELECT g, x, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
+    ), ty AS (
+        SELECT g, CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS ties_y
+        FROM (SELECT g, y, SUM(n) AS r FROM cells GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT p.g, m.n_rows, p.c_pairs, p.d_pairs,
+           ROUND(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                 / CAST(p.c_pairs + p.d_pairs AS DOUBLE), 9) AS gamma,
+           ROUND(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                 / CAST(m.n_rows * (m.n_rows - 1) // 2 - t1.ties_x AS DOUBLE),
+                 9) AS somers_d_yx,
+           ROUND(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                 / CAST(m.n_rows * (m.n_rows - 1) // 2 - t2.ties_y AS DOUBLE),
+                 9) AS somers_d_xy,
+           ROUND(2.0 * CAST(LEAST(m.mx, m.my) AS DOUBLE)
+                 * CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                 / (CAST(m.n_rows AS DOUBLE) * CAST(m.n_rows AS DOUBLE)
+                    * CAST(LEAST(m.mx, m.my) - 1 AS DOUBLE)), 9) AS tau_c
+    FROM pair p
+    JOIN margins m USING (g) JOIN tx t1 USING (g) JOIN ty t2 USING (g)
+    ORDER BY p.g
+"""
+EXTRA_QUERIES["q303_ordinal_association"] = q303_ordinal_association
+EXTRA_ORACLE["q303_ordinal_association"] = _ORACLE_ALL["q303_ordinal_association"]
+
+
+def q304_wasserstein_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the 1995 and
+    1996 daily-revenue distributions — the drift metric that, unlike
+    q172's KS (sup norm) or q171's PSI (binned), integrates the FULL
+    CDF gap: W1 = integral |F_a - F_b| dx. Day-grain discipline: one
+    fact aggregate collapses to ~730 daily cent totals, the merged
+    value grid carries per-year day counts, and on the value-sorted
+    frame W1 = sum |cum_a*n_b - cum_b*n_a| * gap / (n_a*n_b) where
+    every summand is an exact BIGINT cross-product (the q172 KS
+    identity) times an exact cents gap, summed in DECIMAL(38,0) —
+    fully exact until ONE final double division. The same frame also
+    yields the KS sup for free, cross-checking q172's machinery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .filter(F.year("day").isin(1995, 1996))
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    grid = (
+        daily.select(
+            "rev",
+            F.when(F.year("day") == 1995, 1).otherwise(0).alias("a"),
+            F.when(F.year("day") == 1996, 1).otherwise(0).alias("b"),
+        )
+        .groupBy("rev")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    )
+    wcum = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("rev")
+    tot = grid.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    stepped = (
+        grid.withColumn("cum_a", F.sum("ca").over(wcum))
+        .withColumn("cum_b", F.sum("cb").over(wcum))
+        .withColumn("gap", F.lead("rev").over(wlead) - F.col("rev"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cross = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = stepped.agg(
+        F.sum(
+            F.when(
+                F.col("gap").isNotNull(),
+                (cross * F.col("gap")).cast(_D38),
+            ).otherwise(F.lit(0).cast(_D38))
+        ).alias("w1_num"),
+        F.max(cross).alias("ks_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("w1_num").cast("double") / nn / F.lit(100.0), 6).alias(
+            "w1_dollars"
+        ),
+        F.round(F.col("ks_num").cast("double") / nn, 9).alias("ks_stat"),
+    )
+
+
+_ORACLE_ALL["q304_wasserstein_daily_revenue"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem
+        WHERE YEAR(CAST(l_shipdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1
+    ), grid AS (
+        SELECT rev,
+               SUM(CASE WHEN YEAR(day) = 1995 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN YEAR(day) = 1996 THEN 1 ELSE 0 END) AS cb
+        FROM daily GROUP BY 1
+    ), tot AS (
+        SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM grid
+    ), stepped AS (
+        SELECT rev,
+               SUM(ca) OVER (ORDER BY rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               SUM(cb) OVER (ORDER BY rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               LEAD(rev) OVER (ORDER BY rev) - rev AS gap
+        FROM grid
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CASE WHEN s.gap IS NOT NULL
+                    THEN CAST(ABS(s.cum_a * t.n_b - s.cum_b * t.n_a)
+                              * s.gap AS HUGEINT)
+                    ELSE 0 END) AS DOUBLE)
+                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                 / 100.0, 6) AS w1_dollars,
+           ROUND(CAST(MAX(ABS(s.cum_a * t.n_b - s.cum_b * t.n_a)) AS DOUBLE)
+                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 9)
+               AS ks_stat
+    FROM stepped s CROSS JOIN tot t
+    GROUP BY t.n_a, t.n_b
+"""
+EXTRA_QUERIES["q304_wasserstein_daily_revenue"] = q304_wasserstein_daily_revenue
+EXTRA_ORACLE["q304_wasserstein_daily_revenue"] = _ORACLE_ALL[
+    "q304_wasserstein_daily_revenue"
+]
+
+
+def q305_serial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic and lag-1 autocorrelation of the
+    mean-detrended daily revenue series — the residual-independence
+    screen next to q294's runs test and q208's ACF, here with a FULLY
+    EXACT integer core: on the ~2.4k-day frame the demeaned value is
+    cleared of its rational mean as E_t = n*y_t - S (exact
+    DECIMAL(38,0); the n cancels in every ratio), so
+    DW = sum (E_t - E_{t-1})^2 / sum E_t^2 and
+    r1 = sum E_t*E_{t-1} / sum E_t^2 are exact integer ratios with ONE
+    final double division each, rounded 9dp. Squares stay ~ (n_days *
+    daily_cents)^2 * n_days — inside DECIMAL(38,0) through sf1000;
+    beyond that the cents grid coarsens to dollars. Only the daily
+    aggregate is data-proportional; the lag window runs on the
+    collapsed day frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("s")
+    )
+    wlag = Window.orderBy("day")
+    e = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_days",
+            (
+                F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+                - F.col("s").cast(_D38)
+            ).alias("e"),
+        )
+        .withColumn("e_prev", F.lag("e").over(wlag))
+    )
+    agg = e.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("ss"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+            ).otherwise(F.lit(0).cast(_D38))
+        ).alias("dss"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(), F.col("e") * F.col("e_prev")
+            ).otherwise(F.lit(0).cast(_D38))
+        ).alias("xss"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(
+            F.col("dss").cast("double") / F.col("ss").cast("double"), 9
+        ).alias("durbin_watson"),
+        F.round(
+            F.col("xss").cast("double") / F.col("ss").cast("double"), 9
+        ).alias("lag1_autocorr"),
+    )
+
+
+_ORACLE_ALL["q305_serial_correlation"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev) AS s FROM daily
+    ), e AS (
+        SELECT d.day, t.n_days,
+               CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT) AS e,
+               LAG(CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT)) OVER (ORDER BY d.day) AS e_prev
+        FROM daily d CROSS JOIN tot t
+    )
+    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CASE WHEN e_prev IS NOT NULL
+                    THEN (e - e_prev) * (e - e_prev) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(e * e) AS DOUBLE), 9) AS durbin_watson,
+           ROUND(CAST(SUM(CASE WHEN e_prev IS NOT NULL
+                    THEN e * e_prev ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(e * e) AS DOUBLE), 9) AS lag1_autocorr
+    FROM e
+"""
+EXTRA_QUERIES["q305_serial_correlation"] = q305_serial_correlation
+EXTRA_ORACLE["q305_serial_correlation"] = _ORACLE_ALL["q305_serial_correlation"]
+
+
+def q306_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of line quantity across the five order
+    priorities — the parametric sibling of q298's Kruskal-Wallis
+    (which ranks; this takes means). Sufficient statistics only: ONE
+    hash aggregate per group yields (n_g, S_g = sum x, Q_g = sum x^2),
+    all exact BIGINTs. The between-group term sum S_g^2/n_g follows
+    the q299 discipline — each group's term is one double chain on
+    exactly-cast integers rounded 9dp into DECIMAL(28,9), so the
+    5-term sum is exact and order-free; SSW = Q - sum-terms and
+    SSB = sum-terms - S^2/N stay in the decimal domain, and
+    F = (SSB*(N-k)) / (SSW*(k-1)) plus eta^2 = SSB/(SSB+SSW) are the
+    final double chains, rounded 9dp. Nothing after the first
+    aggregate is data-proportional."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    groups = (
+        li.select("l_orderkey", F.col("l_quantity").cast("long").alias("x"))
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+    )
+    term = F.round(
+        (F.col("s").cast("double") * F.col("s").cast("double"))
+        / F.col("n").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    agg = groups.select("n", "s", "q", term.alias("t")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.sum("t").alias("t_sum"),
+    )
+    grand = F.round(
+        (F.col("s_tot").cast("double") * F.col("s_tot").cast("double"))
+        / F.col("n_tot").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    ssb = (F.col("t_sum") - grand).cast("double")
+    ssw = (F.col("q_tot").cast("decimal(28,9)") - F.col("t_sum")).cast("double")
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_tot").cast("long").alias("n_rows"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            ssb
+            * (F.col("n_tot") - F.col("k")).cast("double")
+            / (ssw * (F.col("k") - 1).cast("double")),
+            9,
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 9).alias("eta_sq"),
+    )
+
+
+_ORACLE_ALL["q306_anova_oneway"] = """
+    WITH groups AS (
+        SELECT o_orderpriority AS g, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS q
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), terms AS (
+        SELECT n, s, q,
+               CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS t
+        FROM groups
+    ), agg AS (
+        SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(s) AS s_tot,
+               SUM(q) AS q_tot, SUM(t) AS t_sum
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n_tot AS BIGINT) AS n_rows,
+           ROUND(CAST(t_sum - CAST(ROUND(CAST(s_tot AS DOUBLE)
+                          * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+                      AS DECIMAL(28,9)) AS DOUBLE), 6) AS ss_between,
+           ROUND(CAST(CAST(q_tot AS DECIMAL(28,9)) - t_sum AS DOUBLE), 6)
+               AS ss_within,
+           ROUND(CAST(t_sum - CAST(ROUND(CAST(s_tot AS DOUBLE)
+                          * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+                      AS DECIMAL(28,9)) AS DOUBLE)
+                 * CAST(n_tot - k AS DOUBLE)
+                 / (CAST(CAST(q_tot AS DECIMAL(28,9)) - t_sum AS DOUBLE)
+                    * CAST(k - 1 AS DOUBLE)), 9) AS f_stat,
+           ROUND(CAST(t_sum - CAST(ROUND(CAST(s_tot AS DOUBLE)
+                          * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+                      AS DECIMAL(28,9)) AS DOUBLE)
+                 / (CAST(t_sum - CAST(ROUND(CAST(s_tot AS DOUBLE)
+                          * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+                      AS DECIMAL(28,9)) AS DOUBLE)
+                    + CAST(CAST(q_tot AS DECIMAL(28,9)) - t_sum AS DOUBLE)),
+                 9) AS eta_sq
+    FROM agg
+"""
+EXTRA_QUERIES["q306_anova_oneway"] = q306_anova_oneway
+EXTRA_ORACLE["q306_anova_oneway"] = _ORACLE_ALL["q306_anova_oneway"]
+
+
+def q307_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED samples — did per-(nation,
+    month-of-year) revenue shift between 1995 and 1996? The paired
+    sibling of q288's independent-samples Mann-Whitney: pairing by
+    (nation, calendar month) removes seasonal + regional variance
+    before testing. One fact aggregate collapses to <=300 pair cells
+    (exact cent sums, both years present), differences are exact
+    BIGINTs, zero differences drop (Wilcoxon convention), |d| midranks
+    use the repo's doubled-rank identity 2R = 2*below + t + 1 over the
+    pair frame, and the doubled positive-rank sum W2 = 2W+ with its
+    exact null moments (E[W2] = n(n+1)/2, 12*Var[W2] =
+    2n(n+1)(2n+1) - sum(t^3 - t)) keep everything integer until the
+    final z division, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.select(
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .filter(F.year("day").isin(1995, 1996))
+        .join(
+            od.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.month("day").alias("mth"))
+        .agg(
+            F.sum(F.when(F.year("day") == 1995, F.col("cents")).otherwise(0)).alias("v1"),
+            F.sum(F.when(F.year("day") == 1996, F.col("cents")).otherwise(0)).alias("v2"),
+            F.sum(F.when(F.year("day") == 1995, 1).otherwise(0)).alias("k1"),
+            F.sum(F.when(F.year("day") == 1996, 1).otherwise(0)).alias("k2"),
+        )
+        .filter((F.col("k1") > 0) & (F.col("k2") > 0))
+        .select((F.col("v2") - F.col("v1")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select("d", F.abs(F.col("d")).alias("ad"))
+    )
+    wrank = Window.orderBy("ad")
+    wtie = Window.partitionBy("ad")
+    ranked = (
+        pairs.withColumn("below", F.rank().over(wrank) - 1)
+        .withColumn("t", F.count("*").over(wtie))
+        .withColumn("r2", 2 * F.col("below") + F.col("t") + 1)
+    )
+    ties = (
+        ranked.groupBy("ad")
+        .agg(F.max("t").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(_D38) * F.col("t").cast(_D38) * F.col("t").cast(_D38)
+                - F.col("t").cast(_D38)
+            ).alias("tie_cube")
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast(_D38)
+        .alias("w2"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    ).crossJoin(F.broadcast(ties))
+    e2 = F.expr("CAST(n * (n + 1) AS DECIMAL(38,0)) DIV 2")
+    vn = (
+        F.lit(2).cast(_D38) * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+        - F.col("tie_cube")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        "n_pos",
+        "n_neg",
+        F.col("w2").cast("long").alias("w_plus_x2"),
+        F.round(
+            (F.col("w2") - e2).cast("double")
+            / F.sqrt(vn.cast("double") / F.lit(12.0)),
+            9,
+        ).alias("z"),
+    )
+
+
+_ORACLE_ALL["q307_wilcoxon_signed_rank"] = """
+    WITH pairs AS (
+        SELECT n.n_name AS nation, MONTH(CAST(l.l_shipdate AS DATE)) AS mth,
+               SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1995
+                        THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS v1,
+               SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1996
+                        THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS v2,
+               SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1995
+                        THEN 1 ELSE 0 END) AS k1,
+               SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) AS k2
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE YEAR(CAST(l.l_shipdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1995
+                        THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) > 0
+    ), diffs AS (
+        SELECT v2 - v1 AS d, ABS(v2 - v1) AS ad
+        FROM pairs WHERE v2 - v1 <> 0
+    ), ranked AS (
+        SELECT d, ad,
+               RANK() OVER (ORDER BY ad) - 1 AS below,
+               COUNT(*) OVER (PARTITION BY ad) AS t
+        FROM diffs
+    ), ties AS (
+        SELECT SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                   - CAST(t AS HUGEINT)) AS tie_cube
+        FROM (SELECT ad, MAX(t) AS t FROM ranked GROUP BY ad)
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CASE WHEN d > 0 THEN 2 * below + t + 1 ELSE 0 END)
+                    AS HUGEINT) AS w2,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_neg
+        FROM ranked
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_pairs,
+           CAST(a.n_pos AS BIGINT) AS n_pos,
+           CAST(a.n_neg AS BIGINT) AS n_neg,
+           CAST(a.w2 AS BIGINT) AS w_plus_x2,
+           ROUND(CAST(a.w2 - (a.n * (a.n + 1) // 2) AS DOUBLE)
+                 / SQRT(CAST(2 * a.n * (a.n + 1) * (2 * a.n + 1) - t.tie_cube
+                             AS DOUBLE) / 12.0), 9) AS z
+    FROM agg a CROSS JOIN ties t
+"""
+EXTRA_QUERIES["q307_wilcoxon_signed_rank"] = q307_wilcoxon_signed_rank
+EXTRA_ORACLE["q307_wilcoxon_signed_rank"] = _ORACLE_ALL["q307_wilcoxon_signed_rank"]
+
+
+def q308_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann robust location estimate of line quantity per
+    return flag — the median of all Walsh averages (x_i + x_j)/2,
+    i <= j, the estimator dual to q307's signed-rank test (and the
+    location sibling of q287's Theil-Sen slope). Pair space is tamed
+    the q282 way: quantity lives on a <=50-value domain, so ONE hash
+    aggregate yields the per-group value grid and the Walsh-average
+    multiset is the grid SELF-JOIN with integer multiplicities
+    (n_a*n_b for v_a < v_b, n(n+1)/2 on the diagonal — self-pairs
+    included per the classical definition), collapsed to <=2.5k
+    (group, doubled-sum) cells — constant in row count. The weighted
+    LOWER median (q294 convention: min s with 2*cum >= W) stays on
+    the integer doubled-sum grid; the only division is the final /2
+    for display."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    walsh = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.v") <= F.col("b.v")),
+        )
+        .select(
+            F.col("a.g").alias("g"),
+            (F.col("a.v") + F.col("b.v")).alias("s"),
+            F.when(
+                F.col("a.v") < F.col("b.v"), F.col("a.n") * F.col("b.n")
+            )
+            .otherwise(F.expr("`a`.n * (`a`.n + 1) DIV 2"))
+            .alias("w"),
+        )
+        .groupBy("g", "s")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = Window.partitionBy("g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = walsh.groupBy("g").agg(F.sum("w").alias("w_tot"))
+    med = (
+        walsh.withColumn("cum", F.sum("w").over(wcum))
+        .join(F.broadcast(tot), "g")
+        .filter(2 * F.col("cum") >= F.col("w_tot"))
+        .groupBy("g")
+        .agg(F.min("s").alias("hl_x2"))
+    )
+    counts = grid.groupBy("g").agg(F.sum("n").alias("n_rows"))
+    return (
+        med.join(tot, "g")
+        .join(counts, "g")
+        .select(
+            "g",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("w_tot").cast("long").alias("n_walsh"),
+            F.col("hl_x2").cast("long").alias("hl_x2"),
+            (F.col("hl_x2").cast("double") / F.lit(2.0)).alias("hl_estimate"),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q308_hodges_lehmann"] = """
+    WITH grid AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), walsh AS (
+        SELECT a.g, a.v + b.v AS s,
+               SUM(CASE WHEN a.v < b.v THEN a.n * b.n
+                        ELSE a.n * (a.n + 1) // 2 END) AS w
+        FROM grid a JOIN grid b ON a.g = b.g AND a.v <= b.v
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT g, SUM(w) AS w_tot FROM walsh GROUP BY 1
+    ), med AS (
+        SELECT c.g, MIN(c.s) AS hl_x2
+        FROM (
+            SELECT g, s, SUM(w) OVER (PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM walsh
+        ) c JOIN tot t ON c.g = t.g
+        WHERE 2 * c.cum >= t.w_tot
+        GROUP BY 1
+    ), counts AS (
+        SELECT g, SUM(n) AS n_rows FROM grid GROUP BY 1
+    )
+    SELECT m.g, CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(t.w_tot AS BIGINT) AS n_walsh,
+           CAST(m.hl_x2 AS BIGINT) AS hl_x2,
+           CAST(m.hl_x2 AS DOUBLE) / 2.0 AS hl_estimate
+    FROM med m JOIN tot t ON m.g = t.g JOIN counts c ON m.g = c.g
+    ORDER BY m.g
+"""
+EXTRA_QUERIES["q308_hodges_lehmann"] = q308_hodges_lehmann
+EXTRA_ORACLE["q308_hodges_lehmann"] = _ORACLE_ALL["q308_hodges_lehmann"]
+
+
+def q309_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test across k=3 related binary order 'checks' — any
+    returned line, any deep-discount (>= 6%) line, any slow-ship
+    (> 20 days) line — the k-treatment generalization of q240's
+    McNemar (k=2) and the binary analogue of q296's Friedman: do the
+    three quality flags fire at the same rate on the same orders? ONE
+    per-order aggregate produces the 3-bit row, a second collapses to
+    the sufficient statistics (column totals C_j, sum R_i, sum R_i^2),
+    and Q = (k-1)(k*sum C_j^2 - T^2) / (k*T - sum R_i^2) is exact
+    BIGINT until its single final division, rounded 9dp. Orders with
+    all-zero or all-one rows contribute nothing to Q (they cancel
+    algebraically) but stay in the frame — the classical form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    rows = (
+        li.select(
+            "l_orderkey",
+            "l_shipdate",
+            (F.col("l_returnflag") == "R").alias("ret"),
+            (F.col("l_discount") >= 0.06).alias("disc"),
+        )
+        .join(
+            od.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.col("ret").cast("int")).alias("x1"),
+            F.max(F.col("disc").cast("int")).alias("x2"),
+            F.max(
+                (
+                    F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                    > 20
+                ).cast("int")
+            ).alias("x3"),
+        )
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    agg = rows.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_orders"),
+        F.sum("x1").cast(_D38).alias("c1"),
+        F.sum("x2").cast(_D38).alias("c2"),
+        F.sum("x3").cast(_D38).alias("c3"),
+        F.sum(r).cast(_D38).alias("t"),
+        F.sum(r * r).cast(_D38).alias("rr"),
+    )
+    k = F.lit(3).cast(_D38)
+    qnum = (k - 1) * (
+        k * (F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2") + F.col("c3") * F.col("c3"))
+        - F.col("t") * F.col("t")
+    )
+    qden = k * F.col("t") - F.col("rr")
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("c1").cast("long").alias("n_returned"),
+        F.col("c2").cast("long").alias("n_deep_discount"),
+        F.col("c3").cast("long").alias("n_slow_ship"),
+        F.round(qnum.cast("double") / qden.cast("double"), 9).alias("cochran_q"),
+    )
+
+
+_ORACLE_ALL["q309_cochran_q"] = """
+    WITH rows_ AS (
+        SELECT l.l_orderkey,
+               MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x1,
+               MAX(CASE WHEN l.l_discount >= 0.06 THEN 1 ELSE 0 END) AS x2,
+               MAX(CASE WHEN DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)) > 20
+                        THEN 1 ELSE 0 END) AS x3
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n_orders,
+               CAST(SUM(x1) AS HUGEINT) AS c1,
+               CAST(SUM(x2) AS HUGEINT) AS c2,
+               CAST(SUM(x3) AS HUGEINT) AS c3,
+               CAST(SUM(x1 + x2 + x3) AS HUGEINT) AS t,
+               CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS HUGEINT) AS rr
+        FROM rows_
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(c1 AS BIGINT) AS n_returned,
+           CAST(c2 AS BIGINT) AS n_deep_discount,
+           CAST(c3 AS BIGINT) AS n_slow_ship,
+           ROUND(CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t)
+                      AS DOUBLE)
+                 / CAST(3 * t - rr AS DOUBLE), 9) AS cochran_q
+    FROM agg
+"""
+EXTRA_QUERIES["q309_cochran_q"] = q309_cochran_q
+EXTRA_ORACLE["q309_cochran_q"] = _ORACLE_ALL["q309_cochran_q"]
+
+
+def q310_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of quantity and line revenue
+    CONTROLLING for discount — does the quantity-revenue relationship
+    survive once the confounder is partialled out? (q232's Spearman
+    and q282's tau measure the raw association; this is the
+    causal-adjustment read, the 3-variable step toward q263's fixed
+    effects.) ONE sufficient-statistics hash aggregate yields the ten
+    exact moments (n, three sums, three squares, three cross-products
+    — cents and hundredths grids, DECIMAL(38,0)/HUGEINT); each
+    pairwise Pearson r is one double chain on the exactly-cast
+    integer-cleared covariances (n*Sxy - Sx*Sy etc.), rounded 9dp,
+    and the partial r_xy.z = (r_xy - r_xz*r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) recombines the three ROUNDED doubles —
+    a fixed arithmetic chain both engines replay identically. Nothing
+    after the single aggregate is data-proportional."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("z"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").cast(_D38).alias("sx"),
+        F.sum("y").cast(_D38).alias("sy"),
+        F.sum("z").cast(_D38).alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast(_D38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_D38).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast(_D38).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast(_D38).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast(_D38).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast(_D38).alias("syz"),
+    )
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        da = (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        db = (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return F.round(num / F.sqrt(da * db), 9)
+
+    r = m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        _r("sxy", "sx", "sy", "sxx", "syy").alias("r_xy"),
+        _r("sxz", "sx", "sz", "sxx", "szz").alias("r_xz"),
+        _r("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
+    )
+    part = (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / F.sqrt(
+        (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+        * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+    )
+    return r.select(
+        "n_rows", "r_xy", "r_xz", "r_yz", F.round(part, 9).alias("r_xy_given_z")
+    )
+
+
+_ORACLE_ALL["q310_partial_correlation"] = """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS sy,
+               CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS sz,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS syy,
+               CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS szz,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS sxz,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS syz
+        FROM lineitem
+    ), r AS (
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r_xy,
+               ROUND(CAST(n * sxz - sx * sz AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * szz - sz * sz AS DOUBLE)), 9) AS r_xz,
+               ROUND(CAST(n * syz - sy * sz AS DOUBLE)
+                     / SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+                            * CAST(n * szz - sz * sz AS DOUBLE)), 9) AS r_yz
+        FROM m
+    )
+    SELECT n_rows, r_xy, r_xz, r_yz,
+           ROUND((r_xy - r_xz * r_yz)
+                 / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 9)
+               AS r_xy_given_z
+    FROM r
+"""
+EXTRA_QUERIES["q310_partial_correlation"] = q310_partial_correlation
+EXTRA_ORACLE["q310_partial_correlation"] = _ORACLE_ALL["q310_partial_correlation"]
+
+
+CHOW_SPLIT_DATE = "1998-07-01"
+
+
+def q311_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test of the daily-revenue linear trend at
+    a fixed split date — did the revenue/time regression change regime
+    mid-series? (q209's CUSUM localizes a mean shift; this F-tests a
+    SLOPE+INTERCEPT break at a hypothesized date, the q107 OLS
+    machinery run three times.) Day-grain discipline: one fact
+    aggregate collapses to ~2.4k (day, cents) rows; each segment's
+    sufficient statistics (n, St, Sy, Stt, Sty, Syy — exact
+    DECIMAL(38,0)/HUGEINT on the integer day/cents grids) aggregate
+    per segment, the POOLED moments are the segment sums (no second
+    scan), each SSR = (Syy' - Sxy'^2/Sxx')/n (n-scaled centered sums,
+    ONE double chain on exactly-cast integers, rounded 6dp into the
+    decimal domain), and F = ((SSR_p - SSR_a - SSR_b)/2) /
+    ((SSR_a + SSR_b)/(n - 4)) is the final chain, rounded 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            F.datediff(F.col("day"), F.lit(CHOW_SPLIT_DATE).cast("date")).alias("t"),
+            "rev",
+            (F.col("day") < F.lit(CHOW_SPLIT_DATE).cast("date")).alias("pre"),
+        )
+    )
+    seg = daily.groupBy("pre").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("t").cast(_D38).alias("st"),
+        F.sum("rev").cast(_D38).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast(_D38).alias("stt"),
+        F.sum(F.col("t").cast(_D38) * F.col("rev").cast(_D38)).alias("sty"),
+        F.sum(F.col("rev").cast(_D38) * F.col("rev").cast(_D38)).alias("syy"),
+    )
+
+    def _ssr(n, st, sy, stt, sty, syy):
+        sxx = (n * stt - st * st).cast("double")
+        sxy = (n * sty - st * sy).cast("double")
+        syy_c = (n * syy - sy * sy).cast("double")
+        return F.round((syy_c - sxy * sxy / sxx) / n.cast("double"), 6)
+
+    both = seg.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("st").alias("st_all"),
+        F.sum("sy").alias("sy_all"),
+        F.sum("stt").alias("stt_all"),
+        F.sum("sty").alias("sty_all"),
+        F.sum("syy").alias("syy_all"),
+        F.sum(F.when(F.col("pre"), F.col("n")).otherwise(F.lit(0).cast(_D38))).alias("n_a"),
+        F.max(
+            F.when(
+                F.col("pre"),
+                _ssr(
+                    F.col("n"), F.col("st"), F.col("sy"),
+                    F.col("stt"), F.col("sty"), F.col("syy"),
+                ),
+            )
+        ).alias("ssr_a"),
+        F.max(
+            F.when(
+                ~F.col("pre"),
+                _ssr(
+                    F.col("n"), F.col("st"), F.col("sy"),
+                    F.col("stt"), F.col("sty"), F.col("syy"),
+                ),
+            )
+        ).alias("ssr_b"),
+    )
+    ssr_p = _ssr(
+        F.col("n_all"), F.col("st_all"), F.col("sy_all"),
+        F.col("stt_all"), F.col("sty_all"), F.col("syy_all"),
+    )
+    fstat = (
+        (F.col("ssr_p") - F.col("ssr_a") - F.col("ssr_b")) / F.lit(2.0)
+    ) / ((F.col("ssr_a") + F.col("ssr_b")) / (F.col("n_days") - F.lit(4.0)))
+    return (
+        both.select(
+            F.col("n_all").cast("long").alias("n_days_l"),
+            F.col("n_a").cast("long").alias("n_pre"),
+            ssr_p.alias("ssr_p"),
+            "ssr_a",
+            "ssr_b",
+        )
+        .select(
+            F.col("n_days_l").cast("double").alias("n_days"),
+            F.col("n_pre").cast("long").alias("n_pre"),
+            F.round(F.col("ssr_p") / F.lit(1.0e12), 6).alias("ssr_pooled_e12"),
+            F.round(F.col("ssr_a") / F.lit(1.0e12), 6).alias("ssr_pre_e12"),
+            F.round(F.col("ssr_b") / F.lit(1.0e12), 6).alias("ssr_post_e12"),
+            F.round(fstat, 6).alias("chow_f"),
+        )
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            "n_pre",
+            "ssr_pooled_e12",
+            "ssr_pre_e12",
+            "ssr_post_e12",
+            "chow_f",
+        )
+    )
+
+
+_ORACLE_ALL["q311_chow_break_test"] = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '{CHOW_SPLIT_DATE}',
+                         CAST(l_shipdate AS DATE)) AS t,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev,
+               (CAST(l_shipdate AS DATE) < DATE '{CHOW_SPLIT_DATE}') AS pre
+        FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    ), seg AS (
+        SELECT pre, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(rev) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(t AS BIGINT) * CAST(t AS BIGINT)) AS HUGEINT)
+                   AS stt,
+               SUM(CAST(t AS HUGEINT) * CAST(rev AS HUGEINT)) AS sty,
+               SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS syy
+        FROM daily GROUP BY 1
+    ), ssr AS (
+        SELECT pre, n,
+               ROUND((CAST(n * syy - sy * sy AS DOUBLE)
+                      - CAST(n * sty - st * sy AS DOUBLE)
+                        * CAST(n * sty - st * sy AS DOUBLE)
+                        / CAST(n * stt - st * st AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS ssr_seg
+        FROM seg
+    ), pooled AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(st) AS HUGEINT) AS st,
+               CAST(SUM(sy) AS HUGEINT) AS sy,
+               CAST(SUM(stt) AS HUGEINT) AS stt,
+               CAST(SUM(sty) AS HUGEINT) AS sty,
+               CAST(SUM(syy) AS HUGEINT) AS syy
+        FROM seg
+    ), pssr AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND((CAST(n * syy - sy * sy AS DOUBLE)
+                      - CAST(n * sty - st * sy AS DOUBLE)
+                        * CAST(n * sty - st * sy AS DOUBLE)
+                        / CAST(n * stt - st * st AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS ssr_p
+        FROM pooled
+    )
+    SELECT p.n_days,
+           CAST((SELECT n FROM ssr WHERE pre) AS BIGINT) AS n_pre,
+           ROUND(p.ssr_p / 1.0e12, 6) AS ssr_pooled_e12,
+           ROUND((SELECT ssr_seg FROM ssr WHERE pre) / 1.0e12, 6)
+               AS ssr_pre_e12,
+           ROUND((SELECT ssr_seg FROM ssr WHERE NOT pre) / 1.0e12, 6)
+               AS ssr_post_e12,
+           ROUND(((p.ssr_p - (SELECT ssr_seg FROM ssr WHERE pre)
+                   - (SELECT ssr_seg FROM ssr WHERE NOT pre)) / 2.0)
+                 / (((SELECT ssr_seg FROM ssr WHERE pre)
+                     + (SELECT ssr_seg FROM ssr WHERE NOT pre))
+                    / (CAST(p.n_days AS DOUBLE) - 4.0)), 6) AS chow_f
+    FROM pssr p
+"""
+EXTRA_QUERIES["q311_chow_break_test"] = q311_chow_break_test
+EXTRA_ORACLE["q311_chow_break_test"] = _ORACLE_ALL["q311_chow_break_test"]
