@@ -3347,3 +3347,158 @@ _ORACLE_ALL["q268_kmv_set_ops"] = f"""
 
 EXTRA_QUERIES["q268_kmv_set_ops"] = q268_kmv_set_ops
 EXTRA_ORACLE["q268_kmv_set_ops"] = _ORACLE_ALL["q268_kmv_set_ops"]
+
+
+def q318_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the q106/q185 event-transition chain —
+    H = -sum_i pi_i sum_j P_ij log2 P_ij, 'how predictable is the next
+    user action', the information-theoretic read that composes the
+    transition matrix (q106), the stationary distribution (q185), and
+    the repo's entropy discipline (q301): both the transition
+    probabilities P_ij and the stationary vector pi come from q185's
+    bit-exact FIXED-POINT integer machinery (scale 1e6, floor
+    division, 8 unrolled power steps — no float anywhere in the
+    iteration), and every transcendental term
+    (p/S)*log2(p/S) / pi*(p/S)*log2(p/S) is ONE double chain on those
+    exact integers rounded 9dp into DECIMAL(28,9), so the per-state
+    sums and the total are exact and order-free. One user-keyed window
+    pass is the only data-proportional work; the chain algebra runs on
+    the |types|^2 frame. Output: one row per state (stationary mass,
+    row entropy H_i, weighted contribution) plus the '__total__'
+    entropy-rate row."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = pairs.select(
+        "from_type",
+        "to_type",
+        F.expr(
+            f"n * {MARKOV_SCALE} div sum(n) over (partition by from_type)"
+        ).alias("p_s"),
+    )
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    p = barrier(p)
+    states = p.select(F.col("from_type").alias("t")).distinct()
+    n_states = states.count()
+    v = states.select("t", F.lit(MARKOV_SCALE // n_states).alias("v_s"))
+    for _ in range(MARKOV_STEPS):
+        v = (
+            p.join(v, p["from_type"] == v["t"])
+            .groupBy(F.col("to_type").alias("t2"))
+            .agg(F.expr(f"sum(p_s * v_s) div {MARKOV_SCALE}").alias("v_s"))
+            .select(F.col("t2").alias("t"), "v_s")
+        )
+    s = float(MARKOV_SCALE)
+    pd_ = F.col("p_s").cast("double") / F.lit(s)
+    h_term = F.when(
+        F.col("p_s") > 0, F.round(-(pd_ * F.log2(pd_)), 9)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    c_term = F.when(
+        F.col("p_s") > 0,
+        F.round(
+            -(F.col("v_s").cast("double") / F.lit(s)) * (pd_ * F.log2(pd_)), 9
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    rows = (
+        p.join(v, p["from_type"] == v["t"])
+        .select("from_type", "v_s", h_term.alias("h"), c_term.alias("c"))
+        .groupBy("from_type")
+        .agg(
+            F.max("v_s").alias("v_s"),
+            F.sum("h").alias("h_row"),
+            F.sum("c").alias("contribution"),
+        )
+        .select(
+            "from_type",
+            F.round(F.col("v_s") / F.lit(s), 6).alias("stationary"),
+            F.col("h_row").cast("double").alias("h_row"),
+            F.col("contribution").cast("double").alias("contribution"),
+        )
+    )
+    total = rows.agg(
+        F.lit("__total__").alias("from_type"),
+        F.round(F.sum(F.col("stationary")), 6).alias("stationary"),
+        F.round(F.sum(F.col("h_row").cast("decimal(28,9)")).cast("double"), 9).alias("h_row"),
+        F.round(
+            F.sum(F.col("contribution").cast("decimal(28,9)")).cast("double"), 9
+        ).alias("contribution"),
+    )
+    return rows.unionByName(total).orderBy("from_type")
+
+
+def _q318_oracle_sql(k: int) -> str:
+    s = MARKOV_SCALE
+    parts = [
+        f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT from_type, to_type,
+               CAST(n * {s} // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                   AS p_s
+        FROM pairs
+    ), v_0 AS (
+        SELECT from_type AS t,
+               CAST({s} // (SELECT COUNT(DISTINCT from_type) FROM pairs)
+                    AS BIGINT) AS v_s
+        FROM (SELECT DISTINCT from_type FROM pairs)
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", v_{r} AS (
+        SELECT p.to_type AS t,
+               CAST(SUM(p.p_s * v.v_s) // {s} AS BIGINT) AS v_s
+        FROM p JOIN v_{r - 1} v ON p.from_type = v.t
+        GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f""", terms AS (
+        SELECT p.from_type, v.v_s,
+               CAST(CASE WHEN p.p_s > 0 THEN ROUND(
+                    -(p.p_s / {s}.0) * LOG2(p.p_s / {s}.0), 9)
+                    ELSE 0.0 END AS DECIMAL(28,9)) AS h,
+               CAST(CASE WHEN p.p_s > 0 THEN ROUND(
+                    -(v.v_s / {s}.0) * ((p.p_s / {s}.0)
+                                        * LOG2(p.p_s / {s}.0)), 9)
+                    ELSE 0.0 END AS DECIMAL(28,9)) AS c
+        FROM p JOIN v_{k} v ON p.from_type = v.t
+    ), rows_ AS (
+        SELECT from_type,
+               ROUND(MAX(v_s) / {s}.0, 6) AS stationary,
+               CAST(SUM(h) AS DOUBLE) AS h_row,
+               CAST(SUM(c) AS DOUBLE) AS contribution
+        FROM terms GROUP BY 1
+    ), tot AS (
+        SELECT '__total__' AS from_type,
+               ROUND(SUM(stationary), 6) AS stationary,
+               ROUND(CAST(SUM(CAST(h_row AS DECIMAL(28,9))) AS DOUBLE), 9)
+                   AS h_row,
+               ROUND(CAST(SUM(CAST(contribution AS DECIMAL(28,9))) AS DOUBLE),
+                     9) AS contribution
+        FROM rows_
+    )
+    SELECT * FROM rows_ UNION ALL SELECT * FROM tot ORDER BY from_type"""
+    )
+    return "".join(parts)
+
+
+EXTRA_QUERIES["q318_markov_entropy_rate"] = q318_markov_entropy_rate
+EXTRA_ORACLE["q318_markov_entropy_rate"] = _q318_oracle_sql(MARKOV_STEPS)

@@ -990,17 +990,20 @@ def q310_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("z"),
     )
+    # products are cast to DECIMAL(38,0) BEFORE the sum: y*y is ~1e14
+    # per row, so a long accumulator overflows around sf0.1
+    xd, yd, zd = (F.col(c).cast(_D38) for c in ("x", "y", "z"))
     m = base.agg(
         F.count(F.lit(1)).cast(_D38).alias("n"),
         F.sum("x").cast(_D38).alias("sx"),
         F.sum("y").cast(_D38).alias("sy"),
         F.sum("z").cast(_D38).alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast(_D38).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_D38).alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast(_D38).alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast(_D38).alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast(_D38).alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast(_D38).alias("syz"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(zd * zd).alias("szz"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * zd).alias("sxz"),
+        F.sum(yd * zd).alias("syz"),
     )
 
     def _r(sab, sa, sb, saa, sbb):
@@ -1236,3 +1239,496 @@ _ORACLE_ALL["q311_chow_break_test"] = f"""
 """
 EXTRA_QUERIES["q311_chow_break_test"] = q311_chow_break_test
 EXTRA_ORACLE["q311_chow_break_test"] = _ORACLE_ALL["q311_chow_break_test"]
+
+
+LJUNG_BOX_LAGS = 7
+
+
+def q314_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the demeaned daily-revenue series
+    — the multi-lag generalization of q305 (which reads lag 1 only):
+    Q_LB = n(n+2) * sum_{k=1..7} r_k^2/(n-k), the standard residual-
+    whiteness screen. Same exact integer core as q305: E_t = n*y_t - S
+    on the ~2.4k-day frame (DECIMAL(38,0)); each lag's cross-sum
+    comes from ONE lag window per k over the collapsed frame, so
+    r_k = sum E_t E_{t-k} / sum E_t^2 is an exact integer ratio with
+    one double division, rounded 9dp; the portmanteau accumulates the
+    seven rounded terms in the decimal domain (order-free) before the
+    final n(n+2) scaling. Day-grain after one fact aggregate — the
+    lag stack costs nothing at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("s"))
+    wlag = Window.orderBy("day")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        (
+            F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+            - F.col("s").cast(_D38)
+        ).alias("e"),
+    )
+    lagged = e
+    for k in range(1, LJUNG_BOX_LAGS + 1):
+        lagged = lagged.withColumn(f"e_{k}", F.lag("e", k).over(wlag))
+    aggs = [
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("ss"),
+    ]
+    for k in range(1, LJUNG_BOX_LAGS + 1):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"e_{k}").isNotNull(), F.col("e") * F.col(f"e_{k}")
+                ).otherwise(F.lit(0).cast(_D38))
+            ).alias(f"x_{k}")
+        )
+    m = lagged.agg(*aggs)
+    rk = [
+        F.round(
+            F.col(f"x_{k}").cast("double") / F.col("ss").cast("double"), 9
+        ).cast("decimal(28,9)")
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    ]
+    nd = F.col("n_days").cast("double")
+    term_sum = None
+    for k, r in enumerate(rk, start=1):
+        t = F.round(
+            (r.cast("double") * r.cast("double"))
+            / (nd - F.lit(float(k))),
+            12,
+        ).cast("decimal(28,12)")
+        term_sum = t if term_sum is None else term_sum + t
+    qlb = nd * (nd + 2.0) * F.col("term_sum").cast("double")
+    return (
+        m.withColumn("term_sum", term_sum)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.lit(LJUNG_BOX_LAGS).cast("int").alias("n_lags"),
+            rk[0].cast("double").alias("r1"),
+            rk[1].cast("double").alias("r2"),
+            rk[2].cast("double").alias("r3"),
+            F.round(qlb, 6).alias("q_lb"),
+        )
+    )
+
+
+def _lb_oracle() -> str:
+    lags = ", ".join(
+        f"LAG(e, {k}) OVER (ORDER BY day) AS e_{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    xs = ", ".join(
+        f"SUM(CASE WHEN e_{k} IS NOT NULL THEN e * e_{k} ELSE 0 END) AS x_{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    rks = ", ".join(
+        f"CAST(ROUND(CAST(x_{k} AS DOUBLE) / CAST(ss AS DOUBLE), 9)"
+        f" AS DECIMAL(28,9)) AS r_{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    terms = " + ".join(
+        f"CAST(ROUND((CAST(r_{k} AS DOUBLE) * CAST(r_{k} AS DOUBLE))"
+        f" / (CAST(n_days AS DOUBLE) - {k}.0), 12) AS DECIMAL(28,12))"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev) AS s FROM daily
+    ), e AS (
+        SELECT d.day, t.n_days,
+               CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT) AS e
+        FROM daily d CROSS JOIN tot t
+    ), lagged AS (
+        SELECT day, n_days, e, {lags} FROM e
+    ), m AS (
+        SELECT MAX(n_days) AS n_days, SUM(e * e) AS ss, {xs} FROM lagged
+    ), rk AS (
+        SELECT n_days, {rks} FROM m
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST({LJUNG_BOX_LAGS} AS INT) AS n_lags,
+           CAST(r_1 AS DOUBLE) AS r1,
+           CAST(r_2 AS DOUBLE) AS r2,
+           CAST(r_3 AS DOUBLE) AS r3,
+           ROUND(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+                 * CAST({terms} AS DOUBLE), 6) AS q_lb
+    FROM rk
+"""
+
+
+_ORACLE_ALL["q314_ljung_box"] = _lb_oracle()
+EXTRA_QUERIES["q314_ljung_box"] = q314_ljung_box
+EXTRA_ORACLE["q314_ljung_box"] = _ORACLE_ALL["q314_ljung_box"]
+
+
+def q315_agreement_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chance-correction family of inter-rater agreement on q299's
+    per-priority 2x2 cells (returnflag-R vs linestatus-O as the two
+    'annotators'): observed agreement, Cohen's kappa (rater-specific
+    marginals), Scott's pi (pooled marginals), and Gwet's AC1 (the
+    prevalence-robust coefficient label-ops teams prefer when one
+    class dominates — kappa's known paradox). One aggregate to the
+    5x4 cell frame; every numerator/denominator is cleared to exact
+    DECIMAL(38,0)/HUGEINT integer form (kappa via n(a+d) - pe_num as
+    q299; pi via 4n(a+d) - s_pool with s_pool = ((a+b)+(a+c))^2 +
+    ((c+d)+(b+d))^2; AC1 via its q-form 2*(2q(n-q))-clearing where
+    q = (a+b)+(a+c) is the pooled positive mass), so each statistic
+    is ONE final double division, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cells = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_returnflag") == "R").alias("x"),
+            (F.col("l_linestatus") == "O").alias("y"),
+        )
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(F.col("x") & F.col("y"), 1).otherwise(0)).cast(_D38).alias("a"),
+            F.sum(F.when(F.col("x") & ~F.col("y"), 1).otherwise(0)).cast(_D38).alias("b"),
+            F.sum(F.when(~F.col("x") & F.col("y"), 1).otherwise(0)).cast(_D38).alias("c"),
+            F.sum(F.when(~F.col("x") & ~F.col("y"), 1).otherwise(0)).cast(_D38).alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    agree = a + d
+    # kappa: pe_num = (a+b)(a+c) + (c+d)(b+d), scaled by n^2
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    kappa = (n * agree - pe_num).cast("double") / (n * n - pe_num).cast("double")
+    # Scott's pi: pooled marginal p = ((a+b)+(a+c)) / 2n; pe_pi =
+    # p^2 + (1-p)^2; cleared by 4n^2: s_pool = q^2 + (2n-q)^2
+    qq = (a + b) + (a + c)
+    s_pool = qq * qq + (2 * n - qq) * (2 * n - qq)
+    pi = (F.lit(4).cast(_D38) * n * agree - s_pool).cast("double") / (
+        F.lit(4).cast(_D38) * n * n - s_pool
+    ).cast("double")
+    # Gwet AC1: pe_g = 2*p*(1-p) with the same pooled p; cleared by
+    # 4n^2: g_pool = 2*q*(2n - q)
+    g_pool = F.lit(2).cast(_D38) * qq * (2 * n - qq)
+    ac1 = (F.lit(4).cast(_D38) * n * agree - g_pool).cast("double") / (
+        F.lit(4).cast(_D38) * n * n - g_pool
+    ).cast("double")
+    return cells.select(
+        "stratum",
+        n.cast("long").alias("n"),
+        F.round(agree.cast("double") / n.cast("double"), 9).alias("p_observed"),
+        F.round(kappa, 9).alias("kappa"),
+        F.round(pi, 9).alias("scotts_pi"),
+        F.round(ac1, 9).alias("gwet_ac1"),
+    ).orderBy("stratum")
+
+
+_ORACLE_ALL["q315_agreement_family"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'O'
+                             THEN 1 ELSE 0 END) AS HUGEINT) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), f AS (
+        SELECT stratum, a, b, c, d,
+               a + b + c + d AS n, a + d AS agree,
+               (a + b) * (a + c) + (c + d) * (b + d) AS pe_num,
+               (a + b) + (a + c) AS q
+        FROM cells
+    )
+    SELECT stratum,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_observed,
+           ROUND(CAST(n * agree - pe_num AS DOUBLE)
+                 / CAST(n * n - pe_num AS DOUBLE), 9) AS kappa,
+           ROUND(CAST(4 * n * agree - (q * q + (2 * n - q) * (2 * n - q))
+                      AS DOUBLE)
+                 / CAST(4 * n * n - (q * q + (2 * n - q) * (2 * n - q))
+                        AS DOUBLE), 9) AS scotts_pi,
+           ROUND(CAST(4 * n * agree - 2 * q * (2 * n - q) AS DOUBLE)
+                 / CAST(4 * n * n - 2 * q * (2 * n - q) AS DOUBLE), 9)
+               AS gwet_ac1
+    FROM f ORDER BY stratum
+"""
+EXTRA_QUERIES["q315_agreement_family"] = q315_agreement_family
+EXTRA_ORACLE["q315_agreement_family"] = _ORACLE_ALL["q315_agreement_family"]
+
+
+CCF_MAX_LAG = 3
+
+
+def q316_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily REVENUE and daily
+    LINE-COUNT series at lags -3..+3 — does volume lead value, or the
+    reverse? The bivariate companion of q305/q314's univariate serial
+    correlation, and the lead-lag screen a pipeline runs between its
+    own throughput metrics. Both series demean exactly on the shared
+    ~2.4k-day frame (E_t = n·y_t − S, F_t = n·c_t − C — the common n
+    cancels in r), one lag/lead window stack per offset, and every
+    r_k = sum E_t F_{t-k} / sqrt(sum E² · sum F²) is an exact-integer
+    ratio with one double chain, rounded 9dp. Positive lag = revenue
+    trails counts by k days. One row per lag for a 7-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"), F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("s"),
+        F.sum("cnt").alias("c"),
+    )
+    wlag = Window.orderBy("day")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        (
+            F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+            - F.col("s").cast(_D38)
+        ).alias("e"),
+        (
+            F.col("n_days").cast(_D38) * F.col("cnt").cast(_D38)
+            - F.col("c").cast(_D38)
+        ).alias("f"),
+    )
+    for k in range(1, CCF_MAX_LAG + 1):
+        e = e.withColumn(f"f_m{k}", F.lag("f", k).over(wlag))
+        e = e.withColumn(f"f_p{k}", F.lead("f", k).over(wlag))
+    aggs = [
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+        F.sum(F.col("e") * F.col("f")).alias("x_0"),
+    ]
+    for k in range(1, CCF_MAX_LAG + 1):
+        for sgn, nm in ((f"f_m{k}", f"x_m{k}"), (f"f_p{k}", f"x_p{k}")):
+            aggs.append(
+                F.sum(
+                    F.when(F.col(sgn).isNotNull(), F.col("e") * F.col(sgn))
+                    .otherwise(F.lit(0).cast(_D38))
+                ).alias(nm)
+            )
+    m = e.agg(*aggs)
+    den = F.sqrt(F.col("see").cast("double") * F.col("sff").cast("double"))
+    lag_cols = []
+    for k in range(CCF_MAX_LAG, 0, -1):
+        lag_cols.append((-k, F.col(f"x_m{k}")))
+    lag_cols.append((0, F.col("x_0")))
+    for k in range(1, CCF_MAX_LAG + 1):
+        lag_cols.append((k, F.col(f"x_p{k}")))
+    rows = [
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(x.cast("double") / den, 9).alias("ccf"),
+        )
+        for k, x in lag_cols
+    ]
+    return (
+        m.select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.explode(F.array(*rows)).alias("r"),
+        )
+        .select("n_days", F.col("r.lag").alias("lag"), F.col("r.ccf").alias("ccf"))
+        .orderBy("lag")
+    )
+
+
+def _ccf_oracle() -> str:
+    shifts = []
+    for k in range(1, CCF_MAX_LAG + 1):
+        shifts.append(f"LAG(f, {k}) OVER (ORDER BY day) AS f_m{k}")
+        shifts.append(f"LEAD(f, {k}) OVER (ORDER BY day) AS f_p{k}")
+    xs = ["SUM(e * f) AS x_0"]
+    for k in range(1, CCF_MAX_LAG + 1):
+        xs.append(
+            f"SUM(CASE WHEN f_m{k} IS NOT NULL THEN e * f_m{k} ELSE 0 END)"
+            f" AS x_m{k}"
+        )
+        xs.append(
+            f"SUM(CASE WHEN f_p{k} IS NOT NULL THEN e * f_p{k} ELSE 0 END)"
+            f" AS x_p{k}"
+        )
+    sel = []
+    for k in range(CCF_MAX_LAG, 0, -1):
+        sel.append(f"({-k}, x_m{k})")
+    sel.append("(0, x_0)")
+    for k in range(1, CCF_MAX_LAG + 1):
+        sel.append(f"({k}, x_p{k})")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST(n_days AS BIGINT) AS n_days, CAST({lag} AS INT) AS lag,"
+        f" ROUND(CAST({x} AS DOUBLE)"
+        f" / SQRT(CAST(see AS DOUBLE) * CAST(sff AS DOUBLE)), 9) AS ccf"
+        f" FROM m"
+        for lag, x in (s.strip("()").split(", ") for s in sel)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev) AS s, SUM(cnt) AS c FROM daily
+    ), ef AS (
+        SELECT d.day, t.n_days,
+               CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT) AS e,
+               CAST(t.n_days AS HUGEINT) * CAST(d.cnt AS HUGEINT)
+                   - CAST(t.c AS HUGEINT) AS f
+        FROM daily d CROSS JOIN tot t
+    ), shifted AS (
+        SELECT day, n_days, e, f, {", ".join(shifts)} FROM ef
+    ), m AS (
+        SELECT MAX(n_days) AS n_days, SUM(e * e) AS see, SUM(f * f) AS sff,
+               {", ".join(xs)}
+        FROM shifted
+    )
+    SELECT * FROM ({unions}) ORDER BY lag
+"""
+
+
+_ORACLE_ALL["q316_cross_correlation"] = _ccf_oracle()
+EXTRA_QUERIES["q316_cross_correlation"] = q316_cross_correlation
+EXTRA_ORACLE["q316_cross_correlation"] = _ORACLE_ALL["q316_cross_correlation"]
+
+
+def q317_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily revenue series at lags
+    1..3 via the closed Durbin-Levinson forms — the AR-order
+    diagnostic read next to q314's Ljung-Box (ACF says WHETHER
+    structure exists; PACF says what AR order explains it). The
+    autocorrelations r1..r3 come from q305/q314's exact integer core
+    (one lag-window stack on the collapsed ~2.4k-day frame, each r_k
+    one double division rounded 9dp); the Levinson recursion then runs
+    as a FIXED double chain on the three rounded r's: phi11 = r1,
+    phi22 = (r2 − r1²)/(1 − r1²), phi33 from the order-2 solve —
+    identical operation order on both engines, rounded 9dp. Constant
+    work after the day aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("s"))
+    wlag = Window.orderBy("day")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        (
+            F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+            - F.col("s").cast(_D38)
+        ).alias("e"),
+    )
+    for k in (1, 2, 3):
+        e = e.withColumn(f"e_{k}", F.lag("e", k).over(wlag))
+    m = e.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("ss"),
+        *[
+            F.sum(
+                F.when(F.col(f"e_{k}").isNotNull(), F.col("e") * F.col(f"e_{k}"))
+                .otherwise(F.lit(0).cast(_D38))
+            ).alias(f"x_{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r = {
+        k: F.round(
+            F.col(f"x_{k}").cast("double") / F.col("ss").cast("double"), 9
+        )
+        for k in (1, 2, 3)
+    }
+    rr = m.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        r[1].alias("r1"),
+        r[2].alias("r2"),
+        r[3].alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    # order-2 AR coefficients, then the order-3 reflection coefficient
+    a21 = r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)
+    a22 = phi22
+    phi33 = (r3 - a21 * r2 - a22 * r1) / (F.lit(1.0) - a21 * r1 - a22 * r2)
+    return rr.select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        F.round(phi11, 9).alias("pacf1"),
+        F.round(phi22, 9).alias("pacf2"),
+        F.round(phi33, 9).alias("pacf3"),
+    )
+
+
+_ORACLE_ALL["q317_pacf"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev) AS s FROM daily
+    ), e AS (
+        SELECT d.day, t.n_days,
+               CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT) AS e
+        FROM daily d CROSS JOIN tot t
+    ), lagged AS (
+        SELECT day, n_days, e,
+               LAG(e, 1) OVER (ORDER BY day) AS e_1,
+               LAG(e, 2) OVER (ORDER BY day) AS e_2,
+               LAG(e, 3) OVER (ORDER BY day) AS e_3
+        FROM e
+    ), m AS (
+        SELECT MAX(n_days) AS n_days, SUM(e * e) AS ss,
+               SUM(CASE WHEN e_1 IS NOT NULL THEN e * e_1 ELSE 0 END) AS x_1,
+               SUM(CASE WHEN e_2 IS NOT NULL THEN e * e_2 ELSE 0 END) AS x_2,
+               SUM(CASE WHEN e_3 IS NOT NULL THEN e * e_3 ELSE 0 END) AS x_3
+        FROM lagged
+    ), r AS (
+        SELECT CAST(n_days AS BIGINT) AS n_days,
+               ROUND(CAST(x_1 AS DOUBLE) / CAST(ss AS DOUBLE), 9) AS r1,
+               ROUND(CAST(x_2 AS DOUBLE) / CAST(ss AS DOUBLE), 9) AS r2,
+               ROUND(CAST(x_3 AS DOUBLE) / CAST(ss AS DOUBLE), 9) AS r3
+        FROM m
+    )
+    SELECT n_days, r1, r2, r3,
+           ROUND(r1, 9) AS pacf1,
+           ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS pacf2,
+           ROUND((r3 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r2
+                  - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+                 / (1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                    - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 9) AS pacf3
+    FROM r
+"""
+EXTRA_QUERIES["q317_pacf"] = q317_pacf
+EXTRA_ORACLE["q317_pacf"] = _ORACLE_ALL["q317_pacf"]

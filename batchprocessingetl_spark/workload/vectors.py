@@ -1257,3 +1257,232 @@ def _q278_oracle_sql() -> str:
 
 EXTRA_QUERIES["q278_product_quantization"] = q278_product_quantization
 EXTRA_ORACLE["q278_product_quantization"] = _q278_oracle_sql()
+
+
+MRL_PREFIX = 8
+MRL_CAND = 32
+MRL_K = 5
+
+
+def q312_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) two-stage retrieval: a COARSE pass
+    scores every corpus vector against each query using only the first
+    8 of 64 dimensions — with the prefix materialized as its own
+    column, a columnar scan reads 1/8 of the vector bytes — then the
+    top-32 shortlist per query is exactly re-ranked at full dimension
+    for the final top-5. The dimension-adaptive sibling of q56's
+    int8 funnel (precision cut) and q125's IVF funnel (candidate cut):
+    this one cuts WIDTH, the trade MRL-trained embedding stacks run at
+    retrieval time. The coarse stage reuses the q65 block-GEMM
+    machinery (block-local top-k then a skinny B*Q*k global window —
+    never an N*Q shuffle) on the prefix column; the re-rank joins the
+    32*Q shortlist back to full vectors by id, so full-width vectors
+    are touched for only |shortlist| rows. Both stages round cosines
+    6dp BEFORE ranking with id-ASC tie-breaks, so the whole funnel —
+    prefix scores, shortlist membership, final ranks — is pinned by a
+    plain SQL oracle replaying the same two windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    pre_corpus = corpus.select(
+        "vec_id", "label", F.slice("embedding", 1, MRL_PREFIX).alias("pre")
+    )
+    pre_q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.slice("embedding", 1, MRL_PREFIX).alias("qpre"),
+    )
+    cand = S.knn_join(
+        pre_corpus,
+        pre_q,
+        MRL_CAND,
+        vec_col="pre",
+        qvec_col="qpre",
+        payload_cols=("label",),
+    ).select(
+        "qid", "vec_id", "label", F.col("cosine").alias("coarse_cosine")
+    )
+    full = corpus.select(
+        F.col("vec_id").alias("__vid"), S.as_double(F.col("embedding")).alias("vv")
+    )
+    qfull = queries.select(
+        F.col("vec_id").alias("__qid"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(full, cand["vec_id"] == full["__vid"])
+        .join(F.broadcast(qfull), cand["qid"] == qfull["__qid"])
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            "coarse_cosine",
+            F.round(S.cosine(F.col("vv"), F.col("qv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MRL_K)
+        .orderBy("qid", "rank")
+    )
+
+
+_PRECOS = """
+    list_sum(list_transform(range(1, 9), i -> ee[i] * qe[i]))
+    / (sqrt(list_sum(list_transform(ee[1:8], x -> x * x)))
+       * sqrt(list_sum(list_transform(qe[1:8], x -> x * x))))
+"""
+
+EXTRA_QUERIES["q312_matryoshka_rerank"] = q312_matryoshka_rerank
+EXTRA_ORACLE["q312_matryoshka_rerank"] = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+        FROM embeddings WHERE vec_id % 100 <> 0
+    ), coarse AS (
+        SELECT q.qid, e.vec_id, e.label, ROUND({_PRECOS}, 6) AS coarse_cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({_PRECOS}, 6) DESC, e.vec_id ASC
+               ) AS crank,
+               ROUND({_COS}, 6) AS cosine
+        FROM e CROSS JOIN q
+    ), rer AS (
+        SELECT qid, vec_id, label, coarse_cosine, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM coarse WHERE crank <= {MRL_CAND}
+    )
+    SELECT qid, vec_id, label, coarse_cosine, cosine, rank
+    FROM rer WHERE rank <= {MRL_K}
+    ORDER BY qid, rank
+"""
+
+
+BQ_CAND = 32
+BQ_K = 5
+
+
+def q313_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization retrieval: each 64-dim vector packs
+    its SIGN BITS into two 32-bit words (64x narrower than float32),
+    the coarse stage ranks corpus vectors by Hamming distance to the
+    query signature — two XOR + popcount ops per comparison on packed
+    BIGINT words, the cheapest possible scan — and the top-32
+    shortlist re-ranks at exact full precision for the final top-5.
+    Completes the quantization funnel family: q56 cuts precision to
+    int8, q278 cuts to PQ codebooks, q312 cuts width; this is the
+    extreme 1-bit point of that curve (the sign-random-projection
+    theory behind q52's SimHash buckets, used here as a DISTANCE, not
+    a partition). Packing is JVM-side expression-only (aggregate over
+    the dim index, no UDF); both stages break ties deterministically
+    (hamming ASC + id, cosine 6dp DESC + id), so the whole funnel is
+    pinned by a SQL oracle computing the same Hamming count
+    positionally. At 100 TB the signature table is 16 bytes/row
+    against 256 for float32 — the coarse scan reads 1/16 the bytes,
+    and the exact path touches only |shortlist| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _word(lo: int) -> F.Column:
+        return F.expr(
+            f"""
+            aggregate(
+                transform(slice(embedding, {lo + 1}, 32),
+                          (x, i) -> IF(CAST(x AS DOUBLE) > 0D,
+                                       shiftleft(1L, i), 0L)),
+                0L, (a, b) -> a | b)
+            """
+        )
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    sig_c = corpus.select(
+        "vec_id", "label", _word(0).alias("w0"), _word(32).alias("w1")
+    )
+    sig_q = queries.select(
+        F.col("vec_id").alias("qid"),
+        _word(0).alias("qw0"),
+        _word(32).alias("qw1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("int")
+    from pyspark.sql.window import Window
+
+    # two-phase top-C (the q65 discipline in pure expressions): a
+    # block-local window cuts each of 16 corpus blocks to its own
+    # top-C, so the global window's shuffle input is 16*Q*C skinny
+    # rows — independent of corpus size — never the N*Q score frame
+    wb = Window.partitionBy("qid", "__blk").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        sig_c.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(16)).cast("int")
+        )
+        .crossJoin(F.broadcast(sig_q))
+        .select("qid", "vec_id", "label", "__blk", ham.alias("hamming"))
+        .withColumn("brank", F.row_number().over(wb))
+        .filter(F.col("brank") <= BQ_CAND)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= BQ_CAND)
+    )
+    full = corpus.select(
+        F.col("vec_id").alias("__vid"), S.as_double(F.col("embedding")).alias("vv")
+    )
+    qfull = queries.select(
+        F.col("vec_id").alias("__qid"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(full, cand["vec_id"] == full["__vid"])
+        .join(F.broadcast(qfull), cand["qid"] == qfull["__qid"])
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            "hamming",
+            F.round(S.cosine(F.col("vv"), F.col("qv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= BQ_K)
+        .orderBy("qid", "rank")
+    )
+
+
+EXTRA_QUERIES["q313_binary_hamming_rerank"] = q313_binary_hamming_rerank
+EXTRA_ORACLE["q313_binary_hamming_rerank"] = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+        FROM embeddings WHERE vec_id % 100 <> 0
+    ), coarse AS (
+        SELECT q.qid, e.vec_id, e.label,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN (ee[i] > 0) <> (qe[i] > 0)
+                              THEN 1 ELSE 0 END)) AS INT) AS hamming,
+               ROUND({_COS}, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN (ee[i] > 0) <> (qe[i] > 0)
+                                 THEN 1 ELSE 0 END)) ASC, e.vec_id ASC
+               ) AS crank
+        FROM e CROSS JOIN q
+    ), rer AS (
+        SELECT qid, vec_id, label, hamming, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM coarse WHERE crank <= {BQ_CAND}
+    )
+    SELECT qid, vec_id, label, hamming, cosine, rank
+    FROM rer WHERE rank <= {BQ_K}
+    ORDER BY qid, rank
+"""

@@ -1,0 +1,529 @@
+"""Replication / algebraic properties of the q302-q312 inference and
+retrieval additions — independent re-derivations (pandas / numpy /
+pure-python integer replays) of each statistic, the evidence layer the
+DuckDB value-parity gate can't express."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from batchprocessingetl_spark.workload import (
+    collect_extra_queries,
+    collect_queries,
+)
+from tests.conftest import SF_SMOKE
+
+EXTRA = {**collect_queries(), **collect_extra_queries()}
+
+
+def _li_pdf(spark, cols):
+    return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(*cols).toPandas()
+
+
+def _cents(s: pd.Series) -> np.ndarray:
+    return np.floor(s.to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+
+
+def test_logrank_matches_direct_replay(spark):
+    """q302's z replays from a pure-python suffix-sum pass over the
+    (t, group, event) frame built independently with pandas."""
+    row = EXTRA["q302_logrank_test"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(
+        spark, ["l_orderkey", "l_shipdate", "l_returnflag"]
+    )
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .toPandas()
+    )
+    df = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    t = (
+        pd.to_datetime(df["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(df["o_orderdate"]).dt.normalize()
+    ).dt.days.to_numpy()
+    hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+    ev = (df["l_returnflag"] != "R").to_numpy()
+    order = np.argsort(t)
+    t, hi, ev = t[order], hi[order], ev[order]
+    uniq = np.unique(t)
+    # suffix at-risk counts per unique time
+    o1 = e1 = v = 0.0
+    events_hi = events_lo = 0
+    for ut in uniq:
+        at_risk = t >= ut
+        here = t == ut
+        n = int(at_risk.sum())
+        n1 = int((at_risk & hi).sum())
+        d = int((here & ev).sum())
+        d1 = int((here & ev & hi).sum())
+        if d == 0:
+            continue
+        events_hi += d1
+        events_lo += d - d1
+        o1 += d1
+        e1 += round(d * n1 / n, 9)
+        if n > 1:
+            v += round(d * n1 * (n - n1) * (n - d) / (n * n * (n - 1)), 9)
+    assert row.events_hi == events_hi and row.events_lo == events_lo
+    z = (o1 - e1) / math.sqrt(v)
+    assert abs(row.z - z) < 1e-5
+    assert abs(row.chi2 - z * z) < 1e-4
+
+
+def test_ordinal_association_shares_q282_pair_counts(spark):
+    """q303 reuses q282's contingency machinery: identical C/D pair
+    counts per group, and each measure obeys its bound / ordering
+    (|tau_c| <= |gamma|; Somers' D lies between tau-b and gamma in
+    magnitude when C != D)."""
+    q282 = {r.g: r for r in EXTRA["q282_kendall_tau"](spark, SF_SMOKE).collect()}
+    rows = EXTRA["q303_ordinal_association"](spark, SF_SMOKE).collect()
+    assert rows and set(q282) == {r.g for r in rows}
+    for r in rows:
+        k = q282[r.g]
+        assert (r.c_pairs, r.d_pairs, r.n_rows) == (k.c_pairs, k.d_pairs, k.n_rows)
+        assert -1.0 <= r.gamma <= 1.0
+        assert abs(r.tau_c) <= abs(r.gamma) + 1e-12
+        # tau_b is the geometric mean of the two Somers' D directions
+        assert abs(k.tau_b * k.tau_b - r.somers_d_yx * r.somers_d_xy) < 1e-7
+        lo = min(abs(r.somers_d_yx), abs(r.somers_d_xy))
+        hi = max(abs(r.somers_d_yx), abs(r.somers_d_xy))
+        assert lo - 1e-9 <= abs(k.tau_b) <= hi + 1e-9
+        assert hi <= abs(r.gamma) + 1e-12
+
+
+def test_wasserstein_matches_numpy_cdf_integral(spark):
+    """q304's W1 equals the numpy CDF-gap integral over the same two
+    daily-revenue samples; the KS column matches the sup norm."""
+    row = EXTRA["q304_wasserstein_daily_revenue"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    day = pd.to_datetime(li["l_shipdate"]).dt.normalize()
+    li = li.assign(day=day, cents=_cents(li["l_extendedprice"]))
+    li = li[day.dt.year.isin([1995, 1996])]
+    daily = li.groupby("day")["cents"].sum()
+    a = np.sort(daily[daily.index.year == 1995].to_numpy())
+    b = np.sort(daily[daily.index.year == 1996].to_numpy())
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    grid = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(grid))) / 100.0
+    ks = float(np.max(np.abs(fa - fb)))
+    assert abs(row.w1_dollars - w1) < 1e-4
+    assert abs(row.ks_stat - ks) < 1e-9
+
+
+def test_serial_correlation_matches_numpy(spark):
+    """q305's Durbin-Watson and lag-1 autocorrelation replay from the
+    demeaned numpy daily series (the n-scaling cancels)."""
+    row = EXTRA["q305_serial_correlation"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy(dtype="float64")
+    assert row.n_days == len(y)
+    e = y - y.mean()
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+    r1 = float(np.sum(e[1:] * e[:-1]) / np.sum(e * e))
+    assert abs(row.durbin_watson - dw) < 1e-7
+    assert abs(row.lag1_autocorr - r1) < 1e-7
+    # end-effect-loose DW/r1 identity
+    assert abs(row.durbin_watson - (2.0 - 2.0 * row.lag1_autocorr)) < 0.1
+
+
+def test_anova_matches_numpy_group_stats(spark):
+    """q306's F and eta^2 replay from numpy per-priority moments."""
+    row = EXTRA["q306_anova_oneway"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_orderkey", "l_quantity"])
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .toPandas()
+    )
+    df = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    x = df["l_quantity"].to_numpy(dtype="float64")
+    g = df["o_orderpriority"]
+    grand = x.mean()
+    ssb = sum(
+        len(grp) * (grp.mean() - grand) ** 2
+        for _, s in df.groupby("o_orderpriority")["l_quantity"]
+        for grp in [s.to_numpy(dtype="float64")]
+    )
+    ssw = sum(
+        float(((grp - grp.mean()) ** 2).sum())
+        for _, s in df.groupby("o_orderpriority")["l_quantity"]
+        for grp in [s.to_numpy(dtype="float64")]
+    )
+    k, n = g.nunique(), len(x)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row.k_groups, row.n_rows) == (k, n)
+    assert abs(row.ss_between - ssb) < max(1e-6 * ssb, 1e-3)
+    assert abs(row.ss_within - ssw) < max(1e-6 * ssw, 1e-3)
+    assert abs(row.f_stat - f) < 1e-5 * max(1.0, f)
+    assert 0.0 <= row.eta_sq <= 1.0
+    assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-9
+
+
+def test_wilcoxon_matches_scipy_free_replay(spark):
+    """q307's doubled rank sum and z replay from a pandas midrank
+    construction of the same paired (nation, month) differences."""
+    row = EXTRA["q307_wilcoxon_signed_rank"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_orderkey", "l_shipdate", "l_extendedprice"])
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .toPandas()
+    )
+    cu = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .toPandas()
+    )
+    na = (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .toPandas()
+    )
+    df = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    day = pd.to_datetime(df["l_shipdate"]).dt.normalize()
+    df = df.assign(yr=day.dt.year, mth=day.dt.month, cents=_cents(df["l_extendedprice"]))
+    df = df[df["yr"].isin([1995, 1996])]
+    piv = df.pivot_table(
+        index=["n_name", "mth"],
+        columns="yr",
+        values="cents",
+        aggfunc=["sum", "count"],
+        fill_value=0,
+    )
+    both = piv[(piv[("count", 1995)] > 0) & (piv[("count", 1996)] > 0)]
+    d = (both[("sum", 1996)] - both[("sum", 1995)]).to_numpy(dtype="int64")
+    d = d[d != 0]
+    assert row.n_pairs == len(d)
+    assert row.n_pos == int((d > 0).sum()) and row.n_neg == int((d < 0).sum())
+    ad = np.abs(d)
+    vals = Counter(ad.tolist())
+    below, r2 = 0, {}
+    for v in sorted(vals):
+        r2[v] = 2 * below + vals[v] + 1
+        below += vals[v]
+    w2 = sum(r2[abs(x)] for x in d if x > 0)
+    assert row.w_plus_x2 == w2
+    n = len(d)
+    tie_cube = sum(t**3 - t for t in vals.values())
+    z = (w2 - n * (n + 1) / 2) / math.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - tie_cube) / 12.0
+    )
+    assert abs(row.z - z) < 1e-7
+
+
+def test_hodges_lehmann_matches_bruteforce_walsh(spark):
+    """q308's doubled HL point equals the lower median of the full
+    brute-force Walsh multiset (i <= j) per group."""
+    rows = EXTRA["q308_hodges_lehmann"](spark, SF_SMOKE).collect()
+    li = _li_pdf(spark, ["l_returnflag", "l_quantity"])
+    for r in rows:
+        x = np.sort(
+            li[li["l_returnflag"] == r.g]["l_quantity"].to_numpy(dtype="int64")
+        )
+        assert r.n_rows == len(x)
+        walsh = (x[:, None] + x[None, :])[np.triu_indices(len(x))]
+        walsh.sort()
+        assert r.n_walsh == len(walsh)
+        # lower weighted median: min s with 2*cum >= W
+        w = len(walsh)
+        idx = int(np.searchsorted(np.arange(1, w + 1) * 2, w, side="left"))
+        assert r.hl_x2 == int(walsh[idx])
+        assert r.hl_estimate == walsh[idx] / 2.0
+
+
+def test_cochran_q_matches_integer_replay(spark):
+    """q309's Q replays exactly from per-order integer flags."""
+    row = EXTRA["q309_cochran_q"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(
+        spark, ["l_orderkey", "l_shipdate", "l_returnflag", "l_discount"]
+    )
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .toPandas()
+    )
+    df = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        pd.to_datetime(df["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(df["o_orderdate"]).dt.normalize()
+    ).dt.days
+    df = df.assign(
+        ret=(df["l_returnflag"] == "R").astype(int),
+        disc=(df["l_discount"] >= 0.06).astype(int),
+        slow=(lag > 20).astype(int),
+    )
+    per = df.groupby("l_orderkey")[["ret", "disc", "slow"]].max()
+    c = per.sum()
+    rsum = per.sum(axis=1)
+    t = int(rsum.sum())
+    q = (
+        2
+        * (3 * int((c**2).sum()) - t * t)
+        / (3 * t - int((rsum**2).sum()))
+    )
+    assert row.n_orders == len(per)
+    assert (row.n_returned, row.n_deep_discount, row.n_slow_ship) == (
+        int(c["ret"]),
+        int(c["disc"]),
+        int(c["slow"]),
+    )
+    assert abs(row.cochran_q - q) < 1e-9
+
+
+def test_partial_correlation_matches_numpy(spark):
+    """q310's pairwise and partial correlations replay via numpy on
+    the same integer grids."""
+    row = EXTRA["q310_partial_correlation"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_quantity", "l_extendedprice", "l_discount"])
+    x = li["l_quantity"].to_numpy(dtype="float64")
+    y = _cents(li["l_extendedprice"]).astype("float64")
+    z = np.floor(li["l_discount"].to_numpy(dtype="float64") * 100 + 0.5)
+    r = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(row.r_xy - r[0, 1]) < 1e-7
+    assert abs(row.r_xz - r[0, 2]) < 1e-7
+    assert abs(row.r_yz - r[1, 2]) < 1e-7
+    part = (r[0, 1] - r[0, 2] * r[1, 2]) / math.sqrt(
+        (1 - r[0, 2] ** 2) * (1 - r[1, 2] ** 2)
+    )
+    assert abs(row.r_xy_given_z - part) < 1e-6
+
+
+def test_chow_matches_numpy_ols(spark):
+    """q311's segment SSRs and F replay from numpy least squares on
+    the same daily series and fixed split."""
+    row = EXTRA["q311_chow_break_test"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    daily = li.groupby("day")["cents"].sum().sort_index()
+    t = (daily.index - pd.Timestamp("1998-07-01")).days.to_numpy(dtype="float64")
+    y = daily.to_numpy(dtype="float64")
+    pre = t < 0
+
+    def ssr(tt, yy):
+        a = np.vstack([tt, np.ones_like(tt)]).T
+        res = yy - a @ np.linalg.lstsq(a, yy, rcond=None)[0]
+        return float(res @ res)
+
+    s_p, s_a, s_b = ssr(t, y), ssr(t[pre], y[pre]), ssr(t[~pre], y[~pre])
+    n = len(y)
+    f = ((s_p - s_a - s_b) / 2.0) / ((s_a + s_b) / (n - 4.0))
+    assert (row.n_days, row.n_pre) == (n, int(pre.sum()))
+    assert abs(row.ssr_pooled_e12 - s_p / 1e12) < max(1e-5, 1e-6 * s_p / 1e12)
+    assert abs(row.ssr_pre_e12 - s_a / 1e12) < max(1e-5, 1e-6 * s_a / 1e12)
+    assert abs(row.ssr_post_e12 - s_b / 1e12) < max(1e-5, 1e-6 * s_b / 1e12)
+    assert abs(row.chow_f - f) < 1e-3 * max(1.0, abs(f))
+
+
+def test_matryoshka_funnel_matches_numpy_replay(spark):
+    """q312's two-stage funnel (prefix top-32 shortlist, full-dim
+    top-5) replays exactly — ids, ranks, and 6dp cosines — from a
+    numpy implementation of the same rounding and tie-break rules."""
+    rows = EXTRA["q312_matryoshka_rerank"](spark, SF_SMOKE).collect()
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    qmask = ids % 100 == 0
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.cosine))
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    for qi in np.where(qmask)[0]:
+        qid = int(ids[qi])
+        cids, cvs = ids[~qmask], mat[~qmask]
+        coarse = np.round(
+            [cos(v[:8], mat[qi][:8]) for v in cvs], 6
+        )
+        order = np.lexsort((cids, -coarse))[:32]
+        full = np.round([cos(cvs[i], mat[qi]) for i in order], 6)
+        fin = np.lexsort((cids[order], -full))[:5]
+        expect = [
+            (rk + 1, int(cids[order][i]), float(full[i]))
+            for rk, i in enumerate(fin)
+        ]
+        assert got[qid] == expect
+
+
+def test_binary_hamming_funnel_matches_numpy_replay(spark):
+    """q313's 1-bit funnel (Hamming top-32 shortlist, full-dim top-5)
+    replays exactly from a numpy implementation of the same sign,
+    distance, and tie-break rules."""
+    rows = EXTRA["q313_binary_hamming_rerank"](spark, SF_SMOKE).collect()
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    qmask = ids % 100 == 0
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.hamming, r.cosine))
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    signs = mat > 0
+    for qi in np.where(qmask)[0]:
+        qid = int(ids[qi])
+        cids, cvs, csg = ids[~qmask], mat[~qmask], signs[~qmask]
+        ham = (csg != signs[qi]).sum(axis=1)
+        order = np.lexsort((cids, ham))[:32]
+        full = np.round([cos(cvs[i], mat[qi]) for i in order], 6)
+        fin = np.lexsort((cids[order], -full))[:5]
+        expect = [
+            (rk + 1, int(cids[order][i]), int(ham[order][i]), float(full[i]))
+            for rk, i in enumerate(fin)
+        ]
+        assert got[qid] == expect
+
+
+def test_ljung_box_matches_numpy(spark):
+    """q314's per-lag autocorrelations and portmanteau replay from the
+    demeaned numpy daily series; lag 1 agrees with q305."""
+    row = EXTRA["q314_ljung_box"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy(dtype="float64")
+    n = len(y)
+    assert row.n_days == n
+    e = y - y.mean()
+    ss = float(e @ e)
+    rs = [float(e[k:] @ e[:-k]) / ss for k in range(1, 8)]
+    assert abs(row.r1 - rs[0]) < 1e-7
+    assert abs(row.r2 - rs[1]) < 1e-7
+    assert abs(row.r3 - rs[2]) < 1e-7
+    qlb = n * (n + 2) * sum(r * r / (n - k) for k, r in enumerate(rs, start=1))
+    assert abs(row.q_lb - qlb) < 1e-3 * max(1.0, qlb)
+    q305 = EXTRA["q305_serial_correlation"](spark, SF_SMOKE).collect()[0]
+    assert abs(row.r1 - q305.lag1_autocorr) < 1e-9
+
+
+def test_agreement_family_matches_direct_and_orders(spark):
+    """q315's kappa/pi/AC1 replay from the q299 cells; kappa matches
+    q299 exactly; pi <= kappa always (pooled marginals penalize)."""
+    rows = {r.stratum: r for r in EXTRA["q315_agreement_family"](spark, SF_SMOKE).collect()}
+    q299 = {r.stratum: r for r in EXTRA["q299_cohens_kappa"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(q299)
+    for s, r in rows.items():
+        k = q299[s]
+        a, b, c, d = k.a, k.b, k.c, k.d
+        n = a + b + c + d
+        po = (a + d) / n
+        assert abs(r.p_observed - k.p_observed) < 1e-9
+        assert abs(r.kappa - k.kappa) < 1e-9
+        p = ((a + b) + (a + c)) / (2 * n)
+        pe_pi = p * p + (1 - p) * (1 - p)
+        pi = (po - pe_pi) / (1 - pe_pi)
+        assert abs(r.scotts_pi - pi) < 1e-7
+        pe_g = 2 * p * (1 - p)
+        ac1 = (po - pe_g) / (1 - pe_g)
+        assert abs(r.gwet_ac1 - ac1) < 1e-7
+        assert r.scotts_pi <= r.kappa + 1e-12
+
+
+def test_cross_correlation_matches_numpy(spark):
+    """q316's CCF at every lag replays from the demeaned numpy daily
+    (revenue, count) series; lag 0 is the plain Pearson r of the two
+    series; the r_k grid is symmetric under series swap + lag flip."""
+    rows = {r.lag: r for r in EXTRA["q316_cross_correlation"](spark, SF_SMOKE).collect()}
+    assert sorted(rows) == [-3, -2, -1, 0, 1, 2, 3]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    g = li.groupby("day").agg(rev=("cents", "sum"), cnt=("cents", "size")).sort_index()
+    e = g["rev"].to_numpy(dtype="float64")
+    f = g["cnt"].to_numpy(dtype="float64")
+    e -= e.mean()
+    f -= f.mean()
+    den = math.sqrt(float(e @ e) * float(f @ f))
+    for k, r in rows.items():
+        assert r.n_days == len(e)
+        if k < 0:
+            x = float(e[-k:] @ f[:k])
+        elif k > 0:
+            x = float(e[:-k] @ f[k:])
+        else:
+            x = float(e @ f)
+        assert abs(r.ccf - x / den) < 1e-7, k
+
+
+def test_pacf_matches_statsmodels_free_levinson(spark):
+    """q317's pacf replays from a pure-python Durbin-Levinson on the
+    same numpy autocorrelations; pacf1 == r1 exactly."""
+    row = EXTRA["q317_pacf"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy(dtype="float64")
+    e = y - y.mean()
+    ss = float(e @ e)
+    r = [float(e[k:] @ e[:-k]) / ss for k in (1, 2, 3)]
+    assert abs(row.r1 - r[0]) < 1e-7
+    assert row.pacf1 == row.r1
+    # Durbin-Levinson
+    phi = {(1, 1): r[0]}
+    v = 1 - r[0] ** 2
+    for m in (2, 3):
+        num = r[m - 1] - sum(phi[(m - 1, j)] * r[m - 1 - j] for j in range(1, m))
+        phi[(m, m)] = num / v
+        for j in range(1, m):
+            phi[(m, j)] = phi[(m - 1, j)] - phi[(m, m)] * phi[(m - 1, m - j)]
+        v *= 1 - phi[(m, m)] ** 2
+    assert abs(row.pacf2 - phi[(2, 2)]) < 1e-6
+    assert abs(row.pacf3 - phi[(3, 3)]) < 1e-6
+
+
+def test_markov_entropy_rate_composition(spark):
+    """q318 composes q185 exactly: its per-state stationary masses
+    equal q185's output; row entropies are bounded by log2(k); the
+    total row is the pi-weighted sum of row entropies computed from
+    the published columns."""
+    rows = EXTRA["q318_markov_entropy_rate"](spark, SF_SMOKE).collect()
+    per = [r for r in rows if r.from_type != "__total__"]
+    tot = [r for r in rows if r.from_type == "__total__"][0]
+    q185 = {
+        r.event_type: r.stationary
+        for r in EXTRA["q185_markov_stationary"](spark, SF_SMOKE).collect()
+    }
+    assert {r.from_type for r in per} <= set(q185)
+    k = len(per)
+    for r in per:
+        assert abs(r.stationary - q185[r.from_type]) < 1e-9
+        assert -1e-9 <= r.h_row <= math.log2(max(k, 2)) + 1e-6
+        # contribution ~ pi * h_row (per-term rounding: loose bound)
+        assert abs(r.contribution - r.stationary * r.h_row) < 1e-4
+    assert abs(tot.h_row - sum(r.h_row for r in per)) < 1e-6
+    assert abs(tot.contribution - sum(r.contribution for r in per)) < 1e-6
+    assert 0.0 <= tot.contribution <= math.log2(max(k, 2)) + 1e-6
