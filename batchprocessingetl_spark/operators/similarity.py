@@ -758,3 +758,90 @@ def kmeans_fixedpoint(
         F.col("__b.c").alias("cluster"),
         F.col("__b.d").alias("dist"),
     )
+
+
+def hamming_knn_join(
+    corpus_sigs: DataFrame,
+    query_sigs: DataFrame,
+    k: int,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Batch top-k by HAMMING distance over packed sign-bit signatures
+    — the 1-bit-quantization twin of :func:`knn_join` (same two-phase
+    distributed top-k, popcount instead of GEMM).
+
+    ``corpus_sigs`` is (id, w0, w1) and ``query_sigs`` is
+    (qid, qw0, qw1), both with the 64 sign bits packed into two BIGINT
+    words (bits 0-31 / 32-63). Phase 1 hashes the corpus into
+    ``n_blocks`` row-blocks and computes each block's LOCAL top-k per
+    query with one vectorized numpy pass: XOR the (n, 2) and (Q, 2)
+    word matrices, view the result as raw bytes, and popcount via a
+    256-entry lookup table — byte-table lookups instead of a per-pair
+    JVM expression tree, the same batching trade knn_join makes with
+    BLAS. Phase 2 is the skinny global window (partitionBy qid,
+    orderBy hamming ASC, id ASC) over <= B*Q*k candidate rows —
+    independent of corpus size.
+
+    Determinism/parity: Hamming distances are exact integers and both
+    phases break ties by id ASC, so the result is pinned by a plain
+    SQL oracle computing the same distance positionally."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    B = int(n_blocks)
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+    left = corpus_sigs.select(
+        F.col("id"), F.col("w0"), F.col("w1")
+    ).withColumn("__blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    right = query_sigs.select(
+        F.col("qid"), F.col("qw0"), F.col("qw1")
+    ).withColumn("__blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+
+    def block_topk(key, cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "id": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int32"),
+            }
+        )
+        if cpdf.empty or qpdf.empty:
+            return empty
+        ids = cpdf["id"].to_numpy()
+        w = cpdf[["w0", "w1"]].to_numpy(dtype="int64")
+        qw = qpdf[["qw0", "qw1"]].to_numpy(dtype="int64")
+        qids = qpdf["qid"].to_numpy()
+        x = np.ascontiguousarray(
+            np.bitwise_xor(w[:, None, :], qw[None, :, :])
+        )  # (n, Q, 2)
+        ham = pop[x.view(np.uint8)].reshape(len(ids), len(qids), 16).sum(
+            axis=2, dtype=np.int32
+        )
+        kk = min(k, len(ids))
+        out = []
+        for j in range(ham.shape[1]):
+            order = np.lexsort((ids, ham[:, j]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": qids[j],
+                        "id": ids[order],
+                        "hamming": ham[order, j],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cands = (
+        left.groupBy("__blk")
+        .cogroup(right.groupBy("__blk"))
+        .applyInPandas(block_topk, schema="qid long, id long, hamming int")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "hamming", F.col("rank").cast("int"))
+    )

@@ -1377,7 +1377,10 @@ def q313_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme 1-bit point of that curve (the sign-random-projection
     theory behind q52's SimHash buckets, used here as a DISTANCE, not
     a partition). Packing is JVM-side expression-only (aggregate over
-    the dim index, no UDF); both stages break ties deterministically
+    the dim index); the coarse stage runs through
+    operators/similarity.py::hamming_knn_join — block-local vectorized
+    numpy byte-table popcounts, then a skinny <=16*Q*C global window,
+    the knn_join two-phase shape. Both stages break ties deterministically
     (hamming ASC + id, cosine 6dp DESC + id), so the whole funnel is
     pinned by a SQL oracle computing the same Hamming count
     positionally. At 100 TB the signature table is 16 bytes/row
@@ -1406,37 +1409,25 @@ def q313_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _word(0).alias("qw0"),
         _word(32).alias("qw1"),
     )
-    ham = (
-        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
-        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
-    ).cast("int")
-    from pyspark.sql.window import Window
-
-    # two-phase top-C (the q65 discipline in pure expressions): a
-    # block-local window cuts each of 16 corpus blocks to its own
-    # top-C, so the global window's shuffle input is 16*Q*C skinny
-    # rows — independent of corpus size — never the N*Q score frame
-    wb = Window.partitionBy("qid", "__blk").orderBy(
-        F.asc("hamming"), F.asc("vec_id")
-    )
-    wc = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
-    cand = (
-        sig_c.withColumn(
-            "__blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(16)).cast("int")
-        )
-        .crossJoin(F.broadcast(sig_q))
-        .select("qid", "vec_id", "label", "__blk", ham.alias("hamming"))
-        .withColumn("brank", F.row_number().over(wb))
-        .filter(F.col("brank") <= BQ_CAND)
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= BQ_CAND)
-    )
+    # two-phase top-C via the vectorized popcount operator (the q65
+    # block discipline): block-local numpy byte-table popcounts emit
+    # <= 16*Q*C skinny candidates, then one global window — never the
+    # N*Q score frame, and never a per-pair JVM expression tree
+    cand = S.hamming_knn_join(
+        sig_c.select(F.col("vec_id").alias("id"), "w0", "w1"),
+        sig_q,
+        BQ_CAND,
+    ).select("qid", F.col("id").alias("vec_id"), "hamming")
     full = corpus.select(
-        F.col("vec_id").alias("__vid"), S.as_double(F.col("embedding")).alias("vv")
+        F.col("vec_id").alias("__vid"),
+        "label",
+        S.as_double(F.col("embedding")).alias("vv"),
     )
     qfull = queries.select(
         F.col("vec_id").alias("__qid"), S.as_double(F.col("embedding")).alias("qv")
     )
+    from pyspark.sql.window import Window
+
     wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.join(full, cand["vec_id"] == full["__vid"])

@@ -527,3 +527,28 @@ def test_markov_entropy_rate_composition(spark):
     assert abs(tot.h_row - sum(r.h_row for r in per)) < 1e-6
     assert abs(tot.contribution - sum(r.contribution for r in per)) < 1e-6
     assert 0.0 <= tot.contribution <= math.log2(max(k, 2)) + 1e-6
+
+
+def test_hamming_knn_join_operator_direct(spark):
+    """hamming_knn_join pins against a per-pair python popcount on
+    synthetic packed words, including negative int64 (bit 31 of the
+    high word lands in the long's low half — packing never sets the
+    sign bit, but the operator must handle arbitrary BIGINT words)."""
+    from batchprocessingetl_spark.operators.similarity import hamming_knn_join
+
+    corpus = [(i, (i * 2654435761) % (2**31), (i * 40503) % (2**31)) for i in range(40)]
+    queries = [(100 + j, (j * 97 + 5) % (2**31), (j * 31 + 7) % (2**31)) for j in range(3)]
+    cdf = spark.createDataFrame(corpus, "id long, w0 long, w1 long")
+    qdf = spark.createDataFrame(queries, "qid long, qw0 long, qw1 long")
+    got = {
+        (r.qid, r.rank): (r.id, r.hamming)
+        for r in hamming_knn_join(cdf, qdf, 4).collect()
+    }
+    for qid, qw0, qw1 in queries:
+        scored = sorted(
+            (bin((w0 ^ qw0) & (2**64 - 1)).count("1")
+             + bin((w1 ^ qw1) & (2**64 - 1)).count("1"), i)
+            for i, w0, w1 in corpus
+        )
+        for rank, (h, i) in enumerate(scored[:4], start=1):
+            assert got[(qid, rank)] == (i, h), (qid, rank)
