@@ -3883,23 +3883,11 @@ LPA_QTY_MIN = 48.0  # high-quantity lines only: thins the dense bipartite
 # graph so propagation resolves real communities instead of one giant one
 
 
-def q251_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by SYNCHRONOUS label propagation over the
-    customer–supplier trade graph (Raghavan et al. 2007, made
-    deterministic): every node starts as its own label; each superstep
-    re-labels a node with the most frequent label among its neighbors,
-    ties broken by the SMALLEST label — so the fixed number of rounds,
-    the synchronous schedule and the total tie order make the run
-    bit-replayable (the async/random variant is not), the same
-    discipline as q190's min-plus BFS. Communities complement
-    connected components (q63/q113): CC merges everything reachable,
-    LPA splits dense regions. Per superstep: one edge join + one
-    (node, label) hash count + one per-node argmax window; the
-    unrolled DuckDB recurrence matches exactly. Output: the 20
-    largest communities (size desc, label asc); edges keep only
-    high-quantity lines — on the full dense bipartite graph LPA
-    collapses to one giant community, the documented LPA failure
-    mode."""
+def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
+    """Shared by q251/q319: the high-quantity trade graph's distinct
+    undirected edge frame and the LPA_STEPS synchronous
+    label-propagation fixed labels (see q251's docstring for the
+    determinism contract)."""
     from batchprocessingetl_spark.operators.iteration import barrier
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3939,6 +3927,27 @@ def q251_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select(F.col("node2").alias("node"), F.col("cand").alias("label"))
         )
+    return e, und, lab
+
+
+def q251_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    customer–supplier trade graph (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each superstep
+    re-labels a node with the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — so the fixed number of rounds,
+    the synchronous schedule and the total tie order make the run
+    bit-replayable (the async/random variant is not), the same
+    discipline as q190's min-plus BFS. Communities complement
+    connected components (q63/q113): CC merges everything reachable,
+    LPA splits dense regions. Per superstep: one edge join + one
+    (node, label) hash count + one per-node argmax window; the
+    unrolled DuckDB recurrence matches exactly. Output: the 20
+    largest communities (size desc, label asc); edges keep only
+    high-quantity lines — on the full dense bipartite graph LPA
+    collapses to one giant community, the documented LPA failure
+    mode."""
+    _, _, lab = _lpa_edges_labels(spark, sf_dir)
     return (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -3986,6 +3995,117 @@ def _q251_oracle_sql(k: int) -> str:
 
 EXTRA_QUERIES["q251_label_propagation"] = q251_label_propagation
 EXTRA_ORACLE["q251_label_propagation"] = _q251_oracle_sql(LPA_STEPS)
+
+
+def q319_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of q251's label-propagation communities — the
+    quality score that tells you whether LPA found real structure or
+    noise (Q > 0.3 is the conventional 'meaningful communities' bar),
+    computed with the exact-integer clearing Q = sum_c (4*m*e_c -
+    d_c^2) / (4*m^2): m = |undirected edges|, e_c = within-community
+    edges, d_c = community degree sum — every term exact BIGINT from
+    two label joins on the q251 edge frame (one per endpoint) and one
+    degree rollup, ONE double division at the end, rounded 9dp.
+    Coverage (sum e_c / m) falls out of the same frame. Composes the
+    iterative-graph shelf the way q318 composes the Markov shelf:
+    q251 produces the partition, this scores it — both ends
+    SQL-replayed (the oracle replays the identical LPA recurrence,
+    then the same integer algebra)."""
+    e, und, lab = _lpa_edges_labels(spark, sf_dir)
+    la = lab.select(F.col("node").alias("__na"), F.col("label").alias("lab_a"))
+    lb = lab.select(F.col("node").alias("__nb"), F.col("label").alias("lab_b"))
+    within = (
+        e.join(la, e["src"] == la["__na"])
+        .join(lb, e["dst"] == lb["__nb"])
+        .select(
+            F.when(F.col("lab_a") == F.col("lab_b"), F.col("lab_a")).alias("c")
+        )
+        .filter(F.col("c").isNotNull())
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(lab, "node")
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    m_tot = e.agg(F.count(F.lit(1)).alias("m"))
+    terms = (
+        deg.join(within, "c", "left")
+        .select(
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)").alias("e_c"),
+            F.col("d_c").cast("decimal(38,0)").alias("d_c"),
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            (
+                F.lit(4).cast("decimal(38,0)") * F.col("m").cast("decimal(38,0)")
+                * F.col("e_c")
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+            "e_c",
+            "m",
+        )
+    )
+    agg = terms.agg(
+        F.max("m").alias("m"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("num").alias("q_num"),
+        F.sum("e_c").alias("e_within"),
+    )
+    md = F.col("m").cast("double")
+    return agg.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.round(F.col("e_within").cast("double") / md, 9).alias("coverage"),
+        F.round(
+            F.col("q_num").cast("double") / (F.lit(4.0) * md * md), 9
+        ).alias("modularity"),
+    )
+
+
+def _q319_oracle_sql(k: int) -> str:
+    # reuse q251's unrolled LPA recurrence, then the modularity algebra
+    base = _q251_oracle_sql(k)
+    head = base[: base.rindex("\n    SELECT label")]
+    return (
+        head
+        + f"""
+    , within AS (
+        SELECT la.label AS c, COUNT(*) AS e_c
+        FROM e
+        JOIN lab_{k} la ON e.src = la.node
+        JOIN lab_{k} lb ON e.dst = lb.node
+        WHERE la.label = lb.label
+        GROUP BY 1
+    ), deg AS (
+        SELECT l.label AS c, CAST(SUM(d.deg) AS HUGEINT) AS d_c
+        FROM (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY 1) d
+        JOIN lab_{k} l ON d.node = l.node
+        GROUP BY 1
+    ), m_tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e
+    ), terms AS (
+        SELECT 4 * t.m * CAST(COALESCE(w.e_c, 0) AS HUGEINT) - d.d_c * d.d_c
+                   AS num,
+               CAST(COALESCE(w.e_c, 0) AS HUGEINT) AS e_c, t.m
+        FROM deg d LEFT JOIN within w ON d.c = w.c CROSS JOIN m_tot t
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           ROUND(CAST(SUM(e_c) AS DOUBLE) / CAST(MAX(m) AS DOUBLE), 9)
+               AS coverage,
+           ROUND(CAST(SUM(num) AS DOUBLE)
+                 / (4.0 * CAST(MAX(m) AS DOUBLE) * CAST(MAX(m) AS DOUBLE)),
+                 9) AS modularity
+    FROM terms"""
+    )
+
+
+EXTRA_QUERIES["q319_modularity_score"] = q319_modularity_score
+EXTRA_ORACLE["q319_modularity_score"] = _q319_oracle_sql(LPA_STEPS)
 
 
 CONTRIB_Y0, CONTRIB_Y1 = 1996, 1997

@@ -552,3 +552,34 @@ def test_hamming_knn_join_operator_direct(spark):
         )
         for rank, (h, i) in enumerate(scored[:4], start=1):
             assert got[(qid, rank)] == (i, h), (qid, rank)
+
+
+def test_modularity_matches_direct_replay(spark):
+    """q319's modularity replays from a direct python computation on
+    q251's own labels and the same edge frame; coverage and Q obey
+    their bounds."""
+    from batchprocessingetl_spark.workload.relational import _lpa_edges_labels
+
+    row = EXTRA["q319_modularity_score"](spark, SF_SMOKE).collect()[0]
+    e, und, lab = _lpa_edges_labels(spark, SF_SMOKE)
+    edges = [(r.src, r.dst) for r in e.collect()]
+    labels = {r.node: r.label for r in lab.collect()}
+    m = len(edges)
+    assert row.n_edges == m
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    d_c = Counter()
+    for n, d in deg.items():
+        d_c[labels[n]] += d
+    e_c = Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+    assert row.n_communities == len(d_c)
+    q = sum(4 * m * e_c.get(c, 0) - d * d for c, d in d_c.items()) / (4 * m * m)
+    cov = sum(e_c.values()) / m
+    assert abs(row.modularity - q) < 1e-9
+    assert abs(row.coverage - cov) < 1e-9
+    assert -0.5 <= row.modularity <= 1.0 and 0.0 <= row.coverage <= 1.0
