@@ -583,3 +583,138 @@ def test_modularity_matches_direct_replay(spark):
     assert abs(row.modularity - q) < 1e-9
     assert abs(row.coverage - cov) < 1e-9
     assert -0.5 <= row.modularity <= 1.0 and 0.0 <= row.coverage <= 1.0
+
+
+# ---- hypothesis pins of the q302-q319 algebra (no Spark needed) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=40))
+def test_walsh_grid_median_matches_bruteforce(xs):
+    """q308's grid construction — Walsh multiplicities n_a*n_b off the
+    diagonal and n(n+1)/2 on it, lower weighted median by doubled sum
+    — equals the brute-force median over all i <= j Walsh averages."""
+    grid = Counter(xs)
+    cells = []
+    vals = sorted(grid)
+    for i, va in enumerate(vals):
+        for vb in vals[i:]:
+            w = (
+                grid[va] * (grid[va] + 1) // 2
+                if va == vb
+                else grid[va] * grid[vb]
+            )
+            cells.append((va + vb, w))
+    agg = Counter()
+    for s, w in cells:
+        agg[s] += w
+    total = sum(agg.values())
+    cum = 0
+    hl_grid = None
+    for s in sorted(agg):
+        cum += agg[s]
+        if 2 * cum >= total:
+            hl_grid = s
+            break
+    xs_sorted = sorted(xs)
+    walsh = sorted(
+        xs_sorted[i] + xs_sorted[j]
+        for i in range(len(xs))
+        for j in range(i, len(xs))
+    )
+    assert total == len(walsh)
+    idx = next(i for i in range(len(walsh)) if 2 * (i + 1) >= len(walsh))
+    assert hl_grid == walsh[idx]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=30),
+)
+def test_wasserstein_grid_integral_matches_sorted_matching(a, b):
+    """q304's merged-grid CDF integral equals the optimal-transport
+    sorted-sample matching when |a| == |b| (restrict to the common
+    prefix length), and is always >= |mean(a) - mean(b)|."""
+    n = min(len(a), len(b))
+    a, b = sorted(a[:n]), sorted(b[:n])
+    grid = sorted(set(a) | set(b))
+    w1 = 0.0
+    for lo, hi in zip(grid, grid[1:]):
+        fa = sum(1 for x in a if x <= lo) / n
+        fb = sum(1 for x in b if x <= lo) / n
+        w1 += abs(fa - fb) * (hi - lo)
+    match = sum(abs(x - y) for x, y in zip(a, b)) / n
+    assert abs(w1 - match) < 1e-9
+    assert w1 >= abs(sum(a) / n - sum(b) / n) - 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_cochran_q_cleared_form_matches_classical(rows):
+    """q309's integer-cleared Q = (k-1)(k*sum C_j^2 - T^2)/(kT - sum
+    R_i^2) equals the classical column-deviation form whenever the
+    denominator is nonzero."""
+    k = 3
+    c = [sum(int(r[j]) for r in rows) for j in range(k)]
+    rsum = [sum(int(v) for v in r) for r in rows]
+    t = sum(rsum)
+    den = k * t - sum(x * x for x in rsum)
+    if den == 0:
+        return
+    cleared = (k - 1) * (k * sum(x * x for x in c) - t * t) / den
+    classical = (
+        k * (k - 1) * sum((x - t / k) ** 2 for x in c) / den
+    )
+    assert abs(cleared - classical) < 1e-6 * max(1.0, abs(classical))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_pacf_closed_forms_match_levinson_recursion(ys):
+    """q317's closed pacf2/pacf3 expressions equal the general
+    Durbin-Levinson recursion on any series' sample autocorrelations
+    (guarding the degenerate |r1| ~ 1 cases the query's data never
+    hits)."""
+    y = np.array(ys)
+    e = y - y.mean()
+    ss = float(e @ e)
+    if ss < 1e-6:
+        return
+    r = [float(e[k:] @ e[:-k]) / ss for k in (1, 2, 3)]
+    if abs(1 - r[0] ** 2) < 1e-6:
+        return
+    phi22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+    a21 = r[0] * (1 - r[1]) / (1 - r[0] ** 2)
+    den3 = 1 - a21 * r[0] - phi22 * r[1]
+    if abs(den3) < 1e-9:
+        return
+    phi33 = (r[2] - a21 * r[1] - phi22 * r[0]) / den3
+    # general recursion
+    phi = {(1, 1): r[0]}
+    v = 1 - r[0] ** 2
+    for m in (2, 3):
+        num = r[m - 1] - sum(phi[(m - 1, j)] * r[m - 1 - j] for j in range(1, m))
+        phi[(m, m)] = num / v
+        for j in range(1, m):
+            phi[(m, j)] = phi[(m - 1, j)] - phi[(m, m)] * phi[(m - 1, m - j)]
+        v *= 1 - phi[(m, m)] ** 2
+        if abs(v) < 1e-12:
+            return
+    assert abs(phi22 - phi[(2, 2)]) < 1e-7 * max(1.0, abs(phi[(2, 2)]))
+    assert abs(phi33 - phi[(3, 3)]) < 1e-6 * max(1.0, abs(phi[(3, 3)]))
