@@ -1732,3 +1732,983 @@ _ORACLE_ALL["q317_pacf"] = """
 """
 EXTRA_QUERIES["q317_pacf"] = q317_pacf
 EXTRA_ORACLE["q317_pacf"] = _ORACLE_ALL["q317_pacf"]
+
+
+def q320_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of line quantity per return flag —
+    the skewness/kurtosis moment screen (JB = n/6 * (S^2 + K^2/4),
+    K = excess kurtosis) completing the shape shelf next to q196's
+    MAD and q149's winsorization. Quantity lives on the 1-50 integer
+    domain, so ALL four raw power sums (x, x^2, x^3, x^4) are exact
+    BIGINT/DECIMAL(38,0) from ONE hash aggregate (x^4 <= 6.25e6 per
+    row — no overflow through extreme scale); the central moments
+    clear to the standard closed forms m2 = (n*s2 - s1^2)/n^2 etc.,
+    each evaluated as one double chain on the exactly-cast integer
+    cores in identical order, skew/kurtosis/JB rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("x"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+            F.sum("x").cast(_D38).alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast(_D38).alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x")).cast(_D38).alias("s3"),
+            F.sum(
+                F.col("x").cast(_D38)
+                * F.col("x").cast(_D38)
+                * F.col("x").cast(_D38)
+                * F.col("x").cast(_D38)
+            ).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * mu * mu * (s2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return g.select(
+        "g",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jarque_bera"),
+    ).orderBy("g")
+
+
+_ORACLE_ALL["q320_jarque_bera"] = """
+    WITH g AS (
+        SELECT l_returnflag AS g,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    AS HUGEINT) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s3,
+               CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+                        * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+                    AS HUGEINT) AS s4
+        FROM lineitem GROUP BY 1
+    ), mom AS (
+        -- the double chains mirror the Spark expressions term-for-term:
+        -- no POW/transcendentals, only * / + - on exactly-cast integers
+        SELECT g, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM g
+    ), cm AS (
+        SELECT g, n, mu,
+               r2 - mu * mu AS m2,
+               r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+               r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                  - 3.0 * mu * mu * mu * mu AS m4
+        FROM mom
+    ), sk AS (
+        SELECT g, n,
+               m3 / SQRT(m2 * m2 * m2) AS skew,
+               m4 / (m2 * m2) - 3.0 AS kurt
+        FROM cm
+    )
+    SELECT g, CAST(n AS BIGINT) AS n_rows,
+           ROUND(skew, 9) AS skewness,
+           ROUND(kurt, 9) AS excess_kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0
+                 * (skew * skew + kurt * kurt / 4.0), 6) AS jarque_bera
+    FROM sk ORDER BY g
+"""
+EXTRA_QUERIES["q320_jarque_bera"] = q320_jarque_bera
+EXTRA_ORACLE["q320_jarque_bera"] = _ORACLE_ALL["q320_jarque_bera"]
+
+
+def q321_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient and Hellinger distance between the
+    1995 and 1996 order-priority mixes — the geometric-overlap drift
+    metric completing the divergence shelf (q171 PSI, q214 JS, q304
+    W1): BC = sum_i sqrt(p_i q_i), H = sqrt(1 - BC). One aggregate to
+    the <=5-cell grid; each cell's term sqrt(n1_i * n2_i) /
+    sqrt(N1 * N2) is one double chain on exact BIGINTs rounded 9dp
+    into DECIMAL(28,9) (no pow, no log — sqrt only), summed
+    order-free; H is the single final chain. Rows: one per priority
+    (both mix shares + the BC term) plus the '__total__' row carrying
+    BC and Hellinger."""
+    od = load_table(spark, sf_dir, "orders")
+    cells = (
+        od.select(
+            "o_orderpriority",
+            F.year(F.to_date("o_orderdate")).alias("yr"),
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    tot = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    term = F.round(
+        F.sqrt((F.col("n1") * F.col("n2")).cast("double"))
+        / F.sqrt((F.col("t1") * F.col("t2")).cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    rows = cells.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        F.round(F.col("n1").cast("double") / F.col("t1").cast("double"), 9).alias(
+            "p_1995"
+        ),
+        F.round(F.col("n2").cast("double") / F.col("t2").cast("double"), 9).alias(
+            "p_1996"
+        ),
+        term.alias("bc_term_d"),
+    )
+    total = rows.agg(
+        F.lit("__total__").alias("priority"),
+        F.round(F.sum(F.col("p_1995").cast("decimal(28,9)")).cast("double"), 6).alias("p_1995"),
+        F.round(F.sum(F.col("p_1996").cast("decimal(28,9)")).cast("double"), 6).alias("p_1996"),
+        F.sum("bc_term_d").alias("bc_term_d"),
+    )
+    out = rows.unionByName(total).select(
+        "priority",
+        "p_1995",
+        "p_1996",
+        F.col("bc_term_d").cast("double").alias("bc_term"),
+        F.when(
+            F.col("priority") == "__total__",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(1.0) - F.col("bc_term_d").cast("double"),
+                    )
+                ),
+                9,
+            ),
+        ).alias("hellinger"),
+    )
+    return out.orderBy("priority")
+
+
+_ORACLE_ALL["q321_bhattacharyya"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS priority,
+               SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1995
+                        THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) AS n2
+        FROM orders
+        WHERE YEAR(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM cells
+    ), rows_ AS (
+        SELECT c.priority,
+               ROUND(CAST(c.n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE), 9) AS p_1995,
+               ROUND(CAST(c.n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE), 9) AS p_1996,
+               CAST(ROUND(SQRT(CAST(c.n1 * c.n2 AS DOUBLE))
+                          / SQRT(CAST(t.t1 * t.t2 AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS bc_term_d
+        FROM cells c CROSS JOIN tot t
+    ), total AS (
+        SELECT '__total__' AS priority,
+               ROUND(CAST(SUM(CAST(p_1995 AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS p_1995,
+               ROUND(CAST(SUM(CAST(p_1996 AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS p_1996,
+               SUM(bc_term_d) AS bc_term_d
+        FROM rows_
+    )
+    SELECT priority, p_1995, p_1996,
+           CAST(bc_term_d AS DOUBLE) AS bc_term,
+           CASE WHEN priority = '__total__'
+                THEN ROUND(SQRT(GREATEST(0.0,
+                         1.0 - CAST(bc_term_d AS DOUBLE))), 9)
+                ELSE NULL END AS hellinger
+    FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM total)
+    ORDER BY priority
+"""
+EXTRA_QUERIES["q321_bhattacharyya"] = q321_bhattacharyya
+EXTRA_ORACLE["q321_bhattacharyya"] = _ORACLE_ALL["q321_bhattacharyya"]
+
+
+def q322_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling (Scholz-Stephens A2akN, k=2, the
+    midrank ties form) on the 1995-vs-1996 daily-revenue samples —
+    the TAIL-WEIGHTED drift test completing the EDF trio (q172 KS =
+    sup norm, q258 CvM = L2, this = L2 with 1/(F(1-F)) tail
+    emphasis). Everything stays exact integers on the q304 merged
+    value grid: with doubled midrank cumulatives 2B_j = 2*cum - l_j
+    and 2M_ij per sample, each cell term is
+    l_j * (N*2M_ij - n_i*2B_j)^2 / (N * ((2B_j)(2N - 2B_j) - N*l_j))
+    — integer numerator and denominator, ONE double division rounded
+    9dp into DECIMAL(28,9), summed order-free per sample; A2 =
+    (N-1)/N * sum_i T_i/n_i is the final chain. Day-grain after one
+    fact aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .filter(F.year("day").isin(1995, 1996))
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    grid = (
+        daily.select(
+            "rev",
+            F.when(F.year("day") == 1995, 1).otherwise(0).alias("a"),
+            F.when(F.year("day") == 1996, 1).otherwise(0).alias("b"),
+        )
+        .groupBy("rev")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    )
+    wcum = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
+    tot = grid.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    st = (
+        grid.withColumn("l", F.col("ca") + F.col("cb"))
+        .withColumn("cum_a", F.sum("ca").over(wcum))
+        .withColumn("cum_b", F.sum("cb").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n", F.col("n_a") + F.col("n_b"))
+        .withColumn("b2", 2 * (F.col("cum_a") + F.col("cum_b")) - F.col("l"))
+        .withColumn("ma2", 2 * F.col("cum_a") - F.col("ca"))
+        .withColumn("mb2", 2 * F.col("cum_b") - F.col("cb"))
+    )
+    den = F.col("n") * (
+        F.col("b2") * (2 * F.col("n") - F.col("b2")) - F.col("n") * F.col("l")
+    )
+    term = lambda m2, ni: F.when(  # noqa: E731
+        den > 0,
+        F.round(
+            (
+                F.col("l")
+                * (F.col("n") * F.col(m2) - F.col(ni) * F.col("b2"))
+                * (F.col("n") * F.col(m2) - F.col(ni) * F.col("b2"))
+            ).cast("double")
+            / den.cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    agg = st.select(
+        term("ma2", "n_a").alias("ta"),
+        term("mb2", "n_b").alias("tb"),
+        "n_a",
+        "n_b",
+        "n",
+    ).agg(
+        F.sum("ta").alias("ta"),
+        F.sum("tb").alias("tb"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("n").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    a2 = (
+        (nd - 1.0)
+        / nd
+        * (
+            F.col("ta").cast("double") / F.col("n_a").cast("double")
+            + F.col("tb").cast("double") / F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(a2, 9).alias("ad_a2"),
+    )
+
+
+_ORACLE_ALL["q322_anderson_darling_2s"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem
+        WHERE YEAR(CAST(l_shipdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1
+    ), grid AS (
+        SELECT rev,
+               SUM(CASE WHEN YEAR(day) = 1995 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN YEAR(day) = 1996 THEN 1 ELSE 0 END) AS cb
+        FROM daily GROUP BY 1
+    ), tot AS (
+        SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM grid
+    ), st AS (
+        SELECT g.rev, g.ca + g.cb AS l,
+               SUM(g.ca) OVER (ORDER BY g.rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               SUM(g.cb) OVER (ORDER BY g.rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               g.ca, g.cb, t.n_a, t.n_b, t.n_a + t.n_b AS n
+        FROM grid g CROSS JOIN tot t
+    ), cells AS (
+        SELECT l, n_a, n_b, n,
+               2 * (cum_a + cum_b) - l AS b2,
+               2 * cum_a - ca AS ma2,
+               2 * cum_b - cb AS mb2
+        FROM st
+    ), terms AS (
+        SELECT n_a, n_b, n,
+               CAST(CASE WHEN n * (b2 * (2 * n - b2) - n * l) > 0
+                    THEN ROUND(CAST(l * (n * ma2 - n_a * b2)
+                                      * (n * ma2 - n_a * b2) AS DOUBLE)
+                               / CAST(n * (b2 * (2 * n - b2) - n * l)
+                                      AS DOUBLE), 9)
+                    ELSE 0.0 END AS DECIMAL(28,9)) AS ta,
+               CAST(CASE WHEN n * (b2 * (2 * n - b2) - n * l) > 0
+                    THEN ROUND(CAST(l * (n * mb2 - n_b * b2)
+                                      * (n * mb2 - n_b * b2) AS DOUBLE)
+                               / CAST(n * (b2 * (2 * n - b2) - n * l)
+                                      AS DOUBLE), 9)
+                    ELSE 0.0 END AS DECIMAL(28,9)) AS tb
+        FROM cells
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           ROUND((CAST(MAX(n) AS DOUBLE) - 1.0) / CAST(MAX(n) AS DOUBLE)
+                 * (CAST(SUM(ta) AS DOUBLE) / CAST(MAX(n_a) AS DOUBLE)
+                    + CAST(SUM(tb) AS DOUBLE) / CAST(MAX(n_b) AS DOUBLE)),
+                 9) AS ad_a2
+    FROM terms
+"""
+EXTRA_QUERIES["q322_anderson_darling_2s"] = q322_anderson_darling_2s
+EXTRA_ORACLE["q322_anderson_darling_2s"] = _ORACLE_ALL["q322_anderson_darling_2s"]
+
+
+def q323_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's rank test for SCALE (dispersion) differences — do
+    returned lines spread over quantities differently than kept ones?
+    The dispersion sibling of q288's location test. T = sum over group
+    A of (r_i - (N+1)/2)^2 with midranks; on the 50-value grid the
+    doubled form (2r - (N+1))^2 = 4T keeps every weight an exact
+    BIGINT. Significance uses the EXACT finite-population sampling
+    moments (n_a draws without replacement from the weight multiset
+    {w_v}): E[T4] = n_a * S1 / N and Var[T4] = n_a*n_b/(N(N-1)) *
+    (S2 - S1^2/N), with S1 = sum l_v w_v, S2 = sum l_v w_v^2 exact
+    integers — so the tie correction is not an approximation, it IS
+    the permutation variance. One double chain each for E/Var/z,
+    rounded 9dp. w_v^2 ~ N^4: DECIMAL(38,0) holds through ~1e8 rows
+    per group grid; beyond, the cents grid coarsens first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            (F.col("l_returnflag") == "R").alias("in_a"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = grid.agg(
+        F.sum("ca").cast(_D38).alias("n_a"),
+        F.sum("cb").cast(_D38).alias("n_b"),
+    )
+    st = (
+        grid.withColumn("l", F.col("ca") + F.col("cb"))
+        .withColumn("cum", F.sum(F.col("ca") + F.col("cb")).over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n", (F.col("n_a") + F.col("n_b")).cast(_D38))
+        .withColumn(
+            "w",
+            (
+                (2 * F.col("cum") - F.col("l")).cast(_D38)
+                - (F.col("n") + 1)
+            ),
+        )
+        .withColumn("w2", F.col("w") * F.col("w"))
+    )
+    agg = st.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("n").alias("n"),
+        F.sum(F.col("ca").cast(_D38) * F.col("w2")).alias("t4"),
+        F.sum(F.col("l").cast(_D38) * F.col("w2")).alias("s1"),
+        F.sum(F.col("l").cast(_D38) * F.col("w2") * F.col("w2")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    e = F.col("n_a").cast("double") * F.col("s1").cast("double") / nd
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (nd * (nd - 1.0))
+        * (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("t4").cast("double").alias("t4"),
+        F.round(e, 6).alias("e_t4"),
+        F.round(
+            (F.col("t4").cast("double") - e) / F.sqrt(var), 9
+        ).alias("z"),
+    )
+
+
+_ORACLE_ALL["q323_mood_scale_test"] = """
+    WITH grid AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS n_a,
+               CAST(SUM(cb) AS HUGEINT) AS n_b
+        FROM grid
+    ), st AS (
+        SELECT g.ca, g.cb, g.ca + g.cb AS l, t.n_a, t.n_b,
+               t.n_a + t.n_b AS n,
+               CAST(2 * SUM(g.ca + g.cb) OVER (ORDER BY g.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (g.ca + g.cb) AS HUGEINT)
+                   - (t.n_a + t.n_b + 1) AS w
+        FROM grid g CROSS JOIN tot t
+    ), agg AS (
+        SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(n) AS n,
+               SUM(CAST(ca AS HUGEINT) * w * w) AS t4,
+               SUM(CAST(l AS HUGEINT) * w * w) AS s1,
+               SUM(CAST(l AS HUGEINT) * w * w * w * w) AS s2
+        FROM st
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(t4 AS DOUBLE) AS t4,
+           ROUND(CAST(n_a AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS e_t4,
+           ROUND((CAST(t4 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                        * (CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n AS DOUBLE))), 9) AS z
+    FROM agg
+"""
+EXTRA_QUERIES["q323_mood_scale_test"] = q323_mood_scale_test
+EXTRA_ORACLE["q323_mood_scale_test"] = _ORACLE_ALL["q323_mood_scale_test"]
+
+
+def q324_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's MEDIAN test across the five order priorities on order
+    value — the coarsest, most outlier-proof k-sample location test
+    (only 'above pooled median or not' enters): dichotomize every
+    order at the POOLED lower median (q294's convention — min cents
+    with 2*cum >= N on the value-grain cumulative frame, no midpoint
+    float), form the 2x5 contingency, and compute the chi-square
+    against margin-product expecteds the q283 way: each cell's
+    (n*O - R*C)^2 / (n*R*C) is an exact-integer-cored double chain
+    rounded 9dp, summed in the decimal domain. Also reports each
+    group's above-median share."""
+    od = load_table(spark, sf_dir, "orders")
+    vals = od.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    gridw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cnt = vals.agg(F.count(F.lit(1)).alias("n_all"))
+    med = (
+        vals.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(gridw))
+        .crossJoin(F.broadcast(cnt))
+        .filter(2 * F.col("cum") >= F.col("n_all"))
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    cells = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") > F.col("med_cents"), 1).otherwise(0)
+            ).alias("above"),
+            F.count(F.lit(1)).alias("n_g"),
+        )
+    )
+    tots = cells.agg(
+        F.sum("above").cast(_D38).alias("r1"),
+        F.sum(F.col("n_g") - F.col("above")).cast(_D38).alias("r0"),
+        F.sum("n_g").cast(_D38).alias("n"),
+    )
+    j = cells.crossJoin(F.broadcast(tots))
+    n = F.col("n")
+    cg = F.col("n_g").cast(_D38)
+    term = lambda o, r: F.round(  # noqa: E731
+        (
+            (n * F.col(o).cast(_D38) - F.col(r) * cg)
+            * (n * F.col(o).cast(_D38) - F.col(r) * cg)
+        ).cast("double")
+        / (n * F.col(r) * cg).cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    rows = j.select(
+        "g",
+        "n_g",
+        "above",
+        F.round(F.col("above").cast("double") / F.col("n_g").cast("double"), 9).alias(
+            "above_share"
+        ),
+        (
+            term("above", "r1")
+            + F.when(
+                F.lit(True),
+                F.round(
+                    (
+                        (n * (cg - F.col("above").cast(_D38)) - F.col("r0") * cg)
+                        * (n * (cg - F.col("above").cast(_D38)) - F.col("r0") * cg)
+                    ).cast("double")
+                    / (n * F.col("r0") * cg).cast("double"),
+                    9,
+                ).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        ).alias("chi2_part_d"),
+    )
+    total = rows.agg(
+        F.lit("__total__").alias("g"),
+        F.sum("n_g").alias("n_g"),
+        F.sum("above").alias("above"),
+        F.lit(None).cast("double").alias("above_share"),
+        F.sum("chi2_part_d").alias("chi2_part_d"),
+    )
+    return (
+        rows.unionByName(total)
+        .select(
+            "g",
+            F.col("n_g").cast("long").alias("n_g"),
+            F.col("above").cast("long").alias("above"),
+            "above_share",
+            F.col("chi2_part_d").cast("double").alias("chi2_part"),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_ALL["q324_median_test"] = """
+    WITH vals AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), cnt AS (
+        SELECT COUNT(*) AS n_all FROM vals
+    ), med AS (
+        SELECT MIN(cents) AS med_cents FROM (
+            SELECT cents, SUM(c) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT cents, COUNT(*) AS c FROM vals GROUP BY 1)
+        ) x CROSS JOIN cnt WHERE 2 * x.cum >= cnt.n_all
+    ), cells AS (
+        SELECT v.g,
+               SUM(CASE WHEN v.cents > m.med_cents THEN 1 ELSE 0 END) AS above,
+               COUNT(*) AS n_g
+        FROM vals v CROSS JOIN med m
+        GROUP BY 1
+    ), tots AS (
+        SELECT CAST(SUM(above) AS HUGEINT) AS r1,
+               CAST(SUM(n_g - above) AS HUGEINT) AS r0,
+               CAST(SUM(n_g) AS HUGEINT) AS n
+        FROM cells
+    ), rows_ AS (
+        SELECT c.g, c.n_g, c.above,
+               ROUND(CAST(c.above AS DOUBLE) / CAST(c.n_g AS DOUBLE), 9)
+                   AS above_share,
+               CAST(ROUND(CAST((t.n * CAST(c.above AS HUGEINT)
+                                - t.r1 * CAST(c.n_g AS HUGEINT))
+                               * (t.n * CAST(c.above AS HUGEINT)
+                                  - t.r1 * CAST(c.n_g AS HUGEINT)) AS DOUBLE)
+                          / CAST(t.n * t.r1 * CAST(c.n_g AS HUGEINT)
+                                 AS DOUBLE), 9) AS DECIMAL(28,9))
+               + CAST(ROUND(CAST((t.n * CAST(c.n_g - c.above AS HUGEINT)
+                                  - t.r0 * CAST(c.n_g AS HUGEINT))
+                                 * (t.n * CAST(c.n_g - c.above AS HUGEINT)
+                                    - t.r0 * CAST(c.n_g AS HUGEINT)) AS DOUBLE)
+                            / CAST(t.n * t.r0 * CAST(c.n_g AS HUGEINT)
+                                   AS DOUBLE), 9) AS DECIMAL(28,9))
+                   AS chi2_part_d
+        FROM cells c CROSS JOIN tots t
+    ), total AS (
+        SELECT '__total__' AS g, SUM(n_g) AS n_g, SUM(above) AS above,
+               CAST(NULL AS DOUBLE) AS above_share,
+               SUM(chi2_part_d) AS chi2_part_d
+        FROM rows_
+    )
+    SELECT g, CAST(n_g AS BIGINT) AS n_g, CAST(above AS BIGINT) AS above,
+           above_share, CAST(chi2_part_d AS DOUBLE) AS chi2_part
+    FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM total)
+    ORDER BY g
+"""
+EXTRA_QUERIES["q324_median_test"] = q324_median_test
+EXTRA_ORACLE["q324_median_test"] = _ORACLE_ALL["q324_median_test"]
+
+
+COOKS_TOP = 10
+OLS_ANCHOR = "1995-01-01"
+
+
+def q325_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance of each day in the daily-revenue OLS trend —
+    which days single-handedly bend the regression line (the influence
+    diagnostic that pairs with q311's break test and q305's residual
+    screens). The OLS solution is cleared to exact integers by
+    Cramer: D = n*Stt - St^2, B_num = n*Sty - St*Sy, A_num =
+    Sy*Stt - St*Sty, so each day's SCALED residual R_t = y_t*D -
+    A_num - B_num*t is an exact DECIMAL(38,0); the true residual
+    e_t = R_t/D, the leverage h_t = 1/n + (n*t - St)^2/(n*D), the
+    pooled s^2 = SSR/(n-2) from the q311 closed form, and Cook's
+    D_t = e_t^2 h_t / (2 s^2 (1-h_t)^2) are each ONE double chain on
+    those exact cores in identical order, rounded 9dp BEFORE the
+    top-10 window (ties broken by day) — so the influence ranking
+    itself is oracle-pinned. Day-grain after one fact aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            "day",
+            F.datediff(F.col("day"), F.lit(OLS_ANCHOR).cast("date"))
+            .cast(_D38)
+            .alias("t"),
+            F.col("rev").cast(_D38).alias("y"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = daily.crossJoin(F.broadcast(m))
+    d = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    b_num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    a_num = F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")
+    r_scaled = F.col("y") * d - a_num - b_num * F.col("t")
+    e = r_scaled.cast("double") / d.cast("double")
+    lev_num = F.col("n") * F.col("t") - F.col("st")
+    h = (
+        F.lit(1.0) / F.col("n").cast("double")
+        + (lev_num * lev_num).cast("double") / (F.col("n") * d).cast("double")
+    )
+    syy_c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ssr = (
+        syy_c - b_num.cast("double") * b_num.cast("double") / d.cast("double")
+    ) / F.col("n").cast("double")
+    s2 = ssr / (F.col("n").cast("double") - 2.0)
+    cooks = F.round(
+        e * e * h / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h)), 9
+    )
+    w = Window.orderBy(F.desc("cooks_d"), "day")
+    return (
+        j.select(
+            F.col("day").cast("string").alias("day"),
+            F.round(e / F.lit(100.0), 2).alias("residual_dollars"),
+            F.round(h, 9).alias("leverage"),
+            cooks.alias("cooks_d"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= COOKS_TOP)
+        .orderBy("rank")
+    )
+
+
+_ORACLE_ALL["q325_cooks_distance"] = f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(DATE_DIFF('day', DATE '{OLS_ANCHOR}',
+                              CAST(l_shipdate AS DATE)) AS HUGEINT) AS t,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS y
+        FROM lineitem GROUP BY 1, 2
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(t) AS st, SUM(y) AS sy,
+               SUM(t * t) AS stt, SUM(t * y) AS sty, SUM(y * y) AS syy
+        FROM daily
+    ), sc AS (
+        SELECT d.day, d.t, d.y, m.n, m.st, m.sy, m.stt, m.sty, m.syy,
+               m.n * m.stt - m.st * m.st AS dd,
+               m.n * m.sty - m.st * m.sy AS b_num,
+               m.sy * m.stt - m.st * m.sty AS a_num
+        FROM daily d CROSS JOIN m
+    ), ch AS (
+        SELECT day,
+               CAST(y * dd - a_num - b_num * t AS DOUBLE)
+                   / CAST(dd AS DOUBLE) AS e,
+               1.0 / CAST(n AS DOUBLE)
+                   + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                     / CAST(n * dd AS DOUBLE) AS h,
+               (CAST(n * syy - sy * sy AS DOUBLE)
+                - CAST(b_num AS DOUBLE) * CAST(b_num AS DOUBLE)
+                  / CAST(dd AS DOUBLE)) / CAST(n AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 2.0) AS s2
+        FROM sc
+    ), scored AS (
+        SELECT CAST(day AS VARCHAR) AS day,
+               ROUND(e / 100.0, 2) AS residual_dollars,
+               ROUND(h, 9) AS leverage,
+               ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 9)
+                   AS cooks_d
+        FROM ch
+    )
+    SELECT day, residual_dollars, leverage, cooks_d,
+           CAST(ROW_NUMBER() OVER (ORDER BY cooks_d DESC, day) AS INT) AS rank
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY cooks_d DESC, day) <= {COOKS_TOP}
+    ORDER BY rank
+"""
+EXTRA_QUERIES["q325_cooks_distance"] = q325_cooks_distance
+EXTRA_ORACLE["q325_cooks_distance"] = _ORACLE_ALL["q325_cooks_distance"]
+
+
+def q326_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on the daily-revenue
+    trend: do the OLS residuals fan out over time? (q305/q314 test
+    residual CORRELATION; this tests variance drift — the other
+    Gauss-Markov break.) LM = n * R^2 of the auxiliary regression of
+    e^2 on t. The residual e_t = R_t/D comes from q325's exact
+    integer clearing; e^2 rounds 6dp into DECIMAL(38,6) so the three
+    auxiliary moments (sum e2, sum t*e2, sum e2^2 — each term one
+    double chain on the ROUNDED value, re-rounded 6dp) accumulate in
+    the decimal domain, exact and order-free at any scale; R^2 and
+    LM are the final chains, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            F.datediff(F.col("day"), F.lit(OLS_ANCHOR).cast("date"))
+            .cast(_D38)
+            .alias("t"),
+            F.col("rev").cast(_D38).alias("y"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    j = daily.crossJoin(F.broadcast(m))
+    d = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    b_num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    a_num = F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")
+    e = (F.col("y") * d - a_num - b_num * F.col("t")).cast("double") / d.cast(
+        "double"
+    )
+    # scale to MILLION-dollar units before squaring so the 6dp-rounded
+    # decimal terms keep ~12 significant digits at any corpus scale
+    e2 = F.round((e / F.lit(1.0e8)) * (e / F.lit(1.0e8)), 6).cast(
+        "decimal(38,6)"
+    )
+    aux = j.select(
+        "t",
+        "n",
+        "st",
+        "stt",
+        e2.alias("u"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("st").alias("st"),
+        F.max("stt").alias("stt"),
+        F.sum("u").alias("su"),
+        F.sum(
+            F.round(F.col("t").cast("double") * F.col("u").cast("double"), 6).cast(
+                "decimal(38,6)"
+            )
+        ).alias("stu"),
+        F.sum(
+            F.round(F.col("u").cast("double") * F.col("u").cast("double"), 6).cast(
+                "decimal(38,6)"
+            )
+        ).alias("suu"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    sxy = nd * F.col("stu").cast("double") - F.col("st").cast("double") * F.col(
+        "su"
+    ).cast("double")
+    syy = nd * F.col("suu").cast("double") - F.col("su").cast("double") * F.col(
+        "su"
+    ).cast("double")
+    r2 = sxy * sxy / (sxx * syy)
+    return aux.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r2, 9).alias("aux_r2"),
+        F.round(nd * r2, 6).alias("bp_lm"),
+    )
+
+
+_ORACLE_ALL["q326_breusch_pagan"] = f"""
+    WITH daily AS (
+        SELECT CAST(DATE_DIFF('day', DATE '{OLS_ANCHOR}',
+                              CAST(l_shipdate AS DATE)) AS HUGEINT) AS t,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS y
+        FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(t) AS st, SUM(y) AS sy,
+               SUM(t * t) AS stt, SUM(t * y) AS sty
+        FROM daily
+    ), sc AS (
+        SELECT d.t, m.n, m.st, m.stt,
+               CAST(d.y * (m.n * m.stt - m.st * m.st)
+                    - (m.sy * m.stt - m.st * m.sty)
+                    - (m.n * m.sty - m.st * m.sy) * d.t AS DOUBLE)
+                   / CAST(m.n * m.stt - m.st * m.st AS DOUBLE) AS e
+        FROM daily d CROSS JOIN m
+    ), terms AS (
+        SELECT t, n, st, stt,
+               CAST(ROUND((e / 1.0e8) * (e / 1.0e8), 6) AS DECIMAL(38,6)) AS u
+        FROM sc
+    ), aux AS (
+        SELECT MAX(n) AS n, MAX(st) AS st, MAX(stt) AS stt,
+               SUM(u) AS su,
+               SUM(CAST(ROUND(CAST(t AS DOUBLE) * CAST(u AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS stu,
+               SUM(CAST(ROUND(CAST(u AS DOUBLE) * CAST(u AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS suu
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                 / (CAST(n * stt - st * st AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 9)
+               AS aux_r2,
+           ROUND(CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                 / (CAST(n * stt - st * st AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 6)
+               AS bp_lm
+    FROM aux
+"""
+EXTRA_QUERIES["q326_breusch_pagan"] = q326_breusch_pagan
+EXTRA_ORACLE["q326_breusch_pagan"] = _ORACLE_ALL["q326_breusch_pagan"]
+
+
+def q327_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the urgent-vs-low quantity
+    contrast — Cohen's d (pooled SD), Hedges' g (small-sample
+    bias-corrected), and Glass's delta (control-group SD): the
+    practical-significance companion q161's z-test and q306's F omit
+    (a tiny p-value at 100 TB row counts says nothing about effect
+    magnitude — these do). One sufficient-statistics aggregate per
+    group (exact BIGINT sums of x and x^2); every estimate is one
+    double chain on the exactly-cast cores, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    g = (
+        li.select("l_orderkey", F.col("l_quantity").cast("long").alias("x"))
+        .join(
+            od.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy((F.col("o_orderpriority") == "1-URGENT").alias("is_t"))
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+            F.sum("x").cast(_D38).alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast(_D38).alias("q"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("is_t"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_t"), F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("is_t"), F.col("q"))).alias("q1"),
+        F.max(F.when(~F.col("is_t"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("is_t"), F.col("s"))).alias("s2"),
+        F.max(F.when(~F.col("is_t"), F.col("q"))).alias("q2"),
+    )
+    n1, s1, q1 = (F.col(c).cast("double") for c in ("n1", "s1", "q1"))
+    n2, s2, q2 = (F.col(c).cast("double") for c in ("n2", "s2", "q2"))
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (q2 - s2 * s2 / n2) / (n2 - 1.0)
+    sp = F.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    dd = (m1 - m2) / sp
+    gg = dd * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - 9.0))
+    return w.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.round(m1 - m2, 9).alias("mean_diff"),
+        F.round(dd, 9).alias("cohens_d"),
+        F.round(gg, 9).alias("hedges_g"),
+        F.round((m1 - m2) / F.sqrt(v2), 9).alias("glass_delta"),
+    )
+
+
+_ORACLE_ALL["q327_effect_sizes"] = """
+    WITH g AS (
+        SELECT (o.o_orderpriority = '1-URGENT') AS is_t,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS q
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1
+    ), w AS (
+        SELECT MAX(CASE WHEN is_t THEN n END) AS n1,
+               MAX(CASE WHEN is_t THEN s END) AS s1,
+               MAX(CASE WHEN is_t THEN q END) AS q1,
+               MAX(CASE WHEN NOT is_t THEN n END) AS n2,
+               MAX(CASE WHEN NOT is_t THEN s END) AS s2,
+               MAX(CASE WHEN NOT is_t THEN q END) AS q2
+        FROM g
+    ), c AS (
+        SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+               (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2,
+               CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        FROM w
+    )
+    SELECT n_urgent, n_low,
+           ROUND(m1 - m2, 9) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(((n1d - 1.0) * v1 + (n2d - 1.0) * v2)
+                                  / (n1d + n2d - 2.0)), 9) AS cohens_d,
+           ROUND((m1 - m2) / SQRT(((n1d - 1.0) * v1 + (n2d - 1.0) * v2)
+                                  / (n1d + n2d - 2.0))
+                 * (1.0 - 3.0 / (4.0 * (n1d + n2d) - 9.0)), 9) AS hedges_g,
+           ROUND((m1 - m2) / SQRT(v2), 9) AS glass_delta
+    FROM c
+"""
+EXTRA_QUERIES["q327_effect_sizes"] = q327_effect_sizes
+EXTRA_ORACLE["q327_effect_sizes"] = _ORACLE_ALL["q327_effect_sizes"]

@@ -718,3 +718,212 @@ def test_pacf_closed_forms_match_levinson_recursion(ys):
             return
     assert abs(phi22 - phi[(2, 2)]) < 1e-7 * max(1.0, abs(phi[(2, 2)]))
     assert abs(phi33 - phi[(3, 3)]) < 1e-6 * max(1.0, abs(phi[(3, 3)]))
+
+
+def test_jarque_bera_matches_numpy_moments(spark):
+    """q320's skewness/kurtosis/JB replay from numpy central moments
+    per return flag."""
+    rows = EXTRA["q320_jarque_bera"](spark, SF_SMOKE).collect()
+    li = _li_pdf(spark, ["l_returnflag", "l_quantity"])
+    for r in rows:
+        x = li[li["l_returnflag"] == r.g]["l_quantity"].to_numpy(dtype="float64")
+        assert r.n_rows == len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        skew = ((x - m) ** 3).mean() / m2**1.5
+        kurt = ((x - m) ** 4).mean() / m2**2 - 3
+        jb = len(x) / 6 * (skew**2 + kurt**2 / 4)
+        assert abs(r.skewness - skew) < 1e-6
+        assert abs(r.excess_kurtosis - kurt) < 1e-6
+        assert abs(r.jarque_bera - jb) < 1e-3 * max(1.0, jb)
+
+
+def test_bhattacharyya_matches_numpy(spark):
+    """q321's BC and Hellinger replay from the priority mix shares;
+    BC in (0, 1], H = sqrt(1-BC), and H = 0 iff the mixes coincide."""
+    rows = EXTRA["q321_bhattacharyya"](spark, SF_SMOKE).collect()
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderpriority", "o_orderdate")
+        .toPandas()
+    )
+    yr = pd.to_datetime(od["o_orderdate"]).dt.year
+    p = od[yr == 1995]["o_orderpriority"].value_counts(normalize=True)
+    q = od[yr == 1996]["o_orderpriority"].value_counts(normalize=True)
+    cats = sorted(set(p.index) | set(q.index))
+    bc = sum(math.sqrt(p.get(c, 0) * q.get(c, 0)) for c in cats)
+    tot = [r for r in rows if r.priority == "__total__"][0]
+    assert abs(tot.bc_term - bc) < 1e-6
+    assert abs(tot.hellinger - math.sqrt(max(0.0, 1 - bc))) < 1e-6
+    assert 0.0 < tot.bc_term <= 1.0 + 1e-9
+    for r in rows:
+        if r.priority != "__total__":
+            assert r.hellinger is None
+            assert abs(r.bc_term - math.sqrt(r.p_1995 * r.p_1996)) < 1e-6
+
+
+def test_anderson_darling_matches_direct_replay(spark):
+    """q322's A2akN replays from a direct python implementation of the
+    Scholz-Stephens midrank formula on the same two samples."""
+    row = EXTRA["q322_anderson_darling_2s"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    day = pd.to_datetime(li["l_shipdate"]).dt.normalize()
+    li = li.assign(day=day, cents=_cents(li["l_extendedprice"]))
+    li = li[day.dt.year.isin([1995, 1996])]
+    daily = li.groupby("day")["cents"].sum()
+    a = daily[daily.index.year == 1995].to_numpy()
+    b = daily[daily.index.year == 1996].to_numpy()
+    na, nb = len(a), len(b)
+    nn = na + nb
+    assert (row.n_a, row.n_b) == (na, nb)
+    ca, cb = Counter(a.tolist()), Counter(b.tolist())
+    cum_a = cum_b = 0
+    ta = tb = 0.0
+    for v in sorted(set(a) | set(b)):
+        la, lb = ca.get(v, 0), cb.get(v, 0)
+        ll = la + lb
+        cum_a += la
+        cum_b += lb
+        b2 = 2 * (cum_a + cum_b) - ll
+        den = nn * (b2 * (2 * nn - b2) - nn * ll)
+        if den > 0:
+            ma2 = 2 * cum_a - la
+            mb2 = 2 * cum_b - lb
+            ta += round(ll * (nn * ma2 - na * b2) ** 2 / den, 9)
+            tb += round(ll * (nn * mb2 - nb * b2) ** 2 / den, 9)
+    a2 = (nn - 1) / nn * (ta / na + tb / nb)
+    assert abs(row.ad_a2 - a2) < 1e-6
+
+
+def test_mood_scale_matches_integer_replay(spark):
+    """q323's T4 and its exact finite-population moments replay from
+    pure-python integers on the quantity multiset."""
+    row = EXTRA["q323_mood_scale_test"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_returnflag", "l_quantity"])
+    va = li[li["l_returnflag"] == "R"]["l_quantity"].astype(int).tolist()
+    vb = li[li["l_returnflag"] != "R"]["l_quantity"].astype(int).tolist()
+    na, nb = len(va), len(vb)
+    nn = na + nb
+    assert (row.n_a, row.n_b) == (na, nb)
+    pooled = Counter(va) + Counter(vb)
+    ca = Counter(va)
+    cum = 0
+    t4 = s1 = s2 = 0
+    for v in sorted(pooled):
+        ll = pooled[v]
+        cum += ll
+        w = (2 * cum - ll) - (nn + 1)
+        t4 += ca.get(v, 0) * w * w
+        s1 += ll * w * w
+        s2 += ll * w**4
+    assert row.t4 == t4
+    e = na * s1 / nn
+    var = na * nb / (nn * (nn - 1)) * (s2 - s1 * s1 / nn)
+    assert abs(row.e_t4 - e) < max(1e-6 * e, 1e-3)
+    assert abs(row.z - (t4 - e) / math.sqrt(var)) < 1e-6
+
+
+def test_median_test_matches_chi2_replay(spark):
+    """q324's per-group contributions and total replay from a direct
+    pooled-lower-median dichotomization."""
+    rows = {r.g: r for r in EXTRA["q324_median_test"](spark, SF_SMOKE).collect()}
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    cents = _cents(od["o_totalprice"])
+    srt = np.sort(cents)
+    n = len(srt)
+    med = srt[(n - 1) // 2] if n % 2 else srt[n // 2 - 1]
+    # lower median: min value with 2*cum >= n
+    idx = next(i for i in range(n) if 2 * (i + 1) >= n)
+    med = srt[idx]
+    od = od.assign(above=(cents > med).astype(int))
+    cells = od.groupby("o_orderpriority")["above"].agg(["sum", "size"])
+    r1 = int(cells["sum"].sum())
+    nn = int(cells["size"].sum())
+    r0 = nn - r1
+    chi_tot = 0.0
+    for g, (above, ng) in cells.iterrows():
+        exp_hi = (nn * above - r1 * ng) ** 2 / (nn * r1 * ng)
+        exp_lo = (nn * (ng - above) - r0 * ng) ** 2 / (nn * r0 * ng)
+        part = round(exp_hi, 9) + round(exp_lo, 9)
+        assert abs(rows[g].chi2_part - part) < 1e-6
+        chi_tot += part
+    assert abs(rows["__total__"].chi2_part - chi_tot) < 1e-6
+
+
+def test_cooks_distance_matches_numpy(spark):
+    """q325's top-10 influence ranking replays from numpy OLS with the
+    hat-matrix leverages."""
+    rows = EXTRA["q325_cooks_distance"](spark, SF_SMOKE).collect()
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    daily = li.groupby("day")["cents"].sum().sort_index()
+    t = (daily.index - pd.Timestamp("1995-01-01")).days.to_numpy(dtype="float64")
+    y = daily.to_numpy(dtype="float64")
+    n = len(y)
+    a = np.vstack([t, np.ones_like(t)]).T
+    beta = np.linalg.lstsq(a, y, rcond=None)[0]
+    e = y - a @ beta
+    sxx = ((t - t.mean()) ** 2).sum()
+    h = 1 / n + (t - t.mean()) ** 2 / sxx
+    s2 = (e @ e) / (n - 2)
+    cooks = np.round(e**2 * h / (2 * s2 * (1 - h) ** 2), 9)
+    days = daily.index.strftime("%Y-%m-%d").to_numpy()
+    order = np.lexsort((days, -cooks))[:10]
+    for rk, i in enumerate(order, start=1):
+        r = rows[rk - 1]
+        assert (r.rank, r.day) == (rk, days[i])
+        assert abs(r.cooks_d - cooks[i]) < 1e-6
+        assert abs(r.leverage - h[i]) < 1e-9
+
+
+def test_breusch_pagan_matches_numpy(spark):
+    """q326's auxiliary R^2 replays (within the 6dp term-rounding
+    tolerance) from the numpy regression of e^2 on t."""
+    row = EXTRA["q326_breusch_pagan"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    daily = li.groupby("day")["cents"].sum().sort_index()
+    t = (daily.index - pd.Timestamp("1995-01-01")).days.to_numpy(dtype="float64")
+    y = daily.to_numpy(dtype="float64")
+    a = np.vstack([t, np.ones_like(t)]).T
+    e = y - a @ np.linalg.lstsq(a, y, rcond=None)[0]
+    u = (e / 1e8) ** 2
+    r = np.corrcoef(t, u)[0, 1]
+    assert row.n_days == len(y)
+    assert abs(row.aux_r2 - r * r) < 1e-5
+    assert abs(row.bp_lm - len(y) * r * r) < 1e-2
+    assert 0.0 <= row.aux_r2 <= 1.0
+
+
+def test_effect_sizes_match_numpy(spark):
+    """q327's d/g/delta replay from numpy group statistics; |g| < |d|
+    always (the bias correction shrinks)."""
+    row = EXTRA["q327_effect_sizes"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_orderkey", "l_quantity"])
+    od = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .toPandas()
+    )
+    df = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    x1 = df[df["o_orderpriority"] == "1-URGENT"]["l_quantity"].to_numpy(dtype="float64")
+    x2 = df[df["o_orderpriority"] == "5-LOW"]["l_quantity"].to_numpy(dtype="float64")
+    assert (row.n_urgent, row.n_low) == (len(x1), len(x2))
+    v1, v2 = x1.var(ddof=1), x2.var(ddof=1)
+    sp = math.sqrt(((len(x1) - 1) * v1 + (len(x2) - 1) * v2) / (len(x1) + len(x2) - 2))
+    d = (x1.mean() - x2.mean()) / sp
+    g = d * (1 - 3 / (4 * (len(x1) + len(x2)) - 9))
+    assert abs(row.cohens_d - d) < 1e-7
+    assert abs(row.hedges_g - g) < 1e-7
+    assert abs(row.glass_delta - (x1.mean() - x2.mean()) / math.sqrt(v2)) < 1e-7
+    assert abs(row.hedges_g) < abs(row.cohens_d)
