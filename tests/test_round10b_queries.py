@@ -927,3 +927,70 @@ def test_effect_sizes_match_numpy(spark):
     assert abs(row.hedges_g - g) < 1e-7
     assert abs(row.glass_delta - (x1.mean() - x2.mean()) / math.sqrt(v2)) < 1e-7
     assert abs(row.hedges_g) < abs(row.cohens_d)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=5), min_size=2, max_size=9),
+    st.integers(min_value=1, max_value=8),
+)
+def test_mood_finite_population_moments_exhaustive(vals, na):
+    """q323's finite-population E/Var formulas equal the EXHAUSTIVE
+    enumeration over all C(N, n_a) group assignments of the weight
+    multiset — the permutation distribution itself, not an
+    approximation."""
+    from itertools import combinations
+
+    n = len(vals)
+    na = min(na, n - 1)
+    pooled = Counter(vals)
+    cum = 0
+    wmap = {}
+    for v in sorted(pooled):
+        ll = pooled[v]
+        cum += ll
+        wmap[v] = ((2 * cum - ll) - (n + 1)) ** 2
+    w = [wmap[v] for v in vals]
+    s1 = sum(w)
+    s2 = sum(x * x for x in w)
+    e_formula = na * s1 / n
+    var_formula = na * (n - na) / (n * (n - 1)) * (s2 - s1 * s1 / n)
+    draws = [sum(c) for c in combinations(w, na)]
+    e_exact = sum(draws) / len(draws)
+    var_exact = sum((d - e_exact) ** 2 for d in draws) / len(draws)
+    assert abs(e_formula - e_exact) < 1e-9 * max(1.0, abs(e_exact))
+    assert abs(var_formula - var_exact) < 1e-9 * max(1.0, abs(var_exact))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=25),
+)
+def test_anderson_darling_integer_clearing_matches_fractional(a, b):
+    """q322's integer-cleared cell term l*(N*2M - n_i*2B)^2 /
+    (N*((2B)(2N-2B) - N*l)) equals the textbook fractional
+    Scholz-Stephens term l/N * (N*M - n_i*B)^2 / (B(N-B) - N*l/4)
+    on every grid cell with a positive denominator."""
+    na, nb = len(a), len(b)
+    nn = na + nb
+    ca, cb = Counter(a), Counter(b)
+    cum_a = cum_b = 0
+    for v in sorted(set(a) | set(b)):
+        la, lb = ca.get(v, 0), cb.get(v, 0)
+        ll = la + lb
+        cum_a += la
+        cum_b += lb
+        b2 = 2 * (cum_a + cum_b) - ll
+        bfrac = (cum_a + cum_b) - ll / 2.0
+        den_int = nn * (b2 * (2 * nn - b2) - nn * ll)
+        den_frac = bfrac * (nn - bfrac) - nn * ll / 4.0
+        assert (den_int > 0) == (den_frac > 1e-12), (v, den_int, den_frac)
+        if den_int <= 0:
+            continue
+        for (cm, ni) in ((cum_a, na), (cum_b, nb)):
+            m2 = 2 * cm - (la if ni == na else lb)
+            mfrac = cm - (la if ni == na else lb) / 2.0
+            t_int = ll * (nn * m2 - ni * b2) ** 2 / den_int
+            t_frac = ll / nn * (nn * mfrac - ni * bfrac) ** 2 / den_frac
+            assert abs(t_int - t_frac) < 1e-9 * max(1.0, abs(t_frac))
