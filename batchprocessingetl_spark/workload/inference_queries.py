@@ -2712,3 +2712,359 @@ _ORACLE_ALL["q327_effect_sizes"] = """
 """
 EXTRA_QUERIES["q327_effect_sizes"] = q327_effect_sizes
 EXTRA_ORACLE["q327_effect_sizes"] = _ORACLE_ALL["q327_effect_sizes"]
+
+
+PH_DELTA_CENTS = 0
+PH_REF_YEAR = 1995
+
+
+def q328_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector on daily revenue — the sequential
+    change-point monitor (the streaming-monitoring sibling of q209's
+    retrospective CUSUM): with the reference mean fixed from the 1995
+    burn-in (mu0 = S0/n0, kept exact by clearing every statistic by
+    n0), the detector tracks M_t = n0*sum(x_i) - t*S0 over the
+    post-burn-in days and PH_t = M_t - min_{i<=t} M_i — an
+    upward-drift alarm when PH exceeds its threshold. Every quantity
+    is an exact DECIMAL(38,0) integer (cumulative-sum + running-min
+    windows on the collapsed day frame); the output reports the
+    detector's maximum excursion, the day it peaks, and the first
+    alarm day at the lambda = 30 * mu0 threshold (cleared: PH >
+    30 * S0), if any. Day-grain after one fact aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    burn = daily.filter(F.year("day") == PH_REF_YEAR).agg(
+        F.count(F.lit(1)).cast(_D38).alias("n0"),
+        F.sum("rev").cast(_D38).alias("s0"),
+    )
+    post = daily.filter(F.year("day") > PH_REF_YEAR)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = (
+        post.crossJoin(F.broadcast(burn))
+        .withColumn("t", F.count(F.lit(1)).over(wcum).cast(_D38))
+        .withColumn("cumx", F.sum("rev").over(wcum).cast(_D38))
+        .withColumn("m", F.col("n0") * F.col("cumx") - F.col("t") * F.col("s0"))
+        .withColumn("runmin", F.min("m").over(wcum))
+        .withColumn("ph", F.col("m") - F.col("runmin"))
+    )
+    phmax = m.agg(F.max("ph").alias("ph_max"))
+    agg = m.crossJoin(F.broadcast(phmax)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_post_days"),
+        F.max("ph").alias("ph_top"),
+        F.min(
+            F.when(F.col("ph") == F.col("ph_max"), F.col("day"))
+        ).alias("peak_day_raw"),
+        F.min(
+            F.when(F.col("ph") > 30 * F.col("s0"), F.col("day"))
+        ).alias("alarm_day_raw"),
+        F.max("n0").alias("n0"),
+    )
+    return agg.select(
+        "n_post_days",
+        F.round(
+            F.col("ph_top").cast("double")
+            / (F.col("n0").cast("double") * 100.0),
+            2,
+        ).alias("ph_max_dollars"),
+        F.col("peak_day_raw").cast("string").alias("peak_day"),
+        F.col("alarm_day_raw").cast("string").alias("alarm_day"),
+    )
+
+
+_ORACLE_ALL["q328_page_hinkley"] = f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), burn AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n0, CAST(SUM(rev) AS HUGEINT) AS s0
+        FROM daily WHERE YEAR(day) = {PH_REF_YEAR}
+    ), post AS (
+        SELECT d.day, d.rev, b.n0, b.s0,
+               CAST(ROW_NUMBER() OVER (ORDER BY d.day) AS HUGEINT) AS t,
+               CAST(SUM(d.rev) OVER (ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS cumx
+        FROM daily d CROSS JOIN burn b
+        WHERE YEAR(d.day) > {PH_REF_YEAR}
+    ), ph AS (
+        SELECT day, n0, s0,
+               n0 * cumx - t * s0 AS m,
+               n0 * cumx - t * s0
+                   - MIN(n0 * cumx - t * s0) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM post
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_post_days,
+           ROUND(CAST(MAX(p) AS DOUBLE)
+                 / (CAST(MAX(n0) AS DOUBLE) * 100.0), 2) AS ph_max_dollars,
+           CAST(MIN(CASE WHEN p = (SELECT MAX(p) FROM ph) THEN day END)
+                AS VARCHAR) AS peak_day,
+           CAST(MIN(CASE WHEN p > 30 * s0 THEN day END) AS VARCHAR)
+               AS alarm_day
+    FROM ph
+"""
+EXTRA_QUERIES["q328_page_hinkley"] = q328_page_hinkley
+EXTRA_ORACLE["q328_page_hinkley"] = _ORACLE_ALL["q328_page_hinkley"]
+
+
+def q329_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root regression on daily revenue (no lag
+    terms, with intercept): delta_y_t = a + gamma * y_{t-1} + e_t —
+    gamma near 0 means a random-walk (unit root), strongly negative
+    means mean reversion; the stationarity read that tells you whether
+    q305/q314's correlation structure sits on a stationary series at
+    all (q331 KPSS is the complementary null). One lag window pairs
+    (y_{t-1}, delta_y) on the day frame; the OLS slope and its
+    t-statistic come from exact DECIMAL(38,0) sufficient statistics
+    (q107 discipline): gamma = Sxy/Sxx with Sxy = n*sum(xy) -
+    sum(x)sum(y), the residual variance from the closed SSR form, and
+    se^2 = s2 * n / Sxx — each ONE double chain, rounded 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    wlag = Window.orderBy("day")
+    pairs = (
+        daily.withColumn("prev", F.lag("rev").over(wlag))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").cast(_D38).alias("x"),
+            (F.col("rev") - F.col("prev")).cast(_D38).alias("y"),
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    sxy_c = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    syy_c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    gamma = sxy_c / sxx_c
+    ssr = (syy_c - sxy_c * sxy_c / sxx_c) / nd
+    s2 = ssr / (nd - 2.0)
+    se = F.sqrt(s2 * nd / sxx_c)
+    return m.select(
+        F.col("n").cast("long").alias("n_diffs"),
+        F.round(gamma, 9).alias("gamma"),
+        F.round(gamma / se, 6).alias("df_stat"),
+    )
+
+
+_ORACLE_ALL["q329_dickey_fuller"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(prev AS HUGEINT) AS x,
+               CAST(rev - prev AS HUGEINT) AS y
+        FROM (
+            SELECT rev, LAG(rev) OVER (ORDER BY day) AS prev FROM daily
+        ) WHERE prev IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_diffs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS gamma,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 / SQRT(((CAST(n * syy - sy * sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0))
+                        * CAST(n AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS df_stat
+    FROM m
+"""
+EXTRA_QUERIES["q329_dickey_fuller"] = q329_dickey_fuller
+EXTRA_ORACLE["q329_dickey_fuller"] = _ORACLE_ALL["q329_dickey_fuller"]
+
+
+def q330_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for randomness of the daily revenue series
+    — count strict local maxima + minima among interior days; for an
+    i.i.d. series E[T] = 2(n-2)/3 and Var[T] = (16n - 29)/90, so too
+    FEW turning points flags trend/persistence (the complement of
+    q294's runs test, which dichotomizes at the median; this reads
+    the full ordering). One lag + one lead window on the day frame;
+    the count and both null moments are exact integers/rationals
+    cleared to integer numerators (T*3 - 2(n-2) over sqrt((16n-29)/90))
+    with one double chain at the end, rounded 9dp. Equal-neighbor days
+    (impossible on this cents grid in practice, but defined anyway)
+    count as non-turning, identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    t = (
+        daily.withColumn("prev", F.lag("rev").over(w))
+        .withColumn("nxt", F.lead("rev").over(w))
+        .filter(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+        .select(
+            F.when(
+                (
+                    (F.col("rev") > F.col("prev")) & (F.col("rev") > F.col("nxt"))
+                )
+                | (
+                    (F.col("rev") < F.col("prev")) & (F.col("rev") < F.col("nxt"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("tp")
+        )
+    )
+    agg = t.agg(
+        (F.count(F.lit(1)) + 2).cast(_D38).alias("n"),
+        F.sum("tp").cast(_D38).alias("t"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    e = 2.0 * (nd - 2.0) / 3.0
+    var = (16.0 * nd - 29.0) / 90.0
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("turning_points"),
+        F.round(e, 6).alias("expected"),
+        F.round((td - e) / F.sqrt(var), 9).alias("z"),
+    )
+
+
+_ORACLE_ALL["q330_turning_points"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CASE WHEN (rev > prev AND rev > nxt)
+                      OR (rev < prev AND rev < nxt) THEN 1 ELSE 0 END AS tp
+        FROM (
+            SELECT rev, LAG(rev) OVER (ORDER BY day) AS prev,
+                   LEAD(rev) OVER (ORDER BY day) AS nxt
+            FROM daily
+        ) WHERE prev IS NOT NULL AND nxt IS NOT NULL
+    ), agg AS (
+        SELECT CAST(COUNT(*) + 2 AS HUGEINT) AS n,
+               CAST(SUM(tp) AS HUGEINT) AS t
+        FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(t AS BIGINT) AS turning_points,
+           ROUND(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) AS expected,
+           ROUND((CAST(t AS DOUBLE)
+                  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                 / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 9) AS z
+    FROM agg
+"""
+EXTRA_QUERIES["q330_turning_points"] = q330_turning_points
+EXTRA_ORACLE["q330_turning_points"] = _ORACLE_ALL["q330_turning_points"]
+
+
+def q331_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic on daily revenue — the
+    complementary null to q329's Dickey-Fuller (DF assumes a unit
+    root and tries to reject it; KPSS assumes stationarity): eta =
+    sum_t S_t^2 / (n^2 * sigma2) with S_t the partial sums of the
+    demeaned series and sigma2 the (lag-0) variance. Exact to the
+    last division: with E_t = n*y_t - S (the q305 clearing), the
+    partial sums P_t = sum_{i<=t} E_i are exact DECIMAL(38,0)
+    cumulative-window integers, and eta = sum P_t^2 / (n * sum
+    E_t^2) (the n-scaling leaves one factor of n — the algebra is
+    pinned in tests) — both numerator and denominator exact integers (P_t^2
+    fits DECIMAL(38,0) through ~sf10's cents grid; beyond, the grid
+    coarsens as documented for q305), ONE double division, rounded
+    9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("s"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    e = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_days",
+            (
+                F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+                - F.col("s").cast(_D38)
+            ).alias("e"),
+        )
+        .withColumn("p", F.sum("e").over(wcum))
+    )
+    agg = e.agg(
+        F.max("n_days").cast(_D38).alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("ss"),
+        F.sum(F.col("p") * F.col("p")).alias("pp"),
+    )
+    # with the n-scaled E_t = n*e_t, P_t = n*p_t:
+    # eta = sum p^2 / (n^2 * sigma2) with sigma2 = sum e^2 / n
+    #     = n * sum(p^2) / (n^2 * sum(e^2)) = sum(P^2) / (n * sum(E^2))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.col("pp").cast("double")
+            / (F.col("n").cast("double") * F.col("ss").cast("double")),
+            9,
+        ).alias("kpss_eta"),
+    )
+
+
+_ORACLE_ALL["q331_kpss"] = """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev) AS s FROM daily
+    ), e AS (
+        SELECT d.day, t.n_days,
+               CAST(t.n_days AS HUGEINT) * CAST(d.rev AS HUGEINT)
+                   - CAST(t.s AS HUGEINT) AS e
+        FROM daily d CROSS JOIN tot t
+    ), p AS (
+        SELECT n_days, e,
+               SUM(e) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM e
+    )
+    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(p * p) AS DOUBLE)
+                 / (CAST(MAX(n_days) AS DOUBLE)
+                    * CAST(SUM(e * e) AS DOUBLE)), 9) AS kpss_eta
+    FROM p
+"""
+EXTRA_QUERIES["q331_kpss"] = q331_kpss
+EXTRA_ORACLE["q331_kpss"] = _ORACLE_ALL["q331_kpss"]

@@ -994,3 +994,109 @@ def test_anderson_darling_integer_clearing_matches_fractional(a, b):
             t_int = ll * (nn * m2 - ni * b2) ** 2 / den_int
             t_frac = ll / nn * (nn * mfrac - ni * bfrac) ** 2 / den_frac
             assert abs(t_int - t_frac) < 1e-9 * max(1.0, abs(t_frac))
+
+
+def test_page_hinkley_matches_integer_replay(spark):
+    """q328's detector replays exactly from pure-python integers on
+    the same burn-in/post split."""
+    row = EXTRA["q328_page_hinkley"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    daily = li.groupby("day")["cents"].sum().sort_index()
+    burn = daily[daily.index.year == 1995]
+    post = daily[daily.index.year > 1995]
+    n0, s0 = len(burn), int(burn.sum())
+    assert row.n_post_days == len(post)
+    cum = 0
+    runmin = 0
+    ph_max = -1
+    peak = alarm = None
+    for t, (day, x) in enumerate(post.items(), start=1):
+        cum += int(x)
+        m = n0 * cum - t * s0
+        runmin = min(runmin, m) if t > 1 else min(0, m)
+        # running min over m_i for i<=t (include current)
+        runmin = min(runmin, m)
+        ph = m - runmin
+        if ph > ph_max:
+            ph_max, peak = ph, day
+        if alarm is None and ph > 30 * s0:
+            alarm = day
+    assert abs(row.ph_max_dollars - round(ph_max / (n0 * 100.0), 2)) < 0.02
+    assert row.peak_day == peak.strftime("%Y-%m-%d")
+    assert (row.alarm_day is None) == (alarm is None)
+    if alarm is not None:
+        assert row.alarm_day == alarm.strftime("%Y-%m-%d")
+
+
+def test_dickey_fuller_matches_numpy_ols(spark):
+    """q329's gamma and t-stat replay from the numpy regression of
+    delta_y on y_lag (with intercept)."""
+    row = EXTRA["q329_dickey_fuller"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy(dtype="float64")
+    x = y[:-1]
+    d = np.diff(y)
+    n = len(d)
+    assert row.n_diffs == n
+    a = np.vstack([x, np.ones_like(x)]).T
+    beta, res, *_ = np.linalg.lstsq(a, d, rcond=None)
+    e = d - a @ beta
+    s2 = (e @ e) / (n - 2)
+    sxx = ((x - x.mean()) ** 2).sum()
+    se = math.sqrt(s2 / sxx)
+    assert abs(row.gamma - beta[0]) < 1e-9 * max(1.0, abs(beta[0]))
+    assert abs(row.df_stat - beta[0] / se) < 1e-4 * max(1.0, abs(beta[0] / se))
+    # revenue series should be strongly mean-reverting, not unit-root
+    assert row.df_stat < -5
+
+
+def test_turning_points_matches_replay(spark):
+    """q330's count replays from a direct scan; moments match the
+    closed forms."""
+    row = EXTRA["q330_turning_points"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy()
+    n = len(y)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (y[i] > y[i - 1] and y[i] > y[i + 1])
+        or (y[i] < y[i - 1] and y[i] < y[i + 1])
+    )
+    assert (row.n_days, row.turning_points) == (n, t)
+    e = 2 * (n - 2) / 3
+    assert abs(row.expected - e) < 1e-6
+    assert abs(row.z - (t - e) / math.sqrt((16 * n - 29) / 90)) < 1e-6
+
+
+def test_kpss_matches_numpy(spark):
+    """q331's eta replays from numpy partial sums of the demeaned
+    series (the n-clearing cancels top and bottom)."""
+    row = EXTRA["q331_kpss"](spark, SF_SMOKE).collect()[0]
+    li = _li_pdf(spark, ["l_shipdate", "l_extendedprice"])
+    li = li.assign(
+        day=pd.to_datetime(li["l_shipdate"]).dt.normalize(),
+        cents=_cents(li["l_extendedprice"]),
+    )
+    y = li.groupby("day")["cents"].sum().sort_index().to_numpy(dtype="float64")
+    n = len(y)
+    e = y - y.mean()
+    p = np.cumsum(e)
+    eta = float((p @ p) / (n * n * (e @ e) / n) / n)
+    # eta = sum(P^2) / (n^2 * sigma2), sigma2 = sum(e^2)/n
+    eta = float((p @ p) / (n * n * ((e @ e) / n)))
+    assert row.n_days == n
+    assert abs(row.kpss_eta - eta) < 1e-7
+    assert row.kpss_eta > 0
