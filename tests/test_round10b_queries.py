@@ -1100,3 +1100,28 @@ def test_kpss_matches_numpy(spark):
     assert row.n_days == n
     assert abs(row.kpss_eta - eta) < 1e-7
     assert row.kpss_eta > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=4, max_value=7))
+def test_turning_points_null_moments_exhaustive(n):
+    """q330's closed-form null moments E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90 hold EXACTLY (as fractions) over the uniform
+    distribution on all n! orderings of n distinct values."""
+    from fractions import Fraction
+    from itertools import permutations
+
+    ts = []
+    for perm in permutations(range(n)):
+        ts.append(
+            sum(
+                1
+                for i in range(1, n - 1)
+                if (perm[i] > perm[i - 1] and perm[i] > perm[i + 1])
+                or (perm[i] < perm[i - 1] and perm[i] < perm[i + 1])
+            )
+        )
+    e = Fraction(sum(ts), len(ts))
+    var = Fraction(sum(t * t for t in ts), len(ts)) - e * e
+    assert e == Fraction(2 * (n - 2), 3)
+    assert var == Fraction(16 * n - 29, 90)
