@@ -45,37 +45,24 @@ _MODULES = (
     _inference,
 )
 
-# Round-9 rotation (VERDICT r8 #1): the 50 driver-checked rows.
-# Newly rotated IN (13): the whole round-8 block q268-q280 — KMV set
-# algebra, RANSAC, AQP Horvitz-Thompson, IPF raking, Merkle shard
-# audit + descent, CUBE lattice, Kneser-Ney, greedy set-cover,
-# relational division, PQ codebooks, FK scorecard, column profiler —
-# the only declared rows that lacked a driver CORRECTNESS entry.
-# Displaced to EXTRA (13), each driver-proven in round 8 and with
-# registered kin: survival/testing q244/q247/q258 (q245 stratified
-# effect + q257 log-rank stay, with q234/q236/q240), graph fixed
-# points q241/q261 (q190 BFS + q251 LPA stay), attribution q250
-# (q146/q242/q267 stay), and the analytics singletons q243/q246/
-# q248/q249/q255/q260/q264 whose families retain anchors (q111 IVM,
-# q253 k-center, q208 ACF, q147 RRF, incoming q270 estimation and
-# q279/q280 data-quality). Mapping in docs/COVERAGE.md "Round 9
-# rotation".
+# Round-11 rotation (VERDICT r10 #1/#4): the 50 driver-checked rows.
+# Newly rotated IN (30): the ENTIRE q302-q331 shelf — both the
+# 13-query first wave VERDICT r10 named (q302 log-rank, q304
+# Wasserstein, q308 Hodges-Lehmann, q312 Matryoshka, q313 binary
+# Hamming, q318 entropy rate, q319 modularity, q320 Jarque-Bera,
+# q322 Anderson-Darling, q325 Cook's distance, q328 Page-Hinkley,
+# q329 Dickey-Fuller, q331 KPSS) and the 17-query second wave
+# (VERDICT r10 #4), all 3-SF sweep-proven in round 10.
+# Displaced to EXTRA (30): the twice-proven (r9+r10) q268-q280 block
+# (13) plus 17 multi-round-proven retainers (q78, q182, q188, q190,
+# q192, q203, q204, q208, q220, q225, q234, q236, q240, q253, q256,
+# q257, q267 — each driver-green in >=2 rounds). Family-retainer
+# mapping, the exceptions (LM-training, sketches, infra-audit
+# families temporarily all-EXTRA), and the round-12/13 ledger that
+# restores them with never-checked rows live in docs/COVERAGE.md
+# "Round 11 rotation" + "Rotation ledger".
 _REGISTERED = (
-    # round-8 block, rotated in (13)
-    "q268_kmv_set_ops",
-    "q269_ransac_line",
-    "q270_aqp_sample_estimate",
-    "q271_ipf_raking",
-    "q272_merkle_shard_audit",
-    "q273_cube_revenue",
-    "q274_kneser_ney",
-    "q275_setcover_selection",
-    "q276_relational_division",
-    "q277_merkle_diff_localization",
-    "q278_product_quantization",
-    "q279_fk_integrity_audit",
-    "q280_column_profile",
-    # round-9/10 block, rotated in (10)
+    # round-9/10 block, kept for its second driver proof (10)
     "q281_stochastic_setcover",
     "q282_kendall_tau",
     "q283_benford_audit",
@@ -86,35 +73,45 @@ _REGISTERED = (
     "q288_mann_whitney_u",
     "q289_cramers_v_matrix",
     "q290_mahalanobis_outliers",
-    # round-7 block retainers (4)
-    "q253_kcenter_coreset",
-    "q256_consistent_hash_rebalance",
-    "q257_logrank_test",
-    "q267_time_decay_attribution",
-    # fixed-point iterative retainers
-    "q182_bpe_train_merges",
+    # round-10 shelf, rotated in — first driver proof (30)
+    "q302_logrank_test",
+    "q303_ordinal_association",
+    "q304_wasserstein_daily_revenue",
+    "q305_serial_correlation",
+    "q306_anova_oneway",
+    "q307_wilcoxon_signed_rank",
+    "q308_hodges_lehmann",
+    "q309_cochran_q",
+    "q310_partial_correlation",
+    "q311_chow_break_test",
+    "q312_matryoshka_rerank",
+    "q313_binary_hamming_rerank",
+    "q314_ljung_box",
+    "q315_agreement_family",
+    "q316_cross_correlation",
+    "q317_pacf",
+    "q318_markov_entropy_rate",
+    "q319_modularity_score",
+    "q320_jarque_bera",
+    "q321_bhattacharyya",
+    "q322_anderson_darling_2s",
+    "q323_mood_scale_test",
+    "q324_median_test",
+    "q325_cooks_distance",
+    "q326_breusch_pagan",
+    "q327_effect_sizes",
+    "q328_page_hinkley",
+    "q329_dickey_fuller",
+    "q330_turning_points",
+    "q331_kpss",
+    # clustering family retainer (q253 k-center displaced)
     "q187_kmeans_clusters",
-    "q190_trade_reach_bfs",
-    "q220_pca_power_iteration",
-    # experimentation representatives
-    "q234_cuped_adjustment",
-    "q236_trimmed_mean",
-    "q240_mcnemar_classifiers",
-    # KMV sketches (streaming twin's batch anchor)
-    "q203_kmv_distinct",
-    "q204_kmv_rolling_wau",
-    # family retainers
-    "q188_dsir_importance_select",
-    "q192_mmr_rerank",
-    "q208_acf_daily_revenue",
-    "q225_blocking_quality",
     # anchors
     "q03_product_sales_in_year",
     "q40_staging_clean",
     "q41_scd2_demo",
     "q60_multimodal_features",
     "q71_sequence_packing",
-    "q78_unpivot_metrics",
     "q93_merge_upsert",
     "q111_ivm_nation_revenue",
     "q146_multitouch_attribution",
