@@ -48,6 +48,14 @@ HEADLINE = (
     "q53_embedding_similar_pairs",
     "q81_skewed_user_rollup",
     "q94_skewed_user_rollup_aqe",
+    # Round-11 additions (VERDICT r10 #3): the engine's newest perf
+    # stories, invisible to round-over-round tracking until now. The
+    # original 17 rows above are unchanged for continuity.
+    "q275_setcover_selection",       # exact greedy set-cover (bucketed shingle store)
+    "q281_stochastic_setcover",      # partition-pruned stochastic set-cover (alpha 0.12 rework)
+    "q312_matryoshka_rerank",        # 8-of-64-dim coarse pass + exact re-rank funnel
+    "q313_binary_hamming_rerank",    # packed-sign-bit popcount shortlist + exact re-rank
+    "q147_hybrid_retrieval_rrf",     # BM25 + dense RRF rank fusion
 )
 
 
