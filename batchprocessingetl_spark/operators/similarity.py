@@ -772,7 +772,12 @@ def hamming_knn_join(
 
     ``corpus_sigs`` is (id, w0, w1) and ``query_sigs`` is
     (qid, qw0, qw1), both with the 64 sign bits packed into two BIGINT
-    words (bits 0-31 / 32-63). Phase 1 hashes the corpus into
+    words, EACH holding 32 sign bits in its low half (w0 = dims 1-32,
+    w1 = dims 33-64; Spark's ``transform`` index is 0-based per
+    32-element slice, so neither word uses bits 32-63 — but any
+    64-bit packing works as long as corpus and query agree, since
+    words are XORed pairwise and popcounted over all 8 bytes).
+    Phase 1 hashes the corpus into
     ``n_blocks`` row-blocks and computes each block's LOCAL top-k per
     query with one vectorized numpy pass: XOR the (n, 2) and (Q, 2)
     word matrices, view the result as raw bytes, and popcount via a

@@ -58,3 +58,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def work_dir(spark: SparkSession, component: str) -> str:
+    """App-scoped scratch directory for operators that materialize an
+    intermediate store (the q275/q281 bucketed shingle store, the LSH
+    band store). ``SPARK_GRAFT_WORK_DIR`` overrides the root — on a
+    real cluster point it at a shared filesystem (HDFS/S3A path) so
+    every executor can read the materialized parquet; locally it
+    defaults to the system tempdir. Always suffixed with the
+    applicationId so concurrent sessions never collide, and safe to
+    rmtree on entry (re-runs within one app overwrite their own
+    store)."""
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_WORK_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        root, f"bpetl_{component}_{spark.sparkContext.applicationId}"
+    )

@@ -2725,7 +2725,11 @@ def q328_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     burn-in (mu0 = S0/n0, kept exact by clearing every statistic by
     n0), the detector tracks M_t = n0*sum(x_i) - t*S0 over the
     post-burn-in days and PH_t = M_t - min_{i<=t} M_i — an
-    upward-drift alarm when PH exceeds its threshold. Every quantity
+    upward-drift alarm when PH exceeds its threshold. The standard
+    delta slack (drift magnitude the detector should ignore) enters
+    the cleared recurrence as M_t = n0*sum(x) - t*(S0 + n0*delta);
+    PH_DELTA_CENTS = 0 keeps the detector maximally sensitive, the
+    conventional setting when lambda alone gates the alarm. Every quantity
     is an exact DECIMAL(38,0) integer (cumulative-sum + running-min
     windows on the collapsed day frame); the output reports the
     detector's maximum excursion, the day it peaks, and the first
@@ -2750,7 +2754,11 @@ def q328_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.crossJoin(F.broadcast(burn))
         .withColumn("t", F.count(F.lit(1)).over(wcum).cast(_D38))
         .withColumn("cumx", F.sum("rev").over(wcum).cast(_D38))
-        .withColumn("m", F.col("n0") * F.col("cumx") - F.col("t") * F.col("s0"))
+        .withColumn(
+            "m",
+            F.col("n0") * F.col("cumx")
+            - F.col("t") * (F.col("s0") + F.col("n0") * F.lit(PH_DELTA_CENTS)),
+        )
         .withColumn("runmin", F.min("m").over(wcum))
         .withColumn("ph", F.col("m") - F.col("runmin"))
     )
@@ -2796,9 +2804,10 @@ _ORACLE_ALL["q328_page_hinkley"] = f"""
         WHERE YEAR(d.day) > {PH_REF_YEAR}
     ), ph AS (
         SELECT day, n0, s0,
-               n0 * cumx - t * s0 AS m,
-               n0 * cumx - t * s0
-                   - MIN(n0 * cumx - t * s0) OVER (ORDER BY day
+               n0 * cumx - t * (s0 + n0 * {PH_DELTA_CENTS}) AS m,
+               n0 * cumx - t * (s0 + n0 * {PH_DELTA_CENTS})
+                   - MIN(n0 * cumx - t * (s0 + n0 * {PH_DELTA_CENTS}))
+                       OVER (ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
         FROM post
     )

@@ -3956,7 +3956,11 @@ def q251_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q251_oracle_sql(k: int) -> str:
+def _q251_ctes(k: int) -> str:
+    """The shared CTE prefix of the q251/q319 oracles: the edge frame,
+    its undirected doubling, and the k unrolled LPA label steps —
+    everything up to (but not including) a final SELECT, so composing
+    oracles append their own CTEs/SELECT without string surgery."""
     parts = [
         """
     WITH e AS MATERIALIZED (
@@ -3984,13 +3988,17 @@ def _q251_oracle_sql(k: int) -> str:
         ) WHERE rk = 1
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _q251_oracle_sql(k: int) -> str:
+    return (
+        _q251_ctes(k)
+        + f"""
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM lab_{k} GROUP BY 1
     ORDER BY n_members DESC, label LIMIT 20"""
     )
-    return "".join(parts)
 
 
 EXTRA_QUERIES["q251_label_propagation"] = q251_label_propagation
@@ -4068,10 +4076,8 @@ def q319_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q319_oracle_sql(k: int) -> str:
     # reuse q251's unrolled LPA recurrence, then the modularity algebra
-    base = _q251_oracle_sql(k)
-    head = base[: base.rindex("\n    SELECT label")]
     return (
-        head
+        _q251_ctes(k)
         + f"""
     , within AS (
         SELECT la.label AS c, COUNT(*) AS e_c

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.session import work_dir
 from batchprocessingetl_spark.operators import text as T_ops
 
 
@@ -452,7 +453,6 @@ def q124_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice) AND the band join's recall, same as q37."""
     import os
     import shutil
-    import tempfile
 
     from batchprocessingetl_spark.operators.dedup import (
         band_signatures,
@@ -465,9 +465,7 @@ def q124_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_docs = docs.filter(F.col("doc_id") % 10 != 0)
     batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
 
-    work = os.path.join(
-        tempfile.gettempdir(), f"bpetl_lshstore_{spark.sparkContext.applicationId}"
-    )
+    work = work_dir(spark, "lshstore")
     shutil.rmtree(work, ignore_errors=True)
     band_signatures(
         minhash_signatures(store_docs, "doc_id", "text", n_hashes=32, n=3), bands=16
@@ -3790,16 +3788,12 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     only."""
     import os
     import shutil
-    import tempfile
 
     from batchprocessingetl_spark.operators.dedup import shingle_frame
     from batchprocessingetl_spark.operators.iteration import barrier
 
     docs = load_table(spark, sf_dir, "documents")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"bpetl_sgcover_{spark.sparkContext.applicationId}",
-    )
+    work = work_dir(spark, "sgcover")
     shutil.rmtree(work, ignore_errors=True)
     # map-only materialization: shingles are deduped WITHIN each doc's
     # array (array_distinct before the explode) — (doc_id, sh) is then

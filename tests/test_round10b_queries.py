@@ -531,13 +531,19 @@ def test_markov_entropy_rate_composition(spark):
 
 def test_hamming_knn_join_operator_direct(spark):
     """hamming_knn_join pins against a per-pair python popcount on
-    synthetic packed words, including negative int64 (bit 31 of the
-    high word lands in the long's low half — packing never sets the
-    sign bit, but the operator must handle arbitrary BIGINT words)."""
+    synthetic packed words, INCLUDING words with bit 63 set (negative
+    BIGINT — q313's packing never sets the sign bit, but the operator
+    must handle arbitrary words, and the numpy int64-XOR → uint8-view
+    popcount path must agree with the python replay's unsigned mask)."""
     from batchprocessingetl_spark.operators.similarity import hamming_knn_join
 
     corpus = [(i, (i * 2654435761) % (2**31), (i * 40503) % (2**31)) for i in range(40)]
+    corpus += [
+        (40, -(2**63) + 12345, -1),          # sign bit set; all-ones word
+        (41, -98765, 2**62 + 7),             # negative low word, large positive high
+    ]
     queries = [(100 + j, (j * 97 + 5) % (2**31), (j * 31 + 7) % (2**31)) for j in range(3)]
+    queries += [(103, -5, -(2**63))]         # negative query words, incl. min int64
     cdf = spark.createDataFrame(corpus, "id long, w0 long, w1 long")
     qdf = spark.createDataFrame(queries, "qid long, qw0 long, qw1 long")
     got = {
