@@ -34,6 +34,20 @@ def get_spark(
       would size to ~2-3x total cores and rely on AQE coalescing.
     """
     n = cpus if cpus is not None else (DEFAULT_CPUS or os.cpu_count() or 4)
+    # transformWithState needs google.protobuf in BOTH the driver and
+    # the spawned Python workers. When the driver only has it via the
+    # vendored-runtime alias (compat.py), ship the sitecustomize hook
+    # to workers over PYTHONPATH — must happen before the JVM starts,
+    # since local-mode workers inherit the JVM's environment.
+    from batchprocessingetl_spark import compat
+
+    if compat.ensure_protobuf() and compat.protobuf_is_shimmed():
+        shim = compat.worker_pythonpath()
+        current = os.environ.get("PYTHONPATH", "")
+        if shim not in current.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                shim + (os.pathsep + current if current else "")
+            )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

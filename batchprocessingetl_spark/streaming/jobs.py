@@ -918,41 +918,63 @@ def running_user_totals_tws(
     def sink(batch_df, epoch_id):
         batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
 
-    q = (
-        events.groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=RunningTotals(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="None",
-        )
-        .writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState keeps each named state in its own column
+    # family, which the default HDFS-backed provider cannot do —
+    # RocksDB (bundled with Spark) is the operator's required store.
+    # Scoped set-and-restore: the provider is captured per-query at
+    # start and persisted in the checkpoint, so other streams in the
+    # same session keep their default.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
 
 def tws_available() -> bool:
     """True when the transformWithState Python worker can start: its
     state-server protocol requires a working protobuf runtime.
 
-    Blocker status (re-checked rounds 5, 6 and 7): ``google.protobuf``
-    and ``grpc`` are both absent from this container, package installs
-    are disallowed, and the Spark distribution bundles only py4j on
-    the Python side — a filesystem-wide search finds only typeshed
-    .pyi STUBS of google.protobuf (no runtime), so there is still
-    nothing vendorable on the box. The
-    parity test in tests/test_streaming_state.py stays capability-
-    gated on this probe and runs unmodified wherever protobuf exists
-    (any standard `pip install pyspark[connect]` environment)."""
+    History: no ``google.protobuf`` wheel exists in this container and
+    installs are disallowed (the blocker rounds 5-10). Round 11 found
+    a vendorable pure-python runtime on the box — Google Cloud SDK's
+    ``cloudsdk.google.protobuf`` 4.23.2 — and
+    :mod:`batchprocessingetl_spark.compat` now aliases it to the
+    canonical names (plus a worker-side sitecustomize hook installed
+    by the session factory). The probe additionally loads the
+    generated StateMessage module: the 6.33-codegen descriptors must
+    parse on whatever runtime answered, shimmed or real."""
+    from batchprocessingetl_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
