@@ -69,6 +69,12 @@ def get_spark(
         # BEFORE context start — the cleaner captures it at startup.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    # Extra driver jars (e.g. a JDBC driver such as PostgreSQL's) —
+    # comma-separated paths; must be present before the JVM starts, so
+    # a getOrCreate() that reuses a live session cannot add them.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
