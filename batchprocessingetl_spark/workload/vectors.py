@@ -1477,3 +1477,741 @@ EXTRA_ORACLE["q313_binary_hamming_rerank"] = f"""
     FROM rer WHERE rank <= {BQ_K}
     ORDER BY qid, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-11 embedding-diagnostics shelf (q332-q338): data valuation,
+# two-sample tests on embedding distributions, label-noise auditing,
+# cluster-quality scores, and intrinsic-dimension estimation — the
+# "is this embedding table healthy?" battery a training-data pipeline
+# runs before committing 100 TB of compute to it.
+# ---------------------------------------------------------------------------
+
+KS_TEST_IDS = (5, 17, 29, 41, 53, 65, 77, 89)
+KS_K = 5
+KS_SCALE = 10**12
+KS_TOP = 15
+
+
+def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-Shapley data valuation (Jia et al., PVLDB 12(11), 2019):
+    the exact closed-form Shapley value of every training point for a
+    K-NN classifier, s_i = s_{i+1} + (1[y_i=y] - 1[y_{i+1}=y]) /
+    max(K, i) over train points ranked by distance to each test point
+    (rank n term 1[y_n=y]/n). Averaged over a bounded 8-point test
+    set; top 15 most valuable train points reported.
+
+    The recurrence looks sequential but is a pure SUFFIX SUM of
+    per-row independent deltas — so it distributes: rank, compute the
+    delta per row map-side, suffix-sum. Here rank+suffix run as one
+    window per test point; at 100 TB the same algebra runs as a
+    range-partitioned suffix sum (per-bucket partials + broadcast
+    bucket prefix), and the standard shortlist trick applies — the
+    tail beyond the top-M candidates contributes one CONSTANT
+    (a plain aggregate, no window) shared by every nearer point,
+    because each delta_j adds to all s_i with i <= j. Test-point
+    count is the bounded multiplier, exactly as in serving-side kNN.
+
+    Exactness: cosines round to 6 dp before ranking (ties by vec_id);
+    every Shapley term is an integer-scaled truncated quotient
+    (diff * 1e12 div max(K, rank) — BIGINT), so the suffix sums are
+    exact integers on both engines and the single double division
+    happens once at output. No libm, no float accumulation order."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tests = emb.filter(F.col("vec_id").isin(*KS_TEST_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        S.as_double(F.col("embedding")).alias("qe"),
+    )
+    train = emb.filter(~F.col("vec_id").isin(*KS_TEST_IDS)).select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("ee")
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = (
+        train.crossJoin(F.broadcast(tests))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (F.col("label") == F.col("qlabel")).cast("long").alias("ind"),
+            F.round(S.cosine(F.col("ee"), F.col("qe")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("ind_next", F.lead("ind").over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("qid")))
+    )
+    terms = ranked.withColumn(
+        "term",
+        F.when(
+            F.col("ind_next").isNull(), F.expr(f"(ind * {KS_SCALE}) div n")
+        )
+        .when(
+            F.col("ind") >= F.col("ind_next"),
+            F.expr(f"((ind - ind_next) * {KS_SCALE}) div greatest({KS_K}, rnk)"),
+        )
+        .otherwise(
+            -F.expr(f"((ind_next - ind) * {KS_SCALE}) div greatest({KS_K}, rnk)")
+        ),
+    )
+    w_suffix = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shapley = terms.withColumn("s_scaled", F.sum("term").over(w_suffix))
+    return (
+        shapley.groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum("s_scaled").cast("double")
+                / F.lit(float(len(KS_TEST_IDS) * KS_SCALE)),
+                9,
+            ).alias("avg_shapley")
+        )
+        .orderBy(F.desc("avg_shapley"), F.asc("vec_id"))
+        .limit(KS_TOP)
+    )
+
+
+TS_SAMPLE = 64  # bounded two-sample size per label (q333/q334)
+TS_LABEL_X = 0
+TS_LABEL_Y = 1
+
+
+def _two_sample_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic bounded samples for the two-sample tests: the
+    TS_SAMPLE lowest vec_ids of each of two labels. Bounding the
+    samples (not the corpus) is what keeps kernel/energy two-sample
+    testing viable at 100 TB — the all-pairs stage is 64x64 regardless
+    of corpus size, and the sampling pass is one filter + window."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    sel = (
+        emb.filter(F.col("label").isin(TS_LABEL_X, TS_LABEL_Y))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TS_SAMPLE)
+        .select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
+    )
+    x = sel.filter(F.col("label") == TS_LABEL_X).select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av")
+    )
+    y = sel.filter(F.col("label") == TS_LABEL_Y).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+    )
+    return x, y
+
+
+_DEC = "decimal(28,18)"
+
+
+def q333_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample test between two label populations of the
+    embedding table: unbiased MMD^2 with the QUADRATIC kernel
+    K(x,y) = (x.y)^2 — the distribution-shift check on raw embedding
+    space (complements the scalar-drift battery q171 PSI / q172 KS /
+    q304 Wasserstein / q321 Bhattacharyya). The quadratic kernel makes
+    MMD^2 the distance between second-moment embeddings, and — unlike
+    the RBF kernel — is POLYNOMIAL: every per-pair term is one
+    deterministic fp64 dot squared (no libm exp), so casting terms to
+    DECIMAL(28,18) makes the three kernel sums order-independent and
+    bit-equal cross-engine (the q173 covariance discipline).
+
+    MMD^2_u = sum_{i!=j} Kxx / m(m-1) + sum_{i!=j} Kyy / n(n-1)
+              - 2 sum Kxy / mn, over bounded 64-per-label samples
+    (_two_sample_frames): the all-pairs stage is 64x64 broadcast
+    cross-joins independent of corpus size."""
+    x, y = _two_sample_frames(spark, sf_dir)
+    x2 = x.select(F.col("aid").alias("bid"), F.col("av").alias("bv"))
+    y1 = y.select(F.col("bid").alias("aid"), F.col("bv").alias("av"))
+
+    def ksum(a, b, ordered):
+        pairs = a.crossJoin(F.broadcast(b))
+        if ordered:
+            pairs = pairs.filter(F.col("aid") < F.col("bid"))
+        d = S.dot(F.col("av"), F.col("bv"))
+        return pairs.agg(
+            F.sum((d * d).cast(_DEC)).alias("s"), F.count(F.lit(1)).alias("c")
+        )
+
+    sxx = ksum(x, x2, True).select(
+        F.col("s").alias("sxx"), F.col("c").alias("cxx")
+    )
+    syy = ksum(y1, y, True).select(
+        F.col("s").alias("syy"), F.col("c").alias("cyy")
+    )
+    sxy = ksum(x, y, False).select(
+        F.col("s").alias("sxy"), F.col("c").alias("cxy")
+    )
+    joined = sxx.crossJoin(syy).crossJoin(sxy)
+    # m, n recovered from pair counts (cxx = m(m-1)/2) — no extra scan
+    return joined.select(
+        F.expr("CAST((1 + CAST(sqrt(8.0 * cxx + 1.0) AS BIGINT)) / 2 AS BIGINT)").alias("m"),
+        F.expr("CAST((1 + CAST(sqrt(8.0 * cyy + 1.0) AS BIGINT)) / 2 AS BIGINT)").alias("n"),
+        F.round(F.col("sxx").cast("double") / F.col("cxx"), 9).alias("kxx_mean"),
+        F.round(F.col("syy").cast("double") / F.col("cyy"), 9).alias("kyy_mean"),
+        F.round(F.col("sxy").cast("double") / F.col("cxy"), 9).alias("kxy_mean"),
+        F.round(
+            (
+                F.col("sxx").cast("double") / F.col("cxx")
+                + F.col("syy").cast("double") / F.col("cyy")
+                - F.lit(2.0) * F.col("sxy").cast("double") / F.col("cxy")
+            ),
+            9,
+        ).alias("mmd2"),
+    )
+
+
+def q334_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the same two label populations
+    (Szekely-Rizzo): E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| over the bounded
+    64-per-label samples — the metric-space twin of q333's kernel
+    test (energy distance IS an MMD with the distance-induced
+    kernel). Per-pair L2 distances are deterministic fp64 (sequential
+    64-dim sum + one sqrt per pair), summed in DECIMAL(28,18) for
+    order-independent cross-engine equality; the three means and the
+    final blend are single double expressions on exact inputs."""
+    x, y = _two_sample_frames(spark, sf_dir)
+    x2 = x.select(F.col("aid").alias("bid"), F.col("av").alias("bv"))
+    y1 = y.select(F.col("bid").alias("aid"), F.col("bv").alias("av"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("av", "bv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+
+    def dsum(a, b, ordered):
+        pairs = a.crossJoin(F.broadcast(b))
+        if ordered:
+            pairs = pairs.filter(F.col("aid") < F.col("bid"))
+        return pairs.agg(
+            F.sum(dist.cast(_DEC)).alias("s"), F.count(F.lit(1)).alias("c")
+        )
+
+    sxx = dsum(x, x2, True).select(F.col("s").alias("sxx"), F.col("c").alias("cxx"))
+    syy = dsum(y1, y, True).select(F.col("s").alias("syy"), F.col("c").alias("cyy"))
+    sxy = dsum(x, y, False).select(F.col("s").alias("sxy"), F.col("c").alias("cxy"))
+    joined = sxx.crossJoin(syy).crossJoin(sxy)
+    return joined.select(
+        F.expr("CAST((1 + CAST(sqrt(8.0 * cxx + 1.0) AS BIGINT)) / 2 AS BIGINT)").alias("m"),
+        F.expr("CAST((1 + CAST(sqrt(8.0 * cyy + 1.0) AS BIGINT)) / 2 AS BIGINT)").alias("n"),
+        F.round(F.col("sxx").cast("double") / F.col("cxx"), 9).alias("exx_mean"),
+        F.round(F.col("syy").cast("double") / F.col("cyy"), 9).alias("eyy_mean"),
+        F.round(F.col("sxy").cast("double") / F.col("cxy"), 9).alias("exy_mean"),
+        F.round(
+            (
+                F.lit(2.0) * F.col("sxy").cast("double") / F.col("cxy")
+                - F.col("sxx").cast("double") / F.col("cxx")
+                - F.col("syy").cast("double") / F.col("cyy")
+            ),
+            9,
+        ).alias("energy_dist"),
+    )
+
+
+NOISE_K = 10
+
+
+def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by neighborhood agreement (the kNN-vote
+    mislabel detector): every vector queries its exact cosine top-10
+    neighbors (self excluded) and counts label disagreements; per
+    label, report the corpus size, mean disagreement rate, and how
+    many points a MAJORITY of neighbors contradict — the shortlist a
+    labeling pipeline re-reviews. Runs on the q50 block-GEMM machinery
+    (operators/similarity.knn_join) with Q = the whole corpus: the
+    all-pairs stage stays bucketed (B blocks x one GEMM each), the
+    global shuffle is B*Q*k skinny candidate rows, and the audit
+    rollup is one hash aggregate — no cartesian anywhere.
+
+    Self-exclusion protocol: ask for k+1, drop id == qid, keep the
+    first k by the SAME (cosine 6dp DESC, id ASC) order — provably
+    equal to the oracle's top-k over the id != qid pair set whether or
+    not the self row survived its own block-local cut."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qvec")
+    )
+    nn = S.knn_join(emb, queries, NOISE_K + 1, payload_cols=("label",))
+    w = Window.partitionBy("qid").orderBy("rank")
+    top = (
+        nn.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") <= NOISE_K)
+    )
+    qlab = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    per_point = (
+        top.join(qlab, "qid")
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum((F.col("label") != F.col("qlabel")).cast("long")).alias("nd")
+        )
+    )
+    return (
+        per_point.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum("nd").cast("double")
+                / (F.lit(float(NOISE_K)) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_noise_rate"),
+            F.sum(
+                (F.col("nd") > F.lit(NOISE_K // 2)).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("label")
+    )
+
+
+def _centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, i, c, n): per-label per-dimension centroid component,
+    from DECIMAL(28,18) sums over a posexplode — exact cross-engine
+    (q173 discipline), one hash aggregate whose shuffle carries at
+    most labels x dims partial rows per partition regardless of
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(F.col("x").cast(_DEC)).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "i",
+            (F.col("sx").cast("double") / F.col("n")).alias("c"),
+            "n",
+        )
+    )
+
+
+def q336_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality audit of the label partition:
+    per-label within-scatter S_l (mean L2 distance to the label
+    centroid) and the label's DB component R_l = max_{m != l}
+    (S_l + S_m) / ||c_l - c_m|| — high R_l flags the label pair the
+    embedding space cannot separate. Everything is linear: one
+    centroid aggregate (labels x dims partials), one distance pass
+    (per-row join to the OWN label's centroid components on
+    (label, i) — dims x rows, collapsing map-side), and a labels^2
+    grid for the separations. Per-row distances are deterministic
+    fp64 on exact-decimal-derived centroid doubles; the scatter means
+    sum in DECIMAL(28,18)."""
+    cents = _centroid_frame(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "label", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")
+    )
+    d2 = (
+        rows.join(cents.select("label", "i", "c"), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(_DEC)).alias("dd")
+        )
+        .select("vec_id", "label", F.sqrt(F.col("dd").cast("double")).alias("dist"))
+    )
+    scatter = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("dist").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("s"),
+    )
+    c1 = cents.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+    c2 = cents.select(F.col("label").alias("lb"), "i", F.col("c").alias("cb"))
+    sep = (
+        c1.join(c2, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).cast(_DEC)).cast(
+                    "double"
+                )
+            ).alias("m_dist")
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la"), F.col("s").alias("s_a"), "n_rows")
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    r = (
+        sep.join(sa, "la")
+        .join(sb, "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.round(F.max("s_a"), 9).alias("scatter"),
+            F.round(
+                F.max((F.col("s_a") + F.col("s_b")) / F.col("m_dist")), 9
+            ).alias("db_component"),
+        )
+        .orderBy("label")
+    )
+    return r
+
+
+def q337_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its OWN label centroid, b = min distance
+    to any OTHER label centroid, s = (b - a) / max(a, b); report each
+    label's mean s. The medoid-free variant is THE silhouette that
+    scales — per row it needs |labels| centroid distances (a
+    dims x labels grid join, collapsing map-side), not O(n) pair
+    distances; the full pairwise silhouette is quadratic and dies at
+    corpus scale. Distance sums in DECIMAL(28,18) per (row, label),
+    one sqrt per cell, min/max over deterministic doubles, mean in
+    decimal — exact cross-engine."""
+    cents = _centroid_frame(spark, sf_dir).select(
+        F.col("label").alias("clabel"), "i", "c"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "label", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")
+    )
+    cell = (
+        rows.join(cents, "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(_DEC)).alias("dd")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.sqrt(F.col("dd").cast("double")).alias("dist"),
+        )
+    )
+    per_row = cell.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = per_row.select(
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.col("sil").cast(_DEC)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def q338_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 7, 2017): with mu = d2/d1 the ratio of each point's
+    second- to first-neighbor distance, the MLE of the intrinsic
+    dimension is n / sum(ln mu) — the one-number answer to "do these
+    64-dim embeddings actually live on a low-dimensional manifold?"
+    that decides quantization/index budgets (q278 PQ, q312/q313).
+    Angular distance d = 1 - cosine over the exact top-2 neighbors
+    from the q50 block-GEMM machinery (self excluded); distances
+    inherit knn_join's 6-dp-rounded cosines, so both engines rank and
+    ratio IDENTICAL quantized values; ln(mu) rounds to 12 dp before
+    the DECIMAL(28,18) sum (libm last-ulp drift sits 4 orders below
+    the quantum). Points with d1 = 0 (exact duplicates at 6 dp) are
+    excluded and counted."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qvec")
+    )
+    nn = S.knn_join(emb, queries, 3)
+    w = Window.partitionBy("qid").orderBy("rank")
+    two = (
+        nn.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") <= 2)
+    )
+    rr = two.groupBy("qid").agg(
+        F.max(F.when(F.col("r2") == 1, F.lit(1.0) - F.col("cosine"))).alias("d1"),
+        F.max(F.when(F.col("r2") == 2, F.lit(1.0) - F.col("cosine"))).alias("d2"),
+    )
+    usable = rr.select(
+        "qid",
+        (F.col("d1") > 0).cast("long").alias("ok"),
+        F.when(
+            F.col("d1") > 0, F.round(F.log(F.col("d2") / F.col("d1")), 12)
+        ).alias("log_mu"),
+    )
+    return usable.agg(
+        F.sum("ok").alias("n_used"),
+        (F.count(F.lit(1)) - F.sum("ok")).alias("n_excluded"),
+        F.round(F.sum(F.col("log_mu").cast(_DEC)).cast("double"), 9).alias("sum_log_mu"),
+        F.round(
+            F.sum("ok").cast("double")
+            / F.sum(F.col("log_mu").cast(_DEC)).cast("double"),
+            6,
+        ).alias("id_mle"),
+    )
+
+
+_KS_IDS_SQL = ", ".join(str(i) for i in KS_TEST_IDS)
+
+_R11_ORACLE = {
+    "q332_knn_shapley": f"""
+    WITH t AS (
+        SELECT vec_id AS qid, label AS qlabel,
+               list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id IN ({_KS_IDS_SQL})
+    ), tr AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ee
+        FROM embeddings WHERE vec_id NOT IN ({_KS_IDS_SQL})
+    ), scored AS (
+        SELECT t.qid, tr.vec_id, tr.label,
+               CASE WHEN tr.label = t.qlabel THEN 1 ELSE 0 END AS ind,
+               ROUND(
+                   list_sum(list_transform(range(1, len(ee) + 1), i -> ee[i] * qe[i]))
+                   / (sqrt(list_sum(list_transform(ee, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6) AS cosine
+        FROM tr CROSS JOIN t
+    ), ranked AS (
+        SELECT qid, vec_id, label, ind,
+               ROW_NUMBER() OVER w AS rnk,
+               LEAD(ind) OVER w AS ind_next,
+               COUNT(*) OVER (PARTITION BY qid) AS n
+        FROM scored
+        WINDOW w AS (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+    ), terms AS (
+        SELECT qid, vec_id, label, rnk,
+               CASE WHEN ind_next IS NULL
+                        THEN (ind * {KS_SCALE}) // n
+                    WHEN ind >= ind_next
+                        THEN ((ind - ind_next) * {KS_SCALE}) // GREATEST({KS_K}, rnk)
+                    ELSE -(((ind_next - ind) * {KS_SCALE}) // GREATEST({KS_K}, rnk))
+               END AS term
+        FROM ranked
+    ), suffix AS (
+        SELECT qid, vec_id, label,
+               SUM(term) OVER (PARTITION BY qid ORDER BY rnk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
+        FROM terms
+    )
+    SELECT vec_id, label,
+           ROUND(CAST(SUM(s_scaled) AS DOUBLE) / ({len(KS_TEST_IDS)}.0 * {KS_SCALE}), 9)
+               AS avg_shapley
+    FROM suffix GROUP BY 1, 2
+    ORDER BY avg_shapley DESC, vec_id ASC
+    LIMIT {KS_TOP}
+""",
+    "q333_mmd_quadratic": f"""
+    WITH sel AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings WHERE label IN ({TS_LABEL_X}, {TS_LABEL_Y})
+    ), x AS (SELECT vec_id AS aid, v AS av FROM sel
+             WHERE label = {TS_LABEL_X} AND rn <= {TS_SAMPLE}),
+       y AS (SELECT vec_id AS bid, v AS bv FROM sel
+             WHERE label = {TS_LABEL_Y} AND rn <= {TS_SAMPLE}),
+    kxx AS (
+        SELECT SUM(CAST(
+            list_sum(list_transform(range(1, len(a.av) + 1), i -> a.av[i] * b.av[i]))
+            * list_sum(list_transform(range(1, len(a.av) + 1), i -> a.av[i] * b.av[i]))
+            AS DECIMAL(28,18))) AS sxx, COUNT(*) AS cxx
+        FROM x a JOIN x b ON a.aid < b.aid
+    ), kyy AS (
+        SELECT SUM(CAST(
+            list_sum(list_transform(range(1, len(a.bv) + 1), i -> a.bv[i] * b.bv[i]))
+            * list_sum(list_transform(range(1, len(a.bv) + 1), i -> a.bv[i] * b.bv[i]))
+            AS DECIMAL(28,18))) AS syy, COUNT(*) AS cyy
+        FROM y a JOIN y b ON a.bid < b.bid
+    ), kxy AS (
+        SELECT SUM(CAST(
+            list_sum(list_transform(range(1, len(a.av) + 1), i -> a.av[i] * b.bv[i]))
+            * list_sum(list_transform(range(1, len(a.av) + 1), i -> a.av[i] * b.bv[i]))
+            AS DECIMAL(28,18))) AS sxy, COUNT(*) AS cxy
+        FROM x a CROSS JOIN y b
+    )
+    SELECT CAST((1 + CAST(sqrt(8.0 * cxx + 1.0) AS BIGINT)) / 2 AS BIGINT) AS m,
+           CAST((1 + CAST(sqrt(8.0 * cyy + 1.0) AS BIGINT)) / 2 AS BIGINT) AS n,
+           ROUND(CAST(sxx AS DOUBLE) / cxx, 9) AS kxx_mean,
+           ROUND(CAST(syy AS DOUBLE) / cyy, 9) AS kyy_mean,
+           ROUND(CAST(sxy AS DOUBLE) / cxy, 9) AS kxy_mean,
+           ROUND(CAST(sxx AS DOUBLE) / cxx + CAST(syy AS DOUBLE) / cyy
+                 - 2.0 * CAST(sxy AS DOUBLE) / cxy, 9) AS mmd2
+    FROM kxx, kyy, kxy
+""",
+    "q334_energy_distance": f"""
+    WITH sel AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings WHERE label IN ({TS_LABEL_X}, {TS_LABEL_Y})
+    ), x AS (SELECT vec_id AS aid, v AS av FROM sel
+             WHERE label = {TS_LABEL_X} AND rn <= {TS_SAMPLE}),
+       y AS (SELECT vec_id AS bid, v AS bv FROM sel
+             WHERE label = {TS_LABEL_Y} AND rn <= {TS_SAMPLE}),
+    dxx AS (
+        SELECT SUM(CAST(sqrt(list_sum(list_transform(range(1, len(a.av) + 1),
+                    i -> (a.av[i] - b.av[i]) * (a.av[i] - b.av[i]))))
+            AS DECIMAL(28,18))) AS sxx, COUNT(*) AS cxx
+        FROM x a JOIN x b ON a.aid < b.aid
+    ), dyy AS (
+        SELECT SUM(CAST(sqrt(list_sum(list_transform(range(1, len(a.bv) + 1),
+                    i -> (a.bv[i] - b.bv[i]) * (a.bv[i] - b.bv[i]))))
+            AS DECIMAL(28,18))) AS syy, COUNT(*) AS cyy
+        FROM y a JOIN y b ON a.bid < b.bid
+    ), dxy AS (
+        SELECT SUM(CAST(sqrt(list_sum(list_transform(range(1, len(a.av) + 1),
+                    i -> (a.av[i] - b.bv[i]) * (a.av[i] - b.bv[i]))))
+            AS DECIMAL(28,18))) AS sxy, COUNT(*) AS cxy
+        FROM x a CROSS JOIN y b
+    )
+    SELECT CAST((1 + CAST(sqrt(8.0 * cxx + 1.0) AS BIGINT)) / 2 AS BIGINT) AS m,
+           CAST((1 + CAST(sqrt(8.0 * cyy + 1.0) AS BIGINT)) / 2 AS BIGINT) AS n,
+           ROUND(CAST(sxx AS DOUBLE) / cxx, 9) AS exx_mean,
+           ROUND(CAST(syy AS DOUBLE) / cyy, 9) AS eyy_mean,
+           ROUND(CAST(sxy AS DOUBLE) / cxy, 9) AS exy_mean,
+           ROUND(2.0 * CAST(sxy AS DOUBLE) / cxy - CAST(sxx AS DOUBLE) / cxx
+                 - CAST(syy AS DOUBLE) / cyy, 9) AS energy_dist
+    FROM dxx, dyy, dxy
+""",
+    "q335_knn_label_noise": f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS clabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(
+                       list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i]))
+                       / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) DESC,
+                       c.vec_id ASC
+               ) AS rnk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ), agg AS (
+        SELECT qid, qlabel,
+               SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS nd
+        FROM sc WHERE rnk <= {NOISE_K} GROUP BY 1, 2
+    )
+    SELECT qlabel AS label, COUNT(*) AS n_points,
+           ROUND(CAST(SUM(nd) AS DOUBLE) / ({NOISE_K}.0 * COUNT(*)), 6)
+               AS avg_noise_rate,
+           CAST(SUM(CASE WHEN nd > {NOISE_K // 2} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM agg GROUP BY 1 ORDER BY 1
+""",
+    "q336_davies_bouldin": """
+    WITH dims AS (
+        SELECT vec_id, label, i,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), cents AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS c,
+               COUNT(*) AS n
+        FROM dims GROUP BY 1, 2
+    ), d2 AS (
+        SELECT d.vec_id, d.label,
+               sqrt(CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(28,18)))
+                    AS DOUBLE)) AS dist
+        FROM dims d JOIN cents c ON d.label = c.label AND d.i = c.i
+        GROUP BY 1, 2
+    ), scatter AS (
+        SELECT label, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(dist AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS s
+        FROM d2 GROUP BY 1
+    ), sep AS (
+        SELECT a.label AS la, b.label AS lb,
+               sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(28,18)))
+                    AS DOUBLE)) AS m_dist
+        FROM cents a JOIN cents b ON a.i = b.i AND a.label <> b.label
+        GROUP BY 1, 2
+    )
+    SELECT sa.label, MAX(sa.n_rows) AS n_rows,
+           ROUND(MAX(sa.s), 9) AS scatter,
+           ROUND(MAX((sa.s + sb.s) / p.m_dist), 9) AS db_component
+    FROM sep p
+    JOIN scatter sa ON p.la = sa.label
+    JOIN scatter sb ON p.lb = sb.label
+    GROUP BY 1 ORDER BY 1
+""",
+    "q337_silhouette_centroid": """
+    WITH dims AS (
+        SELECT vec_id, label, i,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), cents AS (
+        SELECT label AS clabel, i,
+               CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY 1, 2
+    ), cell AS (
+        SELECT d.vec_id, d.label, c.clabel,
+               sqrt(CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(28,18)))
+                    AS DOUBLE)) AS dist
+        FROM dims d JOIN cents c ON d.i = c.i
+        GROUP BY 1, 2, 3
+    ), per_row AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN clabel = label THEN dist END) AS a,
+               MIN(CASE WHEN clabel <> label THEN dist END) AS b
+        FROM cell GROUP BY 1, 2
+    )
+    SELECT label, COUNT(*) AS n_points,
+           ROUND(CAST(SUM(CAST((b - a) / GREATEST(a, b) AS DECIMAL(28,18)))
+                 AS DOUBLE) / COUNT(*), 9) AS avg_silhouette
+    FROM per_row GROUP BY 1 ORDER BY 1
+""",
+    "q338_twonn_intrinsic_dim": """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT q.vec_id AS qid,
+               1.0 - ROUND(
+                   list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i]))
+                   / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(
+                       list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i]))
+                       / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) DESC,
+                       c.vec_id ASC
+               ) AS rnk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ), rr AS (
+        SELECT qid,
+               MAX(CASE WHEN rnk = 1 THEN d END) AS d1,
+               MAX(CASE WHEN rnk = 2 THEN d END) AS d2
+        FROM sc WHERE rnk <= 2 GROUP BY 1
+    ), usable AS (
+        SELECT qid, CASE WHEN d1 > 0 THEN 1 ELSE 0 END AS ok,
+               CASE WHEN d1 > 0 THEN ROUND(ln(d2 / d1), 12) END AS log_mu
+        FROM rr
+    )
+    SELECT CAST(SUM(ok) AS BIGINT) AS n_used,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_excluded,
+           ROUND(CAST(SUM(CAST(log_mu AS DECIMAL(28,18))) AS DOUBLE), 9)
+               AS sum_log_mu,
+           ROUND(CAST(SUM(ok) AS DOUBLE)
+                 / CAST(SUM(CAST(log_mu AS DECIMAL(28,18))) AS DOUBLE), 6)
+               AS id_mle
+    FROM usable
+""",
+}
+
+EXTRA_QUERIES.update(
+    {
+        "q332_knn_shapley": q332_knn_shapley,
+        "q333_mmd_quadratic": q333_mmd_quadratic,
+        "q334_energy_distance": q334_energy_distance,
+        "q335_knn_label_noise": q335_knn_label_noise,
+        "q336_davies_bouldin": q336_davies_bouldin,
+        "q337_silhouette_centroid": q337_silhouette_centroid,
+        "q338_twonn_intrinsic_dim": q338_twonn_intrinsic_dim,
+    }
+)
+EXTRA_ORACLE.update(_R11_ORACLE)

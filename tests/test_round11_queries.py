@@ -1,0 +1,282 @@
+"""Round-11 embedding-diagnostics shelf (q332-q338): independent
+numpy / pure-python replications of every query at SF_SMOKE, plus a
+hypothesis pin of the q332 integer-scaled Shapley recurrence against
+the exact-Fraction closed form. The DuckDB oracles pin cross-engine
+parity; these tests pin the MATH — a third implementation that shares
+no code with either engine.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from batchprocessingetl_spark.workload import collect_extra_queries, collect_queries
+from tests.conftest import SF_SMOKE
+
+EXTRA = {**collect_queries(), **collect_extra_queries()}
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pdf, mat
+
+
+def _cos6(mat_a: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
+    na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+    nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+    # sequential per-row dot (matches both engines' left-to-right sums
+    # closely enough that rounding to 6 dp is stable on this data)
+    return np.round(na @ nb.T, 6)
+
+
+def test_knn_shapley_matches_python_replay(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.vectors import (
+        KS_K,
+        KS_SCALE,
+        KS_TEST_IDS,
+        KS_TOP,
+    )
+
+    pdf, mat = emb_pdf
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    is_test = np.isin(ids, KS_TEST_IDS)
+    totals: dict[int, int] = {}
+    for tpos in np.where(is_test)[0]:
+        cos = _cos6(mat[~is_test], mat[tpos][None, :])[:, 0]
+        tr_ids, tr_lab = ids[~is_test], labels[~is_test]
+        order = np.lexsort((tr_ids, -cos))
+        ind = (tr_lab[order] == labels[tpos]).astype(int)
+        n = len(ind)
+        terms = []
+        for i in range(1, n + 1):  # 1-based rank
+            if i == n:
+                terms.append((ind[-1] * KS_SCALE) // n)
+            else:
+                diff = int(ind[i - 1]) - int(ind[i])
+                q = (abs(diff) * KS_SCALE) // max(KS_K, i)
+                terms.append(q if diff >= 0 else -q)
+        suffix = np.cumsum(terms[::-1])[::-1]
+        for pos, sval in zip(order, suffix):
+            totals[tr_ids[pos]] = totals.get(int(tr_ids[pos]), 0) + int(sval)
+    want = sorted(
+        (
+            (vid, round(tot / (len(KS_TEST_IDS) * KS_SCALE), 9))
+            for vid, tot in totals.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:KS_TOP]
+    got = [
+        (r["vec_id"], r["avg_shapley"])
+        for r in EXTRA["q332_knn_shapley"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_shapley_integer_scaling_tracks_exact_fractions(k):
+    """The BIGINT-scaled recurrence the engines run differs from the
+    exact-Fraction KNN-Shapley by at most n quantization units of
+    1e-12 at every rank — the error budget the 9 dp output rounding
+    sits 1000x above."""
+    import random
+
+    rng = random.Random(k)
+    for _ in range(25):
+        n = rng.randint(1, 40)
+        ind = [rng.randint(0, 1) for _ in range(n)]
+        exact = [Fraction(0)] * (n + 1)
+        scaled = [0] * (n + 1)
+        exact[n - 1 + 1] = Fraction(0)  # sentinel beyond last
+        # exact suffix recurrence
+        s = Fraction(ind[-1], n)
+        exacts = [s]
+        for i in range(n - 1, 0, -1):
+            s = s + Fraction(ind[i - 1] - ind[i], max(k, i))
+            exacts.append(s)
+        exacts = exacts[::-1]
+        # scaled replica
+        M = 10**12
+        terms = []
+        for i in range(1, n + 1):
+            if i == n:
+                terms.append((ind[-1] * M) // n)
+            else:
+                diff = ind[i - 1] - ind[i]
+                q = (abs(diff) * M) // max(k, i)
+                terms.append(q if diff >= 0 else -q)
+        acc = 0
+        for i in range(n, 0, -1):
+            acc += terms[i - 1]
+            assert abs(acc / M - float(exacts[i - 1])) <= (n + 1) / M
+
+
+def test_mmd_quadratic_matches_numpy(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.vectors import (
+        TS_LABEL_X,
+        TS_LABEL_Y,
+        TS_SAMPLE,
+    )
+
+    pdf, mat = emb_pdf
+    row = EXTRA["q333_mmd_quadratic"](spark, SF_SMOKE).collect()[0]
+
+    def sample(lbl):
+        sel = pdf[pdf["label"] == lbl].sort_values("vec_id").head(TS_SAMPLE)
+        return np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+
+    X, Y = sample(TS_LABEL_X), sample(TS_LABEL_Y)
+    kxx = (X @ X.T) ** 2
+    kyy = (Y @ Y.T) ** 2
+    kxy = (X @ Y.T) ** 2
+    m, n = len(X), len(Y)
+    kxx_mean = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+    kyy_mean = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+    kxy_mean = kxy.mean()
+    assert (row["m"], row["n"]) == (m, n)
+    assert abs(row["kxx_mean"] - kxx_mean) < 1e-6
+    assert abs(row["kyy_mean"] - kyy_mean) < 1e-6
+    assert abs(row["kxy_mean"] - kxy_mean) < 1e-6
+    assert abs(row["mmd2"] - (kxx_mean + kyy_mean - 2 * kxy_mean)) < 1e-6
+
+
+def test_energy_distance_matches_numpy(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.vectors import (
+        TS_LABEL_X,
+        TS_LABEL_Y,
+        TS_SAMPLE,
+    )
+
+    pdf, mat = emb_pdf
+    row = EXTRA["q334_energy_distance"](spark, SF_SMOKE).collect()[0]
+
+    def sample(lbl):
+        sel = pdf[pdf["label"] == lbl].sort_values("vec_id").head(TS_SAMPLE)
+        return np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+
+    X, Y = sample(TS_LABEL_X), sample(TS_LABEL_Y)
+
+    def pdist_mean(A, B, same):
+        d = np.sqrt(((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2))
+        if same:
+            m = len(A)
+            return (d.sum() - np.trace(d)) / (m * (m - 1))
+        return d.mean()
+
+    exx, eyy, exy = (
+        pdist_mean(X, X, True),
+        pdist_mean(Y, Y, True),
+        pdist_mean(X, Y, False),
+    )
+    assert abs(row["exx_mean"] - exx) < 1e-6
+    assert abs(row["eyy_mean"] - eyy) < 1e-6
+    assert abs(row["exy_mean"] - exy) < 1e-6
+    assert abs(row["energy_dist"] - (2 * exy - exx - eyy)) < 1e-6
+    # energy distance of two samples from the SAME generator hovers
+    # near zero but its population value is >= 0; the statistic must
+    # at least stay far below the within-sample scale
+    assert abs(row["energy_dist"]) < 0.2 * row["exy_mean"]
+
+
+def test_label_noise_matches_bruteforce(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.vectors import NOISE_K
+
+    pdf, mat = emb_pdf
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    cos = _cos6(mat, mat)
+    n = len(ids)
+    per_label = {}
+    for q in range(n):
+        order = [
+            c for c in np.lexsort((ids, -cos[:, q])) if c != q
+        ][:NOISE_K]
+        nd = int(sum(labels[c] != labels[q] for c in order))
+        lbl = int(labels[q])
+        tot, cnt, flg = per_label.get(lbl, (0, 0, 0))
+        per_label[lbl] = (tot + nd, cnt + 1, flg + (1 if nd > NOISE_K // 2 else 0))
+    got = {
+        r["label"]: (r["n_points"], r["avg_noise_rate"], r["n_flagged"])
+        for r in EXTRA["q335_knn_label_noise"](spark, SF_SMOKE).collect()
+    }
+    for lbl, (tot, cnt, flg) in per_label.items():
+        g = got[lbl]
+        assert g[0] == cnt
+        # engine output rounds to 6 dp; the replay is full-precision
+        assert abs(g[1] - tot / (NOISE_K * cnt)) <= 5.01e-7
+        assert g[2] == flg
+
+
+def test_davies_bouldin_matches_numpy(spark, emb_pdf):
+    pdf, mat = emb_pdf
+    labels = pdf["label"].to_numpy()
+    uniq = sorted(set(int(x) for x in labels))
+    cents = {l: mat[labels == l].mean(axis=0) for l in uniq}
+    scatter = {
+        l: float(np.linalg.norm(mat[labels == l] - cents[l], axis=1).mean())
+        for l in uniq
+    }
+    rows = {
+        r["label"]: r for r in EXTRA["q336_davies_bouldin"](spark, SF_SMOKE).collect()
+    }
+    for l in uniq:
+        db = max(
+            (scatter[l] + scatter[m]) / float(np.linalg.norm(cents[l] - cents[m]))
+            for m in uniq
+            if m != l
+        )
+        assert rows[l]["n_rows"] == int((labels == l).sum())
+        assert abs(rows[l]["scatter"] - scatter[l]) < 1e-6
+        assert abs(rows[l]["db_component"] - db) < 1e-6
+
+
+def test_silhouette_matches_numpy_and_bounds(spark, emb_pdf):
+    pdf, mat = emb_pdf
+    labels = pdf["label"].to_numpy()
+    uniq = sorted(set(int(x) for x in labels))
+    cents = np.stack([mat[labels == l].mean(axis=0) for l in uniq])
+    d = np.sqrt(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    own = np.array([uniq.index(int(l)) for l in labels])
+    a = d[np.arange(len(mat)), own]
+    dmask = d.copy()
+    dmask[np.arange(len(mat)), own] = np.inf
+    b = dmask.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    rows = {
+        r["label"]: r
+        for r in EXTRA["q337_silhouette_centroid"](spark, SF_SMOKE).collect()
+    }
+    for i, l in enumerate(uniq):
+        want = float(s[labels == l].mean())
+        assert abs(rows[l]["avg_silhouette"] - want) < 1e-6
+        assert -1.0 - 1e-9 <= rows[l]["avg_silhouette"] <= 1.0 + 1e-9
+
+
+def test_twonn_matches_numpy(spark, emb_pdf):
+    pdf, mat = emb_pdf
+    ids = pdf["vec_id"].to_numpy()
+    cos = _cos6(mat, mat)
+    n = len(ids)
+    logs = []
+    used = 0
+    for q in range(n):
+        order = [c for c in np.lexsort((ids, -cos[:, q])) if c != q][:2]
+        d1, d2 = 1.0 - cos[order[0], q], 1.0 - cos[order[1], q]
+        if d1 > 0:
+            used += 1
+            logs.append(round(math.log(d2 / d1), 12))
+    row = EXTRA["q338_twonn_intrinsic_dim"](spark, SF_SMOKE).collect()[0]
+    assert row["n_used"] == used
+    assert row["n_excluded"] == n - used
+    assert abs(row["sum_log_mu"] - sum(logs)) < 1e-6
+    assert abs(row["id_mle"] - used / sum(logs)) < 1e-4
+    # random 64-dim gaussians: the estimator must land well above a
+    # low-dimensional manifold reading and at/below the ambient dim
+    assert 5.0 < row["id_mle"] < 64.0
