@@ -861,6 +861,32 @@ def cdc_snapshot(
     return state.filter(F.col(op_col) != F.lit(delete_op))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """transformWithState keeps each named state (and its timers) in
+    its own column family, which the default HDFS-backed provider
+    cannot do — RocksDB (bundled with Spark) is the operator's
+    required store. Scoped set-and-restore: the provider is captured
+    per-query at start and persisted in the checkpoint, so other
+    streams in the same session keep their default."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def running_user_totals_tws(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
 ) -> None:
@@ -918,19 +944,7 @@ def running_user_totals_tws(
     def sink(batch_df, epoch_id):
         batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
 
-    # transformWithState keeps each named state in its own column
-    # family, which the default HDFS-backed provider cannot do —
-    # RocksDB (bundled with Spark) is the operator's required store.
-    # Scoped set-and-restore: the provider is captured per-query at
-    # start and persisted in the checkpoint, so other streams in the
-    # same session keep their default.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         q = (
             events.groupBy("user_id")
             .transformWithStateInPandas(
@@ -946,11 +960,6 @@ def running_user_totals_tws(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def tws_available() -> bool:
@@ -1611,3 +1620,171 @@ def cms_rollup_read(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def session_stats_tws(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap_seconds: int = 1800,
+    late: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Timer-driven session rollup on ``transformWithState`` — the
+    custom-StatefulProcessor twin of :func:`session_window_stream`,
+    exercising the three TWS features the running-totals parity twin
+    doesn't touch: EVENT-TIME timers, ``ListState``, and
+    ``handleExpiredTimer``. The parity test pins its final output
+    row-for-row against the NATIVE ``session_window`` aggregation on
+    the same source, including checkpoint resume across a second
+    ``availableNow`` run.
+
+    Protocol (native append-mode semantics reproduced exactly):
+
+    - input rows below the current watermark are dropped (the same
+      late-row policy the built-in aggregation applies);
+    - per key, ONE open session lives in a ``ValueState``; in-batch
+      rows sort by timestamp and either extend it or split off CLOSED
+      sessions, which move to a ``ListState`` of pending emissions —
+      closed is NOT emitted yet, because the native operator emits a
+      session only when the WATERMARK passes its end;
+    - every session (open or pending) owns an event-time timer at
+      ``last + gap``; when one fires, ``handleExpiredTimer`` emits and
+      evicts exactly the sessions whose end the current watermark has
+      passed (stale timers for already-emitted sessions no-op). State
+      is O(open + pending-within-lateness), mirroring the native
+      operator's eviction.
+
+    Scale posture matches the native operator: state per key is a
+    handful of fixed-width rows in RocksDB, rows stream through Arrow
+    batches, and the only shuffle is the groupBy key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = int(gap_seconds) * 1000
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(source_dir).withWatermark("ts", late)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+
+    def _emit_df(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s[0], unit="ms") for s in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(s[1] + gap_ms, unit="ms") for s in sessions
+                ],
+                "n_events": [s[2] for s in sessions],
+                "session_value": [round(s[3], 2) for s in sessions],
+            }
+        )
+
+    class SessionTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._open = handle.getValueState(
+                "open", "start long, last long, n long, total double"
+            )
+            self._pending = handle.getListState(
+                "pending", "start long, last long, n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            wm = timerValues.getCurrentWatermarkInMs()
+            pts = []
+            for pdf in rows:
+                ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                vals = pdf["value"].tolist()
+                pts.extend(zip(ts_ms, vals))
+            pts = sorted((t, v) for t, v in pts if t >= wm)
+            if not pts:
+                return iter([])
+            cur = self._open.get() if self._open.exists() else None
+            old_last = cur[1] if cur is not None else None
+            closed = []
+            for t, v in pts:
+                if cur is None:
+                    cur = (t, t, 1, float(v))
+                elif t <= cur[1] + gap_ms:
+                    cur = (
+                        min(cur[0], t),
+                        max(cur[1], t),
+                        cur[2] + 1,
+                        cur[3] + float(v),
+                    )
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1, float(v))
+            for s in closed:
+                self._pending.appendValue(s)
+                self._h.registerTimer(s[1] + gap_ms)
+            self._open.update(cur)
+            self._h.registerTimer(cur[1] + gap_ms)
+            # the PREVIOUS open-session timer is stale only if no
+            # still-live session (the extended open one, or a closure
+            # that ends at the same instant) owns that timestamp —
+            # deleting it unconditionally would silence the emission
+            # timer of a session this very batch just moved to pending
+            needed = {cur[1]} | {s[1] for s in closed}
+            if old_last is not None and old_last not in needed:
+                self._h.deleteTimer(old_last + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            emit, keep = [], []
+            for s in self._pending.get():
+                (emit if s[1] + gap_ms <= wm else keep).append(tuple(s))
+            if keep:
+                self._pending.clear()
+                self._pending.put(keep)
+            elif emit:
+                self._pending.clear()
+            if self._open.exists():
+                cur = tuple(self._open.get())
+                if cur[1] + gap_ms <= wm:
+                    emit.append(cur)
+                    self._open.clear()
+            if not emit:
+                return iter([])
+            emit.sort(key=lambda s: s[0])
+            return iter([_emit_df(key, emit)])
+
+        def close(self) -> None:
+            pass
+
+    with _rocksdb_state_store(spark):
+        q = (
+            events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=SessionTotals(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

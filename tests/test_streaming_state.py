@@ -1231,3 +1231,104 @@ def test_cms_rollup_stream_equals_batch_sketch_exactly(spark, tmp_path):
     for k, t in true.items():
         assert est[k] >= t
         assert est[k] <= t + (2.718281828459045 / 64) * n
+
+
+def test_session_stats_tws_matches_native_session_window(spark, tmp_path):
+    """The timer-driven transformWithState session processor (event
+    -time timers + ListState + handleExpiredTimer) must emit exactly
+    the sessions the NATIVE session_window aggregation emits on the
+    same source — same splits, same late-event merges, same
+    watermark-gated emission — including resume from checkpoint
+    across a second availableNow run."""
+    import pytest
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        session_stats_tws,
+        session_window_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState state server needs protobuf (absent here)")
+
+    def ev(eid, hh, mm, uid, val=1.25):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, 1, hh, mm),
+            user_id=uid,
+            event_type="click",
+            value=val,
+            props="{}",
+        )
+
+    src = str(tmp_path / "events")
+    gap_s, late = 600, "30 minutes"
+    # file 1: u1 session A grows; u2 session starts
+    f1 = [ev(1, 10, 0, 1), ev(2, 10, 5, 1), ev(3, 10, 8, 1), ev(4, 10, 2, 2)]
+    # file 2: a LATE u1 event lands inside session A (within lateness),
+    # u1 session B starts, u2 splits (10:40 is > gap after 10:02)
+    f2 = [ev(5, 10, 6, 1), ev(6, 11, 0, 1), ev(7, 11, 2, 1), ev(8, 10, 40, 2)]
+    # file 3 (second run): u2 extends its open session, u1 session C
+    # and u3 appear; watermark 11:30 closes u1 B and u2's 10:40-10:45
+    f3 = [ev(9, 11, 40, 1), ev(10, 10, 45, 2), ev(11, 12, 0, 3)]
+
+    def land(rows):
+        # ONE part file per slice: with maxFilesPerTrigger=1 the two
+        # queries must see identical micro-batch boundaries, or the
+        # watermark races differently and late-row drops diverge
+        spark.createDataFrame(rows).repartition(1).write.mode("append").parquet(src)
+
+    for rows in (f1, f2):
+        land(rows)
+
+    def run_both():
+        session_window_stream(
+            spark,
+            src,
+            str(tmp_path / "ck_native"),
+            str(tmp_path / "out_native"),
+            gap=f"{gap_s} seconds",
+            late=late,
+            max_files_per_trigger=1,
+        )
+        session_stats_tws(
+            spark,
+            src,
+            str(tmp_path / "ck_tws"),
+            str(tmp_path / "out_tws"),
+            gap_seconds=gap_s,
+            late=late,
+            max_files_per_trigger=1,
+        )
+
+    def emitted(out):
+        try:
+            return {
+                (
+                    r["user_id"],
+                    r["session_start"],
+                    r["session_end"],
+                    r["n_events"],
+                    round(r["session_value"], 2),
+                )
+                for r in spark.read.parquet(str(tmp_path / out)).collect()
+            }
+        except Exception:
+            return set()
+
+    run_both()
+    assert emitted("out_native") == emitted("out_tws")
+
+    land(f3)
+    run_both()  # same checkpoints: resume, process only file 3
+    native, tws = emitted("out_native"), emitted("out_tws")
+    assert native == tws
+    # the splits and the late-merge really happened: u1's session A
+    # carries the late 10:06 event (4 events), u2 closed two sessions
+    by_user = {}
+    for u, s, e, n, v in native:
+        by_user.setdefault(u, []).append((s, n))
+    assert sorted(n for _, n in by_user.get(1, [])) and by_user
+    a_sessions = {n for s, n in by_user.get(1, []) if s.hour == 10}
+    assert 4 in a_sessions  # late event merged into session A
+    assert len(by_user.get(2, [])) == 2  # the gap split emitted both
