@@ -2075,3 +2075,121 @@ EXTRA_ORACLE["q231_cross_source_overlap"] = f"""
 """
 
 EXTRA_QUERIES["q231_cross_source_overlap"] = q231_cross_source_overlap
+
+
+TCLOSE_T = 0.25  # disclosure threshold on the variational distance
+
+
+def q340_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of q224's release scheme: for every
+    quasi-identifier class (nation, $500 balance band), the
+    variational distance between the class's market-segment
+    distribution and the GLOBAL one — the disclosure measure
+    l-diversity misses (a class can hold all 5 segments yet be 95%
+    one of them; t-closeness catches the skew). For the categorical
+    sensitive attribute the Earth-Mover's Distance reduces to total
+    variation, and the audit is EXACT INTEGER algebra end-to-end:
+    t_c = sum_s |k_s*G - g_s*k| / (2*k*G), where the sum runs over
+    ALL segments — absent ones contribute g_s*k, folded in closed
+    form as (G - sum_present g_s)*k. Two hash aggregates (global
+    histogram: 5 rows broadcast; class-segment counts) + one rollup;
+    one double division per class at the end, rounded 9 dp. Reports
+    the class count, worst class (deterministic argmax: exact
+    rational compare, ties by (nation, band)), max t, and how many
+    classes breach t = 0.25."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            f"(cast(floor(c_acctbal * 100 + 0.5) as bigint) + {KANON_SHIFT}) div {KANON_BAND}"
+        ).alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    glob = cust.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g"))
+    gtot = glob.agg(F.sum("g").alias("gtot"))
+    cls = cust.groupBy("nation", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).alias("ks")
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy("nation", "bal_band")
+    withk = (
+        cls.join(F.broadcast(glob), "sensitive")
+        .crossJoin(F.broadcast(gtot))
+        .withColumn("k", F.sum("ks").over(wk))
+    )
+    per_class = withk.groupBy("nation", "bal_band").agg(
+        F.max("k").alias("k"),
+        F.max("gtot").alias("gtot"),
+        F.sum(
+            F.abs(F.col("ks") * F.col("gtot") - F.col("g") * F.col("k"))
+        ).alias("num_present"),
+        F.sum("g").alias("g_present"),
+    )
+    t = per_class.select(
+        "nation",
+        "bal_band",
+        "k",
+        (
+            (
+                F.col("num_present")
+                + (F.col("gtot") - F.col("g_present")) * F.col("k")
+            ).cast("double")
+            / (F.lit(2.0) * F.col("k").cast("double") * F.col("gtot").cast("double"))
+        ).alias("t"),
+    )
+    worst = t.orderBy(F.desc("t"), "nation", "bal_band").limit(1)
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(F.max("t"), 9).alias("t_max"),
+        F.sum((F.col("t") > TCLOSE_T).cast("long")).alias("classes_above_t"),
+    )
+    return agg.crossJoin(F.broadcast(worst.select(
+        F.col("nation").alias("worst_nation"),
+        F.col("bal_band").alias("worst_band"),
+        F.col("k").cast("long").alias("worst_k"),
+    )))
+
+
+EXTRA_ORACLE["q340_t_closeness"] = f"""
+    WITH cust AS (
+        SELECT c_nationkey AS nation,
+               (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + {KANON_SHIFT}) // {KANON_BAND}
+                   AS bal_band,
+               c_mktsegment AS sensitive
+        FROM customer
+    ), ghist AS (
+        SELECT sensitive, COUNT(*) AS g FROM cust GROUP BY 1
+    ), gtot AS (
+        SELECT SUM(g) AS gtot FROM ghist
+    ), cls AS (
+        SELECT nation, bal_band, sensitive, COUNT(*) AS ks
+        FROM cust GROUP BY 1, 2, 3
+    ), withk AS (
+        SELECT c.nation, c.bal_band, c.sensitive, c.ks, gl.g, gt.gtot,
+               SUM(c.ks) OVER (PARTITION BY c.nation, c.bal_band) AS k
+        FROM cls c JOIN ghist gl ON c.sensitive = gl.sensitive CROSS JOIN gtot gt
+    ), per_class AS (
+        SELECT nation, bal_band, MAX(k) AS k, MAX(gtot) AS gtot,
+               SUM(ABS(ks * gtot - g * k)) AS num_present,
+               SUM(g) AS g_present
+        FROM withk GROUP BY 1, 2
+    ), t AS (
+        SELECT nation, bal_band, k,
+               CAST(num_present + (gtot - g_present) * k AS DOUBLE)
+                   / (2.0 * CAST(k AS DOUBLE) * CAST(gtot AS DOUBLE)) AS t
+        FROM per_class
+    ), worst AS (
+        SELECT nation AS worst_nation, bal_band AS worst_band,
+               CAST(k AS BIGINT) AS worst_k
+        FROM t ORDER BY t DESC, nation, bal_band LIMIT 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(t.t), 9) AS t_max,
+           CAST(SUM(CASE WHEN t.t > {TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_above_t,
+           MAX(worst_nation) AS worst_nation,
+           MAX(worst_band) AS worst_band,
+           MAX(worst_k) AS worst_k
+    FROM t CROSS JOIN worst
+"""
+EXTRA_QUERIES["q340_t_closeness"] = q340_t_closeness

@@ -3077,3 +3077,284 @@ _ORACLE_ALL["q331_kpss"] = """
 """
 EXTRA_QUERIES["q331_kpss"] = q331_kpss
 EXTRA_ORACLE["q331_kpss"] = _ORACLE_ALL["q331_kpss"]
+
+
+SEAS_P_MIN, SEAS_P_MAX = 2, 60
+_TWO_PI = "6.283185307179586"  # repr(2*math.pi): one shared literal, both engines
+
+
+def q339_seasonality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram band scan + Fisher-g-style peak share on daily
+    revenue: for every candidate period p in [2, 60] days, the
+    spectral power I_p = A_p^2 + B_p^2 with A_p = sum_t z_t
+    cos(2*pi*t/p), B_p the sine sum, over the mean-cleared RELATIVE
+    series z_t = (n*rev_t - S)/S — the seasonality detector that says
+    WHICH cycle (weekly, monthly, ...) structures the series q305/
+    q314/q317 only test for serial dependence. Reports the top-3
+    periods by power and the Fisher-g-like peak share max I / sum I
+    over the scanned band.
+
+    Scale: the band is FIXED (59 periods), so the trig pass is
+    59 x n_days rows off the collapsed day frame — linear, collapsing
+    map-side into 59 partial (A, B) pairs. Parity: z_t is O(1) (exact
+    decimal numerator over one double division), each term rounds to
+    12 dp before the DECIMAL(28,18) sum, so a last-ulp libm cos/sin
+    disagreement flips at most the 1e-12 quantum — four orders below
+    the 6 dp output. The 2*pi literal is shared verbatim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("s"))
+    z = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t", (F.row_number().over(Window.orderBy("day")) - F.lit(1)).cast("long")
+        )
+        .select(
+            "t",
+            (
+                (
+                    F.col("n_days").cast(_D38) * F.col("rev").cast(_D38)
+                    - F.col("s").cast(_D38)
+                ).cast("double")
+                / F.col("s").cast("double")
+            ).alias("z"),
+        )
+    )
+    periods = spark.range(SEAS_P_MIN, SEAS_P_MAX + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    terms = z.crossJoin(F.broadcast(periods)).select(
+        "p",
+        F.round(
+            F.col("z") * F.cos(F.expr(f"{_TWO_PI} * t / p")), 12
+        ).cast("decimal(28,18)").alias("tc"),
+        F.round(
+            F.col("z") * F.sin(F.expr(f"{_TWO_PI} * t / p")), 12
+        ).cast("decimal(28,18)").alias("ts"),
+    )
+    ab = terms.groupBy("p").agg(F.sum("tc").alias("a"), F.sum("ts").alias("b"))
+    power = ab.select(
+        "p",
+        (
+            F.col("a").cast("double") * F.col("a").cast("double")
+            + F.col("b").cast("double") * F.col("b").cast("double")
+        ).alias("i"),
+    )
+    band = power.agg(F.sum(F.col("i").cast("decimal(28,12)")).alias("itot"))
+    ranked = (
+        power.crossJoin(F.broadcast(band))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("i"), F.asc("p"))).cast("int"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select(
+        "rank",
+        F.col("p").alias("period_days"),
+        F.round("i", 6).alias("power"),
+        F.round(F.col("i") / F.col("itot").cast("double"), 6).alias("power_share"),
+    ).orderBy("rank")
+
+
+_ORACLE_ALL["q339_seasonality_scan"] = f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n_days, CAST(SUM(rev) AS HUGEINT) AS s
+        FROM daily
+    ), z AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+               CAST(n_days * rev - s AS DOUBLE) / CAST(s AS DOUBLE) AS z
+        FROM daily CROSS JOIN tot
+    ), ab AS (
+        SELECT p,
+               SUM(CAST(ROUND(z * cos({_TWO_PI} * t / p), 12) AS DECIMAL(28,18))) AS a,
+               SUM(CAST(ROUND(z * sin({_TWO_PI} * t / p), 12) AS DECIMAL(28,18))) AS b
+        FROM z CROSS JOIN (SELECT CAST(r.range AS INT) AS p
+                           FROM range({SEAS_P_MIN}, {SEAS_P_MAX + 1}) r) pr
+        GROUP BY p
+    ), power AS (
+        SELECT p, CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                  + CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS i
+        FROM ab
+    ), band AS (
+        SELECT SUM(CAST(i AS DECIMAL(28,12))) AS itot FROM power
+    ), ranked AS (
+        SELECT p, i, CAST(ROW_NUMBER() OVER (ORDER BY i DESC, p ASC) AS INT) AS rank
+        FROM power
+    )
+    SELECT rank, p AS period_days, ROUND(i, 6) AS power,
+           ROUND(i / CAST(itot AS DOUBLE), 6) AS power_share
+    FROM ranked CROSS JOIN band
+    WHERE rank <= 3
+    ORDER BY rank
+"""
+EXTRA_QUERIES["q339_seasonality_scan"] = q339_seasonality_scan
+EXTRA_ORACLE["q339_seasonality_scan"] = _ORACLE_ALL["q339_seasonality_scan"]
+
+
+HURST_WINDOWS = (16, 32, 64, 128)
+
+
+def q341_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of daily
+    revenue — the long-memory probe that classifies the series
+    (H≈0.5 random walk increments, H>0.5 persistent, H<0.5 mean-
+    reverting), complementing q329/q331's unit-root tests. For each
+    window size w in {16,32,64,128} days the series splits into
+    complete index blocks; within a block the w-CLEARED cumulative
+    deviations C_t = sum_{i<=t} (w*x_i - S_blk) are exact
+    DECIMAL(38,0), and the classical ratio collapses to
+    R/S = (max C - min C) / sqrt(w*sum(x^2) - S^2) — numerator and
+    the variance radicand both exact integers (the w factors cancel),
+    ONE sqrt + ONE division per block, rounded 12 dp before the
+    per-window decimal mean. H is the OLS slope of log2(R/S) on
+    log2(w) over the four points. Day-frame work only: the single
+    data-proportional pass is the daily aggregate; each window pass
+    is one hash shuffle of the ~n_days-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    idx = daily.withColumn(
+        "t", (F.row_number().over(Window.orderBy("day")) - F.lit(1)).cast("long")
+    ).select("t", F.col("rev").cast(_D38).alias("x"))
+    windows = spark.range(0, len(HURST_WINDOWS)).select(
+        F.element_at(
+            F.array(*[F.lit(w) for w in HURST_WINDOWS]), (F.col("id") + 1).cast("int")
+        ).alias("w")
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(windows))
+        .withColumn("blk", F.expr("t div w"))
+        .withColumn("pos", F.expr("t % w"))
+    )
+    stats = blocks.groupBy("w", "blk").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sblk"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    wcum = (
+        Window.partitionBy("w", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        blocks.join(stats, ["w", "blk"])
+        .filter(F.col("m") == F.col("w"))
+        .withColumn(
+            "c",
+            F.sum(
+                F.col("w").cast(_D38) * F.col("x") - F.col("sblk")
+            ).over(wcum),
+        )
+    )
+    per_block = cum.groupBy("w", "blk").agg(
+        (F.max("c") - F.min("c")).alias("r"),
+        F.max(
+            F.col("w").cast(_D38) * F.col("sxx") - F.col("sblk") * F.col("sblk")
+        ).alias("v"),
+    )
+    rs = (
+        per_block.filter(F.col("v") > 0)
+        .select(
+            "w",
+            F.round(
+                F.col("r").cast("double") / F.sqrt(F.col("v").cast("double")), 12
+            ).alias("rs"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            (
+                F.sum(F.col("rs").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rs_avg"),
+        )
+    )
+    pts = rs.select(
+        "w",
+        "rs_avg",
+        F.round(F.log2("w"), 12).alias("u"),
+        F.round(F.log2("rs_avg"), 12).alias("v"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        *[
+            F.max(F.when(F.col("w") == w, F.round(F.col("rs_avg"), 6))).alias(
+                f"rs_{w}"
+            )
+            for w in HURST_WINDOWS
+        ],
+    )
+    return agg.select(
+        *[F.col(f"rs_{w}") for w in HURST_WINDOWS],
+        F.round(
+            (F.col("k") * F.col("suv") - F.col("su") * F.col("sv"))
+            / (F.col("k") * F.col("suu") - F.col("su") * F.col("su")),
+            6,
+        ).alias("hurst"),
+    )
+
+
+_ORACLE_ALL["q341_hurst_rs"] = f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM daily_src GROUP BY 1
+    ), idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+               CAST(rev AS HUGEINT) AS x
+        FROM daily
+    ), blocks AS (
+        SELECT w, t // w AS blk, t % w AS pos, x
+        FROM idx CROSS JOIN (VALUES {", ".join(f"({w})" for w in HURST_WINDOWS)}) ws(w)
+    ), stats AS (
+        SELECT w, blk, COUNT(*) AS m, SUM(x) AS sblk, SUM(x * x) AS sxx
+        FROM blocks GROUP BY 1, 2
+    ), cum AS (
+        SELECT b.w, b.blk,
+               SUM(b.w * b.x - s.sblk) OVER (
+                   PARTITION BY b.w, b.blk ORDER BY b.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               s.sxx, s.sblk
+        FROM blocks b JOIN stats s ON b.w = s.w AND b.blk = s.blk AND s.m = b.w
+    ), per_block AS (
+        SELECT w, blk, MAX(c) - MIN(c) AS r,
+               MAX(w * sxx - sblk * sblk) AS v
+        FROM cum GROUP BY 1, 2
+    ), rs AS (
+        SELECT w, COUNT(*) AS n_blocks,
+               CAST(SUM(CAST(ROUND(CAST(r AS DOUBLE) / sqrt(CAST(v AS DOUBLE)), 12)
+                    AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS rs_avg
+        FROM per_block WHERE v > 0 GROUP BY 1
+    ), pts AS (
+        SELECT w, rs_avg, ROUND(log2(w), 12) AS u, ROUND(log2(rs_avg), 12) AS v
+        FROM rs
+    )
+    SELECT {", ".join(f"ROUND(MAX(CASE WHEN w = {w} THEN rs_avg END), 6) AS rs_{w}" for w in HURST_WINDOWS)},
+           ROUND((COUNT(*) * SUM(u * v) - SUM(u) * SUM(v))
+                 / (COUNT(*) * SUM(u * u) - SUM(u) * SUM(u)), 6) AS hurst
+    FROM pts
+""".replace("daily_src", "lineitem")
+EXTRA_QUERIES["q341_hurst_rs"] = q341_hurst_rs
+EXTRA_ORACLE["q341_hurst_rs"] = _ORACLE_ALL["q341_hurst_rs"]

@@ -280,3 +280,116 @@ def test_twonn_matches_numpy(spark, emb_pdf):
     # random 64-dim gaussians: the estimator must land well above a
     # low-dimensional manifold reading and at/below the ambient dim
     assert 5.0 < row["id_mle"] < 64.0
+
+
+# ---- q339-q341: seasonality scan, t-closeness, Hurst R/S ----
+
+
+@pytest.fixture(scope="module")
+def daily_cents():
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+
+
+def test_seasonality_scan_matches_numpy(spark, daily_cents):
+    rev = daily_cents["rev"].to_numpy().astype(np.int64)
+    n = len(rev)
+    s = int(rev.sum())
+    z = (n * rev.astype(object) - s).astype(np.float64) / float(s)
+    t = np.arange(n, dtype=np.float64)
+    powers = {}
+    for p in range(2, 61):
+        a = float(np.sum(np.round(z * np.cos(2 * math.pi * t / p), 12)))
+        b = float(np.sum(np.round(z * np.sin(2 * math.pi * t / p), 12)))
+        powers[p] = a * a + b * b
+    top = sorted(powers.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    tot = sum(powers.values())
+    rows = EXTRA["q339_seasonality_scan"](spark, SF_SMOKE).collect()
+    assert [r["period_days"] for r in rows] == [p for p, _ in top]
+    for r, (p, i) in zip(rows, top):
+        assert abs(r["power"] - i) < 1e-5
+        assert abs(r["power_share"] - i / tot) < 1e-6
+        assert 0.0 < r["power_share"] <= 1.0
+
+
+def test_t_closeness_matches_python(spark):
+    from collections import Counter
+
+    from batchprocessingetl_spark.workload.curation_queries import (
+        KANON_BAND,
+        KANON_SHIFT,
+        TCLOSE_T,
+    )
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    bands = (
+        (cust["c_acctbal"] * 100 + 0.5).apply(math.floor).astype(int) + KANON_SHIFT
+    ) // KANON_BAND
+    keys = list(zip(cust["c_nationkey"], bands))
+    sens = cust["c_mktsegment"].tolist()
+    ghist = Counter(sens)
+    gtot = len(sens)
+    per = {}
+    for kq, sv in zip(keys, sens):
+        per.setdefault(kq, Counter())[sv] += 1
+    ts = {}
+    for kq, c in per.items():
+        k = sum(c.values())
+        num = sum(abs(cnt * gtot - ghist[sv] * k) for sv, cnt in c.items())
+        num += (gtot - sum(ghist[sv] for sv in c)) * k
+        ts[kq] = (num, k)
+    tvals = {kq: num / (2 * k * gtot) for kq, (num, k) in ts.items()}
+    worst = min(
+        (kq for kq in tvals if tvals[kq] == max(tvals.values()))
+    )
+    row = EXTRA["q340_t_closeness"](spark, SF_SMOKE).collect()[0]
+    assert row["n_classes"] == len(per)
+    assert abs(row["t_max"] - max(tvals.values())) < 1e-9
+    assert row["classes_above_t"] == sum(1 for v in tvals.values() if v > TCLOSE_T)
+    assert (row["worst_nation"], row["worst_band"]) == worst
+    assert row["worst_k"] == ts[worst][1]
+    # variational distance is a probability metric: all t in [0, 1]
+    assert 0.0 <= row["t_max"] <= 1.0
+
+
+def test_hurst_rs_matches_numpy(spark, daily_cents):
+    from batchprocessingetl_spark.workload.inference_queries import HURST_WINDOWS
+
+    rev = daily_cents["rev"].to_numpy().astype(object)  # exact ints
+    n = len(rev)
+    pts = []
+    rs_by_w = {}
+    for w in HURST_WINDOWS:
+        vals = []
+        for b in range(n // w):
+            blk = rev[b * w : (b + 1) * w]
+            sblk = sum(blk)
+            cum, run = [], 0
+            for x in blk:
+                run += w * x - sblk
+                cum.append(run)
+            r = max(cum) - min(cum)
+            v = w * sum(x * x for x in blk) - sblk * sblk
+            if v > 0:
+                vals.append(round(float(r) / math.sqrt(float(v)), 12))
+        rs = sum(vals) / len(vals)
+        rs_by_w[w] = rs
+        pts.append((round(math.log2(w), 12), round(math.log2(rs), 12)))
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sv = sum(v for _, v in pts)
+    suv = sum(u * v for u, v in pts)
+    suu = sum(u * u for u, _ in pts)
+    hurst = (k * suv - su * sv) / (k * suu - su * su)
+    row = EXTRA["q341_hurst_rs"](spark, SF_SMOKE).collect()[0]
+    for w in HURST_WINDOWS:
+        assert abs(row[f"rs_{w}"] - rs_by_w[w]) < 1e-5
+    assert abs(row["hurst"] - hurst) < 1e-5
+    assert 0.0 < row["hurst"] < 1.2  # R/S estimates live near (0, 1)
