@@ -456,3 +456,34 @@ def read_binary_files(
             F.when(stem != "", stem.cast("bigint")),
         )
     return df
+
+
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    mode: str = "overwrite",
+    ndv: int = 100_000,
+    target_files: int | None = None,
+) -> None:
+    """Parquet sink with per-column BLOOM FILTERS in the file footers
+    (S6 extension): point-lookup predicates on high-cardinality
+    non-sort columns (content hashes, user ids) can then skip whole
+    row groups WITHOUT the data being clustered by that column — the
+    complement to partitionBy (low-cardinality prune), bucketing
+    (join co-location) and Z-order (multi-column range prune). At
+    100 TB this is the difference between "find this doc_id" reading
+    every row group of every file and reading ~one: the reader
+    consults the footer bloom before touching page data
+    (``spark.sql.parquet.filterPushdown`` on, the default).
+
+    ``ndv`` sizes each filter (expected distinct values per row
+    group); oversizing costs footer bytes, undersizing costs false
+    positives — at the default 1% FPP a 100k-NDV filter is ~120 KB."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    writer.parquet(path)

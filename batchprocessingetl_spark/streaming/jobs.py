@@ -1788,3 +1788,109 @@ def session_stats_tws(
             .start()
         )
         q.awaitTermination()
+
+
+def event_type_totals_tws(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Per-user, per-event-type running totals on ``transformWithState``
+    with a ``MapState`` — the last of the four TWS state primitives
+    this engine exercises (ValueState: running totals twin; ListState
+    + timers: session rollup; MapState: here). The map key is the
+    event type, the value a (count, value-sum) pair; each batch folds
+    its rows into the map with point ``getValue``/``updateValue``
+    calls and emits one row per TOUCHED type carrying the running
+    pair plus the user's total across ALL types — the cross-type
+    total forces a full ``iterator()`` walk, exercising the state
+    server's map-iterator paging, not just point lookups.
+
+    Parity contract (pinned in tests/test_streaming_state.py): after
+    any micro-batch slicing and a checkpoint resume, the LAST emitted
+    row per (user, event type) equals the one-shot batch
+    ``groupBy(user_id, event_type)`` aggregate of the same files, and
+    the cross-type total equals the per-user batch rollup. Scale
+    posture: state is one fixed-width map entry per live (key, type);
+    rows stream through Arrow batches; shuffle is the groupBy key."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events = stream_events(spark, source_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("type_value", T.DoubleType()),
+            T.StructField("user_total_value", T.DoubleType()),
+        ]
+    )
+
+    class TypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("by_type", "etype string", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched = set()
+            for pdf in rows:
+                for et, grp in pdf.groupby("event_type"):
+                    n, tot = (
+                        self._m.getValue((et,))
+                        if self._m.containsKey((et,))
+                        else (0, 0.0)
+                    )
+                    self._m.updateValue(
+                        (et,), (n + len(grp), tot + float(grp["value"].sum()))
+                    )
+                    touched.add(et)
+            if not touched:
+                return iter([])
+            user_total = 0.0
+            running = {}
+            for k, v in self._m.iterator():
+                user_total += v[1]
+                running[k[0]] = v
+            out = sorted(touched)
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]] * len(out),
+                            "event_type": out,
+                            "n_events": [running[et][0] for et in out],
+                            "type_value": [round(running[et][1], 6) for et in out],
+                            "user_total_value": [round(user_total, 6)] * len(out),
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    with _rocksdb_state_store(spark):
+        q = (
+            events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=TypeTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1332,3 +1332,83 @@ def test_session_stats_tws_matches_native_session_window(spark, tmp_path):
     a_sessions = {n for s, n in by_user.get(1, []) if s.hour == 10}
     assert 4 in a_sessions  # late event merged into session A
     assert len(by_user.get(2, [])) == 2  # the gap split emitted both
+
+
+def test_event_type_totals_tws_matches_batch_groupby(spark, tmp_path):
+    """MapState TWS operator: after two availableNow runs over
+    arbitrary micro-batch slicings (checkpoint resume between them),
+    the last emission per (user, event_type) must equal the one-shot
+    batch groupBy of the same files, and the cross-type user total
+    (computed via the map-state ITERATOR, not point lookups) must
+    equal the per-user batch rollup."""
+    import pytest
+
+    from pyspark.sql.window import Window
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        event_type_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState state server needs protobuf (absent here)")
+
+    def ev(eid, uid, etype, val):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, 1, 9, eid % 60),
+            user_id=uid,
+            event_type=etype,
+            value=val,
+            props="{}",
+        )
+
+    src, ck, out = (str(tmp_path / d) for d in ("ev", "ck", "out"))
+    f1 = [ev(1, 1, "view", 1.5), ev(2, 1, "click", 2.25), ev(3, 2, "view", 0.5)]
+    f2 = [ev(4, 1, "view", 3.0), ev(5, 2, "buy", 10.0), ev(6, 2, "view", 1.0)]
+    f3 = [ev(7, 1, "buy", 7.5), ev(8, 1, "view", 0.25)]
+
+    for rows in (f1, f2):
+        spark.createDataFrame(rows).repartition(1).write.mode("append").parquet(src)
+    event_type_totals_tws(spark, src, ck, out)
+    spark.createDataFrame(f3).repartition(1).write.mode("append").parquet(src)
+    event_type_totals_tws(spark, src, ck, out)  # resume from checkpoint
+
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("epoch_id"))
+    last = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "epoch_id")
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["type_value"])
+        for r in last.collect()
+    }
+    batch = spark.read.parquet(src).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v")
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["v"]) for r in batch.collect()
+    }
+    assert got == want
+    # cross-type totals from the FINAL batch each user appeared in
+    totals = {
+        r["user_id"]: r["user_total_value"]
+        for r in last.filter(
+            F.col("user_id").isNotNull()
+        ).collect()
+        # every row of a user's last emission carries the same total;
+        # for user 1 the final run emitted buy+view so both rows agree
+    }
+    want_tot = {
+        r["user_id"]: round(r["t"], 6)
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("t"))
+        .collect()
+    }
+    for uid, tot in want_tot.items():
+        # the last emission happened in the final batch that touched
+        # the user, at which point the map held ALL their types
+        assert abs(totals[uid] - tot) < 1e-9, uid
