@@ -3358,3 +3358,69 @@ _ORACLE_ALL["q341_hurst_rs"] = f"""
 """.replace("daily_src", "lineitem")
 EXTRA_QUERIES["q341_hurst_rs"] = q341_hurst_rs
 EXTRA_ORACLE["q341_hurst_rs"] = _ORACLE_ALL["q341_hurst_rs"]
+
+
+def q344_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen on daily ORDER counts: the
+    dispersion index D = s^2/ybar and the constant-mean Cameron-
+    Trivedi statistic z = sum((y - ybar)^2 - y) / (ybar * sqrt(2n)) —
+    the "is a Poisson rate model even admissible?" gate that belongs
+    in front of any count-based anomaly threshold on event streams
+    (q20/q61's rollups assume a stable rate; this measures how far
+    reality is from it). Exact integer core via the standard
+    clearing: n*sum(y^2) - S^2 and the CT numerator
+    n*(n*sum(y^2) - S^2) - n^2*S... kept as ONE exact DECIMAL(38,0)
+    expression each, with single double divisions at the end (9 dp).
+    Day-grain after one count aggregate on orders."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("y")
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, s, syy = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    # sum((y - ybar)^2) = (n*syy - s^2)/n ; D = that/(n-1) / (s/n)
+    css = (F.col("n") * F.col("syy") - F.col("s") * F.col("s")).cast("double")
+    disp = css / (n - F.lit(1.0)) / s
+    ct_z = (css / n - s) / ((s / n) * F.sqrt(F.lit(2.0) * n))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(s / n, 6).alias("mean_daily_orders"),
+        F.round(disp, 9).alias("dispersion_index"),
+        F.round(ct_z, 6).alias("ct_z"),
+        (ct_z > F.lit(1.645)).alias("overdispersed"),
+    )
+
+
+_ORACLE_ALL["q344_overdispersion"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day, CAST(COUNT(*) AS HUGEINT) AS y
+        FROM orders GROUP BY 1
+    ), a AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS s, SUM(y * y) AS syy
+        FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily_orders,
+           ROUND(CAST(n * syy - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - 1.0) / CAST(s AS DOUBLE), 9)
+               AS dispersion_index,
+           ROUND((CAST(n * syy - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(s AS DOUBLE))
+                 / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * sqrt(2.0 * CAST(n AS DOUBLE))), 6) AS ct_z,
+           (CAST(n * syy - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(s AS DOUBLE))
+                 / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * sqrt(2.0 * CAST(n AS DOUBLE))) > 1.645 AS overdispersed
+    FROM a
+"""
+EXTRA_QUERIES["q344_overdispersion"] = q344_overdispersion
+EXTRA_ORACLE["q344_overdispersion"] = _ORACLE_ALL["q344_overdispersion"]

@@ -3915,3 +3915,212 @@ def _q281_oracle() -> str:
 _ORACLE_ALL["q281_stochastic_setcover"] = _q281_oracle()
 EXTRA_QUERIES["q281_stochastic_setcover"] = q281_stochastic_setcover
 EXTRA_ORACLE["q281_stochastic_setcover"] = _ORACLE_ALL["q281_stochastic_setcover"]
+
+
+ZIPF_TOP = 200
+
+
+def q342_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency head: OLS of
+    ln(freq) on ln(rank) over the top-200 ranks — the power-law
+    health check for a training corpus (natural text sits near
+    s ≈ 1; a crawl of boilerplate or synthetic spam bends the head).
+    Complements q86's vocabulary table (level) and q266's burstiness
+    (dispersion) with the SHAPE of the frequency distribution.
+
+    One explode + one hash count is the only data-proportional work;
+    the ranked head is 200 rows. Determinism: ranks break frequency
+    ties by token; ln runs on INTEGER-valued doubles (identical both
+    engines), each point rounds to 12 dp before the decimal sums, and
+    the slope/R^2 are single double expressions — rounded 6 dp."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T_ops.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    head = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok")))
+        )
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 12).alias("u"),
+            F.round(F.log(F.col("f").cast("double")), 12).alias("v"),
+        )
+    )
+    vocab = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.sum("f").alias("total_tokens")
+    )
+    d = "decimal(28,18)"
+    agg = head.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("u").cast(d)).alias("su"),
+        F.sum(F.col("v").cast(d)).alias("sv"),
+        F.sum((F.col("u") * F.col("v")).cast(d)).alias("suv"),
+        F.sum((F.col("u") * F.col("u")).cast(d)).alias("suu"),
+        F.sum((F.col("v") * F.col("v")).cast(d)).alias("svv"),
+    )
+    k, su, sv, suv, suu, svv = (
+        F.col("k").cast("double"),
+        F.col("su").cast("double"),
+        F.col("sv").cast("double"),
+        F.col("suv").cast("double"),
+        F.col("suu").cast("double"),
+        F.col("svv").cast("double"),
+    )
+    slope = (k * suv - su * sv) / (k * suu - su * su)
+    r2 = (k * suv - su * sv) * (k * suv - su * sv) / (
+        (k * suu - su * su) * (k * svv - sv * sv)
+    )
+    return agg.crossJoin(F.broadcast(vocab)).select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("k").cast("long").alias("ranks_used"),
+        F.round(-slope, 6).alias("zipf_s"),
+        F.round(r2, 6).alias("r_squared"),
+    )
+
+
+_Q342_ORACLE = f"""
+    WITH freq AS (
+        SELECT tok, COUNT(*) AS f
+        FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY 1
+    ), head AS (
+        SELECT ROUND(ln(CAST(r AS DOUBLE)), 12) AS u,
+               ROUND(ln(CAST(f AS DOUBLE)), 12) AS v
+        FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r FROM freq)
+        WHERE r <= {ZIPF_TOP}
+    ), vocab AS (
+        SELECT COUNT(*) AS vocab_size, SUM(f) AS total_tokens FROM freq
+    ), a AS (
+        SELECT COUNT(*) AS k,
+               SUM(CAST(u AS DECIMAL(28,18))) AS su,
+               SUM(CAST(v AS DECIMAL(28,18))) AS sv,
+               SUM(CAST(u * v AS DECIMAL(28,18))) AS suv,
+               SUM(CAST(u * u AS DECIMAL(28,18))) AS suu,
+               SUM(CAST(v * v AS DECIMAL(28,18))) AS svv
+        FROM head
+    )
+    SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(k AS BIGINT) AS ranks_used,
+           ROUND(-(k * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (k * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)), 6)
+               AS zipf_s,
+           ROUND((k * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                 * (k * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / ((k * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (k * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+               AS r_squared
+    FROM a CROSS JOIN vocab
+"""
+EXTRA_QUERIES["q342_zipf_fit"] = q342_zipf_fit
+EXTRA_ORACLE["q342_zipf_fit"] = _Q342_ORACLE
+
+
+def q343_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K * N^beta, fitted
+    as OLS of ln(V_d) on ln(N_d) over every document prefix in
+    doc_id order (N_d = cumulative token count, V_d = cumulative NEW
+    vocabulary). The sublinearity exponent beta tells a curation
+    pipeline whether adding more of THIS source still buys new
+    vocabulary (natural text beta ≈ 0.4-0.6; dedup failures push it
+    toward 0, template spam toward flat). Linear end-to-end: new-word
+    mass per document comes from a min(doc_id)-per-token aggregate
+    joined back at doc grain, the prefix sums are two cumulative
+    windows on the ~n_docs-row frame, and the fit is the q342 OLS
+    chain (12 dp ln points, decimal sums, one double slope)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T_ops.tokens(F.col("text"))).alias("tok"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pref = (
+        per_doc.join(firsts, "doc_id", "left")
+        .fillna({"n_new": 0})
+        .withColumn("big_n", F.sum("n_toks").over(wcum))
+        .withColumn("v", F.sum("n_new").over(wcum))
+        .filter((F.col("v") > 0) & (F.col("big_n") > 0))
+        .select(
+            F.round(F.log(F.col("big_n").cast("double")), 12).alias("u"),
+            F.round(F.log(F.col("v").cast("double")), 12).alias("vv"),
+        )
+    )
+    d = "decimal(28,18)"
+    agg = pref.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("u").cast(d)).alias("su"),
+        F.sum(F.col("vv").cast(d)).alias("sv"),
+        F.sum((F.col("u") * F.col("vv")).cast(d)).alias("suv"),
+        F.sum((F.col("u") * F.col("u")).cast(d)).alias("suu"),
+    )
+    tot = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens")
+    )
+    k, su, sv, suv, suu = (
+        F.col("k").cast("double"),
+        F.col("su").cast("double"),
+        F.col("sv").cast("double"),
+        F.col("suv").cast("double"),
+        F.col("suu").cast("double"),
+    )
+    slope = (k * suv - su * sv) / (k * suu - su * su)
+    intercept = (sv - slope * su) / k
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept), 6).alias("heaps_k"),
+    )
+
+
+_Q343_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1
+    ), firsts AS (
+        SELECT doc_id, COUNT(*) AS n_new
+        FROM (SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY 1)
+        GROUP BY 1
+    ), pref AS (
+        SELECT ROUND(ln(CAST(SUM(p.n_toks) OVER w AS DOUBLE)), 12) AS u,
+               ROUND(ln(CAST(SUM(COALESCE(f.n_new, 0)) OVER w AS DOUBLE)), 12) AS vv,
+               SUM(COALESCE(f.n_new, 0)) OVER w AS v_chk,
+               SUM(p.n_toks) OVER w AS n_chk
+        FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), a AS (
+        SELECT COUNT(*) AS k,
+               SUM(CAST(u AS DECIMAL(28,18))) AS su,
+               SUM(CAST(vv AS DECIMAL(28,18))) AS sv,
+               SUM(CAST(u * vv AS DECIMAL(28,18))) AS suv,
+               SUM(CAST(u * u AS DECIMAL(28,18))) AS suu
+        FROM pref WHERE v_chk > 0 AND n_chk > 0
+    ), tot AS (
+        SELECT COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens FROM per_doc
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND((k * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (k * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)), 6)
+               AS heaps_beta,
+           ROUND(exp((CAST(sv AS DOUBLE)
+                      - (k * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                        / (k * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                        * CAST(su AS DOUBLE)) / k), 6) AS heaps_k
+    FROM a CROSS JOIN tot
+"""
+EXTRA_QUERIES["q343_heaps_law"] = q343_heaps_law
+EXTRA_ORACLE["q343_heaps_law"] = _Q343_ORACLE

@@ -393,3 +393,95 @@ def test_hurst_rs_matches_numpy(spark, daily_cents):
         assert abs(row[f"rs_{w}"] - rs_by_w[w]) < 1e-5
     assert abs(row["hurst"] - hurst) < 1e-5
     assert 0.0 < row["hurst"] < 1.2  # R/S estimates live near (0, 1)
+
+
+# ---- q342-q344: Zipf fit, Heaps' law, overdispersion ----
+
+
+@pytest.fixture(scope="module")
+def doc_tokens():
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = []
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        toks.append((int(did), [t for t in str(text).strip().split() if t]))
+    return toks
+
+
+def _ols(pts):
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sv = sum(v for _, v in pts)
+    suv = sum(u * v for u, v in pts)
+    suu = sum(u * u for u, _ in pts)
+    slope = (k * suv - su * sv) / (k * suu - su * su)
+    return slope, (sv - slope * su) / k
+
+
+def test_zipf_fit_matches_python(spark, doc_tokens):
+    from collections import Counter
+
+    from batchprocessingetl_spark.workload.textops import ZIPF_TOP
+
+    freq = Counter()
+    for _, toks in doc_tokens:
+        freq.update(toks)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (round(math.log(r), 12), round(math.log(f), 12))
+        for r, (_, f) in enumerate(ranked, start=1)
+    ]
+    slope, _ = _ols(pts)
+    row = EXTRA["q342_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    assert row["vocab_size"] == len(freq)
+    assert row["total_tokens"] == sum(freq.values())
+    assert row["ranks_used"] == len(pts)
+    assert abs(row["zipf_s"] - (-slope)) < 1e-5
+    assert 0.0 <= row["r_squared"] <= 1.0
+
+
+def test_heaps_law_matches_python(spark, doc_tokens):
+    first_doc = {}
+    for did, toks in sorted(doc_tokens):
+        for t in toks:
+            first_doc.setdefault(t, did)
+    new_per_doc = {}
+    for t, did in first_doc.items():
+        new_per_doc[did] = new_per_doc.get(did, 0) + 1
+    pts, big_n, v = [], 0, 0
+    for did, toks in sorted(doc_tokens):
+        big_n += len(toks)
+        v += new_per_doc.get(did, 0)
+        if big_n > 0 and v > 0:
+            pts.append((round(math.log(big_n), 12), round(math.log(v), 12)))
+    slope, intercept = _ols(pts)
+    row = EXTRA["q343_heaps_law"](spark, SF_SMOKE).collect()[0]
+    assert row["n_docs"] == len(doc_tokens)
+    assert row["total_tokens"] == sum(len(t) for _, t in doc_tokens)
+    assert abs(row["heaps_beta"] - slope) < 1e-5
+    assert abs(row["heaps_k"] - math.exp(intercept)) < 1e-4
+    # vocabulary growth is sublinear in any real corpus
+    assert 0.0 < row["heaps_beta"] < 1.0
+
+
+def test_overdispersion_matches_python(spark):
+    import duckdb
+
+    counts = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT COUNT(*) FROM read_parquet('{SF_SMOKE}/orders.parquet')
+                GROUP BY o_orderdate"""
+        ).fetchall()
+    ]
+    n = len(counts)
+    s = sum(counts)
+    ybar = s / n
+    css = sum((y - ybar) ** 2 for y in counts)
+    disp = css / (n - 1) / ybar
+    ct_z = (css - s) / (ybar * math.sqrt(2 * n))
+    row = EXTRA["q344_overdispersion"](spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["mean_daily_orders"] - ybar) < 1e-5
+    assert abs(row["dispersion_index"] - disp) < 1e-6
+    assert abs(row["ct_z"] - ct_z) < 1e-5
+    assert row["overdispersed"] == (ct_z > 1.645)
