@@ -45,64 +45,63 @@ _MODULES = (
     _inference,
 )
 
-# Round-11 rotation (VERDICT r10 #1/#4): the 50 driver-checked rows.
-# Newly rotated IN (30): the ENTIRE q302-q331 shelf — both the
-# 13-query first wave VERDICT r10 named (q302 log-rank, q304
-# Wasserstein, q308 Hodges-Lehmann, q312 Matryoshka, q313 binary
-# Hamming, q318 entropy rate, q319 modularity, q320 Jarque-Bera,
-# q322 Anderson-Darling, q325 Cook's distance, q328 Page-Hinkley,
-# q329 Dickey-Fuller, q331 KPSS) and the 17-query second wave
-# (VERDICT r10 #4), all 3-SF sweep-proven in round 10.
-# Displaced to EXTRA (30): the twice-proven (r9+r10) q268-q280 block
-# (13) plus 17 multi-round-proven retainers (q78, q182, q188, q190,
-# q192, q203, q204, q208, q220, q225, q234, q236, q240, q253, q256,
-# q257, q267 — each driver-green in >=2 rounds). Family-retainer
-# mapping, the exceptions (LM-training, sketches, infra-audit
-# families temporarily all-EXTRA), and the round-12/13 ledger that
-# restores them with never-checked rows live in docs/COVERAGE.md
-# "Round 11 rotation" + "Rotation ledger".
+# Round-12 rotation (VERDICT r11 #2, executed exactly as the
+# docs/COVERAGE.md rotation ledger schedules it). Newly rotated IN
+# (26): the never-checked q291-q301 rank/survival shelf (11) plus the
+# 15 family-restoring / oldest EXTRA-only rows the ledger names —
+# q191 Merkle diff (infra-audit), q183 BPE-apply + q194 fertility
+# (LM training), q197 HLL overlap (sketches), q224 k-anonymity
+# (record linkage), q169-q172 (drift/testing), q179/q180 (retrieval
+# eval), q199/q200 (datacard/funnel), q209 CUSUM, q229 mutual
+# information. Displaced to EXTRA (26): q281-q290 (twice-proven
+# r10+r11) and 16 once-proven rows of the q302-q331 shelf (the
+# ledger accepts one-proof rotation for rows displaced BY
+# never-checked rows; their second proof lands r14). Retained from
+# q302-q331 for a second driver proof (14): the 13 queries VERDICT
+# r10 named by name plus q315 (agreement family retainer).
 _REGISTERED = (
-    # round-9/10 block, kept for its second driver proof (10)
-    "q281_stochastic_setcover",
-    "q282_kendall_tau",
-    "q283_benford_audit",
-    "q284_spearman_rho",
-    "q285_isotonic_regression",
-    "q286_decision_stump",
-    "q287_theil_sen",
-    "q288_mann_whitney_u",
-    "q289_cramers_v_matrix",
-    "q290_mahalanobis_outliers",
-    # round-10 shelf, rotated in — first driver proof (30)
+    # never-checked q291-q301 shelf — first driver proof (11)
+    "q291_cochran_armitage",
+    "q292_brown_forsythe",
+    "q293_kaplan_meier",
+    "q294_runs_test",
+    "q295_jonckheere_terpstra",
+    "q296_friedman_test",
+    "q297_mantel_haenszel",
+    "q298_kruskal_wallis",
+    "q299_cohens_kappa",
+    "q300_pages_trend",
+    "q301_theils_u",
+    # never-checked family-restoring EXTRA rows (15)
+    "q191_merkle_diff",
+    "q183_bpe_apply_compression",
+    "q194_tokenizer_fertility",
+    "q197_audience_overlap_hll",
+    "q224_k_anonymity_audit",
+    "q169_priority_auc",
+    "q170_chisq_independence",
+    "q171_psi_price_drift",
+    "q172_ks_two_sample",
+    "q179_retrieval_ndcg",
+    "q180_score_calibration",
+    "q199_corpus_datacard",
+    "q200_curation_funnel",
+    "q209_cusum_changepoint",
+    "q229_mutual_information",
+    # q302-q331 retainers, second driver proof (14)
     "q302_logrank_test",
-    "q303_ordinal_association",
     "q304_wasserstein_daily_revenue",
-    "q305_serial_correlation",
-    "q306_anova_oneway",
-    "q307_wilcoxon_signed_rank",
     "q308_hodges_lehmann",
-    "q309_cochran_q",
-    "q310_partial_correlation",
-    "q311_chow_break_test",
     "q312_matryoshka_rerank",
     "q313_binary_hamming_rerank",
-    "q314_ljung_box",
     "q315_agreement_family",
-    "q316_cross_correlation",
-    "q317_pacf",
     "q318_markov_entropy_rate",
     "q319_modularity_score",
     "q320_jarque_bera",
-    "q321_bhattacharyya",
     "q322_anderson_darling_2s",
-    "q323_mood_scale_test",
-    "q324_median_test",
     "q325_cooks_distance",
-    "q326_breusch_pagan",
-    "q327_effect_sizes",
     "q328_page_hinkley",
     "q329_dickey_fuller",
-    "q330_turning_points",
     "q331_kpss",
     # clustering family retainer (q253 k-center displaced)
     "q187_kmeans_clusters",

@@ -124,20 +124,25 @@ def _latest_prev_bench() -> tuple[str, dict[str, float], float] | None:
     judged = _round_nums("CORRECTNESS_r*.json")
     current_round = (judged[-1][0] + 1) if judged else 0
     rounds = [(n, p) for n, p in _round_nums("BENCH_r*.json") if n < current_round]
-    best: tuple[int, str] | None = rounds[-1] if rounds else None
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            doc = json.load(f)
-        parsed = doc.get("parsed", doc)
-        cal = parsed.get("calibration")
-        qs = parsed.get("queries")
-        if not cal or not qs:
-            return None
-        return os.path.basename(best[1]), qs, float(cal)
-    except (OSError, ValueError, KeyError):
-        return None
+    # newest PARSEABLE round wins: a round whose stdout tail the driver
+    # could not reassemble lands with "parsed": null (r11 — the JSON
+    # line outgrew the 2000-char tail capture), so walk backwards
+    # instead of bailing on it (round 12: main() now keeps the stdout
+    # line compact precisely so this stops happening)
+    for _, path in reversed(rounds):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed") or (doc if "queries" in doc else None)
+            if not parsed:
+                continue
+            cal = parsed.get("calibration")
+            qs = parsed.get("queries")
+            if cal and qs:
+                return os.path.basename(path), qs, float(cal)
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
 
 
 def main() -> None:
@@ -145,6 +150,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     queries = {**collect_queries(), **collect_extra_queries()}
+
+    # A/B harness (VERDICT r11 #3): SPARK_GRAFT_BENCH_SET=r10 runs only
+    # the original 17-query shared set (the BENCH_r01-r10 headline),
+    # isolating it from the 5 round-11 additions so shared-set
+    # round-over-round comparisons measure the PLANS, not whatever the
+    # extra queries do to the shared JVM (GC/page-cache pressure).
+    bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET", "full")
+    headline = HEADLINE[:17] if bench_set == "r10" else HEADLINE
 
     # one untimed pass over the largest scan absorbs JVM/codegen/reader
     # warmup so per-query numbers reflect steady-state execution
@@ -164,7 +177,7 @@ def main() -> None:
     # still saw q37 at 1.9s moving 1.28x on 3 runs, hence 2.5s).
     cal_pre = calibrate()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         runs = []
         for _ in range(3):
             t0 = time.time()
@@ -197,6 +210,13 @@ def main() -> None:
         "calibration_pre": cal_pre,
         "calibration_post": cal_post,
         "value_normalized": round(total / calibration, 2),
+    }
+    # Diagnostics (normalized per-query times + round-over-round
+    # deltas) go to STDERR: the driver captures only the last 2000
+    # chars of stdout, and round 11's fat JSON line overflowed that
+    # window, landing as "parsed": null and losing the whole round's
+    # numbers. The stdout line stays compact (and is asserted so).
+    diag = {
         "queries_normalized": {
             k: round(v / calibration, 2) for k, v in timings.items()
         },
@@ -204,15 +224,18 @@ def main() -> None:
     prev = _latest_prev_bench()
     if prev is not None:
         fname, pq, pcal = prev
-        out["normalized_delta_vs"] = fname
+        diag["normalized_delta_vs"] = fname
         # ratio of host-normalized per-query times: ~1.0 = flat after
         # removing host drift; >1 = genuinely slower plan/execution
-        out["normalized_delta"] = {
+        diag["normalized_delta"] = {
             k: round((v / calibration) / (pq[k] / pcal), 2)
             for k, v in timings.items()
             if k in pq and pq[k] > 0
         }
-    print(json.dumps(out))
+    print("# diagnostics: " + json.dumps(diag), file=sys.stderr)
+    line = json.dumps(out)
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":
