@@ -1491,6 +1491,7 @@ KS_TEST_IDS = (5, 17, 29, 41, 53, 65, 77, 89)
 KS_K = 5
 KS_SCALE = 10**12
 KS_TOP = 15
+KS_BUCKETS = 64  # cosine range-partition granularity for q332
 
 
 def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,21 +1503,36 @@ def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     set; top 15 most valuable train points reported.
 
     The recurrence looks sequential but is a pure SUFFIX SUM of
-    per-row independent deltas — so it distributes: rank, compute the
-    delta per row map-side, suffix-sum. Here rank+suffix run as one
-    window per test point; at 100 TB the same algebra runs as a
-    range-partitioned suffix sum (per-bucket partials + broadcast
-    bucket prefix), and the standard shortlist trick applies — the
-    tail beyond the top-M candidates contributes one CONSTANT
-    (a plain aggregate, no window) shared by every nearer point,
-    because each delta_j adds to all s_i with i <= j. Test-point
-    count is the bounded multiplier, exactly as in serving-side kNN.
+    per-row independent deltas — so it distributes. Round 12 ships
+    the range-partitioned form the round-11 docstring only derived
+    (VERDICT r11 #4): rows bucket by a monotone function of the
+    6dp-rounded cosine (equal cosines share a bucket, so the
+    (cosine DESC, vec_id ASC) order NEVER crosses a bucket boundary),
+    and every window below partitions by (qid, bucket):
+
+    - global rank  = broadcast per-(qid,bucket) row-count prefix
+                     + bucket-local row_number
+    - lead(ind)    = bucket-local lead, patched at the bucket's last
+                     row with the next non-empty bucket's first ind
+                     (a KS_BUCKETS-row broadcast frame)
+    - suffix sum   = bucket-local suffix + broadcast suffix of whole-
+                     bucket term totals over later buckets
+
+    No task ever sorts more than one (qid, bucket) slice (~n/64
+    rows); the old form sorted the ENTIRE train corpus once per test
+    point in a single task. The remaining serving-side trick — the
+    tail beyond a top-M shortlist collapses to one constant because
+    each delta_j adds to all s_i with i <= j — stays available when
+    only the head of the ranking is needed; this audit wants every
+    train point's value, so it computes all buckets.
 
     Exactness: cosines round to 6 dp before ranking (ties by vec_id);
     every Shapley term is an integer-scaled truncated quotient
     (diff * 1e12 div max(K, rank) — BIGINT), so the suffix sums are
     exact integers on both engines and the single double division
-    happens once at output. No libm, no float accumulation order."""
+    happens once at output. No libm, no float accumulation order.
+    The oracle is UNCHANGED from the window form — the bucket algebra
+    reproduces identical integers by construction."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1528,8 +1544,17 @@ def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = emb.filter(~F.col("vec_id").isin(*KS_TEST_IDS)).select(
         "vec_id", "label", S.as_double(F.col("embedding")).alias("ee")
     )
-    w_rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    ranked = (
+    # monotone bucket of the ROUNDED cosine: higher cosine -> lower
+    # bucket id, equal cosines -> equal bucket (order never inverts
+    # across buckets, so bucket-local windows compose exactly)
+    bkt = F.least(
+        F.lit(KS_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.lit(1.0) - F.col("cosine")) * F.lit(KS_BUCKETS / 2.0)).cast("int"),
+        ),
+    )
+    scored = (
         train.crossJoin(F.broadcast(tests))
         .select(
             "qid",
@@ -1538,9 +1563,38 @@ def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("qlabel")).cast("long").alias("ind"),
             F.round(S.cosine(F.col("ee"), F.col("qe")), 6).alias("cosine"),
         )
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn("ind_next", F.lead("ind").over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("qid")))
+        .withColumn("bkt", bkt)
+    )
+    w_loc = Window.partitionBy("qid", "bkt").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    local = (
+        scored.withColumn("lrnk", F.row_number().over(w_loc))
+        .withColumn("lnext", F.lead("ind").over(w_loc))
+    )
+    # tiny per-(qid,bucket) frame: counts, first ind, term totals come
+    # later; <= |tests| * KS_BUCKETS rows regardless of corpus size
+    bstats = local.groupBy("qid", "bkt").agg(
+        F.count(F.lit(1)).alias("bcnt"),
+        F.min(F.struct("lrnk", "ind")).getField("ind").alias("first_ind"),
+    )
+    w_qb = Window.partitionBy("qid").orderBy("bkt")
+    binfo = (
+        bstats.withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bcnt").over(w_qb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("next_first", F.lead("first_ind").over(w_qb))
+        .withColumn("n", F.sum("bcnt").over(Window.partitionBy("qid")))
+        .select("qid", "bkt", "offset", "next_first", "n")
+    )
+    ranked = (
+        local.join(F.broadcast(binfo), ["qid", "bkt"])
+        .withColumn("rnk", F.col("offset") + F.col("lrnk"))
+        .withColumn("ind_next", F.coalesce(F.col("lnext"), F.col("next_first")))
     )
     terms = ranked.withColumn(
         "term",
@@ -1555,12 +1609,20 @@ def q332_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.expr(f"((ind_next - ind) * {KS_SCALE}) div greatest({KS_K}, rnk)")
         ),
     )
-    w_suffix = (
-        Window.partitionBy("qid")
-        .orderBy(F.desc("rnk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bucket-local suffix + broadcast suffix of later buckets' totals
+    w_suf_loc = Window.partitionBy("qid", "bkt").orderBy(F.desc("rnk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    shapley = terms.withColumn("s_scaled", F.sum("term").over(w_suffix))
+    btot = terms.groupBy("qid", "bkt").agg(F.sum("term").alias("bsum"))
+    w_later = Window.partitionBy("qid").orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    later = btot.withColumn(
+        "later_sum", F.coalesce(F.sum("bsum").over(w_later), F.lit(0))
+    ).select("qid", "bkt", "later_sum")
+    shapley = terms.join(F.broadcast(later), ["qid", "bkt"]).withColumn(
+        "s_scaled", F.sum("term").over(w_suf_loc) + F.col("later_sum")
+    )
     return (
         shapley.groupBy("vec_id", "label")
         .agg(
@@ -1715,24 +1777,28 @@ def q334_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NOISE_K = 10
+NOISE_CELL_TARGET = 128  # target sign-LSH cell size for the audit
+NOISE_MAX_PLANES = 16
 
 
-def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise audit by neighborhood agreement (the kNN-vote
-    mislabel detector): every vector queries its exact cosine top-10
-    neighbors (self excluded) and counts label disagreements; per
-    label, report the corpus size, mean disagreement rate, and how
-    many points a MAJORITY of neighbors contradict — the shortlist a
-    labeling pipeline re-reviews. Runs on the q50 block-GEMM machinery
-    (operators/similarity.knn_join) with Q = the whole corpus: the
-    all-pairs stage stays bucketed (B blocks x one GEMM each), the
-    global shuffle is B*Q*k skinny candidate rows, and the audit
-    rollup is one hash aggregate — no cartesian anywhere.
+def _noise_planes_b(n: int) -> int:
+    """Adaptive sign-LSH plane count for the label-noise audit: the
+    smallest b in [2, 16] with 2^b cells of expected size <=
+    NOISE_CELL_TARGET (i.e. 2^b * target >= n). Pure integer
+    comparison — no log2, so the Spark driver and the SQL oracle agree
+    bit-for-bit at power-of-two boundaries."""
+    for b in range(2, NOISE_MAX_PLANES + 1):
+        if (1 << b) * NOISE_CELL_TARGET >= n:
+            return b
+    return NOISE_MAX_PLANES
 
-    Self-exclusion protocol: ask for k+1, drop id == qid, keep the
-    first k by the SAME (cosine 6dp DESC, id ASC) order — provably
-    equal to the oracle's top-k over the id != qid pair set whether or
-    not the self row survived its own block-local cut."""
+
+def knn_label_noise_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full-corpus twin of q335 — every vector's true cosine
+    top-10 over the whole corpus via the q50 block GEMM. O(n^2/B) by
+    construction: the small-SF verification baseline the agreement
+    test pins the shipped candidate-path plan against (q53's declared-
+    audit posture), NOT the shipped plan."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1751,7 +1817,8 @@ def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(qlab, "qid")
         .groupBy("qid", "qlabel")
         .agg(
-            F.sum((F.col("label") != F.col("qlabel")).cast("long")).alias("nd")
+            F.sum((F.col("label") != F.col("qlabel")).cast("long")).alias("nd"),
+            F.count(F.lit(1)).alias("nb"),
         )
     )
     return (
@@ -1760,11 +1827,96 @@ def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
             F.round(
                 F.sum("nd").cast("double")
-                / (F.lit(float(NOISE_K)) * F.count(F.lit(1))),
+                / F.greatest(F.sum("nb"), F.lit(1)).cast("double"),
                 6,
             ).alias("avg_noise_rate"),
             F.sum(
-                (F.col("nd") > F.lit(NOISE_K // 2)).cast("long")
+                (F.col("nd") * 2 > F.col("nb")).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("label")
+    )
+
+
+def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by neighborhood agreement (the kNN-vote
+    mislabel detector), candidate-path plan (VERDICT r11 #1): each
+    vector's neighbors come from its deterministic sign-LSH cell
+    (q66's machinery, data-derived planes = embeddings 1..b), with the
+    exact cosine top-10 re-rank INSIDE the cell. Per label: corpus
+    size, mean disagreement rate over actual scored neighbors, and how
+    many points a majority of their neighbors contradict.
+
+    Plane count adapts to corpus size (b = smallest with 2^b * 128 >=
+    n), so expected cell size stays ~NOISE_CELL_TARGET at any scale:
+    candidate work is sum over cells of cell^2 ~ n * 128 — LINEAR, vs
+    the O(n^2/B) exact form (kept as :func:`knn_label_noise_exact`,
+    pinned by an agreement test). Everything is deterministic given
+    the data — cell bits are dot-product signs against fixed plane
+    rows, ranking is (cosine 6dp DESC, vec_id ASC) — so the WHOLE
+    approximate plan is pinned by a plain SQL oracle, q66's posture.
+
+    Points whose cell yields fewer than K candidates contribute their
+    actual neighbor count to the rate denominator (rate =
+    sum nd / sum nb); singleton-cell points contribute n_points only.
+    Flag condition 2*nd > nb == the exact form's nd > K/2 when a full
+    K neighbors were scored."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = _noise_planes_b(emb.count())
+    rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= b))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [[float(x) for x in r["embedding"]] for r in rows]
+    cells = emb.select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
+    ).withColumn("cell", S.lsh_bucket(F.col("v"), planes))
+    qside = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    cside = cells.select("cell", "vec_id", "label", "v")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top = (
+        qside.join(cside, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NOISE_K)
+    )
+    per_point = top.groupBy("qid", "qlabel").agg(
+        F.sum((F.col("label") != F.col("qlabel")).cast("long")).alias("nd"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    all_points = cells.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    full = all_points.join(per_point, ["qid", "qlabel"], "left").fillna(
+        0, subset=["nd", "nb"]
+    )
+    return (
+        full.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum("nd").cast("double")
+                / F.greatest(F.sum("nb"), F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_noise_rate"),
+            F.sum(
+                (F.col("nd") * 2 > F.col("nb")).cast("long")
             ).alias("n_flagged"),
         )
         .orderBy("label")
@@ -1906,26 +2058,16 @@ def q337_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q338_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-NN intrinsic-dimension estimate (Facco et al., Scientific
-    Reports 7, 2017): with mu = d2/d1 the ratio of each point's
-    second- to first-neighbor distance, the MLE of the intrinsic
-    dimension is n / sum(ln mu) — the one-number answer to "do these
-    64-dim embeddings actually live on a low-dimensional manifold?"
-    that decides quantization/index budgets (q278 PQ, q312/q313).
-    Angular distance d = 1 - cosine over the exact top-2 neighbors
-    from the q50 block-GEMM machinery (self excluded); distances
-    inherit knn_join's 6-dp-rounded cosines, so both engines rank and
-    ratio IDENTICAL quantized values; ln(mu) rounds to 12 dp before
-    the DECIMAL(28,18) sum (libm last-ulp drift sits 4 orders below
-    the quantum). Points with d1 = 0 (exact duplicates at 6 dp) are
-    excluded and counted."""
+TWONN_SAMPLE = 512  # bounded query subsample for the shipped q338
+
+
+def _twonn_stats(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """Shared TwoNN tail: exact top-2 corpus neighbors per query row
+    (self excluded) via the q50 block GEMM, then the Facco MLE
+    aggregate. Cost is O(Q * n / B) — linear in the corpus when Q is
+    bounded."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.select(
-        F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qvec")
-    )
     nn = S.knn_join(emb, queries, 3)
     w = Window.partitionBy("qid").orderBy("rank")
     two = (
@@ -1954,6 +2096,59 @@ def q338_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("id_mle"),
     )
+
+
+def twonn_intrinsic_dim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full-corpus twin of q338 — Q = every corpus point, the
+    O(n^2/B) audit baseline. Kept for the small-SF agreement test
+    pinning the shipped subsample plan (the per-qid d1/d2 of the
+    shipped plan are EXACTLY this run's, restricted to the sampled
+    qids, because the neighbor corpus is the full table either way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qvec")
+    )
+    return _twonn_stats(emb, queries)
+
+
+def q338_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 7, 2017): with mu = d2/d1 the ratio of each point's
+    second- to first-neighbor distance, the MLE of the intrinsic
+    dimension is n / sum(ln mu) — the one-number answer to "do these
+    64-dim embeddings actually live on a low-dimensional manifold?"
+    that decides quantization/index budgets (q278 PQ, q312/q313).
+
+    Shipped plan (VERDICT r11 #1): the estimator is SAMPLE-CONSISTENT,
+    so the query side is a bounded deterministic md5 subsample — the
+    TWONN_SAMPLE lowest (md5(vec_id), vec_id) rows, q71's
+    md5-uniform-membership discipline — while the NEIGHBOR side stays
+    the full corpus (d1/d2 are true corpus distances, identical per
+    qid to the exact run's). Cost: one TakeOrdered over md5 + a
+    Q-bounded block GEMM = O(n) total, vs the O(n^2/B) full-corpus
+    form (kept as :func:`twonn_intrinsic_dim_exact` for the agreement
+    test). At sf <= 0.01 the corpus is smaller than TWONN_SAMPLE, so
+    the shipped plan degenerates to the exact one.
+
+    Angular distance d = 1 - cosine over the exact top-2 neighbors
+    from the q50 block-GEMM machinery (self excluded); distances
+    inherit knn_join's 6-dp-rounded cosines, so both engines rank and
+    ratio IDENTICAL quantized values; ln(mu) rounds to 12 dp before
+    the DECIMAL(28,18) sum (libm last-ulp drift sits 4 orders below
+    the quantum). Sampled points with d1 = 0 (exact duplicates at
+    6 dp) are excluded and counted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.select(
+            "vec_id",
+            S.as_double(F.col("embedding")).alias("qvec"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(TWONN_SAMPLE)
+        .select(F.col("vec_id").alias("qid"), "qvec")
+    )
+    return _twonn_stats(emb, queries)
 
 
 _KS_IDS_SQL = ", ".join(str(i) for i in KS_TEST_IDS)
@@ -2075,32 +2270,59 @@ _R11_ORACLE = {
                  - CAST(syy AS DOUBLE) / cyy, 9) AS energy_dist
     FROM dxx, dyy, dxy
 """,
+    # Candidate-path plan (VERDICT r11 #1): neighbors come from the
+    # query's sign-LSH cell (plane rows = embeddings 1..b, bit i =
+    # sign(dot(v, plane_i)) — q66's oracle pattern), exact top-K
+    # re-ranked inside the cell. b is the adaptive plane count: the
+    # smallest b in [2,16] with 2^b * 128 >= corpus size (pure integer
+    # comparison, mirroring workload.vectors._noise_planes_b).
     "q335_knn_label_noise": f"""
-    WITH e AS (
+    WITH nn AS (
+        SELECT COUNT(*) AS n FROM embeddings
+    ), bsel AS (
+        SELECT COALESCE(MIN(b), {NOISE_MAX_PLANES}) AS b
+        FROM range(2, {NOISE_MAX_PLANES + 1}) t(b), nn
+        WHERE (1::BIGINT << b) * {NOISE_CELL_TARGET} >= nn.n
+    ), p AS (
+        SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pv
+        FROM embeddings, bsel WHERE vec_id >= 1 AND vec_id <= bsel.b
+    ), e AS (
         SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
         FROM embeddings
+    ), cell AS (
+        SELECT e.vec_id, e.label, e.v,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                        THEN (1::BIGINT << (p.pid - 1)) ELSE 0 END) AS BIGINT) AS cell
+        FROM e CROSS JOIN p
+        GROUP BY e.vec_id, e.label, e.v
     ), sc AS (
         SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS clabel,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY ROUND(
-                       list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i]))
-                       / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
-                          * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) DESC,
+                       list_dot_product(c.v, q.v)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
                        c.vec_id ASC
                ) AS rnk
-        FROM e q JOIN e c ON c.vec_id <> q.vec_id
-    ), agg AS (
+        FROM cell q JOIN cell c
+          ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    ), per AS (
         SELECT qid, qlabel,
-               SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS nd
+               SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS nd,
+               COUNT(*) AS nb
         FROM sc WHERE rnk <= {NOISE_K} GROUP BY 1, 2
+    ), fullpts AS (
+        SELECT e.vec_id, e.label,
+               COALESCE(per.nd, 0) AS nd, COALESCE(per.nb, 0) AS nb
+        FROM e LEFT JOIN per ON e.vec_id = per.qid
     )
-    SELECT qlabel AS label, COUNT(*) AS n_points,
-           ROUND(CAST(SUM(nd) AS DOUBLE) / ({NOISE_K}.0 * COUNT(*)), 6)
+    SELECT label, COUNT(*) AS n_points,
+           ROUND(CAST(SUM(nd) AS DOUBLE) / GREATEST(SUM(nb), 1), 6)
                AS avg_noise_rate,
-           CAST(SUM(CASE WHEN nd > {NOISE_K // 2} THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN nd * 2 > nb THEN 1 ELSE 0 END) AS BIGINT)
                AS n_flagged
-    FROM agg GROUP BY 1 ORDER BY 1
+    FROM fullpts GROUP BY 1 ORDER BY 1
 """,
     "q336_davies_bouldin": """
     WITH dims AS (
@@ -2163,10 +2385,20 @@ _R11_ORACLE = {
                  AS DOUBLE) / COUNT(*), 9) AS avg_silhouette
     FROM per_row GROUP BY 1 ORDER BY 1
 """,
-    "q338_twonn_intrinsic_dim": """
+    # Shipped plan: Q = the TWONN_SAMPLE lowest (md5(vec_id), vec_id)
+    # rows (md5-uniform membership, q71's discipline); the neighbor
+    # side stays the FULL corpus, so per-qid d1/d2 equal the exact
+    # full-corpus run's. At sf <= 0.01 (corpus < sample) this is
+    # byte-identical to the exact form.
+    "q338_twonn_intrinsic_dim": f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         FROM embeddings
+    ), s AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {TWONN_SAMPLE}
+    ), q AS (
+        SELECT e.vec_id, e.v FROM e JOIN s USING (vec_id)
     ), sc AS (
         SELECT q.vec_id AS qid,
                1.0 - ROUND(
@@ -2181,7 +2413,7 @@ _R11_ORACLE = {
                           * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) DESC,
                        c.vec_id ASC
                ) AS rnk
-        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
     ), rr AS (
         SELECT qid,
                MAX(CASE WHEN rnk = 1 THEN d END) AS d1,
