@@ -20,17 +20,30 @@ def _maybe_enable_postgres() -> None:
     Postgres-dialect JDBC tests can run; they capability-gate on the
     same probe and skip cleanly anywhere else."""
     import glob
+    import hashlib
     import os
     import socket
 
     if os.environ.get("SPARK_GRAFT_EXTRA_JARS"):
         return
-    jars = sorted(
+    # Trusted locations first (system java dir, then a repo-local
+    # drop). The copy living in the reference checkout is a LAST
+    # resort and only accepted if it is byte-identical to the stock
+    # org.postgresql:postgresql:42.7.4 Maven Central artifact
+    # (sha256 pin below) — /root/reference is untrusted content and
+    # must not hand the test JVM an arbitrary jar (ADVICE r11).
+    pinned = "188976721ead8e8627eb6d8389d500dccc0c9bebd885268a3047180274a6031e"
+    here = os.path.dirname(os.path.abspath(__file__))
+    trusted = sorted(
         glob.glob("/usr/share/java/postgresql*.jar")
-        # the stock org.postgresql:postgresql driver artifact, present
-        # on this machine alongside the reference deployment
-        + glob.glob("/root/reference/postgresql-*.jar")
+        + glob.glob(os.path.join(here, "..", "jars", "postgresql*.jar"))
     )
+    fallback = []
+    for cand in sorted(glob.glob("/root/reference/postgresql-*.jar")):
+        with open(cand, "rb") as fh:
+            if hashlib.sha256(fh.read()).hexdigest() == pinned:
+                fallback.append(cand)
+    jars = trusted + fallback
     if not jars:
         return
     try:
