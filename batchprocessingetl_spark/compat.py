@@ -43,36 +43,51 @@ _VENDORED_RUNTIMES = (
 
 
 class _AliasFinder:
-    """Meta-path finder mapping ``google.protobuf[.X]`` (and bare
-    ``google``) onto an already-importable vendored copy, returning
-    the SAME module objects — never a second load of the same file,
-    which would fork descriptor classes and break isinstance checks
-    inside the runtime ("Expected instance of descriptor.X")."""
+    """Meta-path finder mapping ``google.protobuf[.X]`` — and ONLY
+    those names (ADVICE r11: never claim bare ``google``, which would
+    shadow a real google namespace package and break google.auth /
+    google.cloud style distributions) — onto an already-importable
+    vendored copy, returning the SAME module objects: never a second
+    load of the same file, which would fork descriptor classes and
+    break isinstance checks inside the runtime ("Expected instance of
+    descriptor.X")."""
 
     _CANON = "google.protobuf"
 
     def __init__(self, prefix: str) -> None:
         self._prefix = prefix  # e.g. cloudsdk.google.protobuf
-        self._google = prefix.rsplit(".", 1)[0]  # e.g. cloudsdk.google
 
     def find_spec(self, name, path=None, target=None):
-        if name == "google" or name == self._CANON or name.startswith(
-            self._CANON + "."
-        ):
+        if name == self._CANON or name.startswith(self._CANON + "."):
             import importlib.util
 
             return importlib.util.spec_from_loader(name, self)
         return None
 
     def create_module(self, spec):
-        if spec.name == "google":
-            return importlib.import_module(self._google)
         return importlib.import_module(
             self._prefix + spec.name[len(self._CANON):]
         )
 
     def exec_module(self, module):  # module pre-executed under its real name
         pass
+
+
+def _ensure_google_parent(pb) -> None:
+    """Make ``import google.protobuf`` work without displacing a real
+    ``google`` namespace package: graft the vendored protobuf onto the
+    existing parent when one imports, else synthesize an empty
+    namespace-style parent. Only ``google.protobuf`` attributes are
+    touched."""
+    google_mod = sys.modules.get("google")
+    if google_mod is None:
+        try:
+            google_mod = importlib.import_module("google")
+        except ImportError:
+            google_mod = types.ModuleType("google")
+            google_mod.__path__ = []  # package marker; finder does the work
+            sys.modules["google"] = google_mod
+    google_mod.protobuf = pb
 
 
 def _alias_runtime(root: str, prefix: str) -> bool:
@@ -99,10 +114,17 @@ def _alias_runtime(root: str, prefix: str) -> bool:
         rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
         sys.modules[prefix + ".runtime_version"] = rv
         pb.runtime_version = rv
-    # a failed earlier `import google...` can strand a partial module
-    for leftover in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+    # a failed earlier `import google.protobuf...` can strand a partial
+    # module — purge ONLY the protobuf subtree (ADVICE r11: other
+    # google.* distributions must keep their loaded modules)
+    for leftover in [
+        m
+        for m in sys.modules
+        if m == "google.protobuf" or m.startswith("google.protobuf.")
+    ]:
         del sys.modules[leftover]
     sys.meta_path.insert(0, _AliasFinder(prefix))
+    _ensure_google_parent(pb)
     return True
 
 

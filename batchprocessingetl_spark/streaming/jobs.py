@@ -1708,44 +1708,61 @@ def session_stats_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # Full interval re-merge (ADVICE r11 high): every
+            # above-watermark row becomes a unit session, joins the
+            # key's LIVE sessions (open + pending), and the union is
+            # merged by the native rule — two sessions fuse iff the
+            # later one starts within gap of the earlier one's last
+            # event. This is exactly what the built-in session_window
+            # operator does, and it handles the two cases the old
+            # extend-or-split sweep got wrong: an accepted late row
+            # more than gap BEFORE the open session now forms (or
+            # joins) its own session instead of inflating the open
+            # one, and a late row within gap of a PENDING session
+            # merges into it (possibly bridging two sessions into
+            # one, as native does).
             wm = timerValues.getCurrentWatermarkInMs()
             pts = []
             for pdf in rows:
                 ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
                 vals = pdf["value"].tolist()
                 pts.extend(zip(ts_ms, vals))
-            pts = sorted((t, v) for t, v in pts if t >= wm)
+            pts = [(t, v) for t, v in pts if t >= wm]
             if not pts:
                 return iter([])
-            cur = self._open.get() if self._open.exists() else None
-            old_last = cur[1] if cur is not None else None
-            closed = []
-            for t, v in pts:
-                if cur is None:
-                    cur = (t, t, 1, float(v))
-                elif t <= cur[1] + gap_ms:
-                    cur = (
-                        min(cur[0], t),
-                        max(cur[1], t),
-                        cur[2] + 1,
-                        cur[3] + float(v),
+            live = [tuple(s) for s in self._pending.get()]
+            if self._open.exists():
+                live.append(tuple(self._open.get()))
+            old_ends = {s[1] + gap_ms for s in live}
+            live.extend((t, t, 1, float(v)) for t, v in pts)
+            live.sort(key=lambda s: (s[0], s[1]))
+            merged: list[tuple] = []
+            for s in live:
+                if merged and s[0] <= merged[-1][1] + gap_ms:
+                    m = merged[-1]
+                    merged[-1] = (
+                        m[0],
+                        max(m[1], s[1]),
+                        m[2] + s[2],
+                        m[3] + s[3],
                     )
                 else:
-                    closed.append(cur)
-                    cur = (t, t, 1, float(v))
-            for s in closed:
-                self._pending.appendValue(s)
-                self._h.registerTimer(s[1] + gap_ms)
-            self._open.update(cur)
-            self._h.registerTimer(cur[1] + gap_ms)
-            # the PREVIOUS open-session timer is stale only if no
-            # still-live session (the extended open one, or a closure
-            # that ends at the same instant) owns that timestamp —
-            # deleting it unconditionally would silence the emission
-            # timer of a session this very batch just moved to pending
-            needed = {cur[1]} | {s[1] for s in closed}
-            if old_last is not None and old_last not in needed:
-                self._h.deleteTimer(old_last + gap_ms)
+                    merged.append(s)
+            # the most recent session is the one future rows likeliest
+            # extend — it keeps the ValueState slot; all earlier ones
+            # await their emission timers in the ListState
+            self._open.update(merged[-1])
+            self._pending.clear()
+            if len(merged) > 1:
+                self._pending.put(merged[:-1])
+            new_ends = {s[1] + gap_ms for s in merged}
+            for e in new_ends:
+                self._h.registerTimer(e)
+            # a timer is stale only if NO surviving session owns its
+            # timestamp — merges move session ends, so clean up by set
+            # difference rather than guessing
+            for e in old_ends - new_ends:
+                self._h.deleteTimer(e)
             return iter([])
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):

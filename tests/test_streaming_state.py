@@ -1266,11 +1266,28 @@ def test_session_stats_tws_matches_native_session_window(spark, tmp_path):
     # file 1: u1 session A grows; u2 session starts
     f1 = [ev(1, 10, 0, 1), ev(2, 10, 5, 1), ev(3, 10, 8, 1), ev(4, 10, 2, 2)]
     # file 2: a LATE u1 event lands inside session A (within lateness),
-    # u1 session B starts, u2 splits (10:40 is > gap after 10:02)
-    f2 = [ev(5, 10, 6, 1), ev(6, 11, 0, 1), ev(7, 11, 2, 1), ev(8, 10, 40, 2)]
+    # u1 session B starts, u2 splits (10:40 is > gap after 10:02);
+    # u4 splits immediately (10:50 -> 11:02 exceeds the gap), leaving
+    # a PENDING 10:50 session that run-1's closing watermark (10:32)
+    # cannot yet emit
+    f2 = [
+        ev(5, 10, 6, 1), ev(6, 11, 0, 1), ev(7, 11, 2, 1), ev(8, 10, 40, 2),
+        ev(20, 10, 50, 4), ev(21, 11, 2, 4),
+    ]
     # file 3 (second run): u2 extends its open session, u1 session C
-    # and u3 appear; watermark 11:30 closes u1 B and u2's 10:40-10:45
-    f3 = [ev(9, 11, 40, 1), ev(10, 10, 45, 2), ev(11, 12, 0, 3)]
+    # and u3 appear; watermark 11:30 closes u1 B and u2's 10:40-10:45.
+    # The two ADVICE-r11 out-of-order cases ride along:
+    # - ev 22: u1 late row 10:35 (above the 10:32 watermark) lands
+    #   MORE than gap BEFORE the open session B (11:00-11:02) — must
+    #   become its own 1-event session, not inflate B;
+    # - ev 23: u4 late row 10:55 sits within gap of BOTH the pending
+    #   10:50 session and the open 11:02 session — must BRIDGE them
+    #   into one 3-event session, exactly as native session_window
+    #   merges.
+    f3 = [
+        ev(9, 11, 40, 1), ev(10, 10, 45, 2), ev(11, 12, 0, 3),
+        ev(22, 10, 35, 1), ev(23, 10, 55, 4),
+    ]
 
     def land(rows):
         # ONE part file per slice: with maxFilesPerTrigger=1 the two
@@ -1332,6 +1349,12 @@ def test_session_stats_tws_matches_native_session_window(spark, tmp_path):
     a_sessions = {n for s, n in by_user.get(1, []) if s.hour == 10}
     assert 4 in a_sessions  # late event merged into session A
     assert len(by_user.get(2, [])) == 2  # the gap split emitted both
+    # ADVICE r11: the 10:35 late row formed its OWN session (the old
+    # sweep absorbed it into 11:00-11:02, emitting a 10:35-start blob)
+    assert (dt.datetime(2024, 1, 1, 10, 35), 1) in by_user.get(1, [])
+    # ...and u4's 10:55 bridge merged pending+open into ONE 3-event
+    # session starting at the pending session's 10:50
+    assert by_user.get(4) == [(dt.datetime(2024, 1, 1, 10, 50), 3)]
 
 
 def test_event_type_totals_tws_matches_batch_groupby(spark, tmp_path):
@@ -1392,14 +1415,21 @@ def test_event_type_totals_tws_matches_batch_groupby(spark, tmp_path):
         (r["user_id"], r["event_type"]): (r["n"], r["v"]) for r in batch.collect()
     }
     assert got == want
-    # cross-type totals from the FINAL batch each user appeared in
+    # cross-type totals from the FINAL batch each user appeared in.
+    # Pick each user's max-epoch_id row explicitly (ADVICE r11): the
+    # per-(user,type) `last` frame still contains rows from EARLIER
+    # epochs (a type the user stopped emitting) whose
+    # user_total_value is stale as of that epoch — a dict
+    # comprehension over it kept whichever row collect() happened to
+    # order last. Every row of a user's latest emission carries the
+    # same total, so any max-epoch row is the right witness.
+    wu = Window.partitionBy("user_id").orderBy(F.desc("epoch_id"))
     totals = {
         r["user_id"]: r["user_total_value"]
-        for r in last.filter(
-            F.col("user_id").isNotNull()
-        ).collect()
-        # every row of a user's last emission carries the same total;
-        # for user 1 the final run emitted buy+view so both rows agree
+        for r in emitted.filter(F.col("user_id").isNotNull())
+        .withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") == 1)
+        .collect()
     }
     want_tot = {
         r["user_id"]: round(r["t"], 6)
