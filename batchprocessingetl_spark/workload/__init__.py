@@ -28,6 +28,7 @@ from batchprocessingetl_spark.workload import (
     mm_stream as _mm_stream,
     pipeline_queries as _pipeline,
     relational as _relational,
+    round12_queries as _round12,
     stats_queries as _stats,
     textops as _textops,
     vectors as _vectors,
@@ -43,6 +44,7 @@ _MODULES = (
     _textops,
     _stats,
     _inference,
+    _round12,
 )
 
 # Round-12 rotation (VERDICT r11 #2, executed exactly as the

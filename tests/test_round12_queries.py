@@ -1,0 +1,289 @@
+"""Round-12 pipeline-health shelf (q345-q352): independent numpy /
+pure-python replications at SF_SMOKE — a third implementation sharing
+no code with either engine, pinning the MATH behind each audit (the
+DuckDB oracles pin cross-engine parity separately).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from batchprocessingetl_spark.workload import collect_extra_queries, collect_queries
+from tests.conftest import SF_SMOKE
+
+EXTRA = {**collect_queries(), **collect_extra_queries()}
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pdf, mat
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_ams_f2_sketch_matches_python(spark):
+    from batchprocessingetl_spark.workload.round12_queries import AMS_ESTIMATORS
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    counts = Counter(int(u) for u in ev["user_id"].dropna())
+    f2_exact = sum(c * c for c in counts.values())
+    ests = []
+    for i in range(AMS_ESTIMATORS):
+        s = sum(
+            (1 if int(_md5(f"ams{i}:{k}")[0], 16) % 2 == 0 else -1) * c
+            for k, c in counts.items()
+        )
+        ests.append(s * s)
+    order = sorted(range(AMS_ESTIMATORS), key=lambda j: (ests[j], j))
+    mid = [ests[order[AMS_ESTIMATORS // 2 - 1]], ests[order[AMS_ESTIMATORS // 2]]]
+    f2_est = sum(mid) / 2.0
+    row = EXTRA["q345_ams_f2_sketch"](spark, SF_SMOKE).collect()[0]
+    assert row["n_keys"] == len(counts)
+    assert row["f2_exact"] == f2_exact
+    assert abs(row["f2_estimate"] - f2_est) <= 0.051
+    assert abs(
+        row["rel_error_pct"] - (f2_est - f2_exact) / f2_exact * 100.0
+    ) <= 5.1e-5
+    # an estimate wildly off would mean broken signs, not noise: the
+    # median of 16 estimators concentrates within a small factor
+    assert 0.1 * f2_exact < row["f2_estimate"] < 10 * f2_exact
+
+
+def _cos6(mat_a, mat_b):
+    na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+    nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+    return np.round(na @ nb.T, 6)
+
+
+def test_ann_recall_audit_matches_numpy(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import RECALL_K
+    from batchprocessingetl_spark.workload.vectors import (
+        KS_TEST_IDS,
+        _noise_planes_b,
+    )
+
+    pdf, mat = emb_pdf
+    ids = pdf["vec_id"].to_numpy()
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    b = _noise_planes_b(len(ids))
+    planes = np.stack([mat[id_to_row[i]] for i in range(1, b + 1)])
+    cellv = (((mat @ planes.T) > 0) * (1 << np.arange(b))).sum(axis=1)
+    cos = _cos6(mat, mat)
+    got = {
+        r["qid"]: r for r in EXTRA["q346_ann_recall_audit"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(got) == sorted(KS_TEST_IDS)
+    for qid in KS_TEST_IDS:
+        q = id_to_row[qid]
+        order = [c for c in np.lexsort((ids, -cos[:, q])) if c != q]
+        exact = set(order[:RECALL_K])
+        in_cell = [c for c in order if cellv[c] == cellv[q]]
+        approx = set(in_cell[:RECALL_K])
+        r = got[qid]
+        assert r["n_candidates"] == len(in_cell)
+        assert r["n_hits"] == len(exact & approx)
+        assert abs(r["recall_at_10"] - len(exact & approx) / RECALL_K) < 1e-9
+
+
+def test_fairness_audit_matches_pandas(spark):
+    from batchprocessingetl_spark.workload.round12_queries import (
+        FAIR_POS,
+        FAIR_THRESHOLD_CENTS,
+    )
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["d"] = (np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+              > FAIR_THRESHOLD_CENTS).astype(int)
+    j["y"] = j["o_orderpriority"].isin(FAIR_POS).astype(int)
+    rows = {
+        r["c_mktsegment"]: r
+        for r in EXTRA["q347_fairness_audit"](spark, SF_SMOKE).collect()
+    }
+    for seg, g in j.groupby("c_mktsegment"):
+        r = rows[seg]
+        n, sel, pos = len(g), int(g["d"].sum()), int(g["y"].sum())
+        tp = int((g["d"] * g["y"]).sum())
+        fp = int((g["d"] * (1 - g["y"])).sum())
+        assert r["n"] == n and r["n_selected"] == sel
+        assert abs(r["selection_rate"] - sel / n) <= 5.01e-7
+        assert abs(r["tpr"] - tp / pos) <= 5.01e-7
+        assert abs(r["fpr"] - fp / (n - pos)) <= 5.01e-7
+
+
+def test_neyman_allocation_matches_python(spark):
+    from batchprocessingetl_spark.workload.round12_queries import NEYMAN_BUDGET
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    pri = o["o_orderpriority"].to_numpy()
+    terms, stats = {}, {}
+    for p in sorted(set(pri)):
+        x = cents[pri == p]
+        n = len(x)
+        sx, sxx = int(x.sum()), int((x.astype(object) ** 2).sum())
+        sd = math.sqrt((n * sxx - sx * sx) / (n * n))
+        stats[p] = (n, sd)
+        terms[p] = round(n * sd, 6)
+    den = sum(terms.values())
+    n_total = sum(n for n, _ in stats.values())
+    rows = {
+        r["priority"]: r
+        for r in EXTRA["q348_neyman_allocation"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(stats)
+    for p, (n, sd) in stats.items():
+        r = rows[p]
+        assert r["n_rows"] == n
+        assert abs(r["sd_cents"] - sd) <= 1e-5
+        assert abs(r["neyman_share"] - terms[p] / den) <= 5.01e-7
+        assert r["neyman_n"] == math.floor(NEYMAN_BUDGET * terms[p] / den)
+        assert r["proportional_n"] == math.floor(NEYMAN_BUDGET * n / n_total)
+    # allocations sum to <= budget and within |strata| of it (floors)
+    total = sum(r["neyman_n"] for r in rows.values())
+    assert NEYMAN_BUDGET - len(rows) <= total <= NEYMAN_BUDGET
+
+
+def test_embedding_dim_drift_matches_numpy(spark, emb_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import (
+        DRIFT_LABEL_A,
+        DRIFT_LABEL_B,
+        DRIFT_TOP,
+    )
+
+    pdf, mat = emb_pdf
+    lab = pdf["label"].to_numpy()
+    a, b = mat[lab == DRIFT_LABEL_A], mat[lab == DRIFT_LABEL_B]
+    na, nb = len(a), len(b)
+    d = np.empty(mat.shape[1])
+    for i in range(mat.shape[1]):
+        ssa = a[:, i].sum() ** 2 / na
+        ssb = b[:, i].sum() ** 2 / nb
+        pooled = math.sqrt(
+            (((a[:, i] ** 2).sum() - ssa) + ((b[:, i] ** 2).sum() - ssb))
+            / (na + nb - 2)
+        )
+        d[i] = round((a[:, i].mean() - b[:, i].mean()) / pooled, 6)
+    order = sorted(range(len(d)), key=lambda i: (-abs(d[i]), i))[:DRIFT_TOP]
+    rows = EXTRA["q349_embedding_dim_drift"](spark, SF_SMOKE).collect()
+    assert [r["i"] for r in rows] == order
+    for rank, r in enumerate(rows, start=1):
+        assert r["drift_rank"] == rank
+        assert abs(r["cohens_d"] - d[r["i"]]) <= 2e-6
+
+
+def test_context_length_curve_matches_python(spark, docs_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import CTX_SIZES
+
+    toks = [len(t.split()) for t in docs_pdf["text"]]
+    rows = {
+        r["ctx"]: r
+        for r in EXTRA["q350_context_length_curve"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(CTX_SIZES)
+    for ctx in CTX_SIZES:
+        chunks = [math.ceil(t / ctx) for t in toks]
+        pad = [c * ctx - t for c, t in zip(chunks, toks)]
+        trunc = [max(t - ctx, 0) for t in toks]
+        r = rows[ctx]
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == sum(toks)
+        assert r["total_chunks"] == sum(chunks)
+        assert r["pad_tokens"] == sum(pad)
+        assert r["trunc_tokens"] == sum(trunc)
+        assert abs(r["pad_frac"] - sum(pad) / (sum(chunks) * ctx)) <= 5.01e-7
+        assert abs(r["trunc_frac"] - sum(trunc) / sum(toks)) <= 5.01e-7
+    # monotonicity: larger contexts pad more, truncate less
+    ordered = [rows[c] for c in sorted(CTX_SIZES)]
+    assert all(
+        x["trunc_tokens"] >= y["trunc_tokens"] for x, y in zip(ordered, ordered[1:])
+    )
+
+
+def _simhash60(text: str) -> int:
+    toks = set(text.split())
+    bits = [0] * 60
+    for t in toks:
+        h = int(_md5(t)[:15], 16)
+        for k in range(60):
+            bits[k] += 1 if (h >> k) & 1 else -1
+    return sum((1 << k) for k in range(60) if bits[k] > 0)
+
+
+def test_lsh_bucket_health_matches_python(spark, docs_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import (
+        LSH_BANDS,
+        LSH_WIDTH,
+    )
+
+    mask = (1 << LSH_WIDTH) - 1
+    per_band: dict[int, Counter] = {i: Counter() for i in range(LSH_BANDS)}
+    n_sig = 0
+    for t in docs_pdf["text"]:
+        if not t.split():
+            continue  # simhash of an empty token set is undefined
+        n_sig += 1
+        sig = _simhash60(t)
+        for i in range(LSH_BANDS):
+            per_band[i][(sig >> (i * LSH_WIDTH)) & mask] += 1
+    rows = {
+        r["band_idx"]: r
+        for r in EXTRA["q351_lsh_bucket_health"](spark, SF_SMOKE).collect()
+    }
+    for i in range(LSH_BANDS):
+        buckets = per_band[i]
+        r = rows[i]
+        assert r["n_buckets"] == len(buckets)
+        assert r["n_docs"] == n_sig
+        assert r["max_bucket"] == max(buckets.values())
+        pairs = sum(c * (c - 1) // 2 for c in buckets.values())
+        assert r["candidate_pairs"] == pairs
+        assert abs(
+            r["pair_frac"] - pairs / (n_sig * (n_sig - 1) // 2)
+        ) <= 5.01e-7
+
+
+def test_source_trigram_kl_matches_python(spark, docs_pdf):
+    st: dict[tuple, int] = Counter()
+    for src, text in zip(docs_pdf["source"], docs_pdf["text"]):
+        for i in range(len(text) - 2):
+            st[(src, text[i : i + 3])] += 1
+    c_s = Counter()
+    c_t = Counter()
+    for (src, tri), c in st.items():
+        c_s[src] += c
+        c_t[tri] += c
+    c_all = sum(st.values())
+    rows = {
+        r["source"]: r
+        for r in EXTRA["q352_source_trigram_kl"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(c_s)
+    for src in c_s:
+        terms = [
+            c * round(math.log((c * c_all) / (c_s[src] * c_t[tri])), 12)
+            for (s2, tri), c in st.items()
+            if s2 == src
+        ]
+        kl = sum(terms) / c_s[src]
+        r = rows[src]
+        assert r["n_trigram_types"] == sum(1 for (s2, _) in st if s2 == src)
+        assert r["total_trigrams"] == c_s[src]
+        assert abs(r["kl_nats"] - kl) <= 1e-6
+        assert r["kl_nats"] >= -1e-9  # KL is non-negative
