@@ -837,3 +837,746 @@ EXTRA_ORACLE = {
 
 EXTRA_ORACLE["q346_ann_recall_audit"] = _q346_oracle()
 EXTRA_ORACLE["q351_lsh_bucket_health"] = _q351_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Second wave (q353-q360): regression diagnostics, variance structure,
+# event dispersion, readability, survival summary, dedup economics.
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: str):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def q353_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the lineitem predictor triple
+    (quantity, discount, tax) — the collinearity pre-flight before any
+    regression on the fact table (q325/q326's shelf). With three
+    predictors, each VIF_j = 1/(1 - R2_j) has the closed form
+    R2_1 = (r12^2 + r13^2 - 2 r12 r13 r23)/(1 - r23^2) over pairwise
+    correlations, so the whole audit is ONE aggregate of nine exact
+    sums (quantity is integral; discount/tax live on an exact 1e-2
+    grid, scaled x100 to integers) followed by constant-size double
+    algebra. Shuffle carries one partial row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    x3 = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    base = li.select(x1.alias("x1"), x2.alias("x2"), x3.alias("x3"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum((F.col("x1") * F.col("x1")).cast("decimal(38,0)")).alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("s22"),
+        F.sum((F.col("x3") * F.col("x3")).cast("decimal(38,0)")).alias("s33"),
+        F.sum((F.col("x1") * F.col("x2")).cast("decimal(38,0)")).alias("s12"),
+        F.sum((F.col("x1") * F.col("x3")).cast("decimal(38,0)")).alias("s13"),
+        F.sum((F.col("x2") * F.col("x3")).cast("decimal(38,0)")).alias("s23"),
+    )
+    n = F.col("n").cast("double")
+
+    def cov(sab, sa, sb):
+        return F.col(sab).cast("double") - F.col(sa) * F.col(sb) / n
+
+    def corr(sab, sa, sb, saa, sbb):
+        return cov(sab, sa, sb) / F.sqrt(
+            cov(saa, sa, sa) * cov(sbb, sb, sb)
+        )
+
+    r12 = corr("s12", "s1", "s2", "s11", "s22")
+    r13 = corr("s13", "s1", "s3", "s11", "s33")
+    r23 = corr("s23", "s2", "s3", "s22", "s33")
+
+    def r2_of(ra, rb, rc):
+        # R2 of the target on the other two; rc = corr between the two
+        return (ra * ra + rb * rb - 2 * ra * rb * rc) / (1 - rc * rc)
+
+    wide = m.select(
+        F.round(r2_of(r12, r13, r23), 9).alias("r2_x1"),
+        F.round(r2_of(r12, r23, r13), 9).alias("r2_x2"),
+        F.round(r2_of(r13, r23, r12), 9).alias("r2_x3"),
+    )
+    rows = wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("l_quantity").alias("predictor"), F.col("r2_x1").alias("r2_on_others")),
+                F.struct(F.lit("l_discount").alias("predictor"), F.col("r2_x2").alias("r2_on_others")),
+                F.struct(F.lit("l_tax").alias("predictor"), F.col("r2_x3").alias("r2_on_others")),
+            )
+        ).alias("s")
+    ).select("s.predictor", "s.r2_on_others")
+    return rows.select(
+        "predictor",
+        "r2_on_others",
+        F.round(1.0 / (1.0 - F.col("r2_on_others")), 6).alias("vif"),
+    ).orderBy("predictor")
+
+
+def q354_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across order-priority
+    strata — the parametric twin of q292's Brown-Forsythe (that one is
+    robust/median-based; Bartlett is the classical likelihood-ratio
+    form the design-effect math of q348 assumes). Per-group sample
+    variances come from exact DECIMAL(38,0) cents moments; each
+    ln(s2) rounds to 12 dp before the DECIMAL(28,18) combination
+    (q293's transcendental-parity discipline), and the chi-square
+    statistic is constant-size algebra on the |strata|-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(F.col("o_orderpriority").alias("g"), _cents("o_totalprice").alias("x"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        )
+    )
+    s2 = (
+        (F.col("ni").cast("decimal(38,0)") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / (F.col("ni").cast("double") * (F.col("ni").cast("double") - 1.0))
+    )
+    # every per-group double rounds into a decimal BEFORE the k-row
+    # combination, so the combination sums are order-independent:
+    # ln(s2) at 12 dp, the within-group SS at 6 dp (absolute scale
+    # ~1e15 cents^2 — the integer part is what matters and
+    # DECIMAL(28,6) holds it exactly), 1/(ni-1) at 18 dp
+    ssw = (
+        (F.col("ni").cast("decimal(38,0)") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / F.col("ni").cast("double")
+    )
+    grp = per.select(
+        "g",
+        "ni",
+        F.round(F.log(s2), 12).cast("decimal(28,18)").alias("ln_s2"),
+        F.round(ssw, 6).cast("decimal(28,6)").alias("ssw"),
+        F.round(1.0 / (F.col("ni").cast("double") - 1.0), 18)
+        .cast("decimal(28,18)")
+        .alias("inv"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum(((F.col("ni") - 1) * F.col("ln_s2")).cast("decimal(28,18)")).alias(
+            "sum_w_ln"
+        ),
+        F.sum("ssw").alias("sum_ssw"),
+        F.sum("inv").alias("sum_inv"),
+    )
+    k = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    sp2 = F.col("sum_ssw").cast("double") / (nn - k)
+    stat = ((nn - k) * F.log(sp2) - F.col("sum_w_ln").cast("double")) / (
+        1.0 + (F.col("sum_inv").cast("double") - 1.0 / (nn - k)) / (3.0 * (k - 1.0))
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.round(sp2, 6).alias("pooled_var_cents2"),
+        F.round(stat, 6).alias("bartlett_chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+def q355_cusum_of_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares variance-changepoint scan (Brown-Durbin-Evans)
+    on daily revenue: C_k = sum_{t<=k} E_t^2 / sum E_t^2 against the
+    uniform ramp k/n, statistic max|C_k - k/n| and its argmax day —
+    the VARIANCE-shift detector next to q209's mean-shift CUSUM and
+    q328's Page-Hinkley. Fully exact integer core: E_t = n*y_t - S
+    (mean clearing, DECIMAL(38,0); the n^2 cancels in the ratio), so
+    C_k - k/n = (n*cum_k - k*T) / (n*T) with T = sum E^2 — one double
+    division per day AFTER an exact integer numerator, and the max is
+    over exactly-computed values (ties break by earliest day). Only
+    the daily aggregate is data-proportional; windows run on the
+    collapsed day frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(F.to_date("l_shipdate").alias("day"), _cents("l_extendedprice").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (
+            (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        ).alias("e"),
+    )
+    e2 = e.select(
+        "day", "n", (F.col("e") * F.col("e")).cast("decimal(38,0)").alias("e2")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("day")
+    cum = (
+        e2.withColumn("cum", F.sum("e2").over(w))
+        .withColumn("k", F.row_number().over(wk).cast("long"))
+    )
+    tsum = cum.agg(F.max("cum").alias("t_total"))
+    scored = cum.crossJoin(F.broadcast(tsum)).select(
+        "day",
+        "k",
+        "n",
+        (
+            F.abs(
+                F.col("n").cast("decimal(38,0)") * F.col("cum")
+                - F.col("k").cast("decimal(38,0)") * F.col("t_total")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("t_total").cast("double"))
+        ).alias("dev"),
+    )
+    wtop = Window.orderBy(F.desc("dev"), F.asc("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("day").cast("timestamp").alias("argmax_day"),
+            F.col("k").alias("argmax_k"),
+            F.round("dev", 9).alias("max_abs_dev"),
+        )
+    )
+
+
+FANO_TYPES_MIN = 1
+
+
+def q356_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (windowed count dispersion) of the event stream,
+    per event type: variance/mean of per-hour event counts — the
+    point-process burstiness gauge next to q344's daily-order
+    overdispersion (different table, different grain, per-type). A
+    Poisson stream has F = 1; F >> 1 flags bursty types that need
+    rate-limit-aware ingestion sizing. Hour buckets come from
+    date_trunc; counts are exact integers, the variance uses the
+    n*Sxx - Sx^2 clearing (counts are small — BIGINT suffices), and
+    mean/variance emit with one double division each. Two hash
+    aggregates, both map-collapsing; no windows over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("n_hours").cast("double")
+    mean = F.col("n_events").cast("double") / n
+    var = (
+        F.col("n_hours").cast("double") * F.col("scc").cast("double")
+        - F.col("n_events").cast("double") * F.col("n_events").cast("double")
+    ) / (n * (n - 1.0))
+    return (
+        per.filter(F.col("n_hours") > FANO_TYPES_MIN)
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.round(mean, 6).alias("mean_per_hour"),
+            F.round(var, 6).alias("var_per_hour"),
+            F.round(var / mean, 6).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q357_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with the three counts exact
+    integers — words are the corpus token discipline, sentences are
+    [.!?]+ runs (min 1 per doc so fragments don't divide by zero),
+    syllables the standard vowel-group proxy ([aeiouy]+ runs,
+    lowercased). The tokenizer-free quality screen next to q352's
+    style KL: a source whose reading ease collapses is boilerplate or
+    markup, not prose. One regex pass per doc (both engines' regex
+    dialects agree on these two character-class patterns), one hash
+    aggregate, one final double expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(tokens(F.col("text")))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    per = (
+        docs.select(
+            "source",
+            words.alias("w"),
+            sents.alias("s"),
+            sylls.alias("y"),
+        )
+        .filter(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("s").alias("sentences"),
+            F.sum("y").alias("syllables"),
+        )
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("words") / F.col("sentences").cast("double")
+        - F.lit(84.6) * F.col("syllables") / F.col("words").cast("double")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(score, 6).alias("flesch_score"),
+    ).orderBy("source")
+
+
+RMST_TAU = 60  # restrict the survival integral to 60 days
+
+
+def q358_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time over q293's Kaplan-Meier curve:
+    RMST(tau) = integral of S(t) from the earliest observed duration
+    to tau = 60 days — the single-number survival summary (expected
+    days-to-ship within the window) that log-rank/KM shelves feed to
+    planners. The step integral is sum over event times t_i < tau of
+    S(t_i) * (min(t_{i+1}, tau) - t_i), plus the full-survival ramp
+    from the earliest at-risk time to the first event. S comes from
+    the SAME log-space product-limit construction as q293 (per-term
+    12dp-rounded ln summed in decimal — the transcendental-parity
+    discipline), segment widths are exact integer day gaps, and the
+    products S*width round to 9dp into DECIMAL(28,9) so the final sum
+    is order-independent. All windows run on the collapsed
+    duration-domain frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    base = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_returnflag") != "R").alias("event"),
+    ).join(
+        od.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    cells = (
+        base.select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("t"),
+            "event",
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("event"), 0).otherwise(1)).alias("c"),
+        )
+    )
+    wrisk = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = cells.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(wrisk))
+    t_start = cells.agg(F.min("t").alias("t0"))
+    term = (
+        F.when(F.col("n_risk") == F.col("d"), F.lit(-99.0))
+        .otherwise(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                9,
+            )
+        )
+        .cast("decimal(28,9)")
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("t")
+    km = (
+        risk.filter(F.col("d") > 0)
+        .withColumn("logterm", term)
+        .withColumn("logsum", F.sum("logterm").over(wcum))
+        .withColumn("s_km", F.round(F.exp(F.col("logsum").cast("double")), 6))
+        .withColumn("t_next", F.lead("t").over(wlead))
+    )
+    seg = km.filter(F.col("t") < RMST_TAU).select(
+        "t",
+        "s_km",
+        (
+            F.least(F.coalesce(F.col("t_next"), F.lit(RMST_TAU)), F.lit(RMST_TAU))
+            - F.col("t")
+        ).alias("width"),
+    )
+    first_event = km.agg(F.min("t").alias("t1"))
+    area = seg.agg(
+        F.sum(
+            F.round(F.col("s_km") * F.col("width"), 9).cast("decimal(28,9)")
+        ).alias("area_events"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return (
+        area.crossJoin(F.broadcast(t_start))
+        .crossJoin(F.broadcast(first_event))
+        .select(
+            F.lit(RMST_TAU).cast("long").alias("tau"),
+            F.col("t0").cast("long").alias("t_start"),
+            "n_segments",
+            F.round(
+                F.col("area_events").cast("double")
+                + (F.least(F.col("t1"), F.lit(RMST_TAU)) - F.col("t0")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("rmst_days"),
+        )
+    )
+
+
+def q359_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic on daily revenue:
+    G = max|y_t - mean| / sd, with the flagged day — the single-
+    outlier screen next to q196's MAD rule and q290's Mahalanobis
+    (those shortlist; Grubbs is the classical test statistic form).
+    Exact clearing: the deviation is |n*y_t - S| (DECIMAL(38,0),
+    mean cleared without division), sd comes from the n*Sxx - Sx^2
+    identity, and G = max|E_t| / (n * sd) evaluates as one double
+    division over an exactly-ranked integer max (ties by earliest
+    day). The daily aggregate is the only data-proportional pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(F.to_date("l_shipdate").alias("day"), _cents("l_extendedprice").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")).alias("syy"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "s",
+        "syy",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")
+        ).alias("absdev"),
+    )
+    wtop = Window.orderBy(F.desc("absdev"), F.asc("day"))
+    top = e.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") == 1)
+    n = F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("n").cast("decimal(38,0)") * F.col("syy") - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        .cast("double")
+        / (n * (n - 1.0))
+    )
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("day").cast("timestamp").alias("flagged_day"),
+        F.round(F.col("absdev").cast("double") / (n * sd), 6).alias("grubbs_g"),
+    )
+
+
+def q360_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup economics per source: exactly how many tokens a
+    keep-first exact dedup saves — duplicate groups by full-text
+    content (q33's discipline), every row beyond each group's lowest
+    doc_id is dropped mass. THE number that justifies (or kills) a
+    dedup stage in a training-data budget review: tokens_saved /
+    tokens_total per source, exact integers end-to-end. One
+    (source, text)-grain hash aggregate (map-collapsing; the shuffle
+    carries group rows, with the text column only as the grouping
+    key), one source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.size(tokens(F.col("text")))
+    groups = (
+        docs.select("source", "text", F.col("doc_id"), t.alias("tok"))
+        .groupBy("source", "text")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("tok").alias("tok"),
+        )
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("n_copies") * F.col("tok")).alias("tokens_total"),
+            F.sum((F.col("n_copies") - 1) * F.col("tok")).alias("tokens_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            "tokens_total",
+            "tokens_saved",
+            F.round(
+                F.col("tokens_saved") / F.col("tokens_total").cast("double"), 6
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTRA_QUERIES.update(
+    {
+        "q353_vif_collinearity": q353_vif_collinearity,
+        "q354_bartlett_test": q354_bartlett_test,
+        "q355_cusum_of_squares": q355_cusum_of_squares,
+        "q356_fano_factor": q356_fano_factor,
+        "q357_flesch_reading_ease": q357_flesch_reading_ease,
+        "q358_rmst": q358_rmst,
+        "q359_grubbs_test": q359_grubbs_test,
+        "q360_dedup_token_savings": q360_dedup_token_savings,
+    }
+)
+
+
+_CENTS_SQL = "CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)"
+
+EXTRA_ORACLE.update(
+    {
+        "q353_vif_collinearity": """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS x3
+        FROM lineitem
+    ), m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x3) AS BIGINT) AS s3,
+               SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11,
+               SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22,
+               SUM(CAST(x3 * x3 AS DECIMAL(38,0))) AS s33,
+               SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12,
+               SUM(CAST(x1 * x3 AS DECIMAL(38,0))) AS s13,
+               SUM(CAST(x2 * x3 AS DECIMAL(38,0))) AS s23
+        FROM base
+    ), r AS (
+        SELECT
+          (CAST(s12 AS DOUBLE) - s1 * s2 / CAST(n AS DOUBLE))
+            / sqrt((CAST(s11 AS DOUBLE) - s1 * s1 / CAST(n AS DOUBLE))
+                 * (CAST(s22 AS DOUBLE) - s2 * s2 / CAST(n AS DOUBLE))) AS r12,
+          (CAST(s13 AS DOUBLE) - s1 * s3 / CAST(n AS DOUBLE))
+            / sqrt((CAST(s11 AS DOUBLE) - s1 * s1 / CAST(n AS DOUBLE))
+                 * (CAST(s33 AS DOUBLE) - s3 * s3 / CAST(n AS DOUBLE))) AS r13,
+          (CAST(s23 AS DOUBLE) - s2 * s3 / CAST(n AS DOUBLE))
+            / sqrt((CAST(s22 AS DOUBLE) - s2 * s2 / CAST(n AS DOUBLE))
+                 * (CAST(s33 AS DOUBLE) - s3 * s3 / CAST(n AS DOUBLE))) AS r23
+        FROM m
+    ), rows_ AS (
+        SELECT 'l_quantity' AS predictor,
+               ROUND((r12*r12 + r13*r13 - 2*r12*r13*r23) / (1 - r23*r23), 9)
+                   AS r2_on_others FROM r
+        UNION ALL
+        SELECT 'l_discount',
+               ROUND((r12*r12 + r23*r23 - 2*r12*r23*r13) / (1 - r13*r13), 9)
+        FROM r
+        UNION ALL
+        SELECT 'l_tax',
+               ROUND((r13*r13 + r23*r23 - 2*r13*r23*r12) / (1 - r12*r12), 9)
+        FROM r
+    )
+    SELECT predictor, r2_on_others,
+           ROUND(1.0 / (1.0 - r2_on_others), 6) AS vif
+    FROM rows_ ORDER BY predictor
+""",
+        "q354_bartlett_test": """
+    WITH per AS (
+        SELECT o_orderpriority AS g, COUNT(*) AS ni,
+               SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(38,0))) AS sxx
+        FROM orders GROUP BY 1
+    ), grp AS (
+        SELECT g, ni,
+               CAST(ROUND(ln(CAST(CAST(ni AS DECIMAL(38,0)) * sxx - sx * sx
+                                  AS DOUBLE)
+                             / (CAST(ni AS DOUBLE) * (ni - 1.0))), 12)
+                    AS DECIMAL(28,18)) AS ln_s2,
+               CAST(ROUND(CAST(CAST(ni AS DECIMAL(38,0)) * sxx - sx * sx
+                               AS DOUBLE) / CAST(ni AS DOUBLE), 6)
+                    AS DECIMAL(28,6)) AS ssw,
+               CAST(ROUND(1.0 / (ni - 1.0), 18) AS DECIMAL(28,18)) AS inv
+        FROM per
+    ), agg AS (
+        SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+               SUM(CAST((ni - 1) * ln_s2 AS DECIMAL(28,18))) AS sum_w_ln,
+               SUM(ssw) AS sum_ssw, SUM(inv) AS sum_inv
+        FROM grp
+    )
+    SELECT k, n,
+           ROUND(CAST(sum_ssw AS DOUBLE) / (n - k), 6) AS pooled_var_cents2,
+           ROUND(((n - k) * ln(CAST(sum_ssw AS DOUBLE) / (n - k))
+                  - CAST(sum_w_ln AS DOUBLE))
+                 / (1.0 + (CAST(sum_inv AS DOUBLE) - 1.0 / (n - k))
+                          / (3.0 * (k - 1.0))), 6) AS bartlett_chi2,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM agg
+""",
+        "q355_cusum_of_squares": """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n, SUM(y) AS s FROM daily
+    ), e2 AS (
+        SELECT day, n,
+               CAST((CAST(n AS DECIMAL(38,0)) * y - s)
+                    * (CAST(n AS DECIMAL(38,0)) * y - s) AS DECIMAL(38,0)) AS e2
+        FROM daily, tot
+    ), cum AS (
+        SELECT day, n,
+               SUM(e2) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+        FROM e2
+    ), tsum AS (
+        SELECT MAX(cum) AS t_total FROM cum
+    ), scored AS (
+        SELECT day, k, n,
+               CAST(ABS(CAST(n AS DECIMAL(38,0)) * cum
+                        - CAST(k AS DECIMAL(38,0)) * t_total) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(t_total AS DOUBLE)) AS dev
+        FROM cum, tsum
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(day AS TIMESTAMP) AS argmax_day,
+           k AS argmax_k,
+           ROUND(dev, 9) AS max_abs_dev
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY dev DESC, day ASC) = 1
+""",
+        "q356_fano_factor": """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), per AS (
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n_hours, n_events,
+           ROUND(n_events / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour,
+           ROUND((CAST(n_hours AS DOUBLE) * scc
+                  - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                 / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0)), 6)
+               AS var_per_hour,
+           ROUND(((CAST(n_hours AS DOUBLE) * scc
+                   - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                  / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0)))
+                 / (n_events / CAST(n_hours AS DOUBLE)), 6) AS fano_factor
+    FROM per WHERE n_hours > 1 ORDER BY event_type
+""",
+        "q357_flesch_reading_ease": f"""
+    WITH per AS (
+        SELECT source,
+               len({_TOKENS}) AS w,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        FROM documents
+    ), agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS words,
+               CAST(SUM(s) AS BIGINT) AS sentences,
+               CAST(SUM(y) AS BIGINT) AS syllables
+        FROM per WHERE w > 0 GROUP BY 1
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ROUND(206.835 - 1.015 * words / CAST(sentences AS DOUBLE)
+                 - 84.6 * syllables / CAST(words AS DOUBLE), 6) AS flesch_score
+    FROM agg ORDER BY source
+""",
+        "q358_rmst": f"""
+    WITH cells AS (
+        SELECT DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS t,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), risk AS (
+        SELECT t, d, c,
+               SUM(d + c) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n_risk
+        FROM cells
+    ), km AS (
+        SELECT t, d, c, n_risk,
+               ROUND(EXP(CAST(SUM(
+                   CAST(CASE WHEN n_risk = d THEN -99.0
+                        ELSE ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE)), 9)
+                        END AS DECIMAL(28,9))
+               ) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE)), 6) AS s_km,
+               LEAD(t) OVER (ORDER BY t) AS t_next
+        FROM risk WHERE d > 0
+    ), seg AS (
+        SELECT SUM(CAST(ROUND(
+                   s_km * (LEAST(COALESCE(t_next, {RMST_TAU}), {RMST_TAU}) - t),
+                   9) AS DECIMAL(28,9))) AS area_events,
+               COUNT(*) AS n_segments
+        FROM km WHERE t < {RMST_TAU}
+    ), t0 AS (
+        SELECT MIN(t) AS t0 FROM cells
+    ), t1 AS (
+        SELECT MIN(t) AS t1 FROM km
+    )
+    SELECT CAST({RMST_TAU} AS BIGINT) AS tau, CAST(t0 AS BIGINT) AS t_start,
+           n_segments,
+           ROUND(CAST(area_events AS DOUBLE)
+                 + CAST(LEAST(t1, {RMST_TAU}) - t0 AS DOUBLE), 6) AS rmst_days
+    FROM seg, t0, t1
+""",
+        "q359_grubbs_test": """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n, SUM(y) AS s,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+        FROM daily
+    ), e AS (
+        SELECT day, n, s, syy,
+               ABS(CAST(n AS DECIMAL(38,0)) * y - s) AS absdev
+        FROM daily, tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(day AS TIMESTAMP) AS flagged_day,
+           ROUND(CAST(absdev AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1.0)))), 6) AS grubbs_g
+    FROM e
+    QUALIFY ROW_NUMBER() OVER (ORDER BY absdev DESC, day ASC) = 1
+""",
+        "q360_dedup_token_savings": f"""
+    WITH groups AS (
+        SELECT source, text, COUNT(*) AS n_copies,
+               MAX(len({_TOKENS})) AS tok
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n_copies * tok) AS BIGINT) AS tokens_total,
+           CAST(SUM((n_copies - 1) * tok) AS BIGINT) AS tokens_saved,
+           ROUND(SUM((n_copies - 1) * tok)
+                 / CAST(SUM(n_copies * tok) AS DOUBLE), 6) AS savings_frac
+    FROM groups GROUP BY 1 ORDER BY 1
+""",
+    }
+)

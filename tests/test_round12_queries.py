@@ -287,3 +287,229 @@ def test_source_trigram_kl_matches_python(spark, docs_pdf):
         assert r["total_trigrams"] == c_s[src]
         assert abs(r["kl_nats"] - kl) <= 1e-6
         assert r["kl_nats"] >= -1e-9  # KL is non-negative
+
+
+# ---- second wave (q353-q360) ----
+
+
+@pytest.fixture(scope="module")
+def orders_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def daily_rev():
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+
+
+def test_vif_matches_numpy(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    x1 = li["l_quantity"].to_numpy().astype("int64")
+    x2 = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype("int64")
+    x3 = np.floor(li["l_tax"].to_numpy() * 100 + 0.5).astype("int64")
+    X = np.stack([x1, x2, x3]).astype(np.float64)
+    r = np.corrcoef(X)
+    r12, r13, r23 = r[0, 1], r[0, 2], r[1, 2]
+
+    def r2(a, b, c):
+        return (a * a + b * b - 2 * a * b * c) / (1 - c * c)
+
+    want = {
+        "l_quantity": r2(r12, r13, r23),
+        "l_discount": r2(r12, r23, r13),
+        "l_tax": r2(r13, r23, r12),
+    }
+    rows = {
+        r_["predictor"]: r_
+        for r_ in EXTRA["q353_vif_collinearity"](spark, SF_SMOKE).collect()
+    }
+    for p, w in want.items():
+        assert abs(rows[p]["r2_on_others"] - w) <= 1e-6
+        assert abs(rows[p]["vif"] - 1.0 / (1.0 - w)) <= 1e-4
+        # synthetic TPC-H-ish columns are near-independent: VIF ~ 1
+        assert 0.99 <= rows[p]["vif"] <= 1.5
+
+
+def test_bartlett_matches_python(spark, orders_pdf):
+    cents = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    pri = orders_pdf["o_orderpriority"].to_numpy()
+    k, n = 0, 0
+    sum_w_ln, sum_ssw, sum_inv = 0.0, 0.0, 0.0
+    for g in sorted(set(pri)):
+        x = cents[pri == g].astype(object)
+        ni = len(x)
+        sx, sxx = int(x.sum()), int((x * x).sum())
+        s2 = (ni * sxx - sx * sx) / (ni * (ni - 1.0))
+        sum_w_ln += (ni - 1) * round(math.log(s2), 12)
+        sum_ssw += round((ni * sxx - sx * sx) / ni, 6)
+        sum_inv += round(1.0 / (ni - 1.0), 18)
+        k += 1
+        n += ni
+    sp2 = sum_ssw / (n - k)
+    stat = ((n - k) * math.log(sp2) - sum_w_ln) / (
+        1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1.0))
+    )
+    row = EXTRA["q354_bartlett_test"](spark, SF_SMOKE).collect()[0]
+    assert row["k"] == k and row["n"] == n and row["df"] == k - 1
+    assert abs(row["pooled_var_cents2"] - sp2) <= 1e-9 * sp2
+    assert abs(row["bartlett_chi2"] - stat) <= 1e-4
+
+
+def test_cusum_of_squares_matches_python(spark, daily_rev):
+    y = [int(v) for v in daily_rev["y"]]
+    n, s = len(y), sum(y)
+    e2 = [(n * v - s) ** 2 for v in y]
+    total = sum(e2)
+    best = None
+    cum = 0
+    for k, v in enumerate(e2, start=1):
+        cum += v
+        dev = abs(n * cum - k * total) / (n * total)
+        if best is None or dev > best[0]:
+            best = (dev, k)
+    row = EXTRA["q355_cusum_of_squares"](spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert row["argmax_k"] == best[1]
+    assert abs(row["max_abs_dev"] - best[0]) <= 5.01e-10
+    assert pd.Timestamp(row["argmax_day"]) == pd.Timestamp(
+        daily_rev["day"].iloc[best[1] - 1]
+    )
+
+
+def test_fano_factor_matches_pandas(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    h = ev["ts"].dt.floor("h")
+    counts = ev.groupby(["event_type", h]).size()
+    rows = {
+        r["event_type"]: r for r in EXTRA["q356_fano_factor"](spark, SF_SMOKE).collect()
+    }
+    for et, grp in counts.groupby(level=0):
+        c = grp.to_numpy().astype("int64")
+        nh = len(c)
+        if nh <= 1:
+            assert et not in rows
+            continue
+        mean = c.sum() / nh
+        var = (nh * (c * c).sum() - c.sum() ** 2) / (nh * (nh - 1.0))
+        r = rows[et]
+        assert r["n_hours"] == nh and r["n_events"] == int(c.sum())
+        assert abs(r["mean_per_hour"] - mean) <= 5.01e-7
+        assert abs(r["var_per_hour"] - var) <= 5.01e-7
+        assert abs(r["fano_factor"] - var / mean) <= 5.01e-7
+
+
+def test_flesch_matches_python(spark, docs_pdf):
+    import re
+
+    agg = {}
+    for src, text in zip(docs_pdf["source"], docs_pdf["text"]):
+        w = len(text.split())
+        if w == 0:
+            continue
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        dn, dw, ds, dy = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (dn + 1, dw + w, ds + s, dy + y)
+    rows = {
+        r["source"]: r
+        for r in EXTRA["q357_flesch_reading_ease"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(agg)
+    for src, (dn, dw, ds, dy) in agg.items():
+        r = rows[src]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) == (
+            dn,
+            dw,
+            ds,
+            dy,
+        )
+        want = 206.835 - 1.015 * dw / ds - 84.6 * dy / dw
+        assert abs(r["flesch_score"] - want) <= 5.01e-7
+
+
+def test_rmst_matches_python(spark):
+    import duckdb
+
+    from batchprocessingetl_spark.workload.round12_queries import RMST_TAU
+
+    cells = duckdb.sql(
+        f"""
+        SELECT DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS t,
+               SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS d,
+               SUM(CASE WHEN l_returnflag <> 'R' THEN 0 ELSE 1 END) AS c
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') li
+        JOIN read_parquet('{SF_SMOKE}/orders.parquet') od
+          ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    t0 = min(t for t, _, _ in cells)
+    at_risk = sum(d + c for _, d, c in cells)
+    logsum, km = 0.0, []
+    for t, d, c in cells:
+        if d > 0:
+            term = (
+                -99.0 if at_risk == d else round(math.log((at_risk - d) / at_risk), 9)
+            )
+            logsum = round(logsum + term, 9)
+            km.append((t, round(math.exp(logsum), 6)))
+        at_risk -= d + c
+    t1 = km[0][0]
+    area = 0.0
+    for (t, s_km), nxt in zip(km, km[1:] + [(RMST_TAU, None)]):
+        if t < RMST_TAU:
+            area += round(s_km * (min(nxt[0], RMST_TAU) - t), 9)
+    want = area + (min(t1, RMST_TAU) - t0)
+    row = EXTRA["q358_rmst"](spark, SF_SMOKE).collect()[0]
+    assert row["tau"] == RMST_TAU and row["t_start"] == t0
+    assert abs(row["rmst_days"] - want) <= 1e-5
+    # the integral of a [0,1] step function over a window of length L
+    # is in [0, L]
+    assert 0 <= row["rmst_days"] <= RMST_TAU - t0 + 1e-9
+
+
+def test_grubbs_matches_python(spark, daily_rev):
+    y = [int(v) for v in daily_rev["y"]]
+    n, s = len(y), sum(y)
+    syy = sum(v * v for v in y)
+    sd = math.sqrt((n * syy - s * s) / (n * (n - 1.0)))
+    devs = [abs(n * v - s) for v in y]
+    g = max(devs) / (n * sd)
+    k = devs.index(max(devs))
+    row = EXTRA["q359_grubbs_test"](spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["grubbs_g"] - g) <= 5.01e-7
+    assert pd.Timestamp(row["flagged_day"]) == pd.Timestamp(daily_rev["day"].iloc[k])
+
+
+def test_dedup_token_savings_matches_pandas(spark, docs_pdf):
+    g = (
+        docs_pdf.assign(tok=[len(t.split()) for t in docs_pdf["text"]])
+        .groupby(["source", "text"])
+        .agg(n_copies=("tok", "size"), tok=("tok", "max"))
+        .reset_index()
+    )
+    rows = {
+        r["source"]: r
+        for r in EXTRA["q360_dedup_token_savings"](spark, SF_SMOKE).collect()
+    }
+    for src, grp in g.groupby("source"):
+        r = rows[src]
+        total = int((grp["n_copies"] * grp["tok"]).sum())
+        saved = int(((grp["n_copies"] - 1) * grp["tok"]).sum())
+        assert r["n_docs"] == int(grp["n_copies"].sum())
+        assert r["n_unique"] == len(grp)
+        assert r["tokens_total"] == total
+        assert r["tokens_saved"] == saved
+        assert abs(r["savings_frac"] - saved / total) <= 5.01e-7
