@@ -123,7 +123,20 @@ def q346_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-free data-derived planes), so recall itself is oracle-pinned —
     an approximate index whose QUALITY metric is exactly reproducible.
     Exact arm cost is Q-bounded (8 queries x corpus scan with
-    WindowGroupLimit partial top-k); cell arm is one equi-join."""
+    WindowGroupLimit partial top-k); cell arm is one equi-join.
+
+    Reading the number: on THIS synthetic corpus (iid near-uniform
+    unit vectors) single-cell recall is structurally low (~0.1 at
+    sf0.1) — uniform random directions have no locality for ANY
+    space-partitioning index to exploit (the q54 oracle documents the
+    same data property for IVF). That is the point of shipping the
+    audit: it is the measurement that tells an operator whether the
+    cheap cell path is admissible for THEIR embedding distribution
+    (real text/image embeddings are strongly clustered and recall
+    rises with cluster structure), and if not, which multiprobe or
+    rerank budget (q52's Hamming-1 probing, q56/q125's int8 shortlist)
+    to pay for. The q335 audit semantics are unaffected: its rates
+    are DEFINED over the LSH neighborhood, oracle-pinned as such."""
     from batchprocessingetl_spark.workload.vectors import (
         KS_TEST_IDS,
         _noise_planes_b,
@@ -1577,6 +1590,531 @@ EXTRA_ORACLE.update(
            ROUND(SUM((n_copies - 1) * tok)
                  / CAST(SUM(n_copies * tok) AS DOUBLE), 6) AS savings_frac
     FROM groups GROUP BY 1 ORDER BY 1
+""",
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Third wave (q361-q366): corpus provenance, corpus linguistics,
+# revenue-path risk, exact 1-D clustering, distributional effects,
+# readability (fog).
+# ---------------------------------------------------------------------------
+
+
+def q361_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct texts appear verbatim in BOTH — the
+    provenance audit run before treating sources as independent
+    mixture components (a source that mirrors another adds dup mass,
+    not diversity; q360 prices within-source dups, this finds the
+    cross-source ones). Texts collapse to one row each (hash
+    aggregate); each multi-source text explodes to its sorted source
+    pairs (a tiny combinatorial transform on the per-text source SET,
+    never on rows); the full |sources|^2/2 grid left-joins the counts
+    so quiet pairs report 0 — the matrix shape is data-independent.
+    Exact integers end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_text = docs.groupBy("text").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs"),
+        F.max(F.size(tokens(F.col("text")))).alias("tok"),
+    )
+    pairs = per_text.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(srcs, (a, i) ->
+                    transform(slice(srcs, i + 2, size(srcs) - i - 1),
+                              b -> struct(a AS src_a, b AS src_b))))
+                """
+            )
+        ).alias("p"),
+        "tok",
+    )
+    shared = pairs.groupBy("p.src_a", "p.src_b").agg(
+        F.count(F.lit(1)).alias("n_shared_texts"),
+        F.sum("tok").alias("shared_tokens"),
+    )
+    srcs = docs.select("source").distinct()
+    a = srcs.select(F.col("source").alias("src_a"))
+    b = srcs.select(F.col("source").alias("src_b"))
+    grid = a.join(b, F.col("src_a") < F.col("src_b"))
+    return (
+        grid.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_texts", F.lit(0)).alias("n_shared_texts"),
+            F.coalesce("shared_tokens", F.lit(0)).alias("shared_tokens"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+KEYNESS_TOP = 2
+
+
+def q362_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (G2): for each source, the
+    KEYNESS_TOP tokens most over-represented against the rest of the
+    corpus — the classic corpus-linguistics answer to "what is this
+    source actually about", sharper than raw TF-IDF because it scores
+    a 2x2 contingency (token in/out x source/rest) by likelihood
+    ratio. G2 = 2*(a*ln(a*N/(Na*t)) + b*ln(b*N/(Nb*t))) with a/b the
+    in/out counts, t = a+b, Na/Nb the source/rest token masses; the
+    b = 0 cell contributes 0 by the x*ln(x) -> 0 convention. Every ln
+    argument is a ratio of exact BIGINT products rounded to 12 dp
+    (the transcendental-parity discipline); one token hash aggregate
+    is the only corpus-sized pass, and the per-source top-K is a
+    window over the (source, token) frame with (G2 DESC, token ASC)
+    tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("a"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("na"))
+    tok_tot = st.groupBy("token").agg(F.sum("a").alias("t_all"))
+    corpus = st.agg(F.sum("a").alias("nn"))
+    base = (
+        st.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("t_all") - F.col("a")).alias("b"),
+            "na",
+            (F.col("nn") - F.col("na")).alias("nb"),
+            "nn",
+            F.col("t_all").alias("t"),
+        )
+    )
+    term_a = F.col("a") * F.round(
+        F.log(
+            (F.col("a") * F.col("nn")).cast("double")
+            / (F.col("na") * F.col("t")).cast("double")
+        ),
+        12,
+    )
+    term_b = F.when(F.col("b") == 0, F.lit(0.0)).otherwise(
+        F.col("b")
+        * F.round(
+            F.log(
+                (F.col("b") * F.col("nn")).cast("double")
+                / (F.col("nb") * F.col("t")).cast("double")
+            ),
+            12,
+        )
+    )
+    scored = base.select(
+        "source",
+        "token",
+        "a",
+        "b",
+        F.round(2.0 * (term_a + term_b), 9).alias("g2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KEYNESS_TOP)
+        .orderBy("source", "rank")
+    )
+
+
+def q363_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue path: the
+    largest peak-to-trough fall of C_t = cumulative cents — the
+    worst-case-window risk summary finance runs on equity curves and
+    a pipeline runs on cumulative throughput (how far behind plan did
+    ingestion fall, at its worst?). Exact integers end-to-end: C_t
+    and its running max M_t are BIGINT window sums over the collapsed
+    day frame, the drawdown M_t - C_t is exact, the argmax breaks
+    ties by earliest day, and the single division (drawdown over its
+    peak) is the only double. No raw-row windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(F.to_date("l_shipdate").alias("day"), _cents("l_extendedprice").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    path = (
+        daily.withColumn("cum", F.sum("y").over(w))
+        .withColumn("peak", F.max("cum").over(w))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    wtop = Window.orderBy(F.desc("dd"), F.asc("day"))
+    return (
+        path.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("timestamp").alias("trough_day"),
+            F.col("peak").alias("peak_cents"),
+            F.col("cum").alias("trough_cents"),
+            F.col("dd").alias("max_drawdown_cents"),
+            F.round(F.col("dd") / F.col("peak").cast("double"), 9).alias(
+                "drawdown_frac"
+            ),
+        )
+    )
+
+
+def q364_optimal_split_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D two-means: the variance-minimizing binary split of
+    the daily-revenue distribution (the k=2 case of natural-breaks /
+    1-D k-means, solved EXACTLY — in one dimension the optimal
+    2-clustering is a threshold, so scanning the n-1 split points of
+    the sorted value frame with prefix sums finds the global optimum;
+    no Lloyd iterations, no seeds). The per-split SSE combines the
+    two sides' n*Sxx - Sx^2 identities over exact DECIMAL(38,0)
+    prefix sums; each SSE is one double expression on exact integers
+    (identical in both engines), rounded to 3 dp before the argmin
+    (ties by lower split value). Windows run on the sorted DISTINCT-
+    day value frame, collapsed by the daily aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(F.to_date("l_shipdate").alias("day"), _cents("l_extendedprice").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("y"))
+    )
+    w = Window.orderBy("y", "day").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("y", "day")
+    pre = (
+        daily.withColumn("k", F.row_number().over(wk).cast("long"))
+        .withColumn("sx", F.sum(F.col("y").cast("decimal(38,0)")).over(w))
+        .withColumn(
+            "sxx",
+            F.sum(
+                F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+            ).over(w),
+        )
+    )
+    tot = pre.agg(
+        F.max("k").alias("n"), F.max("sx").alias("tsx"), F.max("sxx").alias("tsxx")
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    sse_l = (
+        F.col("k").cast("decimal(38,0)") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / k
+    sse_r = (
+        (F.col("n") - F.col("k")).cast("decimal(38,0)")
+        * (F.col("tsxx") - F.col("sxx"))
+        - (F.col("tsx") - F.col("sx")) * (F.col("tsx") - F.col("sx"))
+    ).cast("double") / (n - k)
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "k",
+            F.col("y").alias("split_value_cents"),
+            F.round(sse_l + sse_r, 3).alias("sse"),
+        )
+    )
+    wtop = Window.orderBy(F.asc("sse"), F.asc("split_value_cents"), F.asc("k"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("n_low_cluster"),
+            "split_value_cents",
+            F.col("sse").alias("min_sse"),
+        )
+    )
+
+
+QTE_HI = "1-URGENT"
+QTE_LO = "5-LOW"
+
+
+def q365_decile_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional effect audit: the gap between the URGENT and LOW
+    order-value distributions at every decile — quantile "treatment
+    effects" rather than the mean gap (q327's effect sizes), because
+    a difference that lives only in the tail is invisible to means.
+    Quantiles are EXPLICIT exact order statistics (value grid with
+    cumulative counts; the d-th decile is the value at 1-based index
+    floor((n-1)*d/10) + 1 — the definition is spelled out so both
+    engines compute the identical rank, no engine quantile function
+    involved). One hash aggregate per group to the cents value grid,
+    one cumulative window each, a 9-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderpriority").isin(QTE_HI, QTE_LO)).select(
+        (F.col("o_orderpriority") == QTE_HI).alias("hi"),
+        _cents("o_totalprice").alias("x"),
+    )
+    grid = base.groupBy("hi", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("hi").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cumc", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("hi"))
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    idx = cum.crossJoin(F.broadcast(deciles)).withColumn(
+        "target", F.floor((F.col("n") - 1) * F.col("d") / 10) + 1
+    )
+    hit = idx.filter(
+        (F.col("cumc") >= F.col("target"))
+        & (F.col("cumc") - F.col("cnt") < F.col("target"))
+    ).select("hi", "d", F.col("x").alias("q"))
+    hi_q = hit.filter(F.col("hi")).select("d", F.col("q").alias("q_urgent"))
+    lo_q = hit.filter(~F.col("hi")).select("d", F.col("q").alias("q_low"))
+    return (
+        hi_q.join(lo_q, "d")
+        .select(
+            "d",
+            "q_urgent",
+            "q_low",
+            (F.col("q_urgent") - F.col("q_low")).alias("gap_cents"),
+        )
+        .orderBy("d")
+    )
+
+
+def q366_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gunning fog index per source: 0.4 * (words/sentences +
+    100 * complex_words/words), where a complex word has >= 3 vowel
+    groups (the same syllable proxy as q357's Flesch — fog weights
+    the TAIL of the syllable distribution where Flesch weights its
+    mean, so the two disagree exactly on jargon-dense sources). The
+    complex-word count needs a per-token regex, so the token explode
+    is the one corpus-sized pass (hash-aggregate collapse straight
+    after); sentence counts ride the q357 pattern. All counts exact
+    integers; one final double expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.col("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    per_doc_tok = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            (
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower(F.col("token")), F.lit(r"[aeiouy]+"), 0
+                    )
+                )
+                >= 3
+            ).cast("long")
+        ).alias("cw"),
+    )
+    sents = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        ).alias("s"),
+    )
+    per = per_doc_tok.join(sents, ["source", "doc_id"])
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("cw").alias("complex_words"),
+    )
+    fog = F.lit(0.4) * (
+        F.col("words") / F.col("sentences").cast("double")
+        + F.lit(100.0) * F.col("complex_words") / F.col("words").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "complex_words",
+        F.round(fog, 6).alias("fog_index"),
+    ).orderBy("source")
+
+
+EXTRA_QUERIES.update(
+    {
+        "q361_cross_source_dup_matrix": q361_cross_source_dup_matrix,
+        "q362_keyness_g2": q362_keyness_g2,
+        "q363_max_drawdown": q363_max_drawdown,
+        "q364_optimal_split_1d": q364_optimal_split_1d,
+        "q365_decile_gap": q365_decile_gap,
+        "q366_gunning_fog": q366_gunning_fog,
+    }
+)
+
+
+EXTRA_ORACLE.update(
+    {
+        "q361_cross_source_dup_matrix": f"""
+    WITH per_text AS (
+        SELECT text, list_sort(list(DISTINCT source)) AS srcs,
+               MAX(len({_TOKENS})) AS tok
+        FROM documents GROUP BY text
+    ), pairs AS (
+        SELECT srcs[i.i] AS src_a, srcs[j.j] AS src_b, tok
+        FROM per_text,
+             LATERAL (SELECT unnest(range(1, len(srcs) + 1)) AS i) i,
+             LATERAL (SELECT unnest(range(1, len(srcs) + 1)) AS j) j
+        WHERE len(srcs) >= 2 AND i.i < j.j
+    ), shared AS (
+        SELECT src_a, src_b, COUNT(*) AS n_shared_texts,
+               CAST(SUM(tok) AS BIGINT) AS shared_tokens
+        FROM pairs GROUP BY 1, 2
+    ), srcs AS (
+        SELECT DISTINCT source FROM documents
+    ), grid AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    )
+    SELECT g.src_a, g.src_b,
+           COALESCE(s.n_shared_texts, 0) AS n_shared_texts,
+           COALESCE(s.shared_tokens, 0) AS shared_tokens
+    FROM grid g LEFT JOIN shared s USING (src_a, src_b)
+    ORDER BY src_a, src_b
+""",
+        "q362_keyness_g2": f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKENS}) AS token FROM documents
+    ), st AS (
+        SELECT source, token, COUNT(*) AS a FROM tok GROUP BY 1, 2
+    ), src_tot AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS na FROM st GROUP BY 1
+    ), tok_tot AS (
+        SELECT token, CAST(SUM(a) AS BIGINT) AS t_all FROM st GROUP BY 1
+    ), corpus AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS nn FROM st
+    ), base AS (
+        SELECT st.source, st.token, st.a, t_all - st.a AS b,
+               na, nn - na AS nb, nn, t_all AS t
+        FROM st JOIN tok_tot USING (token)
+        JOIN src_tot USING (source) CROSS JOIN corpus
+    ), scored AS (
+        SELECT source, token, a, b,
+               ROUND(2.0 * (
+                   a * ROUND(ln(CAST(a * nn AS DOUBLE)
+                                / CAST(na * t AS DOUBLE)), 12)
+                   + CASE WHEN b = 0 THEN 0.0
+                          ELSE b * ROUND(ln(CAST(b * nn AS DOUBLE)
+                                            / CAST(nb * t AS DOUBLE)), 12)
+                     END), 9) AS g2
+        FROM base
+    )
+    SELECT source, token, a, b, g2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY g2 DESC, token ASC
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {KEYNESS_TOP}
+    ORDER BY source, rank
+""",
+        "q363_max_drawdown": """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ), path AS (
+        SELECT day,
+               SUM(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM daily
+    ), dd AS (
+        SELECT day, cum,
+               MAX(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM path
+    )
+    SELECT CAST(day AS TIMESTAMP) AS trough_day,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(cum AS BIGINT) AS trough_cents,
+           CAST(peak - cum AS BIGINT) AS max_drawdown_cents,
+           ROUND((peak - cum) / CAST(peak AS DOUBLE), 9) AS drawdown_frac
+    FROM dd
+    QUALIFY ROW_NUMBER() OVER (ORDER BY peak - cum DESC, day ASC) = 1
+""",
+        "q364_optimal_split_1d": """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM lineitem GROUP BY 1
+    ), pre AS (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY y, day) AS BIGINT) AS k,
+               SUM(CAST(y AS DECIMAL(38,0)))
+                   OVER (ORDER BY y, day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   OVER (ORDER BY y, day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS sxx
+        FROM daily
+    ), tot AS (
+        SELECT MAX(k) AS n, MAX(sx) AS tsx, MAX(sxx) AS tsxx FROM pre
+    ), scored AS (
+        SELECT k, CAST(y AS BIGINT) AS split_value_cents,
+               ROUND(
+                   CAST(CAST(k AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                       / k
+                   + CAST(CAST(n - k AS DECIMAL(38,0)) * (tsxx - sxx)
+                          - (tsx - sx) * (tsx - sx) AS DOUBLE) / (n - k),
+                   3) AS sse
+        FROM pre, tot WHERE k < n
+    )
+    SELECT k AS n_low_cluster, split_value_cents, sse AS min_sse
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY sse ASC, split_value_cents ASC, k ASC) = 1
+""",
+        "q365_decile_gap": f"""
+    WITH base AS (
+        SELECT o_orderpriority = '{QTE_HI}' AS hi,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        FROM orders WHERE o_orderpriority IN ('{QTE_HI}', '{QTE_LO}')
+    ), grid AS (
+        SELECT hi, x, COUNT(*) AS cnt FROM base GROUP BY 1, 2
+    ), cum AS (
+        SELECT hi, x, cnt,
+               SUM(cnt) OVER (PARTITION BY hi ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cumc,
+               SUM(cnt) OVER (PARTITION BY hi) AS n
+        FROM grid
+    ), idx AS (
+        SELECT c.*, d.d, CAST(FLOOR((n - 1) * d / 10) + 1 AS BIGINT) AS target
+        FROM cum c CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+    ), hit AS (
+        SELECT hi, CAST(d AS INT) AS d, x AS q FROM idx
+        WHERE cumc >= target AND cumc - cnt < target
+    )
+    SELECT h.d, h.q AS q_urgent, l.q AS q_low,
+           h.q - l.q AS gap_cents
+    FROM hit h JOIN hit l ON h.d = l.d AND h.hi AND NOT l.hi
+    ORDER BY h.d
+""",
+        "q366_gunning_fog": f"""
+    WITH toks AS (
+        SELECT source, doc_id, unnest({_TOKENS}) AS token FROM documents
+    ), per_doc_tok AS (
+        SELECT source, doc_id, COUNT(*) AS w,
+               SUM(CASE WHEN len(regexp_extract_all(lower(token),
+                        '[aeiouy]+')) >= 3 THEN 1 ELSE 0 END) AS cw
+        FROM toks GROUP BY 1, 2
+    ), sents AS (
+        SELECT source, doc_id,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+        FROM documents
+    ), agg AS (
+        SELECT p.source, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS words,
+               CAST(SUM(s) AS BIGINT) AS sentences,
+               CAST(SUM(cw) AS BIGINT) AS complex_words
+        FROM per_doc_tok p JOIN sents USING (source, doc_id)
+        GROUP BY 1
+    )
+    SELECT source, n_docs, words, sentences, complex_words,
+           ROUND(0.4 * (words / CAST(sentences AS DOUBLE)
+                 + 100.0 * complex_words / CAST(words AS DOUBLE)), 6)
+               AS fog_index
+    FROM agg ORDER BY source
 """,
     }
 )

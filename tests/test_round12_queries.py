@@ -513,3 +513,167 @@ def test_dedup_token_savings_matches_pandas(spark, docs_pdf):
         assert r["tokens_total"] == total
         assert r["tokens_saved"] == saved
         assert abs(r["savings_frac"] - saved / total) <= 5.01e-7
+
+
+# ---- third wave (q361-q366) ----
+
+
+def test_cross_source_dup_matrix_matches_pandas(spark, docs_pdf):
+    from itertools import combinations
+
+    per_text = {}
+    for src, text in zip(docs_pdf["source"], docs_pdf["text"]):
+        srcs, tok = per_text.get(text, (set(), len(text.split())))
+        srcs.add(src)
+        per_text[text] = (srcs, tok)
+    shared = Counter()
+    shared_tok = Counter()
+    for srcs, tok in per_text.values():
+        for a, b in combinations(sorted(srcs), 2):
+            shared[(a, b)] += 1
+            shared_tok[(a, b)] += tok
+    all_srcs = sorted(set(docs_pdf["source"]))
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in EXTRA["q361_cross_source_dup_matrix"](spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == len(all_srcs) * (len(all_srcs) - 1) // 2
+    for pair, r in rows.items():
+        assert r["n_shared_texts"] == shared.get(pair, 0)
+        assert r["shared_tokens"] == shared_tok.get(pair, 0)
+
+
+def test_keyness_g2_matches_python(spark, docs_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import KEYNESS_TOP
+
+    st = Counter()
+    for src, text in zip(docs_pdf["source"], docs_pdf["text"]):
+        for t in text.split():
+            st[(src, t)] += 1
+    na = Counter()
+    t_all = Counter()
+    for (src, t), a in st.items():
+        na[src] += a
+        t_all[t] += a
+    nn = sum(st.values())
+    per_src: dict = {}
+    for (src, t), a in st.items():
+        b = t_all[t] - a
+        tt = t_all[t]
+        g2 = a * round(math.log(a * nn / (na[src] * tt)), 12)
+        if b:
+            g2 += b * round(math.log(b * nn / ((nn - na[src]) * tt)), 12)
+        per_src.setdefault(src, []).append((round(2.0 * g2, 9), t, a, b))
+    rows = EXTRA["q362_keyness_g2"](spark, SF_SMOKE).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, got in by_src.items():
+        want = sorted(per_src[src], key=lambda x: (-x[0], x[1]))[:KEYNESS_TOP]
+        assert len(got) == min(KEYNESS_TOP, len(want))
+        for r, (g2, t, a, b) in zip(got, want):
+            assert (r["token"], r["a"], r["b"]) == (t, a, b)
+            assert abs(r["g2"] - g2) <= 2e-9
+            assert r["g2"] >= -1e-9  # keyness of the TOP token is >= 0
+
+
+def test_max_drawdown_matches_python(spark, daily_rev):
+    y = [int(v) for v in daily_rev["y"]]
+    cum = peak = 0
+    best = None
+    for i, v in enumerate(y):
+        cum += v
+        peak = max(peak, cum)
+        dd = peak - cum
+        if best is None or dd > best[0]:
+            best = (dd, i, peak, cum)
+    row = EXTRA["q363_max_drawdown"](spark, SF_SMOKE).collect()[0]
+    assert row["max_drawdown_cents"] == best[0]
+    assert row["peak_cents"] == best[2]
+    assert row["trough_cents"] == best[3]
+    assert pd.Timestamp(row["trough_day"]) == pd.Timestamp(
+        daily_rev["day"].iloc[best[1]]
+    )
+    assert abs(row["drawdown_frac"] - best[0] / best[2]) <= 5.01e-10
+
+
+def test_optimal_split_matches_python(spark, daily_rev):
+    pairs = sorted(
+        zip([int(v) for v in daily_rev["y"]], daily_rev["day"]),
+        key=lambda t: (t[0], t[1]),
+    )
+    y = [v for v, _ in pairs]
+    n = len(y)
+    best = None
+    sx = sxx = 0
+    tsx, tsxx = sum(y), sum(v * v for v in y)
+    for k in range(1, n):
+        sx += y[k - 1]
+        sxx += y[k - 1] ** 2
+        sse = round(
+            (k * sxx - sx * sx) / k
+            + ((n - k) * (tsxx - sxx) - (tsx - sx) ** 2) / (n - k),
+            3,
+        )
+        cand = (sse, y[k - 1], k)
+        if best is None or cand < best:
+            best = cand
+    row = EXTRA["q364_optimal_split_1d"](spark, SF_SMOKE).collect()[0]
+    assert row["n_low_cluster"] == best[2]
+    assert row["split_value_cents"] == best[1]
+    assert abs(row["min_sse"] - best[0]) <= 1e-9 * best[0]
+
+
+def test_decile_gap_matches_python(spark, orders_pdf):
+    from batchprocessingetl_spark.workload.round12_queries import QTE_HI, QTE_LO
+
+    cents = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    pri = orders_pdf["o_orderpriority"].to_numpy()
+
+    def deciles(mask):
+        xs = sorted(cents[mask])
+        n = len(xs)
+        return {d: xs[(n - 1) * d // 10] for d in range(1, 10)}
+
+    hi, lo = deciles(pri == QTE_HI), deciles(pri == QTE_LO)
+    rows = {r["d"]: r for r in EXTRA["q365_decile_gap"](spark, SF_SMOKE).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    for d in range(1, 10):
+        r = rows[d]
+        assert r["q_urgent"] == hi[d]
+        assert r["q_low"] == lo[d]
+        assert r["gap_cents"] == hi[d] - lo[d]
+    # deciles are monotone in d
+    qs = [rows[d]["q_urgent"] for d in range(1, 10)]
+    assert qs == sorted(qs)
+
+
+def test_gunning_fog_matches_python(spark, docs_pdf):
+    import re
+
+    agg = {}
+    for src, text in zip(docs_pdf["source"], docs_pdf["text"]):
+        toks = text.split()
+        if not toks:
+            continue
+        w = len(toks)
+        cw = sum(1 for t in toks if len(re.findall(r"[aeiouy]+", t.lower())) >= 3)
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        dn, dw, ds, dcw = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (dn + 1, dw + w, ds + s, dcw + cw)
+    rows = {
+        r["source"]: r for r in EXTRA["q366_gunning_fog"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(agg)
+    for src, (dn, dw, ds, dcw) in agg.items():
+        r = rows[src]
+        assert (r["n_docs"], r["words"], r["sentences"], r["complex_words"]) == (
+            dn,
+            dw,
+            ds,
+            dcw,
+        )
+        want = 0.4 * (dw / ds + 100.0 * dcw / dw)
+        assert abs(r["fog_index"] - want) <= 5.01e-7
