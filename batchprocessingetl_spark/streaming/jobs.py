@@ -1911,3 +1911,117 @@ def event_type_totals_tws(
             .start()
         )
         q.awaitTermination()
+
+
+def ams_f2_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    n_estimators: int = 16,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming AMS / Tug-of-War F2 maintenance — the incremental twin
+    of the batch q345 sketch (workload/round12_queries.py) and the
+    FOURTH sketch the stream layer maintains (HLL register-max, bitmap
+    bit_or, histogram bins, now a LINEAR sketch). AMS estimator sums
+    are linear in per-key counts, so the stream folds each micro-batch's
+    16 signed partial sums sum_k sign_i(k) * c_k(batch) and the total
+    is their plain addition — by linearity the stream-final state
+    equals the one-shot batch sums EXACTLY (integer equality, no error
+    envelope), which is what the parity test pins.
+
+    Replay safety: addition is summable but NOT idempotent, so the
+    fold uses the histogram stream's per-epoch-partition pattern —
+    each epoch's partials land in ``state_dir/epoch=N`` via overwrite
+    (an at-least-once replay rewrites the same partition
+    byte-identically; the signs are md5-derived, deterministic), and
+    readers sum across epoch partitions.
+
+    100 TB posture: the only batch-sized pass is one hash aggregate to
+    per-key counts; the 16-way explode runs on the KEY frame and the
+    state is 16 rows per epoch (bytes). Signs are md5 parity of
+    "ams{i}:{key}" — the exact q345 convention, so batch and stream
+    share their oracle algebra."""
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = (
+            batch.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        est = counts.select(
+            key_col,
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1))).alias("i"),
+        )
+        first_hex = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        partials = (
+            est.select(
+                "i",
+                (
+                    F.when(first_hex % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+                    * F.col("c")
+                ).alias("sc"),
+            )
+            .groupBy("i")
+            .agg(F.sum("sc").alias("s"))
+        )
+        partials.write.mode("overwrite").parquet(
+            state_dir.rstrip("/") + f"/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ams_f2_estimate(spark: SparkSession, state_dir: str) -> DataFrame:
+    """F2 estimate off the stream-maintained AMS state: sum each
+    estimator's partials across epoch partitions (linearity), square,
+    take the median (mean of order stats 8/9 for 16 estimators — the
+    q345 convention). Touches estimators x epochs rows only."""
+    from pyspark.sql.window import Window
+
+    sums = (
+        spark.read.parquet(state_dir)
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"))
+        .select("i", "s", (F.col("s") * F.col("s")).alias("est"))
+    )
+    n_est = sums.count()
+    w = Window.orderBy(F.asc("est"), F.asc("i"))
+    med = (
+        sums.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(n_est // 2, n_est // 2 + 1))
+        .agg((F.sum("est") / F.lit(2.0)).alias("f2_estimate"))
+    )
+    return med

@@ -1442,3 +1442,80 @@ def test_event_type_totals_tws_matches_batch_groupby(spark, tmp_path):
         # the last emission happened in the final batch that touched
         # the user, at which point the map held ALL their types
         assert abs(totals[uid] - tot) < 1e-9, uid
+
+
+def test_ams_f2_stream_equals_batch_sums_exactly(spark, tmp_path):
+    """The streaming AMS/Tug-of-War F2 state (linear sketch,
+    per-epoch-partition fold) must equal the one-shot batch signed
+    sums EXACTLY — integer equality, no error envelope — across
+    arbitrary micro-batch slicing AND a checkpoint resume, because
+    AMS estimator sums are linear in per-key counts. Also pins the
+    median-of-16 estimate against the q345 convention computed
+    directly from the landed files."""
+    import hashlib
+
+    from batchprocessingetl_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        ams_f2_estimate,
+        ams_f2_rollup_stream,
+    )
+
+    def ev(eid, uid):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=eid),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ck"))
+    f1 = [ev(i, i % 7) for i in range(40)]
+    f2 = [ev(100 + i, i % 11) for i in range(60)]
+    f3 = [ev(200 + i, 3 + (i % 5)) for i in range(50)]
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    for rows in (f1, f2):
+        land(rows)
+    ams_f2_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt)
+    land(f3)
+    ams_f2_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt)  # resume
+
+    # batch ground truth over ALL landed rows, q345's sign convention
+    from collections import Counter
+
+    counts = Counter(r.user_id for r in f1 + f2 + f3)
+    want_sums = {}
+    for i in range(16):
+        want_sums[i] = sum(
+            (
+                1
+                if int(hashlib.md5(f"ams{i}:{k}".encode()).hexdigest()[0], 16) % 2
+                == 0
+                else -1
+            )
+            * c
+            for k, c in counts.items()
+        )
+    got_sums = {
+        r["i"]: r["s"]
+        for r in spark.read.parquet(state)
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    }
+    assert got_sums == want_sums  # EXACT integer equality
+    ests = sorted(
+        (s * s, i) for i, s in want_sums.items()
+    )
+    want_med = (ests[7][0] + ests[8][0]) / 2.0
+    got = ams_f2_estimate(spark, state).collect()[0]["f2_estimate"]
+    assert got == want_med
+    # the estimator is in the right ballpark of exact F2
+    f2_exact = sum(c * c for c in counts.values())
+    assert 0.05 * f2_exact < got < 20 * f2_exact
