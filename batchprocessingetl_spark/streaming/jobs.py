@@ -2004,24 +2004,32 @@ def ams_f2_rollup_stream(
     q.awaitTermination()
 
 
-def ams_f2_estimate(spark: SparkSession, state_dir: str) -> DataFrame:
+def ams_f2_estimate(
+    spark: SparkSession, state_dir: str, n_estimators: int = 16
+) -> DataFrame:
     """F2 estimate off the stream-maintained AMS state: sum each
     estimator's partials across epoch partitions (linearity), square,
-    take the median (mean of order stats 8/9 for 16 estimators — the
-    q345 convention). Touches estimators x epochs rows only."""
+    take the median — mean of the two middle order stats for an even
+    estimator count (the q345 convention), the single middle one for
+    odd. ``n_estimators`` must match the rollup's; passing it (rather
+    than count()-ing the state) keeps the read path to ONE scan of the
+    estimators x epochs state."""
     from pyspark.sql.window import Window
 
     sums = (
         spark.read.parquet(state_dir)
         .groupBy("i")
         .agg(F.sum("s").alias("s"))
-        .select("i", "s", (F.col("s") * F.col("s")).alias("est"))
+        .select("i", (F.col("s") * F.col("s")).alias("est"))
     )
-    n_est = sums.count()
+    if n_estimators % 2 == 0:
+        picks = (n_estimators // 2, n_estimators // 2 + 1)
+    else:
+        picks = ((n_estimators + 1) // 2,)
     w = Window.orderBy(F.asc("est"), F.asc("i"))
     med = (
         sums.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").isin(n_est // 2, n_est // 2 + 1))
-        .agg((F.sum("est") / F.lit(2.0)).alias("f2_estimate"))
+        .filter(F.col("rn").isin(*picks))
+        .agg((F.sum("est") / F.lit(float(len(picks)))).alias("f2_estimate"))
     )
     return med

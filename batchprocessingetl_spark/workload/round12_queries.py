@@ -22,6 +22,11 @@ from batchprocessingetl_spark.catalog import load_table
 from batchprocessingetl_spark.operators import similarity as S
 from batchprocessingetl_spark.operators.text import TOKENS_SQL_DUCKDB, tokens
 
+def _cents(col: str):
+    """The house exact-money discipline: half-up cents as BIGINT."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # q345: AMS (Tug-of-War) second-frequency-moment sketch vs exact F2
 # ---------------------------------------------------------------------------
@@ -139,18 +144,11 @@ def q346_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DEFINED over the LSH neighborhood, oracle-pinned as such."""
     from batchprocessingetl_spark.workload.vectors import (
         KS_TEST_IDS,
-        _noise_planes_b,
+        _noise_planes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    b = _noise_planes_b(emb.count())
-    rows = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= b))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    planes = [[float(x) for x in r["embedding"]] for r in rows]
+    planes = _noise_planes(emb)
     corp = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
     tests = emb.filter(F.col("vec_id").isin(*KS_TEST_IDS)).select(
         F.col("vec_id").alias("qid"), S.as_double(F.col("embedding")).alias("qv")
@@ -220,7 +218,7 @@ def q347_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, shuffle carries |segments| rows."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents("o_totalprice")
     labeled = o.join(
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -274,7 +272,7 @@ def q348_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator so the 5-term sum is order-independent. One hash
     aggregate total; the allocation algebra runs on |strata| rows."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents("o_totalprice")
     per = (
         o.select(F.col("o_orderpriority").alias("priority"), cents.alias("x"))
         .groupBy("priority")
@@ -568,12 +566,15 @@ def q352_source_trigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
     tri_tot = st.groupBy("tri").agg(F.sum("c_st").alias("c_t"))
     corpus_tot = st.agg(F.sum("c_st").alias("c_all"))
+    # ln-argument factors cast to double BEFORE multiplying: the
+    # BIGINT products c_st*c_all / c_s*c_t overflow at 100 TB trigram
+    # masses, and the value feeds ln() so product exactness is moot
     term = (
         F.col("c_st")
         * F.round(
             F.log(
-                (F.col("c_st") * F.col("c_all")).cast("double")
-                / (F.col("c_s") * F.col("c_t")).cast("double")
+                (F.col("c_st").cast("double") * F.col("c_all").cast("double"))
+                / (F.col("c_s").cast("double") * F.col("c_t").cast("double"))
             ),
             12,
         )
@@ -836,8 +837,8 @@ EXTRA_ORACLE = {
     SELECT st.source, COUNT(*) AS n_trigram_types,
            CAST(MAX(c_s) AS BIGINT) AS total_trigrams,
            ROUND(CAST(SUM(CAST(c_st * ROUND(ln(
-                     CAST(c_st * c_all AS DOUBLE)
-                     / CAST(c_s * c_t AS DOUBLE)), 12)
+                     (CAST(c_st AS DOUBLE) * CAST(c_all AS DOUBLE))
+                     / (CAST(c_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 12)
                  AS DECIMAL(28,18))) AS DOUBLE) / CAST(MAX(c_s) AS DOUBLE), 9)
                AS kl_nats
     FROM st
@@ -856,10 +857,6 @@ EXTRA_ORACLE["q351_lsh_bucket_health"] = _q351_oracle()
 # Second wave (q353-q360): regression diagnostics, variance structure,
 # event dispersion, readability, survival summary, dedup economics.
 # ---------------------------------------------------------------------------
-
-
-def _cents(col: str):
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
 def q353_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,7 +889,16 @@ def q353_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
 
     def cov(sab, sa, sb):
-        return F.col(sab).cast("double") - F.col(sa) * F.col(sb) / n
+        # first-moment cross product in decimal: BIGINT*BIGINT s_a*s_b
+        # overflows at sf >= ~45 (the second moments were already
+        # decimal-protected; this is the same identity)
+        return (
+            F.col(sab).cast("double")
+            - (
+                F.col(sa).cast("decimal(38,0)") * F.col(sb).cast("decimal(38,0)")
+            ).cast("double")
+            / n
+        )
 
     def corr(sab, sa, sb, saa, sbb):
         return cov(sab, sa, sb) / F.sqrt(
@@ -965,7 +971,14 @@ def q354_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = per.select(
         "g",
         "ni",
-        F.round(F.log(s2), 12).cast("decimal(28,18)").alias("ln_s2"),
+        # weighted log term in DOUBLE then one 9dp round into a fixed-
+        # scale decimal: a decimal (ni-1)*ln_s2 multiply would let
+        # Spark downgrade the product to decimal(38,7) while DuckDB
+        # keeps scale 18 (verified divergence up to 5e-8/group) —
+        # rounding a double product is identical in both engines
+        F.round(
+            (F.col("ni") - 1).cast("double") * F.round(F.log(s2), 12), 9
+        ).cast("decimal(28,9)").alias("w_ln"),
         F.round(ssw, 6).cast("decimal(28,6)").alias("ssw"),
         F.round(1.0 / (F.col("ni").cast("double") - 1.0), 18)
         .cast("decimal(28,18)")
@@ -974,9 +987,7 @@ def q354_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = grp.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("ni").alias("n"),
-        F.sum(((F.col("ni") - 1) * F.col("ln_s2")).cast("decimal(28,18)")).alias(
-            "sum_w_ln"
-        ),
+        F.sum("w_ln").alias("sum_w_ln"),
         F.sum("ssw").alias("sum_ssw"),
         F.sum("inv").alias("sum_inv"),
     )
@@ -1373,15 +1384,15 @@ EXTRA_ORACLE.update(
         FROM base
     ), r AS (
         SELECT
-          (CAST(s12 AS DOUBLE) - s1 * s2 / CAST(n AS DOUBLE))
-            / sqrt((CAST(s11 AS DOUBLE) - s1 * s1 / CAST(n AS DOUBLE))
-                 * (CAST(s22 AS DOUBLE) - s2 * s2 / CAST(n AS DOUBLE))) AS r12,
-          (CAST(s13 AS DOUBLE) - s1 * s3 / CAST(n AS DOUBLE))
-            / sqrt((CAST(s11 AS DOUBLE) - s1 * s1 / CAST(n AS DOUBLE))
-                 * (CAST(s33 AS DOUBLE) - s3 * s3 / CAST(n AS DOUBLE))) AS r13,
-          (CAST(s23 AS DOUBLE) - s2 * s3 / CAST(n AS DOUBLE))
-            / sqrt((CAST(s22 AS DOUBLE) - s2 * s2 / CAST(n AS DOUBLE))
-                 * (CAST(s33 AS DOUBLE) - s3 * s3 / CAST(n AS DOUBLE))) AS r23
+          (CAST(s12 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0)) * s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((CAST(s11 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s22 AS DOUBLE) - CAST(CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE) / CAST(n AS DOUBLE))) AS r12,
+          (CAST(s13 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0)) * s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((CAST(s11 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s33 AS DOUBLE) - CAST(CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE) / CAST(n AS DOUBLE))) AS r13,
+          (CAST(s23 AS DOUBLE) - CAST(CAST(s2 AS DECIMAL(38,0)) * s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((CAST(s22 AS DOUBLE) - CAST(CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s33 AS DOUBLE) - CAST(CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE) / CAST(n AS DOUBLE))) AS r23
         FROM m
     ), rows_ AS (
         SELECT 'l_quantity' AS predictor,
@@ -1411,10 +1422,11 @@ EXTRA_ORACLE.update(
         FROM orders GROUP BY 1
     ), grp AS (
         SELECT g, ni,
-               CAST(ROUND(ln(CAST(CAST(ni AS DECIMAL(38,0)) * sxx - sx * sx
-                                  AS DOUBLE)
-                             / (CAST(ni AS DOUBLE) * (ni - 1.0))), 12)
-                    AS DECIMAL(28,18)) AS ln_s2,
+               CAST(ROUND(CAST(ni - 1 AS DOUBLE)
+                          * ROUND(ln(CAST(CAST(ni AS DECIMAL(38,0)) * sxx
+                                          - sx * sx AS DOUBLE)
+                                     / (CAST(ni AS DOUBLE) * (ni - 1.0))), 12),
+                          9) AS DECIMAL(28,9)) AS w_ln,
                CAST(ROUND(CAST(CAST(ni AS DECIMAL(38,0)) * sxx - sx * sx
                                AS DOUBLE) / CAST(ni AS DOUBLE), 6)
                     AS DECIMAL(28,6)) AS ssw,
@@ -1422,7 +1434,7 @@ EXTRA_ORACLE.update(
         FROM per
     ), agg AS (
         SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
-               SUM(CAST((ni - 1) * ln_s2 AS DECIMAL(28,18))) AS sum_w_ln,
+               SUM(w_ln) AS sum_w_ln,
                SUM(ssw) AS sum_ssw, SUM(inv) AS sum_inv
         FROM grp
     )
@@ -1691,10 +1703,11 @@ def q362_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_all").alias("t"),
         )
     )
+    # same overflow class as q352: ln-argument factors to double first
     term_a = F.col("a") * F.round(
         F.log(
-            (F.col("a") * F.col("nn")).cast("double")
-            / (F.col("na") * F.col("t")).cast("double")
+            (F.col("a").cast("double") * F.col("nn").cast("double"))
+            / (F.col("na").cast("double") * F.col("t").cast("double"))
         ),
         12,
     )
@@ -1702,8 +1715,8 @@ def q362_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b")
         * F.round(
             F.log(
-                (F.col("b") * F.col("nn")).cast("double")
-                / (F.col("nb") * F.col("t")).cast("double")
+                (F.col("b").cast("double") * F.col("nn").cast("double"))
+                / (F.col("nb").cast("double") * F.col("t").cast("double"))
             ),
             12,
         )
@@ -1992,11 +2005,11 @@ EXTRA_ORACLE.update(
     ), scored AS (
         SELECT source, token, a, b,
                ROUND(2.0 * (
-                   a * ROUND(ln(CAST(a * nn AS DOUBLE)
-                                / CAST(na * t AS DOUBLE)), 12)
+                   a * ROUND(ln((CAST(a AS DOUBLE) * CAST(nn AS DOUBLE))
+                                / (CAST(na AS DOUBLE) * CAST(t AS DOUBLE))), 12)
                    + CASE WHEN b = 0 THEN 0.0
-                          ELSE b * ROUND(ln(CAST(b * nn AS DOUBLE)
-                                            / CAST(nb * t AS DOUBLE)), 12)
+                          ELSE b * ROUND(ln((CAST(b AS DOUBLE) * CAST(nn AS DOUBLE))
+                                            / (CAST(nb AS DOUBLE) * CAST(t AS DOUBLE))), 12)
                      END), 9) AS g2
         FROM base
     )

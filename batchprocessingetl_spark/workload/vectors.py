@@ -1793,6 +1793,22 @@ def _noise_planes_b(n: int) -> int:
     return NOISE_MAX_PLANES
 
 
+def _noise_planes(emb: DataFrame) -> list[list[float]]:
+    """Adaptive sign-LSH planes shared by q335 and q346 (the recall
+    audit must track EXACTLY the shipped candidate generator, so the
+    construction lives in one place): plane rows are embeddings
+    1.._noise_planes_b(n), collected as model parameters (q66's
+    documented materialization)."""
+    b = _noise_planes_b(emb.count())
+    rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= b))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
 def knn_label_noise_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT full-corpus twin of q335 — every vector's true cosine
     top-10 over the whole corpus via the q50 block GEMM. O(n^2/B) by
@@ -1864,14 +1880,7 @@ def q335_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    b = _noise_planes_b(emb.count())
-    rows = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= b))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    planes = [[float(x) for x in r["embedding"]] for r in rows]
+    planes = _noise_planes(emb)
     cells = emb.select(
         "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
     ).withColumn("cell", S.lsh_bucket(F.col("v"), planes))

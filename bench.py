@@ -202,6 +202,10 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        # which headline set ran — an A/B arm (SPARK_GRAFT_BENCH_SET)
+        # must never be mistaken for a full round when compared later
+        "bench_set": bench_set,
+        "n_queries": len(headline),
         "queries": timings,
         "sf": sf,
         # host-speed yardstick: compare value/calibration (and
@@ -234,7 +238,13 @@ def main() -> None:
         }
     print("# diagnostics: " + json.dumps(diag), file=sys.stderr)
     line = json.dumps(out)
-    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    if len(line) >= 1900:
+        # never lose the round's numbers: overflow moves the per-query
+        # map to stderr and re-serializes the (always small) summary —
+        # an explicit branch, not an assert, so python -O can't disable
+        # it and the measurement is emitted either way
+        print("# queries (overflowed stdout line): " + json.dumps(out.pop("queries")), file=sys.stderr)
+        line = json.dumps(out)
     print(line)
 
 

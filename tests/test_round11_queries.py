@@ -240,6 +240,45 @@ def test_label_noise_matches_cell_replay(spark, emb_pdf):
         assert g[2] == flg
 
 
+def test_label_noise_exact_twin_matches_bruteforce(spark, emb_pdf):
+    """Independent numpy pin of the EXACT full-corpus twin — the
+    agreement test below compares engine-vs-engine, so the baseline
+    itself needs a third implementation (a shared-rollup bug would
+    otherwise pass both arms)."""
+    from batchprocessingetl_spark.workload.vectors import (
+        NOISE_K,
+        knn_label_noise_exact,
+    )
+
+    pdf, mat = emb_pdf
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    cos = _cos6(mat, mat)
+    n = len(ids)
+    per_label = {}
+    for q in range(n):
+        order = [c for c in np.lexsort((ids, -cos[:, q])) if c != q][:NOISE_K]
+        nd = int(sum(labels[c] != labels[q] for c in order))
+        nb = len(order)
+        lbl = int(labels[q])
+        tot, tnb, cnt, flg = per_label.get(lbl, (0, 0, 0, 0))
+        per_label[lbl] = (
+            tot + nd,
+            tnb + nb,
+            cnt + 1,
+            flg + (1 if nd * 2 > nb else 0),
+        )
+    got = {
+        r["label"]: (r["n_points"], r["avg_noise_rate"], r["n_flagged"])
+        for r in knn_label_noise_exact(spark, SF_SMOKE).collect()
+    }
+    for lbl, (tot, tnb, cnt, flg) in per_label.items():
+        g = got[lbl]
+        assert g[0] == cnt
+        assert abs(g[1] - tot / max(tnb, 1)) <= 5.01e-7
+        assert g[2] == flg
+
+
 def test_label_noise_candidate_plan_agrees_with_exact(spark):
     """Agreement twin (VERDICT r11 #1): the shipped cell-candidate
     audit must track the exact full-corpus O(n^2/B) baseline —

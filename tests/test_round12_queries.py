@@ -350,7 +350,7 @@ def test_bartlett_matches_python(spark, orders_pdf):
         ni = len(x)
         sx, sxx = int(x.sum()), int((x * x).sum())
         s2 = (ni * sxx - sx * sx) / (ni * (ni - 1.0))
-        sum_w_ln += (ni - 1) * round(math.log(s2), 12)
+        sum_w_ln += round((ni - 1) * round(math.log(s2), 12), 9)
         sum_ssw += round((ni * sxx - sx * sx) / ni, 6)
         sum_inv += round(1.0 / (ni - 1.0), 18)
         k += 1
