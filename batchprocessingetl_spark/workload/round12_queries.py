@@ -2131,3 +2131,246 @@ EXTRA_ORACLE.update(
 """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Final pair (q367-q368): growth accounting and flow-conservation audit
+# ---------------------------------------------------------------------------
+
+
+def q367_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting of the active-user base: new /
+    retained / resurrected / churned — the canonical four-way
+    decomposition (every active user today is exactly one of
+    new|retained|resurrected; churn balances yesterday's actives)
+    that product analytics runs over any activity log. Identities the
+    construction enforces by algebra, and the test pins:
+    active_d = new_d + retained_d + resurrected_d, and
+    churned_d = active_{d-1} - retained_d.
+
+    Plan: ONE distinct (user, day) frame (hash aggregate over the fact
+    table — the only corpus-sized pass), per-user lag/min windows on
+    that user-day grain (bounded by activity, not events), a day-spine
+    left join so silent days still report their churn (q209's
+    driver-spine rule), and one lag on the |days| frame. All exact
+    integer counts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    flags = (
+        ud.withColumn("first_day", F.min("day").over(Window.partitionBy("user_id")))
+        .withColumn("prev_day", F.lag("day").over(wu))
+        .select(
+            "day",
+            (F.col("day") == F.col("first_day")).cast("long").alias("is_new"),
+            (F.col("prev_day") == F.date_sub(F.col("day"), 1))
+            .cast("long")
+            .alias("is_retained"),
+            (
+                (F.col("day") != F.col("first_day"))
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub(F.col("day"), 1))
+                )
+            )
+            .cast("long")
+            .alias("is_resurrected"),
+        )
+    )
+    per_day = flags.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum("is_new").alias("new_users"),
+        F.sum("is_retained").alias("retained"),
+        F.sum("is_resurrected").alias("resurrected"),
+    )
+    bounds = per_day.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    full = spine.join(per_day, "day", "left").select(
+        "day",
+        *[
+            F.coalesce(c, F.lit(0)).alias(c)
+            for c in ("active", "new_users", "retained", "resurrected")
+        ],
+    )
+    wd = Window.orderBy("day")
+    return (
+        full.withColumn(
+            "churned",
+            F.coalesce(F.lag("active").over(wd), F.lit(0)) - F.col("retained"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            "churned",
+        )
+        .orderBy("day")
+    )
+
+
+def q368_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law flow audit of the order pipeline: time-averaged
+    work-in-progress computed TWO independent ways — the per-order
+    direct sum of durations, and a distributed +1/-1 event sweep over
+    the day spine — must agree EXACTLY (both are the same integral of
+    the open-order step function, in exact integer order-days), and
+    L = lambda * W then holds by algebra. This is the conservation
+    check a 100 TB ingestion pipeline runs on its own backlog
+    accounting: a disagreement means intervals are being dropped or
+    double-counted somewhere. An order opens at o_orderdate and
+    closes at its LAST lineitem ship date, clamped to open >= close
+    (the synthetic fixture has ship dates before order dates — q293's
+    documented negative-offset quirk; clamping keeps every interval
+    well-formed and the identity exact). The sweep is one hash
+    aggregate to (day, +/-delta) plus a cumulative window on the day
+    spine — the same machinery at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = (
+        li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("ship"))
+    )
+    iv = (
+        o.select("o_orderkey", F.to_date("o_orderdate").alias("arrive"))
+        .join(comp, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "arrive",
+            F.greatest(F.col("ship"), F.col("arrive")).alias("close"),
+        )
+    )
+    direct = iv.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff("close", "arrive")).alias("wip_direct"),
+        F.min("arrive").alias("lo"),
+        F.max("close").alias("hi"),
+    )
+    deltas = (
+        iv.select(F.col("arrive").alias("day"), F.lit(1).alias("d"))
+        .unionByName(iv.select(F.col("close").alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    spine = direct.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    open_days = (
+        spine.join(deltas, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .withColumn("open", F.sum("delta").over(wd))
+    )
+    sweep = open_days.agg(F.sum("open").alias("wip_sweep"))
+    n = F.col("n_orders").cast("double")
+    horizon = F.datediff("hi", "lo")
+    return direct.crossJoin(F.broadcast(sweep)).select(
+        "n_orders",
+        horizon.cast("long").alias("horizon_days"),
+        "wip_direct",
+        "wip_sweep",
+        (F.col("wip_direct") == F.col("wip_sweep")).alias("identity_ok"),
+        F.round(n / horizon.cast("double"), 6).alias("lambda_per_day"),
+        F.round(F.col("wip_direct") / n, 6).alias("w_days"),
+        F.round(
+            F.col("wip_direct") / horizon.cast("double"), 6
+        ).alias("wip_timeavg"),
+    )
+
+
+EXTRA_QUERIES.update(
+    {
+        "q367_growth_accounting": q367_growth_accounting,
+        "q368_littles_law_audit": q368_littles_law_audit,
+    }
+)
+
+EXTRA_ORACLE.update(
+    {
+        "q367_growth_accounting": """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ), flags AS (
+        SELECT day,
+               CASE WHEN day = MIN(day) OVER (PARTITION BY user_id)
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                         = day - INTERVAL 1 DAY THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN day <> MIN(day) OVER (PARTITION BY user_id)
+                     AND (LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                              IS NULL
+                          OR LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                              < day - INTERVAL 1 DAY)
+                    THEN 1 ELSE 0 END AS is_resurrected
+        FROM ud
+    ), per_day AS (
+        SELECT day, COUNT(*) AS active,
+               CAST(SUM(is_new) AS BIGINT) AS new_users,
+               CAST(SUM(is_retained) AS BIGINT) AS retained,
+               CAST(SUM(is_resurrected) AS BIGINT) AS resurrected
+        FROM flags GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(MIN(day), MAX(day),
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM per_day
+    ), full_ AS (
+        SELECT s.day,
+               COALESCE(active, 0) AS active,
+               COALESCE(new_users, 0) AS new_users,
+               COALESCE(retained, 0) AS retained,
+               COALESCE(resurrected, 0) AS resurrected
+        FROM spine s LEFT JOIN per_day p ON s.day = p.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, active, new_users, retained,
+           resurrected,
+           COALESCE(LAG(active) OVER (ORDER BY day), 0) - retained AS churned
+    FROM full_ ORDER BY day
+""",
+        "q368_littles_law_audit": """
+    WITH comp AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship
+        FROM lineitem GROUP BY 1
+    ), iv AS (
+        SELECT CAST(o_orderdate AS DATE) AS arrive,
+               GREATEST(ship, CAST(o_orderdate AS DATE)) AS close
+        FROM orders JOIN comp ON o_orderkey = l_orderkey
+    ), direct AS (
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(DATE_DIFF('day', arrive, close)) AS BIGINT)
+                   AS wip_direct,
+               MIN(arrive) AS lo, MAX(close) AS hi
+        FROM iv
+    ), deltas AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+            SELECT arrive AS day, 1 AS d FROM iv
+            UNION ALL
+            SELECT close AS day, -1 AS d FROM iv
+        ) GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM direct
+    ), open_days AS (
+        SELECT s.day,
+               SUM(COALESCE(delta, 0)) OVER (ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        FROM spine s LEFT JOIN deltas d ON s.day = d.day
+    ), sweep AS (
+        SELECT CAST(SUM(open) AS BIGINT) AS wip_sweep FROM open_days
+    )
+    SELECT n_orders, DATE_DIFF('day', lo, hi) AS horizon_days,
+           wip_direct, wip_sweep,
+           wip_direct = wip_sweep AS identity_ok,
+           ROUND(n_orders / CAST(DATE_DIFF('day', lo, hi) AS DOUBLE), 6)
+               AS lambda_per_day,
+           ROUND(wip_direct / CAST(n_orders AS DOUBLE), 6) AS w_days,
+           ROUND(wip_direct / CAST(DATE_DIFF('day', lo, hi) AS DOUBLE), 6)
+               AS wip_timeavg
+    FROM direct, sweep
+""",
+    }
+)

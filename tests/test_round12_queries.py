@@ -677,3 +677,70 @@ def test_gunning_fog_matches_python(spark, docs_pdf):
         )
         want = 0.4 * (dw / ds + 100.0 * dcw / dw)
         assert abs(r["fog_index"] - want) <= 5.01e-7
+
+
+# ---- final pair (q367-q368) ----
+
+
+def test_growth_accounting_matches_python_and_identities(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["user_id"])
+    ud = sorted(
+        {(int(u), d) for u, d in zip(ev["user_id"], ev["ts"].dt.floor("D"))}
+    )
+    by_user: dict = {}
+    for u, d in ud:
+        by_user.setdefault(u, []).append(d)
+    per_day: dict = {}
+    for u, days in by_user.items():
+        for i, d in enumerate(days):
+            a, nw, rt, rs = per_day.get(d, (0, 0, 0, 0))
+            new = 1 if i == 0 else 0
+            ret = 1 if i > 0 and days[i - 1] == d - pd.Timedelta(days=1) else 0
+            res = 1 if i > 0 and days[i - 1] < d - pd.Timedelta(days=1) else 0
+            per_day[d] = (a + 1, nw + new, rt + ret, rs + res)
+    rows = EXTRA["q367_growth_accounting"](spark, SF_SMOKE).collect()
+    got = {pd.Timestamp(r["day"]): r for r in rows}
+    lo, hi = min(per_day), max(per_day)
+    assert min(got) == lo and max(got) == hi
+    prev_active = 0
+    d = lo
+    while d <= hi:
+        a, nw, rt, rs = per_day.get(d, (0, 0, 0, 0))
+        r = got[d]
+        assert (r["active"], r["new_users"], r["retained"], r["resurrected"]) == (
+            a,
+            nw,
+            rt,
+            rs,
+        )
+        # the four-way decomposition and the churn balance
+        assert r["active"] == r["new_users"] + r["retained"] + r["resurrected"]
+        assert r["churned"] == prev_active - r["retained"]
+        prev_active = r["active"]
+        d += pd.Timedelta(days=1)
+
+
+def test_littles_law_audit_identities(spark):
+    row = EXTRA["q368_littles_law_audit"](spark, SF_SMOKE).collect()[0]
+    # the conservation check itself: two independent integrals agree
+    assert row["identity_ok"] is True
+    assert row["wip_direct"] == row["wip_sweep"]
+    # Little's law holds by algebra on the audited quantities
+    # lambda and W are independently 6dp-rounded, so the product
+    # carries up to ~lambda*5e-7 + W*5e-7 of rounding slack
+    assert abs(
+        row["lambda_per_day"] * row["w_days"] - row["wip_timeavg"]
+    ) <= 1e-3 * row["wip_timeavg"]
+    # independent pandas replica of the direct integral
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    comp = li.assign(ship=li["l_shipdate"].dt.floor("D")).groupby("l_orderkey")[
+        "ship"
+    ].max()
+    j = o.assign(arrive=o["o_orderdate"].dt.floor("D")).join(
+        comp, on="o_orderkey", how="inner"
+    )
+    close = j[["ship", "arrive"]].max(axis=1)
+    want = int((close - j["arrive"]).dt.days.sum())
+    assert row["wip_direct"] == want
+    assert row["n_orders"] == len(j)
