@@ -73,6 +73,38 @@ class _AliasFinder:
         pass
 
 
+class _DynamicNamespacePath:
+    """Recomputed-per-access ``__path__`` for a synthesized namespace
+    parent: iterating yields every ``<sys.path entry>/<pkg>`` directory
+    that exists AT IMPORT TIME, so subpackages that become importable
+    after the parent was synthesized (pip install, sys.path append)
+    still resolve — the behavior stdlib namespace packages get from
+    ``importlib._bootstrap_external._NamespacePath``."""
+
+    def __init__(self, pkg: str) -> None:
+        self._pkg = pkg
+
+    def _paths(self) -> list[str]:
+        out = []
+        for entry in sys.path:
+            cand = os.path.join(entry or ".", self._pkg)
+            if os.path.isdir(cand):
+                out.append(cand)
+        return out
+
+    def __iter__(self):
+        return iter(self._paths())
+
+    def __len__(self) -> int:
+        return len(self._paths())
+
+    def __getitem__(self, i):
+        return self._paths()[i]
+
+    def __repr__(self) -> str:
+        return f"_DynamicNamespacePath({self._pkg!r}, {self._paths()!r})"
+
+
 def _ensure_google_parent(pb) -> None:
     """Make ``import google.protobuf`` work without displacing a real
     ``google`` namespace package: graft the vendored protobuf onto the
@@ -85,7 +117,12 @@ def _ensure_google_parent(pb) -> None:
             google_mod = importlib.import_module("google")
         except ImportError:
             google_mod = types.ModuleType("google")
-            google_mod.__path__ = []  # package marker; finder does the work
+            # pkgutil-style DYNAMIC namespace path (ADVICE r12): a
+            # frozen [] would permanently block google.* subpackages
+            # installed / sys.path-added later in the process; this
+            # recomputes the candidate dirs on every import attempt,
+            # like stdlib _NamespacePath does for real namespace pkgs
+            google_mod.__path__ = _DynamicNamespacePath("google")
             sys.modules["google"] = google_mod
     google_mod.protobuf = pb
 

@@ -47,66 +47,67 @@ _MODULES = (
     _round12,
 )
 
-# Round-12 rotation (VERDICT r11 #2, executed exactly as the
+# Round-13 rotation (VERDICT r12 #1, executed exactly as the
 # docs/COVERAGE.md rotation ledger schedules it). Newly rotated IN
-# (26): the never-checked q291-q301 rank/survival shelf (11) plus the
-# 15 family-restoring / oldest EXTRA-only rows the ledger names —
-# q191 Merkle diff (infra-audit), q183 BPE-apply + q194 fertility
-# (LM training), q197 HLL overlap (sketches), q224 k-anonymity
-# (record linkage), q169-q172 (drift/testing), q179/q180 (retrieval
-# eval), q199/q200 (datacard/funnel), q209 CUSUM, q229 mutual
-# information. Displaced to EXTRA (26): q281-q290 (twice-proven
-# r10+r11) and 16 once-proven rows of the q302-q331 shelf (the
-# ledger accepts one-proof rotation for rows displaced BY
-# never-checked rows; their second proof lands r14). Retained from
-# q302-q331 for a second driver proof (14): the 13 queries VERDICT
-# r10 named by name plus q315 (agreement family retainer).
+# (41): the final 26 never-checked rows — after this round EVERY
+# query declared through round 10 has >=1 driver CORRECTNESS row —
+# q38 (now full-value-oracled via the md5 simhash, VERDICT r12 #3),
+# q51, q56, q61 (rows-only by design: streaming), q173, q181, q184,
+# q189, q193, q201, q202, q205, q210-q213, q215, q217-q219, q222,
+# q223, q226, q227, q230, q231 — plus the complete round-11
+# embedding-diagnostics/time-series shelf q332-q344 (13) and the
+# head of the round-12 shelf (q345 AMS F2, q346 ANN recall audit).
+# Displaced to EXTRA (41): the 26 round-12 first-proof rows
+# (q291-q301, q191, q183, q194, q197, q224, q169-q172, q179/q180,
+# q199/q200, q209, q229), the 14 q302-q331 second-proof retainers
+# (now twice-proven), and q187 (thrice-proven clustering retainer).
+# The 9 standing anchors stay. q347-q368 fill round 14 alongside
+# the second proofs the ledger schedules there.
 _REGISTERED = (
-    # never-checked q291-q301 shelf — first driver proof (11)
-    "q291_cochran_armitage",
-    "q292_brown_forsythe",
-    "q293_kaplan_meier",
-    "q294_runs_test",
-    "q295_jonckheere_terpstra",
-    "q296_friedman_test",
-    "q297_mantel_haenszel",
-    "q298_kruskal_wallis",
-    "q299_cohens_kappa",
-    "q300_pages_trend",
-    "q301_theils_u",
-    # never-checked family-restoring EXTRA rows (15)
-    "q191_merkle_diff",
-    "q183_bpe_apply_compression",
-    "q194_tokenizer_fertility",
-    "q197_audience_overlap_hll",
-    "q224_k_anonymity_audit",
-    "q169_priority_auc",
-    "q170_chisq_independence",
-    "q171_psi_price_drift",
-    "q172_ks_two_sample",
-    "q179_retrieval_ndcg",
-    "q180_score_calibration",
-    "q199_corpus_datacard",
-    "q200_curation_funnel",
-    "q209_cusum_changepoint",
-    "q229_mutual_information",
-    # q302-q331 retainers, second driver proof (14)
-    "q302_logrank_test",
-    "q304_wasserstein_daily_revenue",
-    "q308_hodges_lehmann",
-    "q312_matryoshka_rerank",
-    "q313_binary_hamming_rerank",
-    "q315_agreement_family",
-    "q318_markov_entropy_rate",
-    "q319_modularity_score",
-    "q320_jarque_bera",
-    "q322_anderson_darling_2s",
-    "q325_cooks_distance",
-    "q328_page_hinkley",
-    "q329_dickey_fuller",
-    "q331_kpss",
-    # clustering family retainer (q253 k-center displaced)
-    "q187_kmeans_clusters",
+    # final never-checked rows — first driver proof (26)
+    "q38_simhash_signatures",
+    "q51_label_centroid_similarity",
+    "q56_knn_int8",
+    "q61_streaming_hourly",
+    "q173_embedding_covariance",
+    "q181_ngram_novelty",
+    "q184_pmi_collocations",
+    "q189_triplet_mining",
+    "q193_theil_sen_trend",
+    "q201_span_corruption",
+    "q202_batch_padding_efficiency",
+    "q205_cohens_kappa",
+    "q210_target_encoding",
+    "q211_woe_iv",
+    "q212_average_precision",
+    "q213_decision_stump",
+    "q215_quantile_normalization",
+    "q217_adamic_adar",
+    "q218_oof_target_encoding",
+    "q219_group_moments",
+    "q222_feature_hash_audit",
+    "q223_conformal_coverage",
+    "q226_benford_audit",
+    "q227_naive_bayes_langid",
+    "q230_fk_integrity",
+    "q231_cross_source_overlap",
+    # round-11 shelf — first driver proof (13)
+    "q332_knn_shapley",
+    "q333_mmd_quadratic",
+    "q334_energy_distance",
+    "q335_knn_label_noise",
+    "q336_davies_bouldin",
+    "q337_silhouette_centroid",
+    "q338_twonn_intrinsic_dim",
+    "q339_seasonality_scan",
+    "q340_t_closeness",
+    "q341_hurst_rs",
+    "q342_zipf_fit",
+    "q343_heaps_law",
+    "q344_overdispersion",
+    # round-12 shelf head — first driver proof (2)
+    "q345_ams_f2_sketch",
+    "q346_ann_recall_audit",
     # anchors
     "q03_product_sales_in_year",
     "q40_staging_clean",

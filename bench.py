@@ -237,6 +237,11 @@ def main() -> None:
             if k in pq and pq[k] > 0
         }
     print("# diagnostics: " + json.dumps(diag), file=sys.stderr)
+    # canonical full artifact: always contains the per-query map even
+    # when the stdout line overflows the driver's 2000-char window —
+    # tools/ab_bench.py reads this when 'queries' is missing (ADVICE r12)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump(out, fh)
     line = json.dumps(out)
     if len(line) >= 1900:
         # never lose the round's numbers: overflow moves the per-query

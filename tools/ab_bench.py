@@ -26,6 +26,10 @@ SHARED = 17  # the BENCH_r01-r10 headline prefix
 
 def run_once(bench_set: str) -> dict:
     env = dict(os.environ)
+    # a pre-set SPARK_GRAFT_BENCH_SET would make BOTH arms run the
+    # same set and the A/B silently measure nothing (ADVICE r12) —
+    # clear it, then set it only for the non-full arm
+    env.pop("SPARK_GRAFT_BENCH_SET", None)
     if bench_set != "full":
         env["SPARK_GRAFT_BENCH_SET"] = bench_set
     out = subprocess.run(
@@ -35,7 +39,14 @@ def run_once(bench_set: str) -> dict:
         env=env,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    if "queries" not in doc:
+        # bench.py's stdout-overflow branch drops per-query timings
+        # from the printed line but always writes the full document
+        # to bench_full.json — read that instead of KeyError-ing
+        with open(os.path.join(HERE, "bench_full.json")) as fh:
+            doc = json.load(fh)
+    return doc
 
 
 def shared_norm(doc: dict) -> float:
