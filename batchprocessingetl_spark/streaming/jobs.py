@@ -2004,21 +2004,21 @@ def ams_f2_rollup_stream(
     q.awaitTermination()
 
 
-def ams_f2_estimate(
-    spark: SparkSession, state_dir: str, n_estimators: int = 16
+def ams_f2_estimate_from_partials(
+    partials: DataFrame, n_estimators: int = 16
 ) -> DataFrame:
-    """F2 estimate off the stream-maintained AMS state: sum each
-    estimator's partials across epoch partitions (linearity), square,
-    take the median — mean of the two middle order stats for an even
-    estimator count (the q345 convention), the single middle one for
-    odd. ``n_estimators`` must match the rollup's; passing it (rather
-    than count()-ing the state) keeps the read path to ONE scan of the
-    estimators x epochs state."""
+    """The AMS read-path algebra on a frame of (i, s) partial sums
+    (one row per estimator per epoch partition): sum each estimator's
+    partials (linearity), square, take the median — mean of the two
+    middle order stats for an even estimator count (the q345
+    convention), the single middle one for odd. Split out from
+    :func:`ams_f2_estimate` so the q369 batch replay
+    (workload/round13_queries.py) oracle-pins the SAME code the
+    stream reader runs."""
     from pyspark.sql.window import Window
 
     sums = (
-        spark.read.parquet(state_dir)
-        .groupBy("i")
+        partials.groupBy("i")
         .agg(F.sum("s").alias("s"))
         .select("i", (F.col("s") * F.col("s")).alias("est"))
     )
@@ -2033,3 +2033,16 @@ def ams_f2_estimate(
         .agg((F.sum("est") / F.lit(float(len(picks)))).alias("f2_estimate"))
     )
     return med
+
+
+def ams_f2_estimate(
+    spark: SparkSession, state_dir: str, n_estimators: int = 16
+) -> DataFrame:
+    """F2 estimate off the stream-maintained AMS state — ONE scan of
+    the estimators x epochs state, then the shared read-path algebra
+    (:func:`ams_f2_estimate_from_partials`). ``n_estimators`` must
+    match the rollup's; passing it (rather than count()-ing the state)
+    avoids an extra job."""
+    return ams_f2_estimate_from_partials(
+        spark.read.parquet(state_dir), n_estimators
+    )

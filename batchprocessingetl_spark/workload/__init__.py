@@ -29,6 +29,7 @@ from batchprocessingetl_spark.workload import (
     pipeline_queries as _pipeline,
     relational as _relational,
     round12_queries as _round12,
+    round13_queries as _round13,
     stats_queries as _stats,
     textops as _textops,
     vectors as _vectors,
@@ -45,6 +46,7 @@ _MODULES = (
     _stats,
     _inference,
     _round12,
+    _round13,
 )
 
 # Round-13 rotation (VERDICT r12 #1, executed exactly as the

@@ -56,6 +56,11 @@ HEADLINE = (
     "q312_matryoshka_rerank",        # 8-of-64-dim coarse pass + exact re-rank funnel
     "q313_binary_hamming_rerank",    # packed-sign-bit popcount shortlist + exact re-rank
     "q147_hybrid_retrieval_rrf",     # BM25 + dense RRF rank fusion
+    # Round-13 additions (VERDICT r12 #5): round-over-round tracking
+    # for the round-12 shelf. Earlier rows unchanged for continuity.
+    "q345_ams_f2_sketch",            # AMS sketch vs exact F2 (one corpus agg + 16-row frames)
+    "q346_ann_recall_audit",         # recall@10 of the sign-LSH cell path (exercises q335's candidates)
+    "q368_littles_law_audit",        # day-sweep WIP integral (the highest-alpha r12 plan, 0.54)
 )
 
 

@@ -236,6 +236,37 @@ def test_bench_set_is_subset_of_plan_audit():
     assert set(AUDITED) == set(collect_queries()) | set(collect_extra_queries())
 
 
+def test_plans_doc_covers_full_registry():
+    """VERDICT r12 #2: the committed docs/PLANS.md must carry a `## q...`
+    section for EVERY declared query. The old guard only pinned the
+    AUDITED derivation, so a query added after the last regeneration
+    shipped without its plan audit (q367/q368 in round 12). This keys
+    the check off the COMMITTED DOC vs the live registry — a new query
+    now fails pytest until `python tools/plan_audit.py > docs/PLANS.md`
+    is re-run."""
+    import os
+    import re as _re
+
+    from batchprocessingetl_spark.workload import (
+        collect_extra_queries,
+        collect_queries,
+    )
+
+    doc_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "PLANS.md",
+    )
+    with open(doc_path) as fh:
+        have = set(_re.findall(r"^## (q\w+)\s*$", fh.read(), _re.M))
+    want = set(collect_queries()) | set(collect_extra_queries())
+    missing = sorted(want - have)
+    assert not missing, (
+        "PLANS.md lacks plan-audit sections for declared queries "
+        f"(regenerate: python tools/plan_audit.py > docs/PLANS.md): {missing}"
+    )
+
+
 def test_global_window_guard_detects_fact_grain_windows(spark):
     """VERDICT r7 #3: tools/plan_audit.py::unguarded_global_windows must
     flag an empty-partition window running at fact grain and accept one
