@@ -32,6 +32,33 @@ HEX15 = float(16**15)
 MAX_DEPTH = 4  # md5 yields 32 hex chars = 4 independent 8-hex chunks
 
 
+def ams_sign(i_col: Column, key_col: Column) -> Column:
+    """+-1 Tug-of-War sign for AMS estimator ``i`` and ``key``:
+    md5('ams{i}:{key}') first-hex parity. The ONE definition shared by
+    the batch sketch (q345), the streaming fold
+    (streaming/jobs.py::ams_f2_rollup_stream) and the epoch replay
+    (q369) — their oracles replicate it as
+    ``('0x'||substr(md5('ams'||i||':'||key),1,1))::INT % 2``, and the
+    q369==q345 pytest pin depends on all three agreeing."""
+    first_hex = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ams"),
+                    i_col.cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return F.when(first_hex % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
 def _bucket(h: Column, row: Column, width: int) -> Column:
     """Row ``i``'s bucket is the i-th 8-hex (32-bit) chunk of ONE md5
     of the key, mod width — one hash evaluation serves all d rows

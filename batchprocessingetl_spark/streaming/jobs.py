@@ -1959,34 +1959,17 @@ def ams_f2_rollup_stream(
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        from batchprocessingetl_spark.operators.sketches import ams_sign
+
         est = counts.select(
             key_col,
             "c",
             F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1))).alias("i"),
         )
-        first_hex = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("ams"),
-                        F.col("i").cast("string"),
-                        F.lit(":"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                1,
-                1,
-            ),
-            16,
-            10,
-        ).cast("int")
         partials = (
             est.select(
                 "i",
-                (
-                    F.when(first_hex % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-                    * F.col("c")
-                ).alias("sc"),
+                (ams_sign(F.col("i"), F.col(key_col)) * F.col("c")).alias("sc"),
             )
             .groupBy("i")
             .agg(F.sum("sc").alias("s"))

@@ -53,32 +53,16 @@ def q345_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size. Sum of signed counts is bounded by total rows
     (|sum| <= N), so the squared estimator fits a BIGINT at any
     realistic scale (N < 3e9 per key-domain shard)."""
+    from batchprocessingetl_spark.operators.sketches import ams_sign
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     est = counts.select(
         "user_id", "c", F.explode(F.sequence(F.lit(0), F.lit(AMS_ESTIMATORS - 1))).alias("i")
     )
-    first_hex = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("ams"),
-                    F.col("i").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            ),
-            1,
-            1,
-        ),
-        16,
-        10,
-    ).cast("int")
     signed = est.select(
         "i",
-        (F.when(first_hex % 2 == 0, F.lit(1)).otherwise(F.lit(-1)) * F.col("c")).alias(
-            "sc"
-        ),
+        (ams_sign(F.col("i"), F.col("user_id")) * F.col("c")).alias("sc"),
     )
     ests = (
         signed.groupBy("i")
@@ -93,7 +77,16 @@ def q345_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+        # exact DECIMAL(38,0) accumulation: per-key c^2 can reach N^2,
+        # and a LongType sum would wrap silently where the oracle's
+        # HUGEINT stays exact (round-13 self-review); the final BIGINT
+        # cast matches the declared output type
+        F.sum(
+            (F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("f2_exact"),
     )
     return exact.crossJoin(F.broadcast(med)).select(
         "n_keys",

@@ -10,16 +10,18 @@ signed partial sums folded with the exact algebra
 median pipeline the stream reader executes is value-checked
 end-to-end by a plain SQL oracle.
 
-q370-q373 are the round-13 net-new shelf — four classic components a
-100 TB training-data pipeline runs that the 368-query surface did not
-yet cover: exact weighted isotonic regression (PAV, the calibration
-FIT next to q180's calibration DIAGNOSIS), Gini/Lorenz revenue
-concentration with the distributed exact-rank decomposition (no
-single-task sort), a Johnson-Lindenstrauss random-projection
-distortion audit (the dimensionality-budget check next to q338's
-intrinsic-dimension estimate), and a Count-Min frequency sketch vs
-exact counts (the linear, mergeable point-query sketch the family —
-HLL, KMV, bitmap, histogram, AMS — was missing).
+q370-q373 are the round-13 net-new shelf: exact weighted isotonic
+regression (PAV, the calibration FIT next to q180's calibration
+DIAGNOSIS — genuinely new), Gini/Lorenz revenue concentration with
+the distributed exact-rank decomposition (no single-task sort —
+new), a Johnson-Lindenstrauss random-projection distortion audit
+(the dimensionality-budget check next to q338's intrinsic-dimension
+estimate — new), and a Count-Min audit on the Zipf term domain via
+the EXISTING shared operator (operators/sketches.py, already
+q121-audited on user_ids — q373 extends its coverage to the
+power-law regime where collisions land on heavy hitters, and
+replaced an earlier inline duplicate of the hashing the round-13
+self-review caught).
 
 House parity discipline throughout (workload/parity.py): exact
 integer arithmetic to the last op, md5-derived pseudo-randomness
@@ -57,6 +59,7 @@ def q369_ams_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, then constant-size frames (64 partial rows, 16 estimator
     rows). The epoch column only widens the first aggregate's key; no
     extra shuffle."""
+    from batchprocessingetl_spark.operators.sketches import ams_sign
     from batchprocessingetl_spark.streaming.jobs import ams_f2_estimate_from_partials
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -81,27 +84,11 @@ def q369_ams_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.explode(F.sequence(F.lit(0), F.lit(AMS_ESTIMATORS - 1))).alias("i"),
     )
-    first_hex = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("ams"),
-                    F.col("i").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            ),
-            1,
-            1,
-        ),
-        16,
-        10,
-    ).cast("int")
     partials = (
         est.select(
             "epoch",
             "i",
-            (F.when(first_hex % 2 == 0, F.lit(1)).otherwise(F.lit(-1)) * F.col("c")).alias("sc"),
+            (ams_sign(F.col("i"), F.col("user_id")) * F.col("c")).alias("sc"),
         )
         .groupBy("epoch", "i")
         .agg(F.sum("sc").alias("s"))
@@ -112,7 +99,15 @@ def q369_ams_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("ct"))
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.col("ct") * F.col("ct")).alias("f2_exact"),
+            # DECIMAL(38,0) accumulation, BIGINT output — ct^2 can reach
+            # N^2 and a LongType sum would wrap where the oracle's
+            # HUGEINT stays exact (round-13 self-review, q345's fix)
+            F.sum(
+                (F.col("ct").cast("decimal(19,0)") * F.col("ct").cast("decimal(19,0)"))
+                .cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("f2_exact"),
         )
     )
     return exact.crossJoin(F.broadcast(med)).select(
@@ -409,78 +404,54 @@ def q372_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CMS_D = 4
-CMS_W = 256
+CMS_W = 1024
 CMS_PROBES = 20
+CMS_EPS = 2.718281828459045 / CMS_W  # e / w — the CM error bound
 
 
 def q373_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch (Cormode-Muthukrishnan 2005) of corpus term
-    frequencies, audited against exact counts on the top-20 terms —
-    the linear, MERGEABLE point-query sketch the house family (HLL
-    cardinality, KMV, bitmap, histogram bins, AMS F2) was missing.
-    CMS_D=4 rows x CMS_W=256 counters; row hashes are md5-derived
-    ('cm{r}:' + term, first 8 hex chars mod W — engine-independent),
-    estimate = min over rows of the hit counter; CMS never
-    underestimates, so `overestimate >= 0` is a structural invariant
-    the oracle re-derives.
+    """Count-Min audit on the Zipf TERM domain, through the SHARED
+    sketch operator (operators/sketches.py::cms_build /
+    cms_point_estimates — the exact operator q121 audits on user_ids):
+    term frequencies are power-law (q342 pins s~1), which is the
+    regime where CMS is actually interesting — a heavy hitter
+    colliding into a probe's counter dominates the overestimate,
+    where q121's near-uniform user domain only ever adds small
+    cross-terms. Exact top-20 terms are re-estimated from the 4x1024
+    sketch; the CM guarantee is CHECKED per term (true <= est <=
+    true + eps*N, eps = e/w), and `overestimate >= 0` is structural.
 
-    Plan: ONE corpus-sized explode+hash-aggregate to term counts
-    (shared by sketch and truth), a 4-way explode of the TERM frame
-    into 1024 cells (constant-size state — the mergeable sketch a
-    stream or a 1000-shard union folds by plain addition, like the
-    AMS state), and a broadcast join of the 20 probe terms against
-    the 1024-cell frame."""
+    Plan: ONE corpus-sized explode feeds both the exact counts and
+    the sketch build (d*w counters regardless of corpus size,
+    mergeable across shards/streams by plain addition, like the AMS
+    state); the probe is a broadcast join of 20 terms against the
+    <=4096-cell frame. The oracle replays the identical sketch via
+    ``cms_sql_duckdb``."""
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
     from batchprocessingetl_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-    def bucket() -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cm"),
-                            F.col("r").cast("string"),
-                            F.lit(":"),
-                            F.col("term"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_W
-        )
-
-    cells = (
-        counts.select(
-            "term", "cnt", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
-        )
-        .select("r", bucket().alias("bkt"), "cnt")
-        .groupBy("r", "bkt")
-        .agg(F.sum("cnt").alias("cell"))
-    )
-    probes = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(CMS_PROBES)
-    probe_cells = probes.select(
-        "term", "cnt", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
-    ).select("term", "cnt", "r", bucket().alias("bkt"))
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(CMS_PROBES)
+    sketch = cms_build(terms, F.col("term"), CMS_D, CMS_W)
+    est = cms_point_estimates(sketch, probes, "term", CMS_D, CMS_W)
+    n_total = terms.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        probe_cells.join(F.broadcast(cells), ["r", "bkt"])
-        .groupBy("term", "cnt")
-        .agg(F.min("cell").alias("cms_est"))
+        probes.join(est, "term")
+        .crossJoin(F.broadcast(n_total))
         .select(
             "term",
-            F.col("cnt").alias("exact_cnt"),
-            "cms_est",
-            (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+            "exact_cnt",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("exact_cnt")).alias("overestimate"),
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (F.col("est") <= F.col("exact_cnt") + F.lit(CMS_EPS) * F.col("__n"))
+            ).alias("est_ok"),
         )
         .orderBy(F.desc("exact_cnt"), "term")
     )
@@ -604,36 +575,7 @@ EXTRA_ORACLE = {
                AS frac_within_25pct
     FROM rated
 """,
-    "q373_count_min_sketch": f"""
-    WITH counts AS (
-        SELECT term, COUNT(*) AS cnt
-        FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
-        GROUP BY 1
-    ), cells AS (
-        SELECT r.r,
-               ('0x' || substr(md5('cm' || r.r || ':' || term), 1, 8))::BIGINT
-                   % {CMS_W} AS bkt,
-               SUM(cnt) AS cell
-        FROM counts CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
-        GROUP BY 1, 2
-    ), probes AS (
-        SELECT term, cnt FROM counts
-        ORDER BY cnt DESC, term ASC LIMIT {CMS_PROBES}
-    ), est AS (
-        SELECT p.term, p.cnt, MIN(c.cell) AS cms_est
-        FROM probes p
-        CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
-        JOIN cells c
-          ON c.r = r.r
-         AND c.bkt = ('0x' || substr(md5('cm' || r.r || ':' || p.term), 1, 8))::BIGINT
-                     % {CMS_W}
-        GROUP BY 1, 2
-    )
-    SELECT term, CAST(cnt AS BIGINT) AS exact_cnt,
-           CAST(cms_est AS BIGINT) AS cms_est,
-           CAST(cms_est - cnt AS BIGINT) AS overestimate
-    FROM est ORDER BY exact_cnt DESC, term
-""",
+    "q373_count_min_sketch": None,  # built below (needs cms_sql_duckdb)
     "q369_ams_stream_estimate": f"""
     WITH ev AS (
         SELECT ('0x' || substr(md5('epoch:' || event_id), 1, 1))::INT % {AMS_EPOCHS}
@@ -667,3 +609,36 @@ EXTRA_ORACLE = {
     FROM exact, med
 """,
 }
+
+from batchprocessingetl_spark.operators.sketches import cms_sql_duckdb as _cms_sql
+
+EXTRA_ORACLE["q373_count_min_sketch"] = f"""
+    WITH terms AS (
+        SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+    ), exact AS (
+        SELECT term, COUNT(*) AS exact_cnt FROM terms GROUP BY 1
+    ), probes AS (
+        SELECT term, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, term ASC LIMIT {CMS_PROBES}
+    ), sketch AS (
+        {_cms_sql("terms", "term", CMS_D, CMS_W)}
+    ), pr AS (
+        SELECT p.term, p.exact_cnt, r.r AS row,
+               ('0x' || substr(md5('cms:' || p.term), r.r * 8 + 1, 8))::BIGINT
+                   % {CMS_W} AS bucket
+        FROM probes p
+        CROSS JOIN (SELECT unnest(range(0, {CMS_D}))::INT AS r) r
+    ), est AS (
+        SELECT term, exact_cnt, MIN(COALESCE(c, 0)) AS cms_est
+        FROM pr LEFT JOIN sketch USING (row, bucket)
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT COUNT(*)::BIGINT AS n FROM terms
+    )
+    SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overestimate,
+           (cms_est >= exact_cnt
+            AND cms_est <= exact_cnt + {CMS_EPS!r} * n) AS est_ok
+    FROM est, tot ORDER BY exact_cnt DESC, term
+"""

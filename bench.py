@@ -244,9 +244,20 @@ def main() -> None:
     print("# diagnostics: " + json.dumps(diag), file=sys.stderr)
     # canonical full artifact: always contains the per-query map even
     # when the stdout line overflows the driver's 2000-char window —
-    # tools/ab_bench.py reads this when 'queries' is missing (ADVICE r12)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
-        json.dump(out, fh)
+    # tools/ab_bench.py reads this when 'queries' is missing (ADVICE
+    # r12). SPARK_GRAFT_BENCH_FULL lets a harness give each subprocess
+    # its OWN artifact path (ab_bench does — a shared file would let
+    # concurrent runs clobber each other); a failed write must never
+    # cost the run its measurements, so it is best-effort.
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
+    try:
+        with open(artifact, "w") as fh:
+            json.dump(out, fh)
+    except OSError as exc:
+        print(f"# bench_full.json write failed (non-fatal): {exc}", file=sys.stderr)
     line = json.dumps(out)
     if len(line) >= 1900:
         # never lose the round's numbers: overflow moves the per-query

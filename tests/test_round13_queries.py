@@ -168,20 +168,32 @@ def test_jl_distortion_matches_numpy(spark):
 
 
 def test_count_min_sketch_matches_python(spark):
+    """Replays the SHARED operator's hash convention (one md5 of
+    'cms:'+key, row r reads hex chunk [8r, 8r+8)) — the same scheme
+    operators/sketches.py::cms_build uses and q121 audits on
+    user_ids; q373 runs it on the Zipf term domain."""
     from batchprocessingetl_spark.workload.round13_queries import (
         CMS_D,
+        CMS_EPS,
         CMS_PROBES,
         CMS_W,
     )
 
     docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
     counts: Counter = Counter()
+    n_total = 0
     for t in docs["text"]:
-        counts.update(t.split())
+        toks = t.split()
+        counts.update(toks)
+        n_total += len(toks)
+
+    def buckets(term: str) -> list[int]:
+        h = _md5(f"cms:{term}")
+        return [int(h[8 * r : 8 * r + 8], 16) % CMS_W for r in range(CMS_D)]
+
     cells: dict[tuple[int, int], int] = {}
     for term, c in counts.items():
-        for r in range(CMS_D):
-            b = int(_md5(f"cm{r}:{term}")[:8], 16) % CMS_W
+        for r, b in enumerate(buckets(term)):
             cells[(r, b)] = cells.get((r, b), 0) + c
     probes = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_PROBES]
     got = EXTRA["q373_count_min_sketch"](spark, SF_SMOKE).toPandas()
@@ -189,8 +201,10 @@ def test_count_min_sketch_matches_python(spark):
     for _, row in got.iterrows():
         term, exact = row["term"], int(row["exact_cnt"])
         assert counts[term] == exact
-        est = min(cells[(r, int(_md5(f"cm{r}:{term}")[:8], 16) % CMS_W)] for r in range(CMS_D))
+        est = min(cells[(r, b)] for r, b in enumerate(buckets(term)))
         assert int(row["cms_est"]) == est
-        # CMS never underestimates
+        # CMS never underestimates; the e/w guarantee must hold
         assert int(row["overestimate"]) >= 0
+        assert bool(row["est_ok"]) == (exact <= est <= exact + CMS_EPS * n_total)
+        assert bool(row["est_ok"])
     assert set(got["term"]) == {t for t, _ in probes}

@@ -25,6 +25,8 @@ SHARED = 17  # the BENCH_r01-r10 headline prefix
 
 
 def run_once(bench_set: str) -> dict:
+    import tempfile
+
     env = dict(os.environ)
     # a pre-set SPARK_GRAFT_BENCH_SET would make BOTH arms run the
     # same set and the A/B silently measure nothing (ADVICE r12) —
@@ -32,21 +34,32 @@ def run_once(bench_set: str) -> dict:
     env.pop("SPARK_GRAFT_BENCH_SET", None)
     if bench_set != "full":
         env["SPARK_GRAFT_BENCH_SET"] = bench_set
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        check=True,
-    )
-    doc = json.loads(out.stdout.strip().splitlines()[-1])
-    if "queries" not in doc:
-        # bench.py's stdout-overflow branch drops per-query timings
-        # from the printed line but always writes the full document
-        # to bench_full.json — read that instead of KeyError-ing
-        with open(os.path.join(HERE, "bench_full.json")) as fh:
-            doc = json.load(fh)
-    return doc
+    # per-run artifact path: the repo-root bench_full.json is a shared
+    # singleton any concurrent bench.py would clobber mid-A/B
+    fd, artifact = tempfile.mkstemp(prefix="ab_bench_", suffix=".json")
+    os.close(fd)
+    env["SPARK_GRAFT_BENCH_FULL"] = artifact
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        doc = json.loads(out.stdout.strip().splitlines()[-1])
+        if "queries" not in doc:
+            # bench.py's stdout-overflow branch drops per-query timings
+            # from the printed line but always writes the full document
+            # to the artifact path — read that instead of KeyError-ing
+            with open(artifact) as fh:
+                doc = json.load(fh)
+        return doc
+    finally:
+        try:
+            os.unlink(artifact)
+        except OSError:
+            pass
 
 
 def shared_norm(doc: dict) -> float:
