@@ -41,7 +41,7 @@ def test_query_runs(spark, name):
 
 
 def test_approx_distinct_within_error_bound(spark):
-    rows = EXTRA["q57_approx_distinct"](spark, SF_SMOKE).collect()
+    rows = ALL["q57_approx_distinct"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert r["approx_ok"], (r["l_returnflag"], r["exact_parts"])
@@ -49,8 +49,10 @@ def test_approx_distinct_within_error_bound(spark):
 
 
 def test_int8_knn_equals_exact_knn(spark):
-    exact = EXTRA["q50_knn_bruteforce"](spark, SF_SMOKE).collect()
-    quant = EXTRA["q56_knn_int8"](spark, SF_SMOKE).collect()
+    # ALL, not EXTRA: either query can be rotation-registered in a
+    # given round (q56 entered the driver registry in round 13)
+    exact = ALL["q50_knn_bruteforce"](spark, SF_SMOKE).collect()
+    quant = ALL["q56_knn_int8"](spark, SF_SMOKE).collect()
     assert [r.asDict() for r in quant] == [r.asDict() for r in exact]
 
 
