@@ -1913,6 +1913,77 @@ def event_type_totals_tws(
         q.awaitTermination()
 
 
+def cms_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming Count-Min maintenance — the incremental twin of the
+    batch ``operators/sketches.py::cms_build`` (q121/q373's operator)
+    and the FIFTH sketch the stream layer maintains (HLL register-max,
+    bitmap bit_or, histogram bins, AMS signed sums, now the frequency
+    grid). CMS counters are LINEAR in per-key counts, so each
+    micro-batch contributes its own d x w partial grid and the total
+    sketch is their plain cell-wise addition — the stream-final folded
+    state equals the one-shot batch ``cms_build`` EXACTLY (integer
+    equality, no error envelope), which is what the parity test pins.
+
+    Replay safety: addition is summable but NOT idempotent, so the
+    fold uses the AMS/histogram per-epoch-partition pattern — each
+    epoch's partial grid lands in ``state_dir/epoch=N`` via overwrite
+    (an at-least-once replay rewrites the same partition
+    byte-identically; the md5 bucket hashes are deterministic), and
+    readers sum across epoch partitions (:func:`cms_state_sketch`).
+
+    100 TB posture: the per-batch work is cms_build's — one md5 per
+    input row below a narrow d-way generate, then a hash aggregate
+    that map-side-combines every partition to <= d*w counters before
+    the shuffle; the durable state is <= d*w rows per epoch (KB),
+    independent of key cardinality, and point queries never touch the
+    raw stream again."""
+    from batchprocessingetl_spark.operators.sketches import cms_build
+
+    ev = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cells = cms_build(batch, F.col(key_col), depth, width)
+        cells.write.mode("overwrite").parquet(
+            state_dir.rstrip("/") + f"/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Collapse the epoch-partitioned streaming CMS state back to the
+    (row, bucket, c) counter table every batch-side reader consumes
+    (``cms_point_estimates``, ``cms_inner_product``) — one scan of the
+    epochs x cells state, summed per cell by linearity."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def ams_f2_rollup_stream(
     spark: SparkSession,
     source_dir: str,

@@ -1519,3 +1519,81 @@ def test_ams_f2_stream_equals_batch_sums_exactly(spark, tmp_path):
     # the estimator is in the right ballpark of exact F2
     f2_exact = sum(c * c for c in counts.values())
     assert 0.05 * f2_exact < got < 20 * f2_exact
+
+
+def test_cms_stream_equals_batch_sketch_exactly(spark, tmp_path):
+    """The streaming Count-Min state (linear frequency grid,
+    per-epoch-partition fold) must equal the one-shot batch cms_build
+    EXACTLY — integer cell-wise equality, no error envelope — across
+    arbitrary micro-batch slicing AND a checkpoint resume, because CM
+    counters are linear in per-key counts. Point estimates off the
+    folded state must therefore match estimates off the batch sketch
+    cell-for-cell too."""
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    from batchprocessingetl_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        cms_rollup_stream,
+        cms_state_sketch,
+    )
+
+    def ev(eid, uid):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=eid),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("ev", "state", "ck"))
+    f1 = [ev(i, i % 7) for i in range(40)]
+    f2 = [ev(100 + i, i % 11) for i in range(60)]
+    f3 = [ev(200 + i, 3 + (i % 5)) for i in range(50)]
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    for rows in (f1, f2):
+        land(rows)
+    cms_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt, depth=4, width=64)
+    land(f3)
+    # resume from checkpoint: only f3's files replay into new epochs
+    cms_rollup_stream(spark, src, EVENTS_STREAM_SCHEMA, state, ckpt, depth=4, width=64)
+
+    all_rows = spark.createDataFrame(f1 + f2 + f3, EVENTS_STREAM_SCHEMA)
+    want = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_build(all_rows, F.col("user_id"), 4, 64).collect()
+    }
+    got = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_state_sketch(spark, state).collect()
+    }
+    assert got == want  # EXACT integer equality, cell for cell
+
+    keys = spark.createDataFrame([(u,) for u in range(11)], "user_id long")
+    est_stream = {
+        r["user_id"]: r["est"]
+        for r in cms_point_estimates(
+            cms_state_sketch(spark, state), keys, "user_id", 4, 64
+        ).collect()
+    }
+    est_batch = {
+        r["user_id"]: r["est"]
+        for r in cms_point_estimates(
+            cms_build(all_rows, F.col("user_id"), 4, 64), keys, "user_id", 4, 64
+        ).collect()
+    }
+    assert est_stream == est_batch
+    # sanity: estimates dominate the true counts (CMS never under-counts)
+    from collections import Counter
+
+    counts = Counter(r.user_id for r in f1 + f2 + f3)
+    for uid, est in est_batch.items():
+        assert est >= counts.get(uid, 0)
