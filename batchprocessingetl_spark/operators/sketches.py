@@ -74,23 +74,40 @@ def _check_depth(depth: int) -> None:
 
 
 def cms_build(
-    df: DataFrame, key: Column, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+    shard_col: Column | None = None,
 ) -> DataFrame:
     """Count-Min sketch of ``key``'s frequency distribution: returns
     the (row, bucket, c) counter table, d*w rows max. One md5 per
     input row (computed BELOW the generate, so the explode replicates
     the 32-hex digest, not the hash work), a narrow explode (factor
     d), then one hash aggregate; map-side combine shrinks every
-    partition to <= d*w counters before the shuffle."""
+    partition to <= d*w counters before the shuffle.
+
+    ``shard_col`` (optional) builds PER-SHARD partial grids in the
+    same single pass — output (shard, row, bucket, c) — the
+    1000-shard / per-epoch form whose cell-wise addition
+    (streaming/jobs.py::cms_cells_collapse) equals the unsharded
+    sketch exactly, by linearity; this is how the sketch state ships
+    from distributed writers (q374 pins the algebra)."""
     _check_depth(depth)
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    shard = [shard_col.alias("shard")] if shard_col is not None else []
+    shard_names = ["shard"] if shard_col is not None else []
     return (
-        df.select(key.cast("string").alias("__k"))
+        df.select(*shard, key.cast("string").alias("__k"))
         .filter(F.col("__k").isNotNull())
-        .select(F.md5(F.concat(F.lit("cms:"), F.col("__k"))).alias("__h"))
-        .select(rows, F.col("__h"))
-        .select("row", _bucket(F.col("__h"), F.col("row"), width).alias("bucket"))
-        .groupBy("row", "bucket")
+        .select(*shard_names, F.md5(F.concat(F.lit("cms:"), F.col("__k"))).alias("__h"))
+        .select(*shard_names, rows, F.col("__h"))
+        .select(
+            *shard_names,
+            "row",
+            _bucket(F.col("__h"), F.col("row"), width).alias("bucket"),
+        )
+        .groupBy(*shard_names, "row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 

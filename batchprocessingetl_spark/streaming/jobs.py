@@ -1972,16 +1972,23 @@ def cms_rollup_stream(
     q.awaitTermination()
 
 
+def cms_cells_collapse(partials: DataFrame) -> DataFrame:
+    """The CMS read-path algebra on a frame of (row, bucket, c)
+    partial grids (one grid per epoch partition): sum per cell by
+    linearity, yielding the counter table every batch-side reader
+    consumes (``cms_point_estimates``, ``cms_inner_product``). Split
+    out of :func:`cms_state_sketch` so the q374 batch replay
+    (workload/round13_queries.py) oracle-pins the SAME code the
+    stream reader runs — the q369/ams_f2_estimate_from_partials
+    pattern."""
+    return partials.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
 def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Collapse the epoch-partitioned streaming CMS state back to the
-    (row, bucket, c) counter table every batch-side reader consumes
-    (``cms_point_estimates``, ``cms_inner_product``) — one scan of the
-    epochs x cells state, summed per cell by linearity."""
-    return (
-        spark.read.parquet(state_dir)
-        .groupBy("row", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
+    """Collapse the epoch-partitioned streaming CMS state back to a
+    counter table — ONE scan of the epochs x cells state through the
+    shared read-path algebra (:func:`cms_cells_collapse`)."""
+    return cms_cells_collapse(spark.read.parquet(state_dir))
 
 
 def ams_f2_rollup_stream(

@@ -1,4 +1,4 @@
-"""Round-13 additions (q369-q373).
+"""Round-13 additions (q369-q374).
 
 q369 closes VERDICT r12 #4: the streaming AMS F2 *read path*
 (streaming/jobs.py::ams_f2_estimate) was pytest-pinned against the
@@ -23,6 +23,13 @@ power-law regime where collisions land on heavy hitters, and
 replaced an earlier inline duplicate of the hashing the round-13
 self-review caught).
 
+q374 is q369's pattern applied to the round-13 streaming CMS rollup:
+the epoch-sharded build (``cms_build`` with ``shard_col`` — one
+pass) collapsed through the literal stream reader
+(``cms_cells_collapse``), point-estimated for the top-20 users, with
+an UNSHARDED-sketch oracle so cross-engine equality IS the linearity
+claim the stream's replay discipline rests on.
+
 House parity discipline throughout (workload/parity.py): exact
 integer arithmetic to the last op, md5-derived pseudo-randomness
 only, deterministic tie-breaks.
@@ -40,6 +47,22 @@ from batchprocessingetl_spark.catalog import load_table
 
 AMS_ESTIMATORS = 16  # must match streaming/jobs.py + q345
 AMS_EPOCHS = 4
+
+
+def _event_epoch() -> F.Column:
+    """Deterministic md5 epoch for an event row — the stand-in for the
+    stream's per-micro-batch ``epoch=N`` partitions in the q369/q374
+    batch replays (any partition of the input works, by linearity)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch:"), F.col("event_id").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % AMS_EPOCHS
+    )
 
 
 def q369_ams_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,18 +86,8 @@ def q369_ams_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batchprocessingetl_spark.streaming.jobs import ams_f2_estimate_from_partials
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    epoch = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("epoch:"), F.col("event_id").cast("string"))), 1, 1
-            ),
-            16,
-            10,
-        ).cast("int")
-        % AMS_EPOCHS
-    )
     counts = (
-        ev.select(epoch.alias("epoch"), "user_id")
+        ev.select(_event_epoch().alias("epoch"), "user_id")
         .groupBy("epoch", "user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -457,6 +470,63 @@ def q373_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q374: streaming Count-Min state + read path, batch replay
+# ---------------------------------------------------------------------------
+
+
+def q374_cms_stream_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the streaming Count-Min state + read path (the
+    q369 pattern applied to the round-13 `cms_rollup_stream`): events
+    are assigned to 4 deterministic md5 epochs; the per-epoch d x w
+    partial grids are built in ONE pass by the shared operator
+    (``cms_build`` with ``shard_col`` — the function the stream fold
+    calls per micro-batch); the stacked partials go through the
+    SHARED reader ``cms_cells_collapse`` (the literal function
+    ``cms_state_sketch`` runs); and the top-20 users by exact count
+    are point-estimated off the folded sketch with the e/w guarantee
+    checked per user. The oracle computes the UNSHARDED sketch
+    directly — equality is exactly the linearity claim the stream's
+    replay discipline rests on.
+
+    100 TB posture: q373's — one corpus-sized pass (the epoch column
+    only widens the partial-grid key, <= epochs*d*w cells), constant
+    frames after. The user domain complements q373's Zipf terms and
+    q121's batch path."""
+    from batchprocessingetl_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    from batchprocessingetl_spark.streaming.jobs import cms_cells_collapse
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    partials = cms_build(ev, F.col("user_id"), CMS_D, CMS_W, shard_col=_event_epoch())
+    sketch = cms_cells_collapse(partials)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(CMS_PROBES)
+    est = cms_point_estimates(sketch, probes, "user_id", CMS_D, CMS_W)
+    n_total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        probes.join(
+            est.select(F.col("user_id").cast("long").alias("user_id"), "est"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.lit(AMS_EPOCHS).alias("n_epochs"),
+            "user_id",
+            "exact_cnt",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("exact_cnt")).alias("overestimate"),
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (F.col("est") <= F.col("exact_cnt") + F.lit(CMS_EPS) * F.col("__n"))
+            ).alias("est_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+    )
+
+
 QUERIES: dict = {}
 ORACLE: dict = {}
 
@@ -466,6 +536,7 @@ EXTRA_QUERIES = {
     "q371_gini_concentration": q371_gini_concentration,
     "q372_jl_distortion": q372_jl_distortion,
     "q373_count_min_sketch": q373_count_min_sketch,
+    "q374_cms_stream_estimate": q374_cms_stream_estimate,
 }
 
 _JL_SIGNS_SQL = ", ".join(
@@ -641,4 +712,35 @@ EXTRA_ORACLE["q373_count_min_sketch"] = f"""
            (cms_est >= exact_cnt
             AND cms_est <= exact_cnt + {CMS_EPS!r} * n) AS est_ok
     FROM est, tot ORDER BY exact_cnt DESC, term
+"""
+
+EXTRA_ORACLE["q374_cms_stream_estimate"] = f"""
+    WITH exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1
+    ), probes AS (
+        SELECT user_id, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_PROBES}
+    ), sketch AS (
+        {_cms_sql("events", "user_id", CMS_D, CMS_W)}
+    ), pr AS (
+        SELECT p.user_id, p.exact_cnt, r.r AS row,
+               ('0x' || substr(md5('cms:' || p.user_id), r.r * 8 + 1, 8))::BIGINT
+                   % {CMS_W} AS bucket
+        FROM probes p
+        CROSS JOIN (SELECT unnest(range(0, {CMS_D}))::INT AS r) r
+    ), est AS (
+        SELECT user_id, exact_cnt, MIN(COALESCE(c, 0)) AS cms_est
+        FROM pr LEFT JOIN sketch USING (row, bucket)
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT COUNT(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT {AMS_EPOCHS} AS n_epochs, user_id,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overestimate,
+           (cms_est >= exact_cnt
+            AND cms_est <= exact_cnt + {CMS_EPS!r} * n) AS est_ok
+    FROM est, tot ORDER BY exact_cnt DESC, user_id
 """

@@ -1,4 +1,4 @@
-"""Round-13 additions (q369-q373): independent numpy / pure-python
+"""Round-13 additions (q369-q374): independent numpy / pure-python
 replications at SF_SMOKE — a third implementation sharing no code
 with either engine, pinning the MATH behind each component (the
 DuckDB oracles pin cross-engine parity separately).
@@ -208,3 +208,42 @@ def test_count_min_sketch_matches_python(spark):
         assert bool(row["est_ok"]) == (exact <= est <= exact + CMS_EPS * n_total)
         assert bool(row["est_ok"])
     assert set(got["term"]) == {t for t, _ in probes}
+
+
+def test_cms_stream_estimate_matches_python_and_unsharded(spark):
+    """q374's epoch-sharded build + shared collapse must equal the
+    plain unsharded sketch (linearity) — replicated in pure python by
+    building the sketch WITHOUT epochs and checking the query's
+    estimates against it."""
+    from batchprocessingetl_spark.workload.round13_queries import (
+        CMS_D,
+        CMS_EPS,
+        CMS_PROBES,
+        CMS_W,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["user_id"])
+    counts = Counter(int(u) for u in ev["user_id"])
+    n_total = len(ev)
+
+    def buckets(key: str) -> list[int]:
+        h = _md5(f"cms:{key}")
+        return [int(h[8 * r : 8 * r + 8], 16) % CMS_W for r in range(CMS_D)]
+
+    cells: dict[tuple[int, int], int] = {}
+    for uid, c in counts.items():
+        for r, b in enumerate(buckets(str(uid))):
+            cells[(r, b)] = cells.get((r, b), 0) + c
+    probes = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_PROBES]
+    got = EXTRA["q374_cms_stream_estimate"](spark, SF_SMOKE).toPandas()
+    assert len(got) == min(CMS_PROBES, len(counts))
+    assert (got["n_epochs"] == 4).all()
+    for _, row in got.iterrows():
+        uid, exact = int(row["user_id"]), int(row["exact_cnt"])
+        assert counts[uid] == exact
+        est = min(cells[(r, b)] for r, b in enumerate(buckets(str(uid))))
+        assert int(row["cms_est"]) == est
+        assert int(row["overestimate"]) >= 0
+        assert bool(row["est_ok"]) == (exact <= est <= exact + CMS_EPS * n_total)
+        assert bool(row["est_ok"])
+    assert set(got["user_id"].astype(int)) == {u for u, _ in probes}
