@@ -455,9 +455,26 @@ def minhash_dedup_pairs(
     (CPU-heavy) shingle construction: a corpus that arrives as few
     parquet files would otherwise serialize shingling on a handful of
     tasks, and every downstream consumer (signature pass + both sides
-    of the verification join) re-pays it."""
-    sh = shingle_frame(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, "id", None, n_hashes, n, pre_shingled="sh")
+    of the verification join) re-pays it.
+
+    Both reused intermediates are materialized once (localCheckpoint
+    barrier): the shingle frame feeds THREE consumers (signature pass +
+    both verify-join sides) and the signature frame TWO (both sides of
+    the band self-join), and Catalyst's ReuseExchange cannot
+    deduplicate them — the higher-order-function lambdas mint fresh
+    exprIds per instantiation, so the subtrees never canonicalize
+    equal and the measured plan re-tokenized the corpus four times.
+    The barrier pins one tokenize+shingle pass and one n_hashes-min
+    aggregate per run (r14: q37 2.51s -> ~1s at sf0.1, plan scans of
+    documents 4 -> 1). At 100 TB the materialized shingle frame is
+    the same bytes the old plan shuffled four times; executor
+    MEMORY_AND_DISK spills gracefully (operators/iteration.py)."""
+    from batchprocessingetl_spark.operators.iteration import barrier
+
+    sh = barrier(shingle_frame(df, id_col, text_col, n))
+    sigs = barrier(
+        minhash_signatures(sh, "id", None, n_hashes, n, pre_shingled="sh")
+    )
     cands = lsh_candidate_pairs(sigs, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

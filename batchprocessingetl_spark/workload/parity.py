@@ -43,6 +43,21 @@ def davg(col: Column, round_to: int = 4) -> Column:
     )
 
 
+def year_equals(col: Column, year: int) -> Column:
+    """``year(col) == year`` as a sargable timestamp-range predicate.
+
+    ``year()`` over a column is a derived expression, so Catalyst
+    cannot push it into the parquet scan (the r14 q03 plan showed
+    PushedFilters without it — guide §6: filters on derived columns do
+    not push down). The equivalent half-open range on the raw column
+    lands in PushedFilters and enables row-group min/max skipping; in
+    a UTC-pinned session the two predicates are identical for every
+    non-null timestamp (and both reject NULL)."""
+    lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp")
+    hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp")
+    return (col >= lo) & (col < hi)
+
+
 def dsum_sql(expr: str, round_to: int = 2) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,6))), {round_to}) AS DOUBLE)"
 

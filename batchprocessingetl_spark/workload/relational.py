@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batchprocessingetl_spark.catalog import load_table
-from batchprocessingetl_spark.workload.parity import davg, dsum, dsum_sql
+from batchprocessingetl_spark.workload.parity import davg, dsum, dsum_sql, year_equals
 
 
 # --- Q1 analogue of reference dashboard.py:29-42 (and TPC-H Q1 shape) ---
@@ -95,7 +95,10 @@ def q03_product_sales_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.year("o_orderdate") == 1997)
+        # sargable range instead of year() so the predicate reaches the
+        # orders scan (PushedFilters + row-group skipping — parity.py
+        # ::year_equals; r14, guide §6)
+        .filter(year_equals(F.col("o_orderdate"), 1997))
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_quantity_sold"))

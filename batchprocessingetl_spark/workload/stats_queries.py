@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batchprocessingetl_spark.catalog import load_table
+from batchprocessingetl_spark.workload.parity import year_equals
 
 AUC_POS_PRIORITY = "1-URGENT"
 
@@ -152,7 +153,9 @@ def q171_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH), F.lit(PSI_MAX_BIN)
         ).cast("int")
         return (
-            o.filter(F.year("o_orderdate") == year)
+            # sargable range (parity.year_equals) so the year predicate
+            # reaches the orders scan (r14, guide §6)
+            o.filter(year_equals(F.col("o_orderdate"), year))
             .groupBy(bin_.alias("bin"))
             .agg(F.count(F.lit(1)).alias(alias))
         )

@@ -3669,7 +3669,15 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is inherently k linear passes over the uncovered frame (the 10×
     probe's α IS that k-pass linearity, not a plan defect); the
     100 TB cheapening is q281's stochastic greedy, which prices each
-    round at a 1/m sample of the candidate docs."""
+    round at a 1/m sample of the candidate docs.
+
+    r14 note (guide §1.1, measure first): a driver-side-set rewrite of
+    the covered state (collect + createDataFrame per round) was
+    measured SLOWER (+0.35s/round: a parallelize-backed broadcast
+    build costs far more than one built on the localCheckpointed
+    frame), so the checkpoint design stays. The one measured win kept:
+    the final round's covered-set update is dead work (nothing reads
+    it) and is skipped."""
     from batchprocessingetl_spark.operators.dedup import shingle_frame
     from batchprocessingetl_spark.operators.iteration import barrier
 
@@ -3708,6 +3716,8 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered += b.gain
         picked.append((r, int(b.doc_id), int(b.gain), covered))
         picked_ids.append(int(b.doc_id))
+        if r == SETCOVER_K:
+            break  # the last pick's covered-set update is never read
         new_sh = sh.filter(F.col("doc_id") == b.doc_id).select("sh")
         covered_sh = barrier(
             new_sh if covered_sh is None else covered_sh.union(new_sh).distinct()
@@ -3860,6 +3870,8 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered += b.gain
         picked.append((r, int(b.doc_id), int(b.gain), covered))
         picked_ids.append(int(b.doc_id))
+        if r == SETCOVER_K:
+            break  # the last pick's covered-set update is never read
         new_sh = store.filter(
             (F.col("bucket") == bkt) & (F.col("doc_id") == b.doc_id)
         ).select("sh")
