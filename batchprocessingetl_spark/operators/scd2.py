@@ -20,11 +20,17 @@ This implementation computes the evident intent:
 - input grain is resolved to one row per key via a deterministic
   tie-break before merging (B4).
 
-Plan shape / scale: one left join (new x current-existing) on the
-primary key for change detection, one left-semi/anti split of existing,
-and a unionByName — all shuffles hash on the primary key, so AQE can
-reuse the exchange; with a bucketed dimension table the joins are
-shuffle-free. No driver-side collect; works at any dimension size.
+Plan shape / scale (r14 rework, guide §2.4 — remove shuffles
+outright): ONE full-outer join (new x current-existing) on the primary
+key classifies every key, and a per-row CASE emits the 0-2 output rows
+(expired / untouched / insert) as an exploded struct array — so the
+dimension is shuffled ONCE. The previous shape (left join for change
+detection + a left-semi AND a left-anti of ``current`` against the
+changed keys) shuffled the current dimension three times and, because
+the changed-keys subtree fed three consumers, re-ran the change-
+detection join per consumer (the measured q41 plan scanned the
+dimension 22 times). With a bucketed dimension table the single join
+is shuffle-free. No driver-side collect; works at any dimension size.
 """
 
 from __future__ import annotations
@@ -89,40 +95,51 @@ def apply_scd2(
     current = existing_data.filter(F.col("is_current"))
     history = existing_data.filter(~F.col("is_current"))
 
-    new_a = new_data.alias("new")
+    # presence marker for the batch side: update_columns may be
+    # legitimately NULL, so a literal TRUE column is the only reliable
+    # "this key was in the batch" indicator after the full-outer join
+    new_a = new_data.withColumn("__in_batch", F.lit(True)).alias("new")
     cur_a = current.alias("existing")
-    joined = new_a.join(cur_a, on=primary_key, how="left")
+    # USING-style join: the key columns coalesce into single output
+    # attributes valid for both sides
+    joined = new_a.join(cur_a, on=primary_key, how="full_outer")
 
     # no match in existing-current => brand-new key (start_date is never
     # NULL on a real dimension row, so it doubles as the match indicator)
     is_new_key = F.col("existing.start_date").isNull()
-    # changed = existing key whose attrs differ (null-safely), or brand-new key
-    changes = joined.filter(is_new_key | _any_attr_differs(update_columns)).select(
-        *[F.col(f"new.{c}").alias(c) for c in attr_cols]
-    )
-    changed_keys = changes.select(*primary_key)
+    in_batch = F.col("new.__in_batch").eqNullSafe(F.lit(True))
 
-    # expired: prior current rows of changed keys -> closed out
-    expired = (
-        current.join(changed_keys, on=primary_key, how="left_semi")
-        .withColumn("end_date", ts)
-        .withColumn("is_current", F.lit(False))
+    payload = update_columns + list(SCD2_COLS)
+    expired_row = F.struct(
+        *[F.col(f"existing.{c}").alias(c) for c in update_columns],
+        F.col("existing.start_date").alias("start_date"),
+        ts.alias("end_date"),
+        F.lit(False).alias("is_current"),
     )
-    # unchanged current rows (incl. keys absent from this batch) pass through
-    untouched = current.join(changed_keys, on=primary_key, how="left_anti")
-
-    inserts = changes.select(
-        *attr_cols,
+    untouched_row = F.struct(
+        *[F.col(f"existing.{c}").alias(c) for c in update_columns],
+        *[F.col(f"existing.{c}").alias(c) for c in SCD2_COLS],
+    )
+    insert_row = F.struct(
+        *[F.col(f"new.{c}").alias(c) for c in update_columns],
         ts.alias("start_date"),
         F.lit(None).cast("timestamp").alias("end_date"),
         F.lit(True).alias("is_current"),
     )
-
-    return (
-        history.unionByName(untouched)
-        .unionByName(expired)
-        .unionByName(inserts)
+    out_rows = (
+        F.when(~in_batch, F.array(untouched_row))  # key absent from batch
+        .when(is_new_key, F.array(insert_row))  # brand-new key
+        .when(
+            _any_attr_differs(update_columns),  # changed: expire + insert
+            F.array(expired_row, insert_row),
+        )
+        .otherwise(F.array(untouched_row))  # unchanged
     )
+    merged = joined.select(
+        *primary_key, F.explode(out_rows).alias("__r")
+    ).select(*primary_key, *[F.col(f"__r.{c}").alias(c) for c in payload])
+
+    return history.unionByName(merged.select(*history.columns))
 
 
 def apply_scd1(
