@@ -83,14 +83,23 @@ class _DynamicNamespacePath:
 
     def __init__(self, pkg: str) -> None:
         self._pkg = pkg
+        self._memo_key: tuple = ()
+        self._memo: list[str] = []
 
     def _paths(self) -> list[str]:
-        out = []
-        for entry in sys.path:
-            cand = os.path.join(entry or ".", self._pkg)
-            if os.path.isdir(cand):
-                out.append(cand)
-        return out
+        # non-str entries (bytes, importer objects some tools inject)
+        # would TypeError inside os.path.join and break every google.*
+        # import (ADVICE r13); the scan is memoized on the sys.path
+        # tuple so __len__/__getitem__ loops don't re-stat the world
+        key = tuple(e for e in sys.path if isinstance(e, str))
+        if key != self._memo_key:
+            out = []
+            for entry in key:
+                cand = os.path.join(entry or ".", self._pkg)
+                if os.path.isdir(cand):
+                    out.append(cand)
+            self._memo_key, self._memo = key, out
+        return self._memo
 
     def __iter__(self):
         return iter(self._paths())

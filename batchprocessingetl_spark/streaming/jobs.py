@@ -1559,67 +1559,14 @@ def kmv_distinct_daily(
     return per_day.select("day", est.alias("kmv_est")).orderBy("day")
 
 
-def cms_rollup_stream(
-    spark: SparkSession,
-    source_dir: str,
-    event_schema: T.StructType,
-    state_dir: str,
-    checkpoint_dir: str,
-    key_col: str = "user_id",
-    depth: int = 4,
-    width: int = 1024,
-    max_files_per_trigger: int = 1,
-) -> None:
-    """Continuous Count-Min frequency-sketch state — the FREQUENCY
-    member of the streaming estimator family (HLL ≈cardinality, bitmap
-    exact-distinct, KMV bit-exact-distinct, histogram quantiles): each
-    micro-batch builds the q121/q178 CM counter grid over its keys
-    (``operators/sketches.py::cms_build``) and writes it to an
-    epoch-owned partition (``state_dir/epoch=N``, overwrite — counter
-    addition is NOT idempotent, so replay must rewrite, the
-    histogram/IVM pattern). Readers sum counters across epochs:
-    because CM merge IS addition, the merged state equals the one-shot
-    batch sketch EXACTLY under any micro-batch slicing — the test pins
-    stream == batch counter-for-counter, and point reads
-    (:func:`~batchprocessingetl_spark.operators.sketches.cms_point`)
-    inherit the standard overestimate-within-eps·N guarantee.
-
-    100 TB posture: state is d×w counters per epoch (KBs, key-
-    cardinality-independent); each fold shuffles at most d×w partials
-    after map-side combine; compact old epochs by re-aggregating into
-    one (the algebra is the read-side sum either way)."""
-    ev = (
-        spark.readStream.schema(event_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(source_dir)
-    )
-
-    def fold(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        from batchprocessingetl_spark.operators.sketches import cms_build
-
-        cms_build(batch, F.col(key_col), depth, width).write.mode(
-            "overwrite"
-        ).parquet(state_dir.rstrip("/") + f"/epoch={int(epoch_id)}")
-
-    q = (
-        ev.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-
 def cms_rollup_read(spark: SparkSession, state_dir: str) -> DataFrame:
     """The merged sketch: counters summed across epoch partitions —
-    bit-identical to a one-shot cms_build over all data ever folded."""
-    return (
-        spark.read.parquet(state_dir)
-        .groupBy("row", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
+    bit-identical to a one-shot cms_build over all data ever folded.
+    Alias of :func:`cms_state_sketch` (r14: a second, shadowed
+    ``cms_rollup_stream`` definition from round 8 was deleted and the
+    two readers unified on :func:`cms_cells_collapse` — one reader,
+    one algebra)."""
+    return cms_state_sketch(spark, state_dir)
 
 
 def session_stats_tws(
@@ -1925,10 +1872,10 @@ def cms_rollup_stream(
     max_files_per_trigger: int = 1,
 ) -> None:
     """Streaming Count-Min maintenance — the incremental twin of the
-    batch ``operators/sketches.py::cms_build`` (q121/q373's operator)
-    and the FIFTH sketch the stream layer maintains (HLL register-max,
-    bitmap bit_or, histogram bins, AMS signed sums, now the frequency
-    grid). CMS counters are LINEAR in per-key counts, so each
+    batch ``operators/sketches.py::cms_build`` (q121/q373's operator),
+    the FREQUENCY member of the streaming estimator family (HLL
+    register-max, bitmap bit_or, KMV k-minima, histogram bins, AMS
+    signed sums). CMS counters are LINEAR in per-key counts, so each
     micro-batch contributes its own d x w partial grid and the total
     sketch is their plain cell-wise addition — the stream-final folded
     state equals the one-shot batch ``cms_build`` EXACTLY (integer
@@ -2002,9 +1949,11 @@ def ams_f2_rollup_stream(
     max_files_per_trigger: int = 1,
 ) -> None:
     """Streaming AMS / Tug-of-War F2 maintenance — the incremental twin
-    of the batch q345 sketch (workload/round12_queries.py) and the
-    FOURTH sketch the stream layer maintains (HLL register-max, bitmap
-    bit_or, histogram bins, now a LINEAR sketch). AMS estimator sums
+    of the batch q345 sketch (workload/round12_queries.py), the
+    second-MOMENT member of the streaming estimator family (HLL
+    register-max, bitmap bit_or, KMV k-minima, histogram bins, CMS
+    counter grid — r14 corrected the ordinal claims here: KMV and CMS
+    streaming predate this function). AMS estimator sums
     are linear in per-key counts, so the stream folds each micro-batch's
     16 signed partial sums sum_k sign_i(k) * c_k(batch) and the total
     is their plain addition — by linearity the stream-final state

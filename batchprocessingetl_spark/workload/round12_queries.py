@@ -705,7 +705,10 @@ EXTRA_ORACLE = {
         SELECT SUM(est) / 2.0 AS f2_estimate FROM ests
         WHERE rn IN ({AMS_ESTIMATORS // 2}, {AMS_ESTIMATORS // 2 + 1})
     ), exact AS (
-        SELECT COUNT(*) AS n_keys, CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts
+        -- c::HUGEINT before the square: the per-key product overflows
+        -- BIGINT before the sum promotes (ADVICE r13)
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(c::HUGEINT * c::HUGEINT) AS BIGINT) AS f2_exact FROM counts
     )
     SELECT n_keys, f2_exact, ROUND(f2_estimate, 1) AS f2_estimate,
            ROUND((f2_estimate - f2_exact) / CAST(f2_exact AS DOUBLE) * 100.0, 4)

@@ -247,10 +247,21 @@ def q371_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     amt_str = F.col("amt").cast("string")
+    # the (length, first-two-digits) bucket is only order-compatible
+    # for amt > 0 — a negative or zero cent total would bucket by the
+    # '-' substring and silently corrupt ranks with no engine
+    # disagreement to catch it (ADVICE r13). Fail loudly instead:
+    # assert_true raises mid-scan on refund-bearing data.
+    amt_positive = F.assert_true(
+        F.col("amt") > 0, F.lit("q371: non-positive per-customer cent total")
+    )
     bucketed = per_cust.select(
         "o_custkey",
         "amt",
-        (F.length(amt_str) * 100 + F.substring(amt_str, 1, 2).cast("int")).alias("b"),
+        F.when(
+            amt_positive.isNull(),
+            F.length(amt_str) * 100 + F.substring(amt_str, 1, 2).cast("int"),
+        ).alias("b"),
     )
     bcnt = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
@@ -672,7 +683,12 @@ EXTRA_ORACLE = {
         SELECT SUM(est) / 2.0 AS f2_estimate FROM ests
         WHERE rn IN ({AMS_ESTIMATORS // 2}, {AMS_ESTIMATORS // 2 + 1})
     ), exact AS (
-        SELECT COUNT(*) AS n_keys, CAST(SUM(ct * ct) AS BIGINT) AS f2_exact
+        SELECT COUNT(*) AS n_keys,
+               -- cast BEFORE multiplying: the per-key square would
+               -- overflow BIGINT long before the HUGEINT sum promotes
+               -- (ADVICE r13), matching the Spark side's
+               -- DECIMAL(19,0)*DECIMAL(19,0) discipline
+               CAST(SUM(ct::HUGEINT * ct::HUGEINT) AS BIGINT) AS f2_exact
         FROM (SELECT user_id, SUM(c) AS ct FROM counts GROUP BY 1)
     )
     SELECT {AMS_EPOCHS} AS n_epochs, n_keys, f2_exact,
