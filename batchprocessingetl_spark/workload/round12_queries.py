@@ -2232,6 +2232,12 @@ def q368_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = (
         li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("ship"))
     )
+    # r14 note (guide §1.1): the interval frame feeds four consumers
+    # (direct via spine + final select, both delta union branches), so
+    # a localCheckpoint looks attractive — but an interleaved 10-run
+    # A/B measured it consistently SLOWER (median 0.80s -> 1.00s at
+    # sf0.1): the codegen'd lineitem aggregate re-runs are cheaper
+    # than the materialization job + lost pipelining. Left lazy.
     iv = (
         o.select("o_orderkey", F.to_date("o_orderdate").alias("arrive"))
         .join(comp, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -3700,9 +3700,13 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, SETCOVER_K + 1):
         cand = sh
         if picked_ids:
-            cand = sh.filter(~F.col("doc_id").isin(picked_ids)).join(
-                F.broadcast(covered_sh), "sh", "left_anti"
-            )
+            # the anti-join alone eliminates picked docs: every shingle
+            # of a picked doc is covered by construction, so all its
+            # rows drop and it can never win again. Omitting the old
+            # redundant ~isin(picked_ids) filter keeps round plans
+            # structurally identical, so whole-stage codegen compiles
+            # once and is cache-hit by rounds 3+ (r14, guide §1.2).
+            cand = sh.join(F.broadcast(covered_sh), "sh", "left_anti")
         best = (
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -3854,9 +3858,10 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkt = (r - 1) % SETCOVER_SG_MOD
         cand = store.filter(F.col("bucket") == bkt)
         if picked_ids:
-            cand = cand.filter(~F.col("doc_id").isin(picked_ids)).join(
-                F.broadcast(covered_sh), "sh", "left_anti"
-            )
+            # anti-join alone suffices — a picked doc's rows are all
+            # covered (see q275); identical round-plan structure keeps
+            # the codegen cache warm across rounds
+            cand = cand.join(F.broadcast(covered_sh), "sh", "left_anti")
         best = (
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
