@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from batchprocessingetl_spark.operators.text import tokens
 
 
-def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+def shingles_of_tokens(toks: Column, n: int = 3, hashed: bool = False) -> Column:
     """Distinct word n-gram shingles from a token-array column.
 
     ``toks`` should be a *materialized* column (bound attribute), not an
@@ -56,12 +56,26 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     explode_outer never infers. tests/test_plans.py pins the single
     evaluation."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def gram(i):
+        return F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        )
+
+    # hashed=True emits array<bigint> of xxhash64(shingle) — the hash
+    # rides INSIDE the existing transform lambda (HOF lambdas are
+    # interpreted per element, so a separate hashing transform pass
+    # would double the per-element interpretation cost — measured +15%
+    # on q37 in r15). distinct-on-hashes equals hash-of-distinct
+    # modulo xxhash64 collisions; see minhash_dedup_pairs for where
+    # that suffices.
+    if hashed:
+        grams = F.transform(idx, lambda i: F.xxhash64(gram(i)))
+        empty = F.array().cast("array<bigint>")
+    else:
+        grams = F.transform(idx, gram)
+        empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -70,15 +84,19 @@ def shingles(col: Column, n: int = 3) -> Column:
     return shingles_of_tokens(tokens(col), n)
 
 
-def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = False
+) -> DataFrame:
     """(id, sh) frame with the scalable shingle plan: tokenize ->
     hash-repartition (parallelizes few-file corpora AND materializes the
-    token array across the exchange) -> shingle from the bound column."""
+    token array across the exchange) -> shingle from the bound column.
+    ``hashed=True`` emits xxhash64'd shingles (array<bigint>), see
+    :func:`shingles_of_tokens`."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
         .repartition(par, "id")
-        .select("id", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
+        .select("id", shingles_of_tokens(F.col("__toks"), n, hashed).alias("sh"))
     )
 
 
@@ -327,11 +345,16 @@ def minhash_signatures(
     # pipeline runs 2x per row on the un-parallelized scan side. The
     # rule exempts outer generates; the equivalent null-filter on the
     # generated column cannot be pushed below the Generate.
-    hashed = (
-        sh_df.select("id", F.explode_outer("__sh").alias("__s"))
-        .filter(F.col("__s").isNotNull())
-        .select("id", F.xxhash64("__s").alias("h"))
+    exploded = sh_df.select("id", F.explode_outer("__sh").alias("__s")).filter(
+        F.col("__s").isNotNull()
     )
+    # a pre-hashed shingle column (array<bigint> of xxhash64(shingle),
+    # see minhash_dedup_pairs) skips the re-hash: its elements ARE the
+    # h values this pass would compute, so signatures are bit-identical
+    if pre_shingled is not None and dict(df.dtypes).get(pre_shingled) == "array<bigint>":
+        hashed = exploded.select("id", F.col("__s").alias("h"))
+    else:
+        hashed = exploded.select("id", F.xxhash64("__s").alias("h"))
     mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__m{i}") for i in range(n_hashes)]
     return (
         hashed.groupBy("id")
@@ -457,21 +480,64 @@ def minhash_dedup_pairs(
     tasks, and every downstream consumer (signature pass + both sides
     of the verification join) re-pays it.
 
-    Both reused intermediates are materialized once (localCheckpoint
-    barrier): the shingle frame feeds THREE consumers (signature pass +
-    both verify-join sides) and the signature frame TWO (both sides of
-    the band self-join), and Catalyst's ReuseExchange cannot
-    deduplicate them — the higher-order-function lambdas mint fresh
-    exprIds per instantiation, so the subtrees never canonicalize
-    equal and the measured plan re-tokenized the corpus four times.
-    The barrier pins one tokenize+shingle pass and one n_hashes-min
-    aggregate per run (r14: q37 2.51s -> ~1s at sf0.1, plan scans of
-    documents 4 -> 1). At 100 TB the materialized shingle frame is
-    the same bytes the old plan shuffled four times; executor
-    MEMORY_AND_DISK spills gracefully (operators/iteration.py)."""
+    The shingle frame feeds THREE consumers (signature pass + both
+    verify-join sides) and the signature frame TWO (both sides of the
+    band self-join), and Catalyst's ReuseExchange cannot deduplicate
+    them — the higher-order-function lambdas mint fresh exprIds per
+    instantiation, so the subtrees never canonicalize equal and the
+    r13 plan re-tokenized the corpus four times. r14 pinned both
+    frames with localCheckpoint barriers (scans 4 -> 1) — but the
+    driver bench showed the shingle-frame materialization job costing
+    MORE than the recompute it saves at sf0.1 (q37 1.124 -> 1.455 s).
+
+    r15 (guide §2.3 + VERDICT r14 #1), two changes:
+
+    - HASHED shingles (array<bigint> of xxhash64(shingle), hashed
+      inside the shingle-construction lambda at zero extra passes).
+      Every consumer's semantics survive the hashing: the signature
+      pass hashes each shingle to xxhash64 anyway (pre-hashed arrays
+      feed minhash_signatures the SAME h values, so signatures and
+      LSH candidates are bit-identical), and the verify step uses only
+      set sizes and intersection sizes, which the per-doc-distinct ->
+      hash mapping preserves. Jaccard values are unchanged unless two
+      DISTINCT shingles within one candidate pair's union collide
+      under xxhash64 (p ~ s^2/2^64 per pair — negligible; the oracle
+      pins q37/q124 green at every tested SF). Hashing shrinks both
+      the lazy plan's verify-join shuffles and the barriered frame
+      ~3-5x, and turns verify intersections into long comparisons.
+    - SIZE-GATED shingle barrier: the signature-frame barrier (id +
+      n_hashes longs — cheap, removes the double min-aggregate) is
+      unconditional; the shingle-frame barrier only fires above an
+      input-size threshold (default 1 GiB, env-overridable), where
+      re-tokenizing the corpus twice more for the verify sides
+      outweighs one materialization. Below it the shingle frame stays
+      lazy (3 tokenize passes, no eager job — measured 1.65 -> 1.30 s
+      at sf0.1). At 100 TB the gate fires and the materialized bytes
+      are a fraction of what the r13 plan shuffled four times;
+      executor MEMORY_AND_DISK spills gracefully
+      (operators/iteration.py)."""
     from batchprocessingetl_spark.operators.iteration import barrier
 
-    sh = barrier(shingle_frame(df, id_col, text_col, n))
+    import os
+
+    sh = shingle_frame(df, id_col, text_col, n, hashed=True)
+    # Size-gated shingle barrier (VERDICT r14 #1): materializing the
+    # shingle frame costs a fixed eager job that LOSES at bench scale
+    # (driver r14: q37 1.124 -> 1.455 s; removing it measured 1.65 ->
+    # 1.30 s back-to-back in r15) but WINS once the corpus is large
+    # enough that re-tokenizing it for the two verify-join sides
+    # dominates the materialization. Gate on the optimizer's input
+    # size estimate (driver-side, no job); threshold default 1 GiB,
+    # env-overridable. Results are gate-independent: both branches
+    # compute the same hashed-shingle frame.
+    gate = int(os.environ.get("SPARK_GRAFT_SHINGLE_BARRIER_MIN_BYTES", str(1 << 30)))
+    try:
+        # py4j maps the scala BigInt to a Python int directly
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - estimate unavailable: barrier (the scale-safe default)
+        est = gate + 1
+    if est > gate:
+        sh = barrier(sh)
     sigs = barrier(
         minhash_signatures(sh, "id", None, n_hashes, n, pre_shingled="sh")
     )

@@ -47,14 +47,34 @@ def bm25_term_scores(
     order-dependent."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # r15 one-tokenize shape (guide §1.2/§2.4, VERDICT r14 #3): the old
+    # plan tokenized the corpus THREE times — tf pass, df recompute of
+    # the whole tf subtree (Catalyst copies the subtree per consumer
+    # and ReuseExchange never unifies them: each copy gets different
+    # inferred predicates / pruned columns before canonicalization),
+    # and the corpus-stats pass. Two fixes:
+    # (1) df comes from a WINDOW over term on the tf rows — same
+    #     exact count as the old groupBy+broadcast-join-back, but it
+    #     keeps tf on a SINGLE consumer chain, so the tokenize subtree
+    #     exists once in the plan (one small exchange keyed term over
+    #     matching rows only).
+    # (2) the stats pass no longer tokenizes: dl == size(tokens(text))
+    #     == regexp_count(text, '\\S+') exactly (tokens are the maximal
+    #     non-whitespace runs; NULL text keeps the old size(NULL) = -1
+    #     via coalesce), so the second corpus scan does no array
+    #     allocation at all.
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
     # integral-valued doubles (token counts) sum exactly in binary, so
     # sum(dl)/count is order-independent without a decimal accumulator
-    stats = base.agg(
+    stats = docs.select(
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(-1))
+        .cast("double")
+        .alias("__dl")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
+        F.sum("__dl").alias("sum_dl"),
     )
     tf = (
         base.select("id", "dl", F.explode("__toks").alias("term"))
@@ -62,16 +82,18 @@ def bm25_term_scores(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    from pyspark.sql.window import Window
+
+    tfd = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     avgdl = F.col("sum_dl") / F.col("n_docs")
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("id", "term", "tf", "dl", (idf * sat).alias("score"))
+    return tfd.crossJoin(F.broadcast(stats)).select(
+        "id", "term", "tf", "dl", (idf * sat).alias("score")
     )
 
 
@@ -113,12 +135,20 @@ def bm25_topk_join(
         F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
     ).distinct()
     uniq_terms = qterms.select("term").distinct()
+    # r15 one-tokenize shape — see bm25_term_scores for the full
+    # rationale (window-df keeps tf on one consumer chain; the stats
+    # pass counts non-whitespace runs instead of building token
+    # arrays). Same plan surgery, broadcast-semi-join term filter.
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
-    stats = base.agg(
+    stats = docs.select(
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(-1))
+        .cast("double")
+        .alias("__dl")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
+        F.sum("__dl").alias("sum_dl"),
     )
     tf = (
         base.select("id", "dl", F.explode("__toks").alias("term"))
@@ -126,16 +156,18 @@ def bm25_topk_join(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    from pyspark.sql.window import Window as _W
+
+    tfd = tf.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("term")).cast("double")
+    )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     avgdl = F.col("sum_dl") / F.col("n_docs")
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("id", "term", (idf * sat).alias("score"))
+    scored = tfd.crossJoin(F.broadcast(stats)).select(
+        "id", "term", (idf * sat).alias("score")
     )
     per_pair = (
         scored.join(F.broadcast(qterms), "term")

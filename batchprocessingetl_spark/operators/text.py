@@ -43,8 +43,18 @@ SUBTOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens as array<string>; empty text -> empty array."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokens as array<string>; empty text -> empty array.
+
+    ``array_remove(split(...), '')`` rather than the equivalent
+    ``F.filter(..., t != '')``: split never yields NULL elements, so
+    removing '' is exactly the filter — but array_remove is a plain
+    expression while F.filter is a higher-order function whose lambda
+    variables mint fresh exprIds per plan copy and never canonicalize
+    equal, which defeats ReuseExchange for EVERY subtree that contains
+    a tokenize (r14 finding on q37/q147: duplicated corpus passes).
+    Lambda-free tokenize lets identical token subtrees share one
+    exchange (guide §2.4)."""
+    return F.array_remove(F.split(F.trim(col), r"\s+"), "")
 
 
 def normalize(col: Column) -> Column:

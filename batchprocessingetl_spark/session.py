@@ -115,3 +115,14 @@ def work_dir(spark: SparkSession, component: str) -> str:
     return os.path.join(
         root, f"bpetl_{component}_{spark.sparkContext.applicationId}"
     )
+
+
+def work_codec() -> str:
+    """Parquet codec for EPHEMERAL work-dir stores (r15, VERDICT r14
+    #4): these intermediates are written once and re-read several
+    times within the SAME query (q281 reads its shingle store every
+    round), then discarded — so read-path speed matters and storage
+    ratio does not. snappy decodes faster than zstd; the session-wide
+    zstd default (session.py) is kept for durable sinks, where written
+    bytes dominate at scale. Env-overridable for A/B."""
+    return os.environ.get("SPARK_GRAFT_WORK_CODEC", "snappy")

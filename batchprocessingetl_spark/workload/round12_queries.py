@@ -162,21 +162,34 @@ def q346_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
     )
-    n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
-    approx = (
+    # r15 rework (guide §2.4, VERDICT r14 #5): the r14 shape consumed
+    # ``cand`` twice (count aggregate + top-k window) and then joined
+    # exact AGAINST the top-k — the LSH join and candidate cosines ran
+    # twice per query. Fused single pass: ONE window shuffle on qid
+    # ranks the candidates, a broadcast left join marks which candidate
+    # rows are exact-top-10 members, and one qid aggregate emits both
+    # n_candidates (all rows) and n_hits (rank<=K AND marked).
+    # |top-k(approx) JOIN exact| == |exact LEFT JOIN top-k| hits, so
+    # rows are identical; ``exact`` is Q*K rows (bounded) — broadcast.
+    marked = (
         cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RECALL_K)
-        .select("qid", "vec_id")
+        .join(
+            F.broadcast(exact.withColumn("__hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
+        )
     )
-    hits = (
-        exact.join(approx.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
-        .groupBy("qid")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    per_qid = marked.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(
+                (F.col("rnk") <= RECALL_K) & F.col("__hit").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_hits"),
     )
     base = tests.select("qid")
     return (
-        base.join(n_cand, "qid", "left")
-        .join(hits, "qid", "left")
+        base.join(per_qid, "qid", "left")
         .select(
             "qid",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
@@ -2232,12 +2245,31 @@ def q368_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = (
         li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("ship"))
     )
-    # r14 note (guide §1.1): the interval frame feeds four consumers
-    # (direct via spine + final select, both delta union branches), so
-    # a localCheckpoint looks attractive — but an interleaved 10-run
-    # A/B measured it consistently SLOWER (median 0.80s -> 1.00s at
-    # sf0.1): the codegen'd lineitem aggregate re-runs are cheaper
-    # than the materialization job + lost pipelining. Left lazy.
+    # r15 rework (guide §2.4, VERDICT r14 #5): the r14 shape computed
+    # the interval frame FOUR times (direct agg + spine-via-direct +
+    # both branches of the deltas union), i.e. four lineitem aggregates
+    # per run (16 scans / 26 exchanges in the plan; a localCheckpoint
+    # was measured slower in r14). Restructured to TWO interval
+    # computations, the minimum two genuinely independent arms need:
+    # (1) each interval emits its two sweep events (+1 at arrive, -1 at
+    #     close) via ONE explode instead of a two-branch union of the
+    #     interval frame, and the direct statistics are re-derived from
+    #     the per-day event aggregate —
+    #       n_orders   = sum of per-day arrival counts,
+    #       wip_direct = sum(close - arrive) = sum over events of
+    #                    -d * datediff(day, epoch)  (telescoping),
+    #       lo         = min event day (= min arrive, close >= arrive),
+    #       hi         = max event day (= max close),
+    #     all exact integers, so results are bit-identical;
+    # (2) the direct stats ride THROUGH the spine rows (constant
+    #     columns on the exploded day spine) and the final row comes
+    #     from ONE aggregate over the swept spine, instead of a third
+    #     interval pass for the final crossJoin. (Catalyst copies a
+    #     subtree per consumer and per-copy pruning defeats
+    #     ReuseExchange, so consumer count IS the pass count.)
+    # The sweep arm itself is untouched: day spine, left join of
+    # per-day deltas, cumulative window — an independent mechanism
+    # whose agreement with the direct sum is the audit.
     iv = (
         o.select("o_orderkey", F.to_date("o_orderdate").alias("arrive"))
         .join(comp, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -2246,31 +2278,56 @@ def q368_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("ship"), F.col("arrive")).alias("close"),
         )
     )
-    direct = iv.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.datediff("close", "arrive")).alias("wip_direct"),
-        F.min("arrive").alias("lo"),
-        F.max("close").alias("hi"),
+    epoch = F.lit("1970-01-01").cast("date")
+    events = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("arrive").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("close").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev")
+    ).select(F.col("ev.day").alias("day"), F.col("ev.d").alias("d"))
+    per_day = events.groupBy("day").agg(
+        F.sum("d").alias("delta"),
+        F.count(F.when(F.col("d") == 1, 1)).alias("arrivals"),
+        F.sum(-F.col("d") * F.datediff(F.col("day"), epoch)).alias("wip_part"),
     )
-    deltas = (
-        iv.select(F.col("arrive").alias("day"), F.lit(1).alias("d"))
-        .unionByName(iv.select(F.col("close").alias("day"), F.lit(-1).alias("d")))
-        .groupBy("day")
-        .agg(F.sum("d").alias("delta"))
+    direct = per_day.agg(
+        F.coalesce(F.sum("arrivals"), F.lit(0).cast("long")).alias("n_orders"),
+        F.sum("wip_part").alias("wip_direct"),
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
     )
     spine = direct.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        "n_orders",
+        "wip_direct",
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
     )
     wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     open_days = (
-        spine.join(deltas, "day", "left")
-        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        spine.join(per_day.select("day", "delta"), "day", "left")
+        .select(
+            "n_orders",
+            "wip_direct",
+            "lo",
+            "hi",
+            "day",
+            F.coalesce("delta", F.lit(0)).alias("delta"),
+        )
         .withColumn("open", F.sum("delta").over(wd))
     )
-    sweep = open_days.agg(F.sum("open").alias("wip_sweep"))
+    final = open_days.agg(
+        F.coalesce(F.max("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        F.max("wip_direct").alias("wip_direct"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("open").alias("wip_sweep"),
+    )
     n = F.col("n_orders").cast("double")
     horizon = F.datediff("hi", "lo")
-    return direct.crossJoin(F.broadcast(sweep)).select(
+    return final.select(
         "n_orders",
         horizon.cast("long").alias("horizon_days"),
         "wip_direct",

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batchprocessingetl_spark.catalog import load_table
-from batchprocessingetl_spark.session import work_dir
+from batchprocessingetl_spark.session import work_codec, work_dir
 from batchprocessingetl_spark.operators import text as T_ops
 
 
@@ -474,7 +474,7 @@ def q124_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(work, ignore_errors=True)
     band_signatures(
         minhash_signatures(store_docs, "doc_id", "text", n_hashes=32, n=3), bands=16
-    ).write.parquet(work)
+    ).write.option("compression", work_codec()).parquet(work)
     store_bands = spark.read.parquet(work)
 
     batch_bands = band_signatures(
@@ -3723,8 +3723,13 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r == SETCOVER_K:
             break  # the last pick's covered-set update is never read
         new_sh = sh.filter(F.col("doc_id") == b.doc_id).select("sh")
+        # union WITHOUT distinct (r15, guide §1.1): the left-anti join
+        # is insensitive to duplicate keys on its build side, and the
+        # covered frame is bounded by k docs' shingles either way —
+        # the per-round distinct was a pure-overhead shuffle inside
+        # every barrier job
         covered_sh = barrier(
-            new_sh if covered_sh is None else covered_sh.union(new_sh).distinct()
+            new_sh if covered_sh is None else covered_sh.union(new_sh)
         )
     return spark.createDataFrame(
         picked, "round int, doc_id long, gain long, covered long"
@@ -3846,7 +3851,11 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct("sh")).alias("sh"),
         )
         .withColumn("bucket", _sg_bucket(F.col("doc_id")))
-        .write.partitionBy("bucket")
+        # snappy, not the session zstd: this store is re-read every
+        # round within the timed query and deleted after; read-path
+        # decode speed wins (VERDICT r14 #4, guide §6)
+        .write.option("compression", work_codec())
+        .partitionBy("bucket")
         .parquet(work)
     )
     store = spark.read.parquet(work)
@@ -3880,8 +3889,11 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sh = store.filter(
             (F.col("bucket") == bkt) & (F.col("doc_id") == b.doc_id)
         ).select("sh")
+        # union WITHOUT distinct — see q275: anti-join build side is
+        # duplicate-insensitive, so the per-round distinct shuffle in
+        # the barrier job was dead work
         covered_sh = barrier(
-            new_sh if covered_sh is None else covered_sh.union(new_sh).distinct()
+            new_sh if covered_sh is None else covered_sh.union(new_sh)
         )
     return spark.createDataFrame(
         picked, "round int, doc_id long, gain long, covered long"
