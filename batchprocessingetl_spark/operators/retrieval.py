@@ -47,29 +47,32 @@ def bm25_term_scores(
     order-dependent."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    # r15 one-tokenize shape (guide §1.2/§2.4, VERDICT r14 #3): the old
+    # r15 two-pass shape (guide §1.2/§2.4, VERDICT r14 #3): the old
     # plan tokenized the corpus THREE times — tf pass, df recompute of
     # the whole tf subtree (Catalyst copies the subtree per consumer
-    # and ReuseExchange never unifies them: each copy gets different
+    # and ReuseExchange never unifies the copies: each gets different
     # inferred predicates / pruned columns before canonicalization),
-    # and the corpus-stats pass. Two fixes:
-    # (1) df comes from a WINDOW over term on the tf rows — same
-    #     exact count as the old groupBy+broadcast-join-back, but it
-    #     keeps tf on a SINGLE consumer chain, so the tokenize subtree
-    #     exists once in the plan (one small exchange keyed term over
-    #     matching rows only).
-    # (2) the stats pass no longer tokenizes: dl == size(tokens(text))
-    #     == regexp_count(text, '\\S+') exactly (tokens are the maximal
-    #     non-whitespace runs; NULL text keeps the old size(NULL) = -1
-    #     via coalesce), so the second corpus scan does no array
-    #     allocation at all.
+    # and the corpus-stats pass. The stats pass now does no
+    # tokenization: dl == size(tokens(text)) == regexp_count(text,
+    # '\\S+') exactly (tokens are the maximal non-whitespace runs;
+    # NULL text yields NULL dl on both forms), so the second corpus
+    # scan allocates no arrays. The df recompute stays —
+    # two designs that remove it were measured/analyzed and REJECTED:
+    # a window count over term keeps tf on one chain (q147 2.39 vs
+    # 3.15 s at sf0.1) but puts every term's tf rows on ONE task,
+    # which is skew death for a common term at 100 TB, and a
+    # localCheckpoint of tf measured 2.44 -> 3.49 s in r14. The
+    # groupBy+broadcast-join-back is the skew-free mechanism (partial
+    # aggregation collapses per task before the exchange).
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
     # integral-valued doubles (token counts) sum exactly in binary, so
     # sum(dl)/count is order-independent without a decimal accumulator
     stats = docs.select(
-        F.coalesce(F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(-1))
+        # NULL text -> NULL dl (size(NULL array) is NULL, which the old
+        # sum skipped), so regexp_count's NULL passes through unchanged
+        F.regexp_count(F.col(text_col), F.lit(r"\S+"))
         .cast("double")
         .alias("__dl")
     ).agg(
@@ -82,18 +85,16 @@ def bm25_term_scores(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    from pyspark.sql.window import Window
-
-    tfd = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
-    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     avgdl = F.col("sum_dl") / F.col("n_docs")
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
-    return tfd.crossJoin(F.broadcast(stats)).select(
-        "id", "term", "tf", "dl", (idf * sat).alias("score")
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", "tf", "dl", (idf * sat).alias("score"))
     )
 
 
@@ -135,15 +136,16 @@ def bm25_topk_join(
         F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
     ).distinct()
     uniq_terms = qterms.select("term").distinct()
-    # r15 one-tokenize shape — see bm25_term_scores for the full
-    # rationale (window-df keeps tf on one consumer chain; the stats
-    # pass counts non-whitespace runs instead of building token
-    # arrays). Same plan surgery, broadcast-semi-join term filter.
+    # r15 two-pass shape — see bm25_term_scores for the full rationale
+    # (tokenize-free stats scan; df join-back kept as the skew-free
+    # mechanism). Same plan surgery, broadcast-semi-join term filter.
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     ).select("id", F.size("__toks").cast("double").alias("dl"), "__toks")
     stats = docs.select(
-        F.coalesce(F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(-1))
+        # NULL text -> NULL dl (size(NULL array) is NULL, which the old
+        # sum skipped), so regexp_count's NULL passes through unchanged
+        F.regexp_count(F.col(text_col), F.lit(r"\S+"))
         .cast("double")
         .alias("__dl")
     ).agg(
@@ -156,18 +158,16 @@ def bm25_topk_join(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    from pyspark.sql.window import Window as _W
-
-    tfd = tf.withColumn(
-        "df", F.count(F.lit(1)).over(_W.partitionBy("term")).cast("double")
-    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     avgdl = F.col("sum_dl") / F.col("n_docs")
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
-    scored = tfd.crossJoin(F.broadcast(stats)).select(
-        "id", "term", (idf * sat).alias("score")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", (idf * sat).alias("score"))
     )
     per_pair = (
         scored.join(F.broadcast(qterms), "term")

@@ -55,17 +55,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r14 (guide §3.1/§9): let the planner pick shuffled-hash joins
-        # when the per-partition build side fits — skips both sort
-        # passes of a sort-merge join. Measured on every SMJ-bearing
-        # headline query (q94 0.67->0.55s, q147 2.84->2.31s, q41
-        # 0.80->0.71s, q346 1.54->1.44s at sf0.1); on a cluster the
-        # same size conditions bound the build side, and AQE skew/
-        # coalescing still applies. Env-overridable back to the Spark
-        # default for A/B.
+        # r15: REVERTED to the Spark default (VERDICT r14 #2). The r14
+        # flip to false claimed runtime SMJ->SHJ conversions on
+        # q94/q147/q41/q346; post-execution AQE final plans
+        # (plans/r15/*_aqe_final.txt) show q147/q41/q94 still execute
+        # SortMergeJoin with the flag off — only q346 converts — and
+        # both the interleaved full-bench A/B (tools/env_ab.py, median
+        # B/A 1.019 over 3+3 runs) and a focused 4-session q346
+        # interleave measured no effect. A config that converts almost
+        # nothing and measures flat does not justify carrying the
+        # shuffled-hash OOM caveat (guide §3.1) to 100 TB. Still
+        # env-overridable for future A/Bs.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         # r14 (guide §6): zstd parquet writes — measured at parity with
         # snappy locally (q281 store write 2.852s vs 2.855s) and a
