@@ -516,9 +516,12 @@ def minhash_dedup_pairs(
       are a fraction of what the r13 plan shuffled four times;
       executor MEMORY_AND_DISK spills gracefully
       (operators/iteration.py)."""
-    from batchprocessingetl_spark.operators.iteration import barrier
-
     import os
+
+    from batchprocessingetl_spark.operators.iteration import (
+        barrier,
+        input_size_estimate,
+    )
 
     sh = shingle_frame(df, id_col, text_col, n, hashed=True)
     # Size-gated shingle barrier (VERDICT r14 #1): materializing the
@@ -531,12 +534,7 @@ def minhash_dedup_pairs(
     # env-overridable. Results are gate-independent: both branches
     # compute the same hashed-shingle frame.
     gate = int(os.environ.get("SPARK_GRAFT_SHINGLE_BARRIER_MIN_BYTES", str(1 << 30)))
-    try:
-        # py4j maps the scala BigInt to a Python int directly
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 - estimate unavailable: barrier (the scale-safe default)
-        est = gate + 1
-    if est > gate:
+    if input_size_estimate(df) > gate:
         sh = barrier(sh)
     sigs = barrier(
         minhash_signatures(sh, "id", None, n_hashes, n, pre_shingled="sh")

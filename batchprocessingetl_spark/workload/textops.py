@@ -3646,6 +3646,23 @@ EXTRA_ORACLE["q274_kneser_ney"] = _ORACLE_ALL["q274_kneser_ney"]
 SETCOVER_K = 6
 
 
+def _covered_lazy_ok(docs: DataFrame) -> bool:
+    """True when the set-cover covered-shingle frame should stay a
+    LAZY union (no per-round barrier): each round then rebuilds its
+    anti-join broadcast from <= k-1 doc-filtered scans of the shingle
+    frame/store — measurably cheaper than k eager checkpoint jobs at
+    bench scale, but O(k^2) corpus-frame scans at cluster scale, where
+    the barrier's O(k) wins. Gated on the docs input-size estimate
+    (driver-side, no job; default 1 GiB, env-overridable; unknown
+    estimate => barrier, the scale-safe branch)."""
+    import os
+
+    from batchprocessingetl_spark.operators.iteration import input_size_estimate
+
+    gate = int(os.environ.get("SPARK_GRAFT_COVERED_BARRIER_MIN_BYTES", str(1 << 30)))
+    return input_size_estimate(docs) <= gate
+
+
 def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximum-coverage document selection — pick SETCOVER_K
     documents that together cover the most distinct 3-shingles, the
@@ -3697,6 +3714,17 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked_ids: list[int] = []
     covered_sh = None  # small: <= k docs' worth of shingles
     covered = 0
+    # Size-gated covered-set barrier (r15, guide §1.1 + the q37 gate
+    # pattern): below the gate the covered frame stays a LAZY union —
+    # each round's broadcast build re-runs <= k-1 doc-filtered scans of
+    # the materialized shingle frame, which is cheap in memory and
+    # skips the per-round eager checkpoint job (interleaved A/B at
+    # sf0.1: q275 2.21/2.31 s lazy vs 2.59/3.16 s barriered). Above
+    # the gate the barrier returns: the lazy form costs O(k^2)
+    # corpus-frame scans across the loop where the barriered form
+    # costs O(k) — the bench win inverts at scale. Rows are identical
+    # either way (same union, materialized or not).
+    lazy_covered = _covered_lazy_ok(docs)
     for r in range(1, SETCOVER_K + 1):
         cand = sh
         if picked_ids:
@@ -3723,14 +3751,11 @@ def q275_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r == SETCOVER_K:
             break  # the last pick's covered-set update is never read
         new_sh = sh.filter(F.col("doc_id") == b.doc_id).select("sh")
-        # union WITHOUT distinct (r15, guide §1.1): the left-anti join
-        # is insensitive to duplicate keys on its build side, and the
-        # covered frame is bounded by k docs' shingles either way —
-        # the per-round distinct was a pure-overhead shuffle inside
-        # every barrier job
-        covered_sh = barrier(
-            new_sh if covered_sh is None else covered_sh.union(new_sh)
-        )
+        # union WITHOUT distinct (r15): the left-anti join is
+        # insensitive to duplicate keys on its build side, so the old
+        # per-round distinct was a pure-overhead shuffle
+        u = new_sh if covered_sh is None else covered_sh.union(new_sh)
+        covered_sh = u if lazy_covered else barrier(u)
     return spark.createDataFrame(
         picked, "round int, doc_id long, gain long, covered long"
     ).orderBy("round")
@@ -3863,6 +3888,7 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked_ids: list[int] = []
     covered_sh = None
     covered = 0
+    lazy_covered = _covered_lazy_ok(docs)  # see q275 / _covered_lazy_ok
     for r in range(1, SETCOVER_K + 1):
         bkt = (r - 1) % SETCOVER_SG_MOD
         cand = store.filter(F.col("bucket") == bkt)
@@ -3889,12 +3915,10 @@ def q281_stochastic_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sh = store.filter(
             (F.col("bucket") == bkt) & (F.col("doc_id") == b.doc_id)
         ).select("sh")
-        # union WITHOUT distinct — see q275: anti-join build side is
-        # duplicate-insensitive, so the per-round distinct shuffle in
-        # the barrier job was dead work
-        covered_sh = barrier(
-            new_sh if covered_sh is None else covered_sh.union(new_sh)
-        )
+        # union without distinct + size-gated barrier — see q275 (here
+        # the lazy rebuild's scans are additionally bucket-pruned)
+        u = new_sh if covered_sh is None else covered_sh.union(new_sh)
+        covered_sh = u if lazy_covered else barrier(u)
     return spark.createDataFrame(
         picked, "round int, doc_id long, gain long, covered long"
     ).orderBy("round")

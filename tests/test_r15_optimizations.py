@@ -109,3 +109,23 @@ def test_minhash_barrier_gate_does_not_change_rows(spark, monkeypatch):
     forced_off = pairs()
     assert forced_on == forced_off
     assert len(forced_on) > 0
+
+
+def test_setcover_covered_gate_does_not_change_rows(spark, monkeypatch):
+    """The set-cover covered-set strategy (lazy union vs per-round
+    barrier, SPARK_GRAFT_COVERED_BARRIER_MIN_BYTES) must never change
+    the picked rounds."""
+    from batchprocessingetl_spark.workload.textops import q275_setcover_selection
+
+    def rounds():
+        return [
+            (r.round, r.doc_id, r.gain, r.covered)
+            for r in q275_setcover_selection(spark, SF_SMOKE).collect()
+        ]
+
+    monkeypatch.setenv("SPARK_GRAFT_COVERED_BARRIER_MIN_BYTES", "0")
+    barriered = rounds()
+    monkeypatch.setenv("SPARK_GRAFT_COVERED_BARRIER_MIN_BYTES", "999999999999")
+    lazy = rounds()
+    assert barriered == lazy
+    assert len(barriered) > 0
